@@ -1,0 +1,246 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** Relational core: the reference's Redshift TPC-H queries
+  * (`Assignment 6/src/AmazonRedshift.java:465-535`) and the RDS company/stock
+  * query shapes (`Assignment 3/.../SQLonRDS.java:238-264`) re-targeted at the
+  * driver's TPC-H-style testdata.
+  *
+  * Scale notes (100 TB design): `region`/`nation` are tiny dimensions and are
+  * explicitly `broadcast()` so the 4-way join chain degenerates to one shuffle
+  * (orders ⋈ customer) plus map-side hash joins; `ORDER BY … LIMIT k` plans as
+  * `TakeOrderedAndProject` (per-partition top-k + driver merge, no global
+  * sort); aggregates are partial (map-side combine) before the exchange.
+  */
+object TpchOps {
+
+  /** TPC-H Q1-style pricing summary — the contract's `q1_agg` archetype.
+    *
+    * Floating-point convention used across all oracle-backed queries: SUM of
+    * 2-decimal money is emitted as `round(sum(x), 2)` (the true sum is an
+    * exact multiple of 0.01, so double accumulation error of ~1e-9 can never
+    * cross a rounding boundary), and AVG is emitted as
+    * `round(sum(x), 2) / count(x)` — a division of two values both engines
+    * agree on bit-for-bit — instead of `round(avg(x), n)`, which sits on a
+    * half-cent boundary whenever the count is even and flips between engines
+    * depending on accumulation order. */
+  val q1Agg: QueryDef = QueryDef(
+    "q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2)                           AS sum_qty,
+      |       round(sum(l_extendedprice), 2)                      AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS sum_disc_price,
+      |       round(sum(l_quantity), 2) / count(l_quantity)       AS avg_qty,
+      |       round(sum(l_discount), 2) / count(l_discount)       AS avg_disc,
+      |       count(*)                                            AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        (round(sum($"l_quantity"), 2) / count($"l_quantity")).as("avg_qty"),
+        (round(sum($"l_discount"), 2) / count($"l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** 10 most recent orders by customers in AMERICA
+    * (`AmazonRedshift.java:465-479`; o_orderkey tiebreak added — the
+    * reference's bare `ORDER BY O_ORDERDATE DESC LIMIT 10` is tie-ambiguous). */
+  val redshiftQ1: QueryDef = QueryDef(
+    "redshift_q1",
+    """SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      |JOIN region r   ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'AMERICA'
+      |ORDER BY o.o_orderdate DESC, o.o_orderkey
+      |LIMIT 10""".stripMargin,
+  ) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "AMERICA")
+      .select(o("o_orderkey"), o("o_totalprice"), o("o_orderdate"))
+      .orderBy(desc("o_orderdate"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Total spend per customer for urgent, non-failed orders by customers
+    * outside EUROPE in the largest market segment
+    * (`AmazonRedshift.java:489-514`). The largest-segment CTE becomes a
+    * 1-row DataFrame broadcast into the probe side — evaluated once, like
+    * the reference's CTE, and never a driver-side collect. */
+  val redshiftQ2: QueryDef = QueryDef(
+    "redshift_q2",
+    """WITH largest_segment AS (
+      |  SELECT c_mktsegment FROM customer
+      |  GROUP BY c_mktsegment ORDER BY count(*) DESC, c_mktsegment LIMIT 1
+      |)
+      |SELECT c.c_custkey, round(sum(o.o_totalprice), 2) AS total_spent
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |  AND o.o_orderstatus <> 'F'
+      |  AND r.r_name <> 'EUROPE'
+      |  AND c.c_mktsegment = (SELECT c_mktsegment FROM largest_segment)
+      |GROUP BY c.c_custkey
+      |ORDER BY total_spent DESC, c.c_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val largestSegment = c.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("c_mktsegment"))
+      .limit(1)
+      .select($"c_mktsegment")
+    c.join(broadcast(largestSegment), Seq("c_mktsegment"))
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(o("o_orderpriority") === "1-URGENT" &&
+        o("o_orderstatus") =!= "F" && r("r_name") =!= "EUROPE")
+      .groupBy(c("c_custkey"))
+      .agg(round(sum(o("o_totalprice")), 2).as("total_spent"))
+      .orderBy(desc("total_spent"), asc("c_custkey"))
+  }
+
+  /** Line-item counts by order priority over a six-year order-date range
+    * (`AmazonRedshift.java:517-535`). Half-open date range preserved. */
+  val redshiftQ3: QueryDef = QueryDef(
+    "redshift_q3",
+    """SELECT o.o_orderpriority, count(l.l_linenumber) AS lineitem_count
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
+      |  AND o.o_orderdate <  TIMESTAMP '2003-04-01 00:00:00'
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin,
+  ) { (spark, dir) =>
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-04-01").cast("timestamp") &&
+        $"o_orderdate" < lit("2003-04-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(o("o_orderpriority"))
+      .agg(count(l("l_linenumber")).as("lineitem_count"))
+      .orderBy(asc("o_orderpriority"))
+  }
+
+  /** Disjunctive filter + projection + name sort
+    * (`SQLonRDS.java:238-244`: numEmployees > 10000 OR annualRevenue <
+    * 1000000 → supplier acctbal/nation analog). */
+  val rdsQ1: QueryDef = QueryDef(
+    "rds_q1",
+    """SELECT s_name, s_acctbal, s_nationkey
+      |FROM supplier
+      |WHERE s_acctbal > 5000 OR s_nationkey < 5
+      |ORDER BY s_name""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.supplier(spark, dir)
+      .filter($"s_acctbal" > 5000 || $"s_nationkey" < 5)
+      .select($"s_name", $"s_acctbal", $"s_nationkey")
+      .orderBy(asc("s_name"))
+  }
+
+  /** Join + BETWEEN date window + min/max/avg per group, sorted by an
+    * average (`SQLonRDS.java:246-254`). Averages follow the deterministic
+    * `round(sum,2)/count` convention (see [[q1Agg]]); min/max of doubles are
+    * order-insensitive so they stay raw. p_partkey tiebreak. */
+  val rdsQ2: QueryDef = QueryDef(
+    "rds_q2",
+    """SELECT p.p_partkey, p.p_name,
+      |       min(l.l_extendedprice)                                        AS low_price,
+      |       max(l.l_extendedprice)                                        AS high_price,
+      |       round(sum(l.l_extendedprice), 2) / count(l.l_extendedprice)   AS avg_price,
+      |       round(sum(l.l_quantity), 2) / count(l.l_quantity)             AS avg_qty
+      |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |WHERE l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                       AND TIMESTAMP '1996-12-31 00:00:00'
+      |GROUP BY p.p_partkey, p.p_name
+      |ORDER BY avg_qty DESC, p.p_partkey""".stripMargin,
+  ) { (spark, dir) =>
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate".between(
+        lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+    p.join(l, p("p_partkey") === l("l_partkey"))
+      .groupBy(p("p_partkey"), p("p_name"))
+      .agg(
+        min(l("l_extendedprice")).as("low_price"),
+        max(l("l_extendedprice")).as("high_price"),
+        (round(sum(l("l_extendedprice")), 2) / count(l("l_extendedprice"))).as("avg_price"),
+        (round(sum(l("l_quantity")), 2) / count(l("l_quantity"))).as("avg_qty"),
+      )
+      .orderBy(desc("avg_qty"), asc("p_partkey"))
+  }
+
+  /** Left join with compound ON (equi + literal date) + left join against a
+    * derived aggregate + null-sensitive disjunctive WHERE
+    * (`SQLonRDS.java:256-264`). The avg is rounded *before* the 0.9-scaled
+    * comparison so both engines make the same boundary decision. */
+  val rdsQ3: QueryDef = QueryDef(
+    "rds_q3",
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice AS price_on_day,
+      |       aw.avg_tp
+      |FROM customer c
+      |LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |                  AND o.o_orderdate = TIMESTAMP '1998-03-02 00:00:00'
+      |LEFT JOIN (
+      |  SELECT o_custkey AS aw_custkey,
+      |         round(sum(o_totalprice), 2) / count(o_totalprice) AS avg_tp
+      |  FROM orders
+      |  WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+      |                        AND TIMESTAMP '1995-12-31 00:00:00'
+      |  GROUP BY o_custkey
+      |) aw ON c.c_custkey = aw.aw_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |   OR (o.o_totalprice IS NOT NULL AND aw.avg_tp IS NOT NULL
+      |       AND o.o_totalprice >= aw.avg_tp * 0.9)
+      |ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST""".stripMargin,
+  ) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    // Two *independent* reads of orders: the branches are different logical
+    // subtrees, which sidesteps Spark's ambiguous-self-join detection while
+    // still letting Catalyst plan each scan with its own pushed filters.
+    val onDay = Tables.orders(spark, dir)
+      .filter($"o_orderdate" === lit("1998-03-02").cast("timestamp"))
+    val avgWeek = Tables.orders(spark, dir)
+      .filter($"o_orderdate".between(
+        lit("1995-01-01").cast("timestamp"), lit("1995-12-31").cast("timestamp")))
+      .groupBy($"o_custkey")
+      .agg((round(sum($"o_totalprice"), 2) / count($"o_totalprice")).as("avg_tp"))
+      .withColumnRenamed("o_custkey", "aw_custkey")
+    c.join(onDay, c("c_custkey") === onDay("o_custkey"), "left")
+      .join(avgWeek, c("c_custkey") === avgWeek("aw_custkey"), "left")
+      .filter(c("c_mktsegment") === "BUILDING" ||
+        (onDay("o_totalprice").isNotNull && $"avg_tp".isNotNull &&
+          onDay("o_totalprice") >= $"avg_tp" * 0.9))
+      .select(c("c_custkey"), c("c_name"), onDay("o_orderkey"),
+        onDay("o_totalprice").as("price_on_day"), $"avg_tp")
+      .orderBy(asc("c_custkey"), asc_nulls_first("o_orderkey"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q1Agg, redshiftQ1, redshiftQ2, redshiftQ3, rdsQ1, rdsQ2, rdsQ3)
+}
