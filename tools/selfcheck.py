@@ -29,6 +29,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         # decimal → float for cross-engine compare
         if df[c].dtype == object and df[c].map(lambda v: type(v).__name__ == "Decimal").any():
             df[c] = df[c].astype(float)
+        # datetime.date objects (Spark DATE via pyarrow) → datetime64
+        if df[c].dtype == object and df[c].map(lambda v: type(v).__name__ == "date").any():
+            df[c] = pd.to_datetime(df[c])
     return df.reset_index(drop=True)
 
 
