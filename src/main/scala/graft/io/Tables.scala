@@ -23,15 +23,18 @@ object Tables {
     * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.Sessions]]), so
     * the raw column arrives as nanos-since-epoch LongType; normalize it here
     * to a microsecond TimestampType every downstream operator can treat as a
-    * plain event-time column. Integer `DIV` (not `/`, which is double and
-    * loses precision above 2^53) keeps the truncation exact.
+    * plain event-time column. Integer arithmetic (not `/`, which is double
+    * and loses precision above 2^53) keeps the truncation exact, and the
+    * `pmod` adjustment makes it a true FLOOR division so pre-epoch (negative)
+    * nanos round down to the earlier microsecond rather than toward zero.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     val raw = load(spark, dir, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      raw.withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000L)) DIV 1000")))
     else raw
   }
 

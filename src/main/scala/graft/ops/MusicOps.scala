@@ -242,7 +242,12 @@ object MusicOps {
         .filter($"cnt" > 1)
         .select($"part1", $"part2")
     }
-    def listens = { // fresh plan per use (self-join hygiene)
+    // Built ONCE as a val: both uses below hang off the same subplan, so the
+    // distinct's shuffle exchange is planned once and reused (ReuseExchange)
+    // instead of re-running the orders⋈lineitem join + distinct twice. The
+    // second use renames every column, so attribute resolution stays
+    // unambiguous without a fresh plan.
+    val listens = {
       val o = Tables.orders(spark, dir)
       val l = Tables.lineitem(spark, dir)
       o.join(l, o("o_orderkey") === l("l_orderkey"))
@@ -310,12 +315,19 @@ object MusicOps {
     // `day` goes out as a 'yyyy-MM-dd' string: DATE-typed outputs surface as
     // python date objects from Spark parquet but datetime64 from DuckDB, so
     // string form is the engine-neutral representation.
+    //
+    // Each side is reduced to DISTINCT (user, day) BEFORE the day-keyed join:
+    // a user with k qualifying events on one day would otherwise contribute
+    // k² joined rows, and a day-equality join is the maximally-skewed key at
+    // scale — bounding each side by distinct users/day is the scale-safe form.
     val e1 = Tables.events(spark, dir)
       .filter($"event_type" === "purchase" && $"value" > 190)
       .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
     val e2 = Tables.events(spark, dir)
       .filter($"event_type" === "purchase" && $"value" > 190)
       .select($"user_id".as("user2_id"), to_date($"ts").as("day2"))
+      .distinct()
     e1.join(e2, $"day" === $"day2" && $"user_id" =!= $"user2_id")
       .select($"user_id".as("user1"), $"user2_id".as("user2"),
         date_format($"day", "yyyy-MM-dd").as("day"))

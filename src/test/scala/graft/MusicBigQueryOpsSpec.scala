@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{BigQueryOps, MusicOps}
+import graft.ops._
 
 class MusicBigQueryOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -58,10 +58,5 @@ class MusicBigQueryOpsSpec extends AnyFunSuite {
       assert(r.getString(1) <= r.getString(2), s"name_a > name_b in $r")
     }
     assert(rows.map(r => (r.getInt(0), r.getString(1), r.getString(2))).distinct.length == rows.length)
-  }
-
-  private implicit class ColInterp(sc: StringContext) {
-    def $(args: Any*): org.apache.spark.sql.Column =
-      org.apache.spark.sql.functions.col(sc.s(args: _*))
   }
 }

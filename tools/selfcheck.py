@@ -54,6 +54,18 @@ def main(sf_dir: str, out_dir: str) -> int:
     import os
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # Crashed queries write no output dir — cross-check the registered set
+    # (queries.json manifest, falling back to oracle keys) so a crashing
+    # registered query counts as a failure instead of silently vanishing.
+    registered = set(oracle)
+    try:
+        manifest = json.load(open(f"{out_dir}/queries.json"))
+        registered |= set(manifest.get("registered", []))
+    except FileNotFoundError:
+        pass
+    for missing in sorted(registered - set(names)):
+        print(f"  [FAIL-MISSING] {missing}: registered but no result dir (crashed?)")
+        n_fail += 1
     for name in names:
         got = norm(pd.read_parquet(os.path.join(out_dir, name)))
         if name not in oracle:
