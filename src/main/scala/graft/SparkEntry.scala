@@ -17,7 +17,8 @@ object SparkEntry {
   /** All registered operator definitions, grouped by reference assignment /
     * extension family. */
   def defs: Seq[QueryDef] =
-    TpchOps.all ++ MusicOps.all ++ BigQueryOps.all ++ NestedOps.all
+    TpchOps.all ++ MusicOps.all ++ BigQueryOps.all ++ NestedOps.all ++
+      LlmTextOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

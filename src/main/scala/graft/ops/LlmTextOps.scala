@@ -1,0 +1,404 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** LLM-training-data pipeline operators over the `documents` table (driver
+  * north-star extension; no reference-repo counterpart — the reference stops
+  * at relational/KV/document queries, cites in SURVEY.md §7.3 item 8).
+  *
+  * Design rules applied throughout:
+  *
+  *  - **Deterministic cross-engine hashing.** Everything the DuckDB oracle
+  *    must replay uses `portable hash` = first 15 hex chars of md5 parsed as
+  *    a long (< 2^60, no sign issues). md5 is bit-identical in Spark and
+  *    DuckDB, so MinHash signatures and SimHash fingerprints are exactly
+  *    oracle-checkable — not just "rows > 0".
+  *  - **No all-pairs joins in the engine path.** The exact similarity join
+  *    uses prefix filtering (the AllPairs/PPJoin bound: two sets with
+  *    Jaccard ≥ t must share a token among each one's rarest
+  *    `n - ceil(t·n) + 1` tokens under any fixed global token order);
+  *    MinHash-LSH buckets by signature bands; SimHash buckets by 8-bit
+  *    fingerprint bands. The quadratic form only ever appears in the DuckDB
+  *    oracle, which is allowed to be naive. At 100 TB each plan is a
+  *    shuffle keyed on (rare shingle | band hash), i.e. candidate buckets,
+  *    never the cross product.
+  *  - **Integer threshold predicates.** Jaccard ≥ 0.8 is evaluated as
+  *    `5·|A∩B| ≥ 4·|A∪B|` on exact ints in both engines, so no float
+  *    boundary can flip a row between Spark and the oracle.
+  *  - **SimHash banding is exact, not probabilistic**: hamming ≤ 3 over four
+  *    8-bit bands means at least one band is identical (pigeonhole), so the
+  *    banded join has guaranteed 100% recall and the all-pairs oracle must
+  *    agree exactly. MinHash banding (32 perms, 8 bands × 4 rows) is
+  *    probabilistic in general (P[miss] ≈ (1-t⁴)⁸ ≈ 1.5% at t=0.8) but the
+  *    planted near-dups in this corpus sit at J ≥ 0.9 where P[miss] < 1e-4;
+  *    recall is asserted against the exact join in LlmTextOpsSpec.
+  */
+object LlmTextOps {
+
+  /** Cross-engine deterministic 60-bit hash (see class doc). DuckDB
+    * equivalent: `('0x' || substr(md5(x),1,15))::BIGINT`. */
+  private def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def tokens: Column = split($"text", " ")
+
+  /** doc_id + distinct 3-word shingle set (docs with <3 tokens dropped —
+    * they have no shingles and can never reach a Jaccard threshold). */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select($"doc_id", tokens.as("ts"))
+      .filter(size($"ts") >= 3)
+      .select($"doc_id",
+        array_distinct(transform(sequence(lit(0), size($"ts") - 3),
+          i => concat_ws(" ", slice($"ts", i + 1, lit(3))))).as("sh"))
+
+  /** DuckDB CTE producing the same (doc_id, shingle-set) pairs. */
+  private val shingleCte: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      |sh AS (SELECT doc_id,
+      |              list_distinct([array_to_string(ts[i:i+2], ' ')
+      |                             for i in range(1, len(ts)-1)]) AS s
+      |       FROM toks WHERE len(ts) >= 3)""".stripMargin
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: hash-groupBy on the full text (one shuffle keyed on the
+    * digest — at 100 TB the shuffled payload is (digest, doc_id), never the
+    * text itself). */
+  val exactDedup: QueryDef = QueryDef(
+    "llm_exact_dedup",
+    """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(md5($"text").as("digest"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+
+  /** Canonical bag-of-words fingerprint: md5 of the sorted distinct token
+    * set — catches shuffled-word duplicates that byte-exact dedup misses. */
+  val fingerprint: QueryDef = QueryDef(
+    "llm_fingerprint",
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+      |       min(doc_id) AS keep_id, count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(md5(concat_ws(" ", array_sort(array_distinct(tokens)))).as("fp"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy($"keep_id")
+  }
+
+  // ----------------------------------------------------- text analysis
+
+  /** Per-document token statistics (whitespace tokenization). */
+  val textStats: QueryDef = QueryDef(
+    "llm_textstats",
+    """SELECT doc_id,
+      |       length(text) AS n_chars_m,
+      |       len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+      |       round(CAST(list_sum(list_apply(string_split(text, ' '), x -> len(x))) AS DOUBLE)
+      |             / len(string_split(text, ' ')), 4) AS avg_tok_len
+      |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text", tokens.as("ts"))
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars_m"),
+        size($"ts").cast("long").as("n_tokens"),
+        size(array_distinct($"ts")).cast("long").as("n_uniq"),
+        round(aggregate($"ts", lit(0), (a, x) => a + length(x)).cast("double")
+          / size($"ts"), 4).as("avg_tok_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Heuristic quality score: length saturation + stopword-density penalty.
+    * All inputs to the float math are exact ints and the formula is the same
+    * single expression in both engines, so round(…,4) is stable. */
+  val quality: QueryDef = QueryDef(
+    "llm_quality",
+    """SELECT doc_id,
+      |       len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |       len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and')))::BIGINT AS stop_hits,
+      |       round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+      |             + (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+      |                      / len(string_split(text, ' '))) * 0.5, 4) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val stop = Seq("the", "a", "of", "and")
+    Tables.documents(spark, dir)
+      .select($"doc_id", tokens.as("ts"))
+      .select($"doc_id", size($"ts").as("n"),
+        size(filter($"ts", t => t.isInCollection(stop))).as("hits"))
+      .select(
+        $"doc_id",
+        $"n".cast("long").as("n_tokens"),
+        $"hits".cast("long").as("stop_hits"),
+        round(least($"n" / lit(50.0), lit(1.0)) * 0.5
+          + (lit(1.0) - $"hits".cast("double") / $"n") * 0.5, 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID by character-trigram profile: learn the top-20 trigrams per
+    * labeled language from the corpus itself, score each doc by profile
+    * overlap, predict argmax (ties broken by language name). The profile is
+    * tiny (langs × 20) and broadcast to the scoring join; the gram explode
+    * is the only wide stage and is linear in corpus size. */
+  val langId: QueryDef = QueryDef(
+    "llm_langid",
+    """WITH g AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g
+      |           FROM documents, unnest(range(1, length(text)-1)) AS t(i)
+      |           WHERE length(text) >= 3),
+      |prof AS (SELECT lang AS p_lang, g FROM (
+      |  SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rk
+      |  FROM g GROUP BY lang, g) WHERE rk <= 20),
+      |dg AS (SELECT DISTINCT doc_id, g FROM g),
+      |sc AS (SELECT dg.doc_id, prof.p_lang, count(*) AS hits
+      |       FROM dg JOIN prof ON dg.g = prof.g GROUP BY 1, 2),
+      |pred AS (SELECT doc_id, p_lang, hits FROM (
+      |  SELECT doc_id, p_lang, hits,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rk
+      |  FROM sc) WHERE rk = 1)
+      |SELECT d.doc_id, d.lang, coalesce(p.p_lang, '??') AS predicted_lang,
+      |       CAST(coalesce(p.hits, 0) AS BIGINT) AS hits
+      |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.filter(length($"text") >= 3)
+      .select($"doc_id", $"lang", $"text",
+        explode(sequence(lit(1), length($"text") - 2)).as("i"))
+      .select($"doc_id", $"lang", expr("substring(text, i, 3)").as("g"))
+    val profile = grams
+      .groupBy($"lang", $"g").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy(desc("cnt"), asc("g"))))
+      .filter($"rk" <= 20)
+      .select($"lang".as("p_lang"), $"g")
+    val scores = grams.select($"doc_id", $"g").distinct()
+      .join(broadcast(profile), "g")
+      .groupBy($"doc_id", $"p_lang").agg(count(lit(1)).as("hits"))
+    val pred = scores
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy(desc("hits"), asc("p_lang"))))
+      .filter($"rk" === 1)
+      .select($"doc_id".as("p_doc"), $"p_lang", $"hits")
+    docs.join(pred, docs("doc_id") === pred("p_doc"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"p_lang", lit("??")).as("predicted_lang"),
+        coalesce($"hits", lit(0L)).as("hits"))
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------- near-duplicate similarity
+
+  /** All-pairs exact Jaccard oracle (naive is fine for the oracle; the
+    * engine path below never does this). */
+  private val neardupOracle: String =
+    shingleCte +
+      """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       len(list_intersect(a.s, b.s))::BIGINT AS n_common,
+        |       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::BIGINT AS n_union
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 5
+        |      >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4
+        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact shingle-Jaccard similarity join at t = 0.8 via prefix filtering:
+    * order every doc's shingles by global frequency (rarest first, ties by
+    * string), emit only the first `n - ceil(0.8·n) + 1` as join keys, pair
+    * docs sharing a prefix shingle, then verify exact Jaccard. Exact — the
+    * prefix bound guarantees no qualifying pair is missed — but the shuffle
+    * is keyed on RARE shingles, so bucket sizes stay small at scale. */
+  val neardupJaccard: QueryDef = QueryDef("llm_neardup_jaccard", neardupOracle) {
+    (spark, dir) => neardupPlan(docShingles(spark, dir))
+  }
+
+  private[graft] def neardupPlan(docsSh: DataFrame): DataFrame = {
+    val freq = docsSh.select(explode($"sh").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("f"))
+    val ordered = docsSh.select($"doc_id", explode($"sh").as("g"))
+      .join(freq, "g")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"f", $"g"))).as("fg"))
+      .select($"doc_id",
+        transform($"fg", x => x.getField("g")).as("sh"),
+        size($"fg").as("n"))
+    // prefix length p = n - ceil(0.8n) + 1; ceil(4n/5) = floor((4n+4)/5)
+    val pref = ordered
+      .withColumn("p", $"n" - floor(($"n" * 4 + 4) / lit(5)).cast("int") + 1)
+      .select($"doc_id", explode(slice($"sh", lit(1), $"p")).as("g"))
+    val candidates = pref.as("a")
+      .join(pref.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, ordered.select($"doc_id", $"sh"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs at t = 0.8 (integer
+    * predicate 5·∩ ≥ 4·∪). */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame): DataFrame =
+    candidates
+      .join(sets.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect($"sha", $"shb")))
+      .withColumn("uni", size($"sha") + size($"shb") - $"inter")
+      .filter($"inter" * 5 >= $"uni" * 4)
+      .select($"doc_a", $"doc_b",
+        $"inter".cast("long").as("n_common"), $"uni".cast("long").as("n_union"))
+      .orderBy($"doc_a", $"doc_b")
+
+  /** MinHash permutation family: ONE md5 base hash per shingle (the
+    * expensive part), then h_i(x) = (a_i·x + b_i) mod p with p = 2^31-1 —
+    * 32 cheap multiply-mods instead of 32 md5s per shingle, and still
+    * bit-identical in DuckDB. Constants come from a fixed MINSTD LCG so both
+    * engines embed the same literals. a_i·x < 2^62 so no int64 overflow. */
+  private val MinhashP = 2147483647L // 2^31 - 1, prime
+  private val permConsts: IndexedSeq[(Long, Long)] = {
+    val xs = Iterator.iterate(1L)(x => x * 48271L % MinhashP)
+      .drop(1).take(64).toIndexedSeq
+    (0 until 32).map(i => (xs(2 * i), xs(2 * i + 1)))
+  }
+
+  /** Per-doc array of base hashes, reduced mod p, computed once. */
+  private def baseHashes(docsSh: DataFrame): DataFrame =
+    docsSh.withColumn("hv", transform($"sh", s => portableHash(s) % MinhashP))
+
+  private def sigCol(i: Int): Column = {
+    val (a, b) = permConsts(i)
+    array_min(transform($"hv", h => (lit(a) * h + lit(b)) % MinhashP)).as(s"sig$i")
+  }
+
+  private def sigSql(i: Int): String = {
+    val (a, b) = permConsts(i)
+    s"list_min([($a * (('0x' || substr(md5(x), 1, 15))::BIGINT % $MinhashP) + $b) % $MinhashP for x in s]) AS sig$i"
+  }
+
+  /** MinHash signatures, 8 permutations, exactly replayed by the oracle. */
+  val minhashSig: QueryDef = QueryDef(
+    "llm_minhash_sig",
+    shingleCte + "\nSELECT doc_id, " +
+      (0 until 8).map(sigSql).mkString(", ") +
+      "\nFROM sh ORDER BY doc_id",
+  ) { (spark, dir) =>
+    baseHashes(docShingles(spark, dir))
+      .select($"doc_id" +: (0 until 8).map(sigCol): _*)
+      .orderBy($"doc_id")
+  }
+
+  /** MinHash-LSH near-dup join: 32 perms → 8 bands × 4 rows → bucket-join on
+    * the band hash → exact-Jaccard verification of candidates only. Output
+    * equals the exact join's whenever banding recall is 1.0 (true for this
+    * corpus's planted near-dups at J ≥ 0.9; asserted in LlmTextOpsSpec). */
+  val minhashLsh: QueryDef = QueryDef("llm_minhash_lsh", neardupOracle) {
+    (spark, dir) =>
+      val docsSh = docShingles(spark, dir)
+      val signed = baseHashes(docsSh)
+        .select(($"doc_id" +: $"sh" +: (0 until 32).map(sigCol)): _*)
+      // Band key already folds in the band index, so one long per band row.
+      val bandKeys = (0 until 8).map(b =>
+        xxhash64(lit(b) +: (4 * b until 4 * b + 4).map(i => col(s"sig$i")): _*))
+      val bandRows = signed
+        .select($"doc_id", explode(array(bandKeys: _*)).as("bk"))
+      val candidates = bandRows.as("x")
+        .join(bandRows.as("y"),
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      verifyJaccard(candidates, docsSh)
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  private def simhashSumsSql: String =
+    (0 until 32).map(j =>
+      s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+
+  private def simhashBitsSql: String =
+    (0 until 32).map(j =>
+      s"CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END").mkString(" + ")
+
+  private def simhashCte: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      |g AS (SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ')
+      |                             for i in range(1, len(ts)-1)]) AS g
+      |      FROM toks WHERE len(ts) >= 3),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM g),
+      |s AS (SELECT doc_id, """.stripMargin + simhashSumsSql +
+      " FROM h GROUP BY doc_id),\nf AS (SELECT doc_id, (" + simhashBitsSql +
+      ") AS simhash FROM s)"
+
+  /** Spark side of the 32-bit SimHash fingerprint over weighted (i.e.
+    * non-distinct) shingles. One explode + one hash-agg — linear, no joins. */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", tokens.as("ts"))
+      .filter(size($"ts") >= 3)
+      .select($"doc_id",
+        explode(transform(sequence(lit(0), size($"ts") - 3),
+          i => concat_ws(" ", slice($"ts", i + 1, lit(3))))).as("g"))
+      .select($"doc_id", portableHash($"g").as("hv"))
+    val sums = (0 until 32).map(j =>
+      sum(when(shiftright($"hv", j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val bits = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grams.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+      .select($"doc_id", bits.as("simhash"))
+  }
+
+  /** 32-bit SimHash fingerprint per document, exactly oracle-replayed. */
+  val simhash: QueryDef = QueryDef(
+    "llm_simhash",
+    simhashCte + "\nSELECT doc_id, simhash FROM f ORDER BY doc_id",
+  ) { (spark, dir) => simhashDf(spark, dir).orderBy($"doc_id") }
+
+  /** SimHash near-dup pairs at hamming ≤ 3 via four 8-bit band joins —
+    * EXACT by pigeonhole (≤3 differing bits can't touch all 4 bands), so the
+    * all-pairs oracle must agree. The engine path shuffles on (band, value)
+    * buckets, never the cross product. */
+  val simhashPairs: QueryDef = QueryDef(
+    "llm_simhash_pairs",
+    simhashCte +
+      """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  ) { (spark, dir) =>
+    val f = simhashDf(spark, dir)
+    val bands = f.select($"doc_id", $"simhash",
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        shiftright($"simhash", 8 * b).bitwiseAND(lit(255L)).as("v"))): _*)).as("bv"))
+      .select($"doc_id", $"simhash", $"bv.band".as("band"), $"bv.v".as("v"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    exactDedup, fingerprint, textStats, quality, langId,
+    neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
+  )
+}

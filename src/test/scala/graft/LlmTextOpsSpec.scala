@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class LlmTextOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH near-dup join matches the exact prefix-filter join") {
+    val exact = LlmTextOps.neardupJaccard.run(spark, sf).collect().toSeq
+    val lsh = LlmTextOps.minhashLsh.run(spark, sf).collect().toSeq
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact, "LSH candidates must cover every qualifying pair here")
+  }
+
+  test("neardup prefix-filter join finds planted near-duplicates") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val base = (1 to 60).map(i => s"w${i % 17} t$i").mkString(" ")
+    val nearDup = base.replace("t7", "x7") // one token changed
+    val unrelated = (1 to 60).map(i => s"z$i q${i * 3}").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id",
+        array_distinct(transform(sequence(lit(0), size($"ts") - 3),
+          i => concat_ws(" ", slice($"ts", i + 1, lit(3))))).as("sh"))
+    val pairs = LlmTextOps.neardupPlan(docs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val r = pairs.head
+    // one changed token breaks exactly 3 of the 118 shingles on each side
+    assert(r.getLong(2).toDouble / r.getLong(3) > 0.9)
+  }
+
+  test("simhash pairs all satisfy the hamming bound and include near-dups") {
+    val rows = LlmTextOps.simhashPairs.run(spark, sf).collect()
+    assert(rows.forall(_.getLong(2) <= 3))
+    val exact = LlmTextOps.neardupJaccard.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simhashPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SimHash (hamming<=3 of 32 bits) should rediscover most planted
+    // shingle-level near-dups; require majority overlap, not equality
+    // (the two measures are different by construction).
+    assert(exact.nonEmpty)
+    assert((exact & simhashPairs).size * 2 > exact.size,
+      s"simhash found ${(exact & simhashPairs).size} of ${exact.size} exact pairs")
+  }
+
+  test("exact dedup keeps one id per distinct text and counts copies") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val docs = Seq((10L, "a b c"), (11L, "a b c"), (12L, "d e f"))
+      .toDF("doc_id", "text")
+    val out = docs.groupBy(md5($"text").as("digest"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 2L), (12L, 1L)))
+  }
+
+  test("langid predicts a language for every document deterministically") {
+    val a = LlmTextOps.langId.run(spark, sf).collect().toSeq
+    val b = LlmTextOps.langId.run(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.forall(_.getString(2).nonEmpty))
+  }
+}
