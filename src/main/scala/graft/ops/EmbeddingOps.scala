@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** Similarity search over the `embeddings` table (`vec_id`,
+  * `embedding: array<float>`, `label`) — driver north-star extension
+  * (SURVEY.md §7.3 item 8; no reference-repo counterpart).
+  *
+  * Numeric determinism: every dot product is a sequential left-to-right fold
+  * over the element products in double precision — `aggregate(zip_with(...))`
+  * in Spark, `list_sum([a[i]*b[i] ...])` in DuckDB — which produce
+  * bit-identical doubles (verified empirically), so cosine similarities are
+  * exactly oracle-checkable; outputs still round to 6 dp as a guard.
+  *
+  * Scale design:
+  *  - the brute-force top-k is the CORRECT baseline for a small query set:
+  *    broadcast the queries, stream the corpus once (BroadcastNestedLoopJoin,
+  *    linear in corpus size, embarrassingly parallel), and take per-query
+  *    top-k with a bounded window — never a corpus×corpus product;
+  *  - the ANN path buckets vectors by sign-LSH (random-hyperplane signs), so
+  *    the candidate join is an equi-join on the bucket id: at 100 TB the
+  *    shuffle is keyed on buckets, and recall/cost trades off via the number
+  *    of hyperplanes. Hyperplane coefficients come from a fixed MINSTD LCG
+  *    and are embedded as the same literals in both engines, keeping even
+  *    the approximate path hash-verifiable.
+  */
+object EmbeddingOps {
+
+  private val Dim = 64
+  private val NPlanes = 4 // 16 buckets — sized for recall at test SFs
+  private val NQueries = 5 // query set: vec_id < 5
+  private val TopK = 10
+
+  /** Deterministic pseudo-random hyperplanes in [-1,1], MINSTD LCG. */
+  private val planes: IndexedSeq[IndexedSeq[Double]] = {
+    val p = 2147483647L
+    val xs = Iterator.iterate(7L)(x => x * 48271L % p)
+      .drop(1).take(NPlanes * Dim).toIndexedSeq
+    (0 until NPlanes).map(j =>
+      (0 until Dim).map(d => xs(j * Dim + d).toDouble / p * 2.0 - 1.0))
+  }
+
+  /** Sequential-fold dot product of two double-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** vec_id, v (double array), nrm (L2 norm). */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)))
+
+  private def planeLit(j: Int): Column =
+    array(planes(j).map(lit): _*)
+
+  /** LSH bucket id: one sign bit per hyperplane. */
+  private def bucketCol: Column =
+    (0 until NPlanes)
+      .map(j => when(dot($"v", planeLit(j)) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  // ------------------------------------------------------------- oracles
+
+  private def vecCte: String =
+    """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT vec_id, label, v,
+      |             sqrt(list_sum([v[i]*v[i] for i in range(1, len(v)+1)])) AS nrm
+      |      FROM e0)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([$a[i]*$b[i] for i in range(1, len($a)+1)])"
+
+  private def planeSqlList(j: Int): String =
+    planes(j).mkString("[", ", ", "]")
+
+  private def bucketSql(v: String): String =
+    (0 until NPlanes).map(j =>
+      s"(CASE WHEN ${dotSql(v, planeSqlList(j))} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  // ------------------------------------------------------------- queries
+
+  /** Brute-force cosine top-k for a fixed small query set — the exact
+    * baseline the ANN variant is measured against. */
+  val cosineTopK: QueryDef = QueryDef(
+    "llm_cosine_topk",
+    vecCte +
+      s"""
+         |, q AS (SELECT * FROM e WHERE vec_id < $NQueries),
+         |s AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |             ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+         |      FROM q JOIN e ON q.vec_id <> e.vec_id),
+         |r AS (SELECT q_id, vec_id, sim,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
+  ) { (spark, dir) =>
+    val e = vectors(spark, dir)
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val scored = e.join(broadcast(q), $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("sim"))
+    rankTopK(scored)
+  }
+
+  /** ANN via multi-probe sign-LSH: each query probes its own bucket plus
+    * every bucket at hamming distance 1 (flip one sign bit), so the pairing
+    * stays an EQUI-join on bucket id — at 100 TB the probe rows (queries ×
+    * (planes+1)) are broadcast and the corpus is shuffled once by bucket.
+    * The probe set is the scale lever: more probes → higher recall, more
+    * candidates. Approximate by construction (recall vs the brute-force
+    * baseline asserted in EmbeddingOpsSpec) yet still exactly
+    * oracle-replayed, because the hyperplanes are fixed literals and the
+    * oracle's hamming(bucket) ≤ 1 condition selects the identical candidate
+    * set. */
+  val annLsh: QueryDef = QueryDef(
+    "llm_ann_lsh",
+    vecCte +
+      s"""
+         |, b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT * FROM b WHERE vec_id < $NQueries),
+         |s AS (SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+         |             ${dotSql("q.v", "b.v")} / (q.nrm * b.nrm) AS sim
+         |      FROM q JOIN b ON bit_count(xor(q.bucket, b.bucket)) <= 1
+         |                   AND q.vec_id <> b.vec_id),
+         |r AS (SELECT q_id, vec_id, sim,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
+  ) { (spark, dir) =>
+    val b = vectors(spark, dir).withColumn("bucket", bucketCol)
+    val probeBuckets = array(
+      $"qb" +: (0 until NPlanes).map(j => $"qb".bitwiseXOR(lit(1 << j))): _*)
+    val q = b.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        $"bucket".as("qb"))
+      .select($"q_id", $"qv", $"qnrm", explode(probeBuckets).as("bucket"))
+    val scored = b.join(broadcast(q), Seq("bucket"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("sim"))
+    rankTopK(scored)
+  }
+
+  private def rankTopK(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy(desc("sim"), asc("vec_id"))))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"vec_id", $"rank".cast("long").as("rank"),
+        round($"sim", 6).as("sim"))
+      .orderBy($"q_id", $"rank")
+
+  /** Per-label corpus stats: count + mean L2 norm (array-numeric agg). */
+  val embedStats: QueryDef = QueryDef(
+    "llm_embed_stats",
+    vecCte +
+      """
+        |SELECT label, count(*) AS n_vecs,
+        |       round(sum(nrm), 2) / count(*) AS avg_nrm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+  ) { (spark, dir) =>
+    vectors(spark, dir)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (round(sum($"nrm"), 2) / count(lit(1))).as("avg_nrm"))
+      .orderBy($"label")
+  }
+
+  val all: Seq[QueryDef] = Seq(cosineTopK, annLsh, embedStats)
+}
