@@ -18,7 +18,7 @@ object SparkEntry {
     * extension family. */
   def defs: Seq[QueryDef] =
     TpchOps.all ++ MusicOps.all ++ BigQueryOps.all ++ NestedOps.all ++
-      LlmTextOps.all ++ EmbeddingOps.all
+      LlmTextOps.all ++ EmbeddingOps.all ++ KvOps.all ++ TimeSeriesOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

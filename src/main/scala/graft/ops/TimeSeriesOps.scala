@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** Assignment 4 (Bigtable weather time-series, `Bigtable.java`) re-targeted
+  * at the events table: event_type ≈ station, ts ≈ reading time, value ≈ the
+  * sensor reading. The reference's rowkey model `station#date#hour` maps to
+  * predicate pushdown + partition pruning on (event_type, day, hour) — on a
+  * real deployment the table would be written `partitionBy(event_type, day)`
+  * so these keyed reads touch one partition directory, which is exactly the
+  * rowkey-range scan the reference's comments call for
+  * (`Bigtable.java:179-180` "use readRowRanges").
+  */
+object TimeSeriesOps {
+
+  /** Hourly downsample: "Take the first reading in an hour and ignore any
+    * others" (`Bigtable.java:95-98`) — row_number over (station, day, hour)
+    * ordered by time with a unique tiebreak, keep rank 1. This is the ingest
+    * transform every other A4 query reads through. */
+  private def hourly(spark: SparkSession, dir: String): DataFrame =
+    hourlyOf(Tables.events(spark, dir))
+
+  private[graft] def hourlyOf(events: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy($"event_type", to_date($"ts").as("day"), hour($"ts"))
+      .orderBy($"ts", $"event_id")
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_type",
+        date_format($"ts", "yyyy-MM-dd").as("day"),
+        hour($"ts").as("hr"), $"event_id", $"value")
+  }
+
+  private val hourlyCte: String =
+    """WITH ranked AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |         hour(ts) AS hr, event_id, value,
+      |         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE), hour(ts)
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |hourly AS (SELECT event_type, day, hr, event_id, value FROM ranked WHERE rn = 1)""".stripMargin
+
+  /** The downsampled table itself (first reading per station-hour). */
+  val hourlyDedup: QueryDef = QueryDef(
+    "a4_hourly_dedup",
+    hourlyCte + "\nSELECT * FROM hourly ORDER BY event_type, day, hr",
+  ) { (spark, dir) =>
+    hourly(spark, dir).orderBy($"event_type", $"day", $"hr")
+  }
+
+  /** Keyed point read — one (station, date, hour) cell
+    * (`Bigtable.java:115-127`: temperature at Vancouver 2022-10-01 10:00). */
+  val pointRead: QueryDef = QueryDef(
+    "a4_point_read",
+    hourlyCte +
+      """
+        |SELECT event_id, value FROM hourly
+        |WHERE event_type = 'click' AND day = '2024-01-15' AND hr = 10""".stripMargin,
+  ) { (spark, dir) =>
+    // Filter the raw scan to the keyed slice BEFORE the dedup window: the
+    // predicate prunes at the source (partition/row-group level at scale)
+    // and the window then ranks only the slice. Same result as filtering
+    // after — row_number is computed per (type, day, hr) partition — but
+    // never materializes other keys.
+    val sliced = Tables.events(spark, dir)
+      .filter($"event_type" === "click" &&
+        to_date($"ts") === to_date(lit("2024-01-15")) && hour($"ts") === 10)
+    hourlyOf(sliced).select($"event_id", $"value")
+  }
+
+  /** Full-day keyed slice, hour-ordered (`Bigtable.java:146-164`: all SeaTac
+    * readings on 2022-10-02). */
+  val daySlice: QueryDef = QueryDef(
+    "a4_day_slice",
+    hourlyCte +
+      """
+        |SELECT hr, event_id, value FROM hourly
+        |WHERE event_type = 'purchase' AND day = '2024-01-10'
+        |ORDER BY hr""".stripMargin,
+  ) { (spark, dir) =>
+    val sliced = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase" &&
+        to_date($"ts") === to_date(lit("2024-01-10")))
+    hourlyOf(sliced).select($"hr", $"event_id", $"value").orderBy($"hr")
+  }
+
+  /** Max over a keyed time range (`Bigtable.java:140-144`: max windspeed at
+    * PDX during Sept 2022 → max 'error' value Jan 10–20). Half-open range. */
+  val rangeMax: QueryDef = QueryDef(
+    "a4_range_max",
+    hourlyCte +
+      """
+        |SELECT max(value) AS max_value, count(*) AS n_readings FROM hourly
+        |WHERE event_type = 'error' AND day >= '2024-01-10' AND day < '2024-01-20'""".stripMargin,
+  ) { (spark, dir) =>
+    val sliced = Tables.events(spark, dir)
+      .filter($"event_type" === "error" &&
+        to_date($"ts") >= to_date(lit("2024-01-10")) &&
+        to_date($"ts") < to_date(lit("2024-01-20")))
+    hourlyOf(sliced)
+      .agg(max($"value").as("max_value"), count(lit(1)).as("n_readings"))
+  }
+
+  /** Seasonal/periodic max across all stations (`Bigtable.java:166-183`:
+    * max temperature in July+August at any station → daily max per station
+    * over the whole range; the testdata spans one month, so the periodic
+    * bucket is the day). */
+  val dailyMax: QueryDef = QueryDef(
+    "a4_daily_max",
+    hourlyCte +
+      """
+        |SELECT event_type, day, max(value) AS max_value FROM hourly
+        |GROUP BY event_type, day ORDER BY event_type, day""".stripMargin,
+  ) { (spark, dir) =>
+    hourly(spark, dir)
+      .groupBy($"event_type", $"day")
+      .agg(max($"value").as("max_value"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    hourlyDedup, pointRead, daySlice, rangeMax, dailyMax,
+  )
+}
