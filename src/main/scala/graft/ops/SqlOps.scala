@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** SQL-string entry surface. The reference drives EVERY backend with SQL
+  * text (`AmazonRedshift.java:465-479` archetype; `SQLonRDS.java:238-264`;
+  * the A1 notebook's `runSql`): build a SQL string → ship it → cursor over
+  * rows. Here the same lifecycle is `spark.sql(text)` over temp views —
+  * Catalyst parses/plans/optimizes exactly as it does for the DataFrame
+  * builders, so both entry styles share one engine (SURVEY.md §3 E1).
+  *
+  * Views are (re-)registered per invocation against the sfDir the query is
+  * asked to run on; registration is cheap (no data is read until an action).
+  */
+object SqlOps {
+
+  private val tableNames = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a session temp view (DDL surface —
+    * `SQLonRDS.java:100-140` create/drop analog). `events` goes through the
+    * same nanos-normalizing loader the DataFrame ops use. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { n =>
+      val df =
+        if (n == "events") Tables.events(spark, dir)
+        else Tables.load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+
+  private def sqlQuery(name: String, text: String, oracle: String): QueryDef =
+    QueryDef(name, oracle) { (spark, dir) =>
+      registerViews(spark, dir)
+      spark.sql(text)
+    }
+
+  /** Flagship analytics query via SQL text (`AmazonRedshift.java:465-479`):
+    * 4-way join, region filter, latest-orders top-k with tiebreak. One
+    * string, valid in both Spark SQL and DuckDB. */
+  val topOrders: QueryDef = {
+    val text =
+      """SELECT o.o_orderkey, c.c_name, n.n_name, o.o_totalprice
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |ORDER BY o.o_orderdate DESC, o.o_orderkey LIMIT 10""".stripMargin
+    sqlQuery("sql_top_orders", text, text)
+  }
+
+  /** Pricing-summary aggregate via SQL (TPC-H Q1 shape, date-bounded scan —
+    * `AmazonRedshift.java:520-531` family). */
+  val aggPricing: QueryDef = {
+    val text =
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) < DATE '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    sqlQuery("sql_agg_pricing", text, text)
+  }
+
+  /** CREATE TEMPORARY VIEW → query it → DROP — the reference's DDL+query
+    * lifecycle (`SQLonRDS.java:100-140` createTables/dropTables around every
+    * run). The result plan inlines the view at analysis time, so dropping
+    * after building the DataFrame is safe. */
+  val ddlView: QueryDef = QueryDef(
+    "sql_ddl_view",
+    """SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM (SELECT * FROM orders WHERE o_totalprice > 400000) t
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  ) { (spark, dir) =>
+    registerViews(spark, dir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW high_value_orders AS
+        |SELECT * FROM orders WHERE o_totalprice > 400000""".stripMargin)
+    val out = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM high_value_orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    spark.catalog.dropTempView("high_value_orders")
+    out
+  }
+
+  /** Catalog enumeration (`ExampleMongo.java:48-63` listCollectionNames):
+    * SHOW TABLES filtered to the engine's table set. */
+  val catalogTables: QueryDef = QueryDef(
+    "sql_catalog_tables",
+    tableNames.sorted.map(n => s"('$n')")
+      .mkString("SELECT * FROM (VALUES ", ", ", ") t(table_name) ORDER BY table_name"),
+  ) { (spark, dir) =>
+    registerViews(spark, dir)
+    spark.sql("SHOW TABLES")
+      .filter($"tableName".isin(tableNames: _*))
+      .select($"tableName".as("table_name"))
+      .orderBy($"table_name")
+  }
+
+  val all: Seq[QueryDef] = Seq(topOrders, aggPricing, ddlView, catalogTables)
+}
