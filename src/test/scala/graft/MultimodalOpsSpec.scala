@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class MultimodalOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("frames reassemble byte-exactly into the original payload") {
+    val media = MultimodalOps.mediaTable(spark, sf)
+    val bad = media
+      .select($"doc_id", $"payload",
+        MultimodalOps.frames($"payload").as("fr"))
+      .withColumn("rejoined",
+        aggregate($"fr", lit(Array.emptyByteArray), (acc, f) => concat(acc, f)))
+      .filter(not($"rejoined" === $"payload"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("feature extraction is deterministic and computes real byte stats") {
+    val media = MultimodalOps.mediaTable(spark, sf).limit(50)
+    val a = MultimodalOps.extractFeatures(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = MultimodalOps.extractFeatures(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+    // cross-check one row against the text it was encoded from
+    val doc = io.Tables.documents(spark, sf)
+      .filter($"doc_id" === a.head._1).collect().head
+    val bytes = doc.getAs[String]("text").getBytes("UTF-8")
+    assert(a.head._2 == bytes.length)
+    assert(a.head._3 == bytes.foldLeft(0L)((s, x) => s + (x & 0xff)))
+  }
+
+  test("metadata queries agree with payload-derived sizes") {
+    val rows = MultimodalOps.bytesStats.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = io.Tables.documents(spark, sf)
+      .select($"doc_id", length($"text").cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ASCII corpus: utf-8 byte length == char length
+    rows.foreach(r => assert(r.getLong(1) == docs(r.getLong(0))))
+  }
+}
