@@ -223,7 +223,14 @@ object LlmTextOps {
     (spark, dir) => neardupPlan(docShingles(spark, dir))
   }
 
-  private[graft] def neardupPlan(docsSh: DataFrame): DataFrame = {
+  private[graft] def neardupPlan(docsShRaw: DataFrame): DataFrame = {
+    // The shingle table feeds three consumers (frequency ordering, prefix
+    // generation, exact verification), and nothing in the plan lets the
+    // scans unify, so persist the two small derived tables for the duration
+    // of the query. On a persistent 100 TB deployment these would be
+    // materialized artifacts (written once, reused by every similarity op) —
+    // persist() is the single-session form of that materialization.
+    val docsSh = docsShRaw.persist()
     val freq = docsSh.select(explode($"sh").as("g"))
       .groupBy($"g").agg(count(lit(1)).as("f"))
     val ordered = docsSh.select($"doc_id", explode($"sh").as("g"))
@@ -233,6 +240,7 @@ object LlmTextOps {
       .select($"doc_id",
         transform($"fg", x => x.getField("g")).as("sh"),
         size($"fg").as("n"))
+      .persist()
     // prefix length p = n - ceil(0.8n) + 1; ceil(4n/5) = floor((4n+4)/5)
     val pref = ordered
       .withColumn("p", $"n" - floor(($"n" * 4 + 4) / lit(5)).cast("int") + 1)
@@ -302,7 +310,9 @@ object LlmTextOps {
     * corpus's planted near-dups at J ≥ 0.9; asserted in LlmTextOpsSpec). */
   val minhashLsh: QueryDef = QueryDef("llm_minhash_lsh", neardupOracle) {
     (spark, dir) =>
-      val docsSh = docShingles(spark, dir)
+      // shingle table feeds both the signature path and the verification
+      // joins — persist it for the query (see neardupPlan note)
+      val docsSh = docShingles(spark, dir).persist()
       val signed = baseHashes(docsSh)
         .select(($"doc_id" +: $"sh" +: (0 until 32).map(sigCol)): _*)
       // Band key already folds in the band index, so one long per band row.
