@@ -247,11 +247,16 @@ object MusicOps {
     // instead of re-running the orders⋈lineitem join + distinct twice. The
     // second use renames every column, so attribute resolution stays
     // unambiguous without a fresh plan.
+    // The explicit isNotNull filters are no-ops on this data but make the
+    // two consumers' subtrees canonically IDENTICAL: the pairs-join side
+    // infers isnotnull(l_partkey) while the anti-join side would not, and
+    // that difference alone defeats ReuseExchange.
     val listens = {
       val o = Tables.orders(spark, dir)
       val l = Tables.lineitem(spark, dir)
       o.join(l, o("o_orderkey") === l("l_orderkey"))
         .select(o("o_custkey"), l("l_partkey"))
+        .filter($"o_custkey".isNotNull && $"l_partkey".isNotNull)
         .distinct()
     }
     val candidates = listens
