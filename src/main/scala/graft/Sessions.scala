@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def builder(cores: String): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(graft.functions.GraftExtensions.install)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The engine's `SparkSessionExtensions` hook (SURVEY.md §7.1's "extension
+  * seam"): registers the native functions with the session's
+  * FunctionRegistry, so they resolve by name from both `spark.sql("...
+  * cosine_sim(a,b) ...")` and `functions.call_function("cosine_sim", ...)`.
+  * Installed by [[graft.Sessions]] via `builder.withExtensions`; a cluster
+  * deployment would set `spark.sql.extensions=graft.functions.GraftExtensions`
+  * instead — same class, config-driven.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.install(ext)
+}
+
+object GraftExtensions {
+  def install(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_sim expects 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
+}

@@ -105,10 +105,12 @@ object EmbeddingOps {
   ) { (spark, dir) =>
     val e = vectors(spark, dir)
     val q = e.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
     val scored = e.join(broadcast(q), $"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id",
-        (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("sim"))
+        // native fused expression (graft.functions.CosineSimilarity):
+        // same folds as the HOF form, one allocation-free codegen'd loop
+        call_function("cosine_sim", $"qv", $"v").as("sim"))
     rankTopK(scored)
   }
 
@@ -142,13 +144,12 @@ object EmbeddingOps {
     val probeBuckets = array(
       $"qb" +: (0 until NPlanes).map(j => $"qb".bitwiseXOR(lit(1 << j))): _*)
     val q = b.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
-        $"bucket".as("qb"))
-      .select($"q_id", $"qv", $"qnrm", explode(probeBuckets).as("bucket"))
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"bucket".as("qb"))
+      .select($"q_id", $"qv", explode(probeBuckets).as("bucket"))
     val scored = b.join(broadcast(q), Seq("bucket"))
       .filter($"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id",
-        (dot($"qv", $"v") / ($"qnrm" * $"nrm")).as("sim"))
+        call_function("cosine_sim", $"qv", $"v").as("sim"))
     rankTopK(scored)
   }
 
