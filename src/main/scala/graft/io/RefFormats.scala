@@ -125,6 +125,10 @@ object RefFormats {
         col("fields")("longitude").cast(DoubleType).as("longitude"),
         col("fields")("latitude").cast(DoubleType).as("latitude"),
         col("fields")("last_login").cast(LongType).as("last_login"))
+      // epoch seconds → event-time timestamp (the from_unixtime family;
+      // `users.txt:1` stores last_login as a unix epoch string)
+      .withColumn("last_login_ts",
+        timestamp_seconds(col("last_login")))
   }
 
   /** Scores CSV (`redis_client.py:101-145`): header `user:id,score,

@@ -241,6 +241,39 @@ object TpchOps {
       .orderBy(asc("c_custkey"), asc_nulls_first("o_orderkey"))
   }
 
+  /** Full-table display scan (`SQLonRDS.java:212-224` displayTable: `SELECT *
+    * FROM t` + formatted print): small table, every column, total order. */
+  val displayScan: QueryDef = QueryDef(
+    "rds_display_scan",
+    "SELECT * FROM supplier ORDER BY s_suppkey",
+  ) { (spark, dir) =>
+    Tables.supplier(spark, dir).orderBy($"s_suppkey")
+  }
+
+  /** Calendar rollup exercising month()/year() extraction (the reference's
+    * "Sept 2022" / "summer months" predicates, `Bigtable.java:130-183`, and
+    * the date handling in `SQLonRDS.java:251`). */
+  val monthlyOrders: QueryDef = QueryDef(
+    "rds_monthly_orders",
+    """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"yr", $"mo")
+  }
+
+  /** LIMIT without ORDER BY — a peek (`A2 Q1 docx LIMIT 10`;
+    * `ExampleMongo.java:58` first-5). Row CONTENT is engine/partition-
+    * dependent by definition, so this registers rows-only: the driver
+    * checks cardinality, not values. */
+  val limitPeek: QueryDef = QueryDef.rowsOnly("a2_limit_peek") { (spark, dir) =>
+    Tables.part(spark, dir).limit(10)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q1Agg, redshiftQ1, redshiftQ2, redshiftQ3, rdsQ1, rdsQ2, rdsQ3)
+    Seq(q1Agg, redshiftQ1, redshiftQ2, redshiftQ3, rdsQ1, rdsQ2, rdsQ3,
+      displayScan, monthlyOrders, limitPeek)
 }

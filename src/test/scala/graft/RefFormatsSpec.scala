@@ -51,6 +51,8 @@ class RefFormatsSpec extends AnyFunSuite {
     assert(r.getAs[String]("country") == "China")
     assert(math.abs(r.getAs[Double]("longitude") - 105.324979) < 1e-9)
     assert(r.getAs[Long]("last_login") == 1581151007L)
+    assert(r.getAs[java.sql.Timestamp]("last_login_ts").toInstant.getEpochSecond
+      == 1581151007L)
   }
 
   test("userscores.csv: 3911 rows, int scores, leaderboard tags") {
