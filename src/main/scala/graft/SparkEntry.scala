@@ -19,7 +19,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     TpchOps.all ++ MusicOps.all ++ BigQueryOps.all ++ NestedOps.all ++
       LlmTextOps.all ++ EmbeddingOps.all ++ KvOps.all ++ TimeSeriesOps.all ++
-      SqlOps.all ++ graft.streaming.StreamingOps.all ++ MultimodalOps.all
+      SqlOps.all ++ graft.streaming.StreamingOps.all ++ MultimodalOps.all ++
+      RefDataOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

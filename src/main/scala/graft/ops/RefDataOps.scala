@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.RefFormats
+
+/** Queries over the reference repo's OWN bundled datasets (read-only at
+  * /root/reference), run through the graft parsers — the closest possible
+  * replication of what the reference actually executes. Registered
+  * rows-only: the DuckDB oracle only sees the sfDir parquet tables, so
+  * these are value-checked by RefFormatsSpec goldens instead.
+  */
+object RefDataOps {
+
+  private val RefRoot = "/root/reference"
+
+  /** The Bigtable assignment end-to-end: weather CSV → hourly downsample →
+    * per-station monthly max temperature (`Bigtable.java:95-113,166-183`;
+    * the "summer months" query shape over the real Vancouver file). */
+  val weatherMonthlyMax: QueryDef =
+    QueryDef.rowsOnly("ref_weather_monthly_max") { (spark, _) =>
+      RefFormats.weatherCsv(spark,
+        s"$RefRoot/Assignment 4/Assig-4/Assig-4/data/vancouver.csv", "YVR")
+        .groupBy($"station", year($"date").as("yr"), month($"date").as("mo"))
+        .agg(max($"temperature").as("max_temp"),
+          count(lit(1)).as("n_hours"))
+        .orderBy($"station", $"yr", $"mo")
+    }
+
+  /** The RediSearch query on the real users.txt (`redis_client.py:303-340`:
+    * `(@country:{China}|@country:{Russia}) @latitude:[40 46]`), through the
+    * quoted-KV parser. */
+  val usersSearch: QueryDef =
+    QueryDef.rowsOnly("ref_users_search") { (spark, _) =>
+      RefFormats.usersKv(spark, s"$RefRoot/Assignment 5/users.txt")
+        .filter($"country".isin("China", "Russia") &&
+          $"latitude".between(40, 46))
+        .select($"user_id", $"first_name", $"last_name", $"country",
+          $"latitude")
+        .orderBy($"user_id")
+    }
+
+  /** The Mongo top-5-customers pipeline on the reference's own .tbl files
+    * (`MongoDB.java:432-468` over `Assignment 7/data/{customer,order}.tbl`). */
+  val tblTop5Customers: QueryDef =
+    QueryDef.rowsOnly("ref_tbl_top5_customers") { (spark, _) =>
+      val c = RefFormats.customerTbl(spark, s"$RefRoot/Assignment 7/data/customer.tbl")
+      val o = RefFormats.orderTbl(spark, s"$RefRoot/Assignment 7/data/order.tbl")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy($"c_custkey")
+        .agg(round(sum($"o_totalprice"), 2).as("total_order_amount"),
+          first($"c_name").as("c_name"))
+        .orderBy(desc("total_order_amount"), asc("c_custkey"))
+        .limit(5)
+        .select($"c_custkey", $"c_name", $"total_order_amount")
+    }
+
+  val all: Seq[QueryDef] = Seq(weatherMonthlyMax, usersSearch, tblTop5Customers)
+}

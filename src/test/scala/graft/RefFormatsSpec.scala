@@ -55,6 +55,17 @@ class RefFormatsSpec extends AnyFunSuite {
       == 1581151007L)
   }
 
+  test("RediSearch tag+range query on real users.txt matches a python recount") {
+    // golden computed independently: China|Russia users with 40<=lat<=46
+    val rows = ops.RefDataOps.usersSearch.run(spark, "").collect()
+    assert(rows.length == 161) // independent python recount over users.txt
+    rows.foreach { r =>
+      assert(Set("China", "Russia")(r.getString(3)))
+      val lat = r.getDouble(4)
+      assert(lat >= 40 && lat <= 46)
+    }
+  }
+
   test("userscores.csv: 3911 rows, int scores, leaderboard tags") {
     val df = RefFormats.scoresCsv(spark, s"$ref/Assignment 5/userscores.csv")
     assert(df.count() == 3911) // header + 3911 CRLF data rows, no final \n
