@@ -51,6 +51,20 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_unique")) // count only: distinct-aggs are not
   // incrementalizable on streams, and the twin must be stream-runnable
 
+  /** Gap-based sessionization: a user's events ≤30 min apart share a
+    * session (`session_window` — Spark's built-in merging session state;
+    * under streaming this is the stateful session store, no custom
+    * `mapGroupsWithState` needed). Boundaries go out as unix micros so the
+    * oracle compare is exact-integer. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total"))
+      .select($"user_id",
+        unix_micros($"session_window.start").as("session_start_us"),
+        unix_micros($"session_window.end").as("session_end_us"),
+        $"n_events", $"total")
+
   // ------------------------------------------------- registered batch twins
 
   val tumbling: QueryDef = QueryDef(
@@ -87,5 +101,34 @@ object StreamingOps {
     "SELECT count(DISTINCT event_id) AS n_unique FROM events",
   ) { (spark, dir) => dedupCount(Tables.events(spark, dir)) }
 
-  val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup)
+  /** Oracle replays session merging relationally: a session break is a
+    * >30-min gap (or first event) per user; running-sum the breaks to get a
+    * session id, then aggregate. Session end = last event + gap, matching
+    * `session_window` semantics. */
+  val session: QueryDef = QueryDef(
+    "stream_session_agg",
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id, ts, value,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s)
+      |SELECT user_id,
+      |       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+      |       CAST(epoch_us(max(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS session_end_us,
+      |       count(*) AS n_events, round(sum(value), 2) AS total
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin,
+  ) { (spark, dir) =>
+    sessionAgg(Tables.events(spark, dir))
+      .orderBy($"user_id", $"session_start_us")
+  }
+
+  val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session)
 }

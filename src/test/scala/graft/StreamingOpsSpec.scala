@@ -55,6 +55,59 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming session windows equal the batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val slice = boundedSlice()
+    val stream = MemoryStream[Ev]
+    stream.addData(slice)
+    val agg = StreamingOps.sessionAgg(
+      stream.toDF().withWatermark("ts", "2 hours"))
+    val q = agg.writeStream
+      .format("memory").queryName("session_out").outputMode("complete")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("session_out")
+      .orderBy($"user_id", $"session_start_us").collect().toSeq
+    val batch = StreamingOps.sessionAgg(
+      io.Tables.events(spark, sf)
+        .filter($"ts" < to_timestamp(lit("2024-01-03 00:00:00"))))
+      .orderBy($"user_id", $"session_start_us").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("custom state via flatMapGroupsWithState: running per-user counters") {
+    // KeyValueGroupedDataset custom state — the seam for stateful logic the
+    // built-in windows can't express. Running count per user over a stream,
+    // checked against the plain groupBy answer.
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.{newProductEncoder, newLongEncoder}
+    implicit val tupEnc = spark.implicits.newProductEncoder[(Long, Long)]
+    val slice = boundedSlice().take(500)
+    val stream = MemoryStream[Ev]
+    stream.addData(slice)
+    val counted = stream.toDF().as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          Iterator((user, n))
+      }.toDF("user_id", "n")
+    val q = counted.writeStream
+      .format("memory").queryName("fmgws_out").outputMode("update")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // last update per user == total count per user
+    val got = spark.table("fmgws_out")
+      .groupBy($"user_id").agg(max($"n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = slice.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+  }
+
   test("streaming dropDuplicates discards replayed events exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits.newProductEncoder
