@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** Typed `Dataset[T]` surface: case-class rows, lambda pipelines, and a
+  * custom `Aggregator` (the typed UDAF seam, SURVEY.md §2.11). The
+  * DataFrame ops elsewhere are the default — Catalyst sees through column
+  * expressions but NOT through lambdas, so typed `map`/`filter` trade some
+  * optimizer visibility for compile-time safety; these queries prove the
+  * typed path produces oracle-identical answers where that trade is wanted.
+  */
+object TypedOps {
+
+  final case class Customer(c_custkey: Long, c_name: String,
+      c_nationkey: Int, c_acctbal: Double, c_mktsegment: String)
+
+  def customers(spark: SparkSession, dir: String): Dataset[Customer] = {
+    implicit val enc: Encoder[Customer] = Encoders.product[Customer]
+    Tables.customer(spark, dir).as[Customer]
+  }
+
+  /** Typed filter + map (lambdas, not Columns). The arithmetic matches the
+    * oracle bit-for-bit: one double multiply per row, left unrounded —
+    * identical operands and operation give identical IEEE doubles in both
+    * engines, so no rounding-mode question even arises. */
+  val filterMap: QueryDef = QueryDef(
+    "typed_filter_map",
+    """SELECT c_custkey, c_acctbal * 1.1 AS boosted
+      |FROM customer WHERE c_acctbal > 5000
+      |ORDER BY c_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    implicit val enc: Encoder[(Long, Double)] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaDouble)
+    customers(spark, dir)
+      .filter((c: Customer) => c.c_acctbal > 5000)
+      .map((c: Customer) => (c.c_custkey, c.c_acctbal * 1.1))
+      .toDF("c_custkey", "boosted")
+      .orderBy($"c_custkey")
+  }
+
+  /** Typed average as a custom `Aggregator[IN, BUF, OUT]` — the reduction
+    * runs as partial aggregates (map-side combine) exactly like a built-in,
+    * and `finish` applies the engine's float convention
+    * (`round(sum,2)/count`). */
+  object AvgAcctbal extends Aggregator[Customer, (Double, Long), Double] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(b: (Double, Long), c: Customer): (Double, Long) =
+      (b._1 + c.c_acctbal, b._2 + 1)
+    override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Double, Long)): Double =
+      BigDecimal(b._1).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble / b._2
+    override def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** groupByKey + custom Aggregator, checked against the SQL convention. */
+  val typedAvg: QueryDef = QueryDef(
+    "typed_agg_avg",
+    """SELECT c_mktsegment, round(sum(c_acctbal), 2) / count(*) AS avg_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+  ) { (spark, dir) =>
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[(String, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
+    customers(spark, dir)
+      .groupByKey((c: Customer) => c.c_mktsegment)
+      .agg(AvgAcctbal.toColumn.name("avg_bal"))
+      .toDF("c_mktsegment", "avg_bal")
+      .orderBy($"c_mktsegment")
+  }
+
+  val all: Seq[QueryDef] = Seq(filterMap, typedAvg)
+}

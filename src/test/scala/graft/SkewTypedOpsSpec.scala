@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class SkewTypedOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join equals the plain join on heavily skewed keys") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // one hot key (90% of probe rows) plus a long tail
+    val probe = ((1 to 9000).map(i => (1L, i)) ++ (1 to 1000).map(i => (i.toLong + 1, i)))
+      .toDF("k", "payload")
+    val build = (1L to 1001L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val salted = SkewOps.saltedJoin(probe, build, "k", salts = 8, scatter = col("payload"))
+    val plain = probe.join(build, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("typed Aggregator partial-merges to the same answer as SQL") {
+    val typed = TypedOps.typedAvg.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sql = io.Tables.customer(spark, sf)
+      .groupBy($"c_mktsegment")
+      .agg((round(sum($"c_acctbal"), 2) / count(lit(1))).as("avg_bal"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(typed == sql)
+  }
+}
