@@ -173,10 +173,13 @@ object LlmTextOps {
       |ORDER BY d.doc_id""".stripMargin,
   ) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
+    // grams feed both the profile build and the scoring side — persist for
+    // the query (see neardupPlan note on materialized artifacts at scale)
     val grams = docs.filter(length($"text") >= 3)
       .select($"doc_id", $"lang", $"text",
         explode(sequence(lit(1), length($"text") - 2)).as("i"))
       .select($"doc_id", $"lang", expr("substring(text, i, 3)").as("g"))
+      .persist()
     val profile = grams
       .groupBy($"lang", $"g").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(

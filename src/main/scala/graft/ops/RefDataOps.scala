@@ -15,13 +15,16 @@ object RefDataOps {
 
   private val RefRoot = "/root/reference"
 
-  /** The Bigtable assignment end-to-end: weather CSV → hourly downsample →
-    * per-station monthly max temperature (`Bigtable.java:95-113,166-183`;
-    * the "summer months" query shape over the real Vancouver file). */
+  /** The Bigtable assignment end-to-end: all three station CSVs → hourly
+    * downsample → per-station monthly max temperature
+    * (`Bigtable.java:56-113,166-183`; the reference loads SEA/YVR/PDX the
+    * same way, then runs the "summer months" max across stations). */
   val weatherMonthlyMax: QueryDef =
     QueryDef.rowsOnly("ref_weather_monthly_max") { (spark, _) =>
-      RefFormats.weatherCsv(spark,
-        s"$RefRoot/Assignment 4/Assig-4/Assig-4/data/vancouver.csv", "YVR")
+      val data = s"$RefRoot/Assignment 4/Assig-4/Assig-4/data"
+      Seq("seatac" -> "SEA", "vancouver" -> "YVR", "portland" -> "PDX")
+        .map { case (f, st) => RefFormats.weatherCsv(spark, s"$data/$f.csv", st) }
+        .reduce(_ union _)
         .groupBy($"station", year($"date").as("yr"), month($"date").as("mo"))
         .agg(max($"temperature").as("max_temp"),
           count(lit(1)).as("n_hours"))
