@@ -20,7 +20,8 @@ object SparkEntry {
     TpchOps.all ++ MusicOps.all ++ BigQueryOps.all ++ NestedOps.all ++
       LlmTextOps.all ++ EmbeddingOps.all ++ KvOps.all ++ TimeSeriesOps.all ++
       SqlOps.all ++ graft.streaming.StreamingOps.all ++ MultimodalOps.all ++
-      RefDataOps.all ++ SkewOps.all ++ TypedOps.all ++ SketchOps.all
+      RefDataOps.all ++ SkewOps.all ++ TypedOps.all ++ SketchOps.all ++
+      AsofOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

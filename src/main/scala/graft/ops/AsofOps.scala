@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** As-of (point-in-time) join — the canonical operator Spark's built-in
+  * surface lacks (north-star extension; the reference has no counterpart).
+  * `asofJoin(left, right)` attaches to each left event the LATEST right
+  * event of the same key with `right.ts <= left.ts`.
+  *
+  * Implementation is the scale-correct union form, per SURVEY §2 preference
+  * (a) compose existing ops: tag both sides, union, and take
+  * `last(right payload, ignoreNulls)` over a per-key window ordered by
+  * (ts, side) with rows unbounded-preceding→current. ONE shuffle on the
+  * join key, state linear in rows — never the naive range join whose
+  * candidate set explodes quadratically per key, and no per-key driver
+  * loop. Ties: a right event at exactly left.ts counts (≤ — right sorts
+  * first at equal ts); equal-ts right events should be pre-deduped by the
+  * caller for a deterministic pick.
+  *
+  * The DuckDB oracle uses its native `ASOF LEFT JOIN` — an independent
+  * implementation agreeing row-for-row.
+  */
+object AsofOps {
+
+  /** Generic as-of join on (`key`, `ts`): returns `left`'s columns plus
+    * each right `payload` column as `asof_<name>` (null when no prior
+    * right event exists for the key). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select((key +: ts +: payload).map(col): _*)
+      .withColumn("__side", lit(0))
+    // pad each side with the other's missing columns (typed nulls), union
+    val types = (l.schema ++ r.schema).map(f => f.name -> f.dataType).toMap
+    val allCols = (l.columns ++ r.columns).distinct.toSeq
+    def pad(df: DataFrame): DataFrame = allCols.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(types(c))))
+    val unioned = pad(l).select(allCols.map(col): _*)
+      .unionByName(pad(r).select(allCols.map(col): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(s"asof_$p",
+        last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .drop("__side")
+      .drop(payload: _*)
+  }
+
+  /** For each purchase, the user's latest prior (or simultaneous) click:
+    * `ASOF JOIN` over the events table. Right side deduped per (user, ts)
+    * to the max event id so tie resolution is deterministic in both
+    * engines. */
+  val purchaseAsofClick: QueryDef = QueryDef(
+    "asof_purchase_click",
+    """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+      |c0 AS (SELECT user_id, ts, event_id, value,
+      |              row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |       FROM events WHERE event_type = 'click'),
+      |c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+      |      FROM c0 WHERE rn = 1)
+      |SELECT p.event_id, p.user_id,
+      |       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+      |       round(p.value, 2) AS purchase_value,
+      |       c.click_id, round(c.click_value, 2) AS click_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id", $"ts").orderBy(desc("event_id"))))
+      .filter($"rn" === 1)
+      .select($"user_id", $"ts", $"event_id".as("click_id"),
+        $"value".as("click_value"))
+    asofJoin(purchases, clicks, "user_id", "ts",
+      payload = Seq("click_id", "click_value"))
+      .select($"event_id", $"user_id",
+        unix_micros($"ts").as("purchase_ts_us"),
+        round($"value", 2).as("purchase_value"),
+        $"asof_click_id".as("click_id"),
+        round($"asof_click_value", 2).as("click_value"))
+      .orderBy($"event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(purchaseAsofClick)
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class AsofOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks latest prior-or-equal right event per key") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val quotes = Seq( // (key, ts, px)
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (1L, ts("2024-01-01 10:10:00"), 102.0),
+      (2L, ts("2024-01-01 10:07:00"), 50.0),
+    ).toDF("k", "t", "px")
+    val trades = Seq( // (key, ts, trade_id)
+      (1L, ts("2024-01-01 10:05:00"), 900L), // equal ts → match 101
+      (1L, ts("2024-01-01 10:07:30"), 901L), // between → match 101
+      (1L, ts("2024-01-01 10:30:00"), 902L), // after all → match 102
+      (2L, ts("2024-01-01 10:00:00"), 903L), // before any quote → null
+      (3L, ts("2024-01-01 10:00:00"), 904L), // key with no quotes → null
+    ).toDF("k", "t", "trade_id")
+    val out = AsofOps.asofJoin(trades, quotes, "k", "t", Seq("px"))
+      .orderBy($"trade_id")
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("trade_id")) ->
+        (if (r.isNullAt(r.fieldIndex("asof_px"))) None
+         else Some(r.getDouble(r.fieldIndex("asof_px")))))
+      .toSeq
+    assert(out == Seq(
+      900L -> Some(101.0), 901L -> Some(101.0), 902L -> Some(102.0),
+      903L -> None, 904L -> None))
+  }
+
+  test("every purchase appears exactly once in the registered asof query") {
+    val sf = "/root/testdata/sf0.001"
+    val out = AsofOps.purchaseAsofClick.run(spark, sf)
+    val purchases = io.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(out.count() == purchases)
+    assert(out.select($"event_id").distinct().count() == purchases)
+  }
+}
