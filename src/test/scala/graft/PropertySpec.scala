@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Property tests (SURVEY §5 item 3) for the algebraic/parser pieces where
+  * a law holds for ALL inputs, not just fixtures. ScalaCheck generators
+  * drive the cases from fixed seeds (no scalatest bridge on the classpath;
+  * Spark jobs per case are expensive anyway, so few, larger cases). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Run `f` over `n` deterministic samples of `g`. */
+  private def forAllSeeded[A](g: Gen[A], n: Int = 5)(f: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      f(g.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"generator exhausted at seed $i")))
+    }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 5)(
+      f: (A, B) => Unit): Unit =
+    forAllSeeded(Gen.zip(ga, gb), n) { case (a, b) => f(a, b) }
+
+  private val token = Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty)
+
+  test("union-distinct has set semantics for any two word lists") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    forAll2(Gen.listOf(token), Gen.listOf(token)) { (xs: List[String], ys: List[String]) =>
+      val df1 = xs.map(Tuple1(_)).toDF("w")
+      val df2 = ys.map(Tuple1(_)).toDF("w")
+      val got = df1.union(df2).distinct().collect().map(_.getString(0)).toSet
+      assert(got == (xs.toSet ++ ys.toSet))
+    }
+  }
+
+  test("hourly dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val evGen = for {
+      n <- Gen.choose(1, 80)
+      rows <- Gen.listOfN(n, for {
+        tpe <- Gen.oneOf("a", "b")
+        h <- Gen.choose(0, 5)
+        m <- Gen.choose(0, 59)
+        id <- Gen.choose(0L, 1000000L)
+        v <- Gen.choose(-100.0, 100.0)
+      } yield (id, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00"),
+        1L, tpe, v))
+    } yield rows
+    forAllSeeded(evGen) { rows =>
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val once = TimeSeriesOps.hourlyOf(df)
+      // re-shape the deduped output back to the input schema and re-dedup
+      val asEvents = once.select(
+        $"event_id",
+        to_timestamp(concat($"day", lit(" "), lpad($"hr", 2, "0"), lit(":00:00"))).as("ts"),
+        lit(1L).as("user_id"), $"event_type", $"value")
+      val twice = TimeSeriesOps.hourlyOf(asEvents)
+      assert(twice.count() == once.count())
+      val keysOnce = once.select($"event_type", $"day", $"hr").collect().toSet
+      val keysTwice = twice.select($"event_type", $"day", $"hr").collect().toSet
+      assert(keysOnce == keysTwice)
+    }
+  }
+
+  test("pipe .tbl parser drops exactly the under-arity lines") {
+    import spark.implicits.{localSeqToDatasetHolder, newStringEncoder}
+    val lineGen = for {
+      id <- Gen.choose(1, 99999)
+      name <- token
+      nfields <- Gen.frequency(8 -> Gen.const(8), 2 -> Gen.choose(1, 7))
+    } yield s"$id|$name|addr|3|phone|12.34|SEG|c".split("\\|")
+      .take(nfields).mkString("|")
+    forAllSeeded(Gen.listOfN(30, lineGen)) { lines =>
+      val tmp = java.nio.file.Files.createTempDirectory("prop").resolve("c.tbl")
+      java.nio.file.Files.write(tmp,
+        lines.mkString("\n").getBytes("UTF-8"))
+      val parsed = io.RefFormats.customerTbl(spark, tmp.toString)
+      val wellFormed = lines.count(_.split("\\|").length >= 8)
+      assert(parsed.count() == wellFormed)
+    }
+  }
+
+  test("salted join equals plain join for any salt count") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    forAll2(Gen.choose(1, 16), Gen.choose(1, 200)) { (salts: Int, n: Int) =>
+      val probe = (1 to n).map(i => (i.toLong % 5, i)).toDF("k", "p")
+      val build = (0L to 4L).map(k => (k, s"d$k")).toDF("k", "name")
+      val salted = SkewOps.saltedJoin(probe, build, "k", salts, col("p"))
+      val plain = probe.join(build, "k")
+      assert(salted.exceptAll(plain).count() == 0)
+      assert(plain.exceptAll(salted).count() == 0)
+    }
+  }
+}
