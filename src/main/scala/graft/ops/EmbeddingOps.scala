@@ -162,6 +162,79 @@ object EmbeddingOps {
         round($"sim", 6).as("sim"))
       .orderBy($"q_id", $"rank")
 
+  /** IVF-style ANN: assign every vector to its nearest of `NCells` fixed
+    * centroids (argmax cosine — computed with the native `cosine_sim`
+    * expression), then search each query's own cell plus its runner-up cell
+    * (the IVF "nprobe=2" trade). The pairing is an equi-join on cell id, so
+    * at scale the corpus shuffles once by cell and the probe rows are
+    * broadcast — same skeleton as the LSH variant with a learned-partition
+    * flavor. Centroids here are fixed LCG literals (a real deployment would
+    * k-means them — the operator shape is identical), so the DuckDB oracle
+    * replays assignment exactly. */
+  private val NCells = 12
+  private val centroids: IndexedSeq[IndexedSeq[Double]] = {
+    val p = 2147483647L
+    val xs = Iterator.iterate(11L)(x => x * 48271L % p)
+      .drop(1).take(NCells * Dim).toIndexedSeq
+    (0 until NCells).map(j =>
+      (0 until Dim).map(d => xs(j * Dim + d).toDouble / p * 2.0 - 1.0))
+  }
+
+  private def centroidLit(j: Int): Column = array(centroids(j).map(lit): _*)
+  private def centroidSql(j: Int): String = centroids(j).mkString("[", ", ", "]")
+
+  /** cell rank by cosine-to-centroid: rank 1 = assignment, rank 2 = probe.
+    * Ties broken by centroid index (deterministic in both engines — scores
+    * are bit-identical doubles). */
+  private def cellCols: (Column, Column) = {
+    val scored = (0 until NCells).map(j =>
+      struct(call_function("cosine_sim", $"v", centroidLit(j)).as("s"),
+        lit(j).as("j")))
+    val sorted = reverse(array_sort(array(scored: _*)))
+    (element_at(sorted, 1).getField("j").as("cell"),
+      element_at(sorted, 2).getField("j").as("cell2"))
+  }
+
+  private def cellSqlExpr(rank: Int): String = {
+    // descending by (score, j): take the rank-th element of the reverse-
+    // sorted [(score, j)] struct list
+    val structs = (0 until NCells).map(j =>
+      s"{'s': ${dotSql("v", centroidSql(j))} / (nrm * sqrt(${centroids(j).map(x => x * x).sum})), 'j': $j}")
+    s"list_reverse_sort([${structs.mkString(", ")}])[$rank].j"
+  }
+
+  /** IVF ANN top-k: candidates share the query's top-1 or top-2 cell. */
+  val annIvf: QueryDef = QueryDef(
+    "llm_ann_ivf",
+    vecCte +
+      s"""
+         |, a AS (SELECT vec_id, v, nrm, ${cellSqlExpr(1)} AS cell FROM e),
+         |q0 AS (SELECT vec_id, v, nrm, ${cellSqlExpr(1)} AS c1, ${cellSqlExpr(2)} AS c2
+         |       FROM e WHERE vec_id < $NQueries),
+         |q AS (SELECT vec_id, v, nrm, c1 AS cell FROM q0
+         |      UNION ALL SELECT vec_id, v, nrm, c2 FROM q0),
+         |s AS (SELECT q.vec_id AS q_id, a.vec_id AS vec_id,
+         |             ${dotSql("q.v", "a.v")} / (q.nrm * a.nrm) AS sim
+         |      FROM q JOIN a ON q.cell = a.cell AND q.vec_id <> a.vec_id),
+         |r AS (SELECT q_id, vec_id, sim,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
+  ) { (spark, dir) =>
+    val (cell, cell2) = cellCols
+    val assigned = vectors(spark, dir).withColumn("cell", cell)
+    val q = vectors(spark, dir).filter($"vec_id" < NQueries)
+      .withColumns(Map("c1" -> cell, "c2" -> cell2))
+      .select($"vec_id".as("q_id"), $"v".as("qv"),
+        explode(array($"c1", $"c2")).as("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        call_function("cosine_sim", $"qv", $"v").as("sim"))
+    rankTopK(scored)
+  }
+
   /** Per-label corpus stats: count + mean L2 norm (array-numeric agg). */
   val embedStats: QueryDef = QueryDef(
     "llm_embed_stats",
@@ -178,5 +251,5 @@ object EmbeddingOps {
       .orderBy($"label")
   }
 
-  val all: Seq[QueryDef] = Seq(cosineTopK, annLsh, embedStats)
+  val all: Seq[QueryDef] = Seq(cosineTopK, annLsh, annIvf, embedStats)
 }

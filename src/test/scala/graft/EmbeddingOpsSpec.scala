@@ -33,6 +33,14 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("IVF ANN (cell assignment + nprobe=2) reaches useful recall") {
+    val brute = pairs(EmbeddingOps.cosineTopK.run(spark, sf).collect())
+    val ivf = pairs(EmbeddingOps.annIvf.run(spark, sf).collect())
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"IVF recall@10 = $recall%.2f")
+    assert(recall >= 0.15, f"recall $recall%.2f too low — cell assignment broken?")
+  }
+
   test("ANN similarities agree with brute-force for common pairs") {
     val brute = EmbeddingOps.cosineTopK.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
