@@ -235,6 +235,50 @@ object EmbeddingOps {
     rankTopK(scored)
   }
 
+  /** Embedding-cosine near-duplicate PAIR MINING (the dedup-flavored
+    * counterpart of the top-k search): every pair with cosine ≥ 0.45 whose
+    * sign-LSH buckets differ by at most one bit. All-pairs mining is the
+    * one shape that must never be a cross join — each vector probes its own
+    * bucket plus the hamming-1 neighbors, pairs order (a < b) and dedup,
+    * then the exact cosine filter runs on candidates only. Approximate by
+    * construction (recall bounded by the bucket rule); the oracle applies
+    * the IDENTICAL bucket condition, so the output is still exactly
+    * hash-verified. This corpus has no planted near-identical vectors (max
+    * pairwise cosine ≈ 0.5), so the threshold sits at the top of the real
+    * similarity band. */
+  val embedNeardup: QueryDef = QueryDef(
+    "llm_embed_neardup",
+    vecCte +
+      s"""
+         |, b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM e),
+         |s AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |             ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |      FROM b x JOIN b y ON x.vec_id < y.vec_id
+         |                       AND bit_count(xor(x.bucket, y.bucket)) <= 1)
+         |SELECT vec_a, vec_b, round(sim, 6) AS sim
+         |FROM s WHERE sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+  ) { (spark, dir) =>
+    val b = vectors(spark, dir).withColumn("bucket", bucketCol)
+    val probes = b.select($"vec_id", $"v", $"nrm",
+      explode(array($"bucket" +:
+        (0 until NPlanes).map(j => $"bucket".bitwiseXOR(lit(1 << j))): _*))
+        .as("bucket"))
+    val candidates = probes.as("x")
+      .join(b.select($"vec_id".as("y_id"), $"bucket").as("y"), Seq("bucket"))
+      .filter(col("x.vec_id") < col("y_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y_id").as("vec_b"))
+      .distinct()
+    val sets = b.select($"vec_id", $"v", $"nrm")
+    candidates
+      .join(sets.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na")), "vec_a")
+      .join(sets.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        call_function("cosine_sim", $"va", $"vb").as("sim"))
+      .filter($"sim" >= 0.45)
+      .select($"vec_a", $"vec_b", round($"sim", 6).as("sim"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   /** Per-label corpus stats: count + mean L2 norm (array-numeric agg). */
   val embedStats: QueryDef = QueryDef(
     "llm_embed_stats",
@@ -251,5 +295,6 @@ object EmbeddingOps {
       .orderBy($"label")
   }
 
-  val all: Seq[QueryDef] = Seq(cosineTopK, annLsh, annIvf, embedStats)
+  val all: Seq[QueryDef] =
+    Seq(cosineTopK, annLsh, annIvf, embedNeardup, embedStats)
 }
