@@ -88,5 +88,35 @@ object OlapOps {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(rollupOrders, cubeCustomers, pivotPriorities)
+  /** INTERSECT (distinct) — parts both cheap and ordered-in-quantity
+    * (set-op family completion; reference only ever uses UNION). */
+  val intersectParts: QueryDef = QueryDef(
+    "setop_intersect",
+    """SELECT p_partkey FROM part WHERE p_retailprice < 1200
+      |INTERSECT
+      |SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity >= 40
+      |ORDER BY p_partkey""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.part(spark, dir).filter($"p_retailprice" < 1200).select($"p_partkey")
+      .intersect(Tables.lineitem(spark, dir)
+        .filter($"l_quantity" >= 40).select($"l_partkey".as("p_partkey")))
+      .orderBy($"p_partkey")
+  }
+
+  /** EXCEPT (distinct) — cheap parts never shipped in bulk. */
+  val exceptParts: QueryDef = QueryDef(
+    "setop_except",
+    """SELECT p_partkey FROM part WHERE p_retailprice < 1200
+      |EXCEPT
+      |SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity >= 40
+      |ORDER BY p_partkey""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.part(spark, dir).filter($"p_retailprice" < 1200).select($"p_partkey")
+      .except(Tables.lineitem(spark, dir)
+        .filter($"l_quantity" >= 40).select($"l_partkey".as("p_partkey")))
+      .orderBy($"p_partkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(rollupOrders, cubeCustomers, pivotPriorities,
+    intersectParts, exceptParts)
 }
