@@ -120,6 +120,26 @@ object LlmTextOps {
       .orderBy($"doc_id")
   }
 
+  /** Token counting, whitespace vs a BPE-ish regex tokenizer (letter runs,
+    * digit runs, single punctuation — the pre-tokenization split BPE
+    * vocabularies assume). Both are pure codegen'd expressions; identical
+    * regex semantics in DuckDB keep it oracle-exact. */
+  val tokenCount: QueryDef = QueryDef(
+    "llm_token_count",
+    """SELECT doc_id,
+      |       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+      |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(tokens).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all($"text",
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+          .as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Heuristic quality score: length saturation + stopword-density penalty.
     * All inputs to the float math are exact ints and the formula is the same
     * single expression in both engines, so round(…,4) is stable. */
@@ -411,7 +431,7 @@ object LlmTextOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    exactDedup, fingerprint, textStats, quality, langId,
+    exactDedup, fingerprint, textStats, tokenCount, quality, langId,
     neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
   )
 }
