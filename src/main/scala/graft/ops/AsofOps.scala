@@ -29,7 +29,14 @@ object AsofOps {
 
   /** Generic as-of join on (`key`, `ts`): returns `left`'s columns plus
     * each right `payload` column as `asof_<name>` (null when no prior
-    * right event exists for the key). */
+    * right event exists for the key).
+    *
+    * The payload travels as ONE struct through a single
+    * `last(..., ignoreNulls)` — not one window per column — so every
+    * `asof_*` field comes from the same matched right row, including that
+    * row's own NULLs. Per-column carries would backfill a NULL field from
+    * an OLDER right event while other fields came from the newer one,
+    * silently mixing rows (and diverging from `ASOF JOIN` semantics). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String]): DataFrame = {
     val l = left.withColumn("__side", lit(1))
@@ -46,13 +53,19 @@ object AsofOps {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"asof_$p",
-        last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
+    // The when() wraps the struct, so left rows contribute NULL (skipped by
+    // ignoreNulls) while a matched right row contributes atomically — a
+    // right row whose payload fields are ALL null still overwrites older
+    // ones, because the struct value itself is non-null.
+    val carried = unioned.withColumn("__asof",
+      last(when(col("__side") === 0, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
+    val projected = carried.filter(col("__side") === 1)
       .drop("__side")
       .drop(payload: _*)
+    payload.foldLeft(projected)((df, p) =>
+        df.withColumn(s"asof_$p", col("__asof").getField(p)))
+      .drop("__asof")
   }
 
   /** For each purchase, the user's latest prior (or simultaneous) click:

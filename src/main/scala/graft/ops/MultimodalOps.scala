@@ -93,17 +93,23 @@ object MultimodalOps {
       .select($"doc_id", frames($"payload").as("fr"))
       .select($"doc_id",
         size($"fr").cast("long").as("n_frames"),
-        length(element_at($"fr", 1)).cast("long").as("first_frame_bytes"))
+        // empty payload → no frames → 0 bytes (matches the oracle's least())
+        coalesce(length(element_at($"fr", 1)), lit(0)).cast("long")
+          .as("first_frame_bytes"))
       .orderBy($"doc_id")
   }
 
   /** payload → array of FrameBytes-sized binary slices (substr works on
-    * BinaryType; the last frame is the remainder). */
+    * BinaryType; the last frame is the remainder). An empty payload yields
+    * an EMPTY array — ceil(0/32)=0 frames — matching the oracle's count
+    * rather than forcing a single zero-length frame through sequence(0,0). */
   private[graft] def frames(payload: org.apache.spark.sql.Column) =
-    transform(
+    when(length(payload) === 0,
+      array().cast(ArrayType(BinaryType)))
+    .otherwise(transform(
       sequence(lit(0),
-        greatest(ceil(length(payload) / lit(FrameBytes.toDouble)).cast("int") - 1, lit(0))),
-      i => substring(payload, (i * FrameBytes + 1).cast("int"), lit(FrameBytes)))
+        ceil(length(payload) / lit(FrameBytes.toDouble)).cast("int") - 1),
+      i => substring(payload, (i * FrameBytes + 1).cast("int"), lit(FrameBytes))))
 
   /** Feature-extraction output schema — fixed up front, like a decode UDF's
     * return schema. */

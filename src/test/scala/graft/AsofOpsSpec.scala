@@ -38,6 +38,25 @@ class AsofOpsSpec extends AnyFunSuite {
       903L -> None, 904L -> None))
   }
 
+  test("payload fields are carried atomically from the single matched row") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // The latest prior quote (10:05, id 20) has px = NULL. Per-column
+    // carries would backfill px from the 10:00 row (100.0) while taking
+    // venue from the 10:05 row — mixing two right events. Atomic carry must
+    // return (px = null, venue = "B"), both from the 10:05 row.
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0), "A"),
+      (1L, ts("2024-01-01 10:05:00"), Option.empty[Double], "B"),
+    ).toDF("k", "t", "px", "venue")
+    val trades = Seq((1L, ts("2024-01-01 10:08:00"), 900L))
+      .toDF("k", "t", "trade_id")
+    val out = AsofOps.asofJoin(trades, quotes, "k", "t", Seq("px", "venue"))
+      .collect().head
+    assert(out.isNullAt(out.fieldIndex("asof_px")),
+      "asof_px must be the matched row's NULL, not an older row's value")
+    assert(out.getString(out.fieldIndex("asof_venue")) == "B")
+  }
+
   test("every purchase appears exactly once in the registered asof query") {
     val sf = "/root/testdata/sf0.001"
     val out = AsofOps.purchaseAsofClick.run(spark, sf)

@@ -21,6 +21,16 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("empty payload yields zero frames, not one empty frame") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val rows = Seq((1L, Array.emptyByteArray), (2L, Array[Byte](7)),
+        (3L, Array.fill[Byte](33)(1)))
+      .toDF("doc_id", "payload")
+      .select($"doc_id", size(MultimodalOps.frames($"payload")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
   test("feature extraction is deterministic and computes real byte stats") {
     val media = MultimodalOps.mediaTable(spark, sf).limit(50)
     val a = MultimodalOps.extractFeatures(media).collect()
