@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -272,6 +273,148 @@ object MusicOps {
       .orderBy($"o_custkey", $"rec_part")
   }
 
+  // ------------------------- Method-1 vs Method-2 recommender (NULL semantics)
+  //
+  // The reference's Assignment 1 contrasts two recommenders over a Listens
+  // table whose `listen_time` is NULLABLE (ipynb cell 4; the docx "differences
+  // with the static method" table records Method-2 returning ZERO rows on the
+  // fixture because it discards every untimestamped listen):
+  //  - Method 1 (ipynb:1504-1535): song pairs co-listened by >1 DISTINCT user,
+  //    over ALL listens, timestamped or not.
+  //  - Method 2 (ipynb:1670-1700): candidate pairs only from listens by
+  //    DIFFERENT users on the SAME DAY — `listen_time IS NOT NULL` required —
+  //    while the "already listened" exclusion still scans the FULL history.
+  // Both exclusions are the reference's correlated NOT IN; song_id is a
+  // non-null FK, so the left-anti decorrelation is exact (SURVEY §7.5).
+
+  /** Listens with a NULLABLE listen day, derived deterministically from the
+    * testdata (the parquet tables carry no NULL timestamps, so the nulls the
+    * reference schema makes load-bearing are planted by a keyed CASE both
+    * engines evaluate identically: every 5th order's listens lose their
+    * date). Scoped to high-discount lines to bound the pair expansion. */
+  private def nulledListens(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir).filter($"l_discount" >= 0.09)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(o("o_custkey").as("user_id"), l("l_partkey").as("song_id"),
+        when(o("o_orderkey") % 5 === 0, lit(null))
+          .otherwise(o("o_orderdate")).as("listen_day"))
+  }
+
+  private val listensCte: String =
+    """WITH listens AS (
+      |  SELECT o.o_custkey AS user_id, l.l_partkey AS song_id,
+      |         CASE WHEN o.o_orderkey % 5 = 0 THEN NULL ELSE o.o_orderdate END AS listen_day
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  WHERE l.l_discount >= 0.09
+      |)""".stripMargin
+
+  /** Method 1 over (user_id, song_id): user-keyed co-listen pairs shared by
+    * >1 distinct user, minus already-listened. Uses EVERY listen row —
+    * NULL listen times don't matter to it. Shuffles key on user_id (pair
+    * expansion bounded per user) then song1; no cross product. */
+  private[graft] def recommendM1(listens: DataFrame): DataFrame = {
+    val l = listens.select($"user_id", $"song_id")
+    val r = listens.select($"user_id".as("r_user"), $"song_id".as("r_song"))
+    val pairs = l
+      .join(r, $"user_id" === $"r_user" && $"song_id" =!= $"r_song")
+      .groupBy($"song_id".as("song1"), $"r_song".as("song2"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .filter($"n_users" > 1)
+      .select($"song1", $"song2")
+    val cand = l.join(pairs, $"song_id" === $"song1")
+      .select($"user_id", $"song2".as("rec")).distinct()
+    val owned = listens.select(
+      $"user_id".as("x_user"), $"song_id".as("x_song"))
+    cand
+      .join(owned, $"user_id" === $"x_user" && $"rec" === $"x_song", "left_anti")
+      .select($"user_id", $"rec".as("song_id"))
+      .orderBy($"user_id", $"song_id")
+  }
+
+  /** Method 2 over (user_id, song_id, listen_day): candidates from same-day
+    * listens by different users (timestamped rows ONLY — the `IS NOT NULL`
+    * guard ipynb:1685 spells out, since the reference's date(NULL)=date(NULL)
+    * would otherwise never match anyway), exclusion over the FULL history
+    * including NULL-day rows. Each join side is reduced to DISTINCT before
+    * the day-keyed join: a day key is the maximally-skewed join key at scale,
+    * so bounding each side by distinct (user|song, day) is the scale-safe
+    * form (same treatment as a1_same_day_pairs). */
+  private[graft] def recommendM2(listens: DataFrame): DataFrame = {
+    val timed = listens.filter($"listen_day".isNotNull)
+      .select($"user_id", $"song_id", $"listen_day").distinct()
+    val u1 = timed.select($"user_id", $"listen_day").distinct()
+    val r = timed.select($"user_id".as("r_user"), $"song_id".as("r_song"),
+      $"listen_day".as("r_day"))
+    val cand = u1
+      .join(r, $"listen_day" === $"r_day" && $"user_id" =!= $"r_user")
+      .select($"user_id", $"r_song".as("rec")).distinct()
+    val owned = listens.select(
+      $"user_id".as("x_user"), $"song_id".as("x_song"))
+    cand
+      .join(owned, $"user_id" === $"x_user" && $"rec" === $"x_song", "left_anti")
+      .select($"user_id", $"rec".as("song_id"))
+      .orderBy($"user_id", $"song_id")
+  }
+
+  /** Registered Method-1 (the reference-exact user-keyed form; a1_recommend
+    * keeps the basket-keyed variant). */
+  val recommendMethod1: QueryDef = QueryDef(
+    "a1_recommend_m1",
+    listensCte +
+      """,
+        |pairs AS (
+        |  SELECT u1.song_id AS song1, u2.song_id AS song2
+        |  FROM listens u1 JOIN listens u2
+        |    ON u1.user_id = u2.user_id AND u1.song_id <> u2.song_id
+        |  GROUP BY 1, 2
+        |  HAVING count(DISTINCT u1.user_id) > 1
+        |),
+        |cand AS (
+        |  SELECT DISTINCT l.user_id, p.song2 AS song_id
+        |  FROM pairs p JOIN listens l ON l.song_id = p.song1
+        |)
+        |SELECT user_id, song_id FROM cand c
+        |WHERE c.song_id NOT IN (SELECT song_id FROM listens x WHERE x.user_id = c.user_id)
+        |ORDER BY user_id, song_id""".stripMargin,
+  ) { (spark, dir) => recommendM1(nulledListens(spark, dir)) }
+
+  /** Registered Method-2 (ipynb:1670-1700 same-day variant; NULL listen days
+    * planted by nulledListens drive the M1/M2 divergence the docx records). */
+  val recommendMethod2: QueryDef = QueryDef(
+    "a1_recommend_m2",
+    listensCte +
+      """,
+        |tl AS (SELECT DISTINCT user_id, song_id, listen_day FROM listens WHERE listen_day IS NOT NULL),
+        |u1 AS (SELECT DISTINCT user_id, listen_day FROM tl),
+        |cand AS (
+        |  SELECT DISTINCT u1.user_id, t2.song_id
+        |  FROM u1 JOIN tl t2 ON u1.listen_day = t2.listen_day AND u1.user_id <> t2.user_id
+        |)
+        |SELECT user_id, song_id FROM cand c
+        |WHERE c.song_id NOT IN (SELECT song_id FROM listens x WHERE x.user_id = c.user_id)
+        |ORDER BY user_id, song_id""".stripMargin,
+  ) { (spark, dir) => recommendM2(nulledListens(spark, dir)) }
+
+  /** IN-subquery whose inner predicate is `IS NULL` on the nullable column
+    * (ipynb:1420-1422: "songs with an unknown listen time") — the NULL-driven
+    * membership query the Method-2 analysis hangs off. */
+  val nullInSubquery: QueryDef = QueryDef(
+    "a1_null_in_subquery",
+    listensCte +
+      """
+        |SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (SELECT song_id FROM listens WHERE listen_day IS NULL)
+        |ORDER BY p_partkey""".stripMargin,
+  ) { (spark, dir) =>
+    val keys = nulledListens(spark, dir)
+      .filter($"listen_day".isNull).select($"song_id")
+    val p = Tables.part(spark, dir)
+    p.join(keys, p("p_partkey") === keys("song_id"), "left_semi")
+      .select($"p_partkey", $"p_name")
+      .orderBy($"p_partkey")
+  }
+
   /** Id generation: scalar COALESCE(MAX(id),0) subquery + ROW_NUMBER
     * (ipynb:1538-1542) — new ids above the current max, assigned over an
     * explicit total order (the notebook's bare OVER () is nondeterministic
@@ -343,6 +486,7 @@ object MusicOps {
   val all: Seq[QueryDef] = Seq(
     likePrefix, distinctTypes, groupCount, leftJoinChain, joinFilter,
     avgPerPart, popularity, inList, unionDistinct, inSubquery, notInAnti,
-    cooccurPairs, recommend, idGen, sameDayPairs,
+    cooccurPairs, recommend, recommendMethod1, recommendMethod2,
+    nullInSubquery, idGen, sameDayPairs,
   )
 }

@@ -59,4 +59,41 @@ class MusicBigQueryOpsSpec extends AnyFunSuite {
     }
     assert(rows.map(r => (r.getInt(0), r.getString(1), r.getString(2))).distinct.length == rows.length)
   }
+
+  // ----- Method-1 vs Method-2 NULL-semantics divergence, on the reference's
+  // exact inline fixture (ipynb cell 5: 9 listens, 4 with NULL listen_time).
+  // The Assignment 1 docx records: Method 1 → two recommendations for Minnie
+  // (user 2: Evermore=1, Yesterday=6); Method 2 → ZERO rows, because every
+  // timestamped listen falls on a different day once the NULLs are dropped.
+
+  private def fixtureListens = {
+    import java.sql.Date
+    val rows = Seq[(Long, Long, String)](
+      (1L, 1L, "2024-08-30"), (1L, 2L, null), (1L, 6L, "2024-08-29"),
+      (2L, 2L, null), (2L, 7L, "2024-08-28"), (2L, 8L, "2024-08-27"),
+      (3L, 1L, null), (3L, 2L, "2024-08-26"), (3L, 6L, null))
+    import org.apache.spark.sql.functions.{col, to_date}
+    import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder, localSeqToDatasetHolder}
+    rows.toDF("user_id", "song_id", "day_str")
+      .select(col("user_id"), col("song_id"),
+        to_date(col("day_str")).as("listen_day"))
+  }
+
+  test("Method-1 recommender finds Minnie's two recommendations on the reference fixture") {
+    val recs = MusicOps.recommendM1(fixtureListens)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recs == Set((2L, 1L), (2L, 6L)),
+      s"expected Minnie→{Evermore, Yesterday}, got $recs")
+  }
+
+  test("Method-2 recommender returns zero rows on the same fixture (NULL listen times discarded)") {
+    assert(MusicOps.recommendM2(fixtureListens).count() == 0)
+  }
+
+  test("Method-1 and Method-2 diverge on the testdata-derived nulled listens") {
+    val m1 = MusicOps.recommendMethod1.run(spark, sf).count()
+    val m2 = MusicOps.recommendMethod2.run(spark, sf).count()
+    assert(m1 > 0)
+    assert(m1 != m2, "the planted NULL listen days must change the result")
+  }
 }
