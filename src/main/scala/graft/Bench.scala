@@ -3,35 +3,68 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: one JSON line with per-query + total wall seconds.
   *
-  * Fidelity notes (round-1 verdict findings):
+  * Fidelity notes (round-1 + round-3 verdict findings):
   *  - each query is executed once as WARM-UP before the timed run, so JIT /
   *    codegen compilation noise doesn't dominate the first query measured;
   *  - the timed action is a `noop`-format write, which executes the COMPLETE
   *    physical plan — including final sorts and computed projections that a
   *    bare `.count()` lets Catalyst eliminate (`EliminateSorts`, pruning);
   *  - the core count is recorded in the output so rounds on different
-  *    machines aren't silently compared.
+  *    machines aren't silently compared;
+  *  - the JSON line is ALSO written to `bench_out.json` (stdout truncation
+  *    once lost a round's numbers), and `loadavg1` (1-minute /proc/loadavg
+  *    at start) + `elapsed_wall` are recorded so a machine-contention-
+  *    poisoned run is self-evident: loadavg1 far above `cores` before the
+  *    run starts, or elapsed_wall far above the summed query seconds, means
+  *    the box was busy and the numbers measure contention, not the engine;
+  *  - `Caches.release()` runs after every query so one query's persisted
+  *    blocks can't pressure the block manager during the next measurement.
   */
 object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def loadavg1: Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     val cores = spark.sparkContext.defaultParallelism
+    val loadAtStart = loadavg1
+    val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        force(fn(spark, sfDir)) // warm-up: JIT + codegen + file-footer caches
+        // warm-up: JIT + codegen + file-footer caches; intra-query persists
+        // stay cached so the timed run measures warm-cache steady state
+        // (the semantics every prior round measured), then release AFTER it
+        // so one query's blocks can't leak into the next measurement.
+        force(fn(spark, sfDir))
         val t0 = System.nanoTime()
         force(fn(spark, sfDir))
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        name -> dt
       } catch { case _: Throwable => name -> -1.0 }
+      finally Caches.release()
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cores":$cores}""")
+    val elapsed = (System.nanoTime() - wall0) / 1e9
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","cores":$cores,"loadavg1":$loadAtStart,""" +
+        s""""loadavg1_end":$loadavg1,"elapsed_wall":$elapsed}"""
+    println(line)
+    // stdout is the driver's channel but is truncation-prone under sbt; the
+    // file is the durable copy of the same line.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

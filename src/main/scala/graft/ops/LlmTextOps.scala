@@ -194,12 +194,12 @@ object LlmTextOps {
   ) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
     // grams feed both the profile build and the scoring side — persist for
-    // the query (see neardupPlan note on materialized artifacts at scale)
-    val grams = docs.filter(length($"text") >= 3)
+    // the query (see neardupPlan note on materialized artifacts at scale);
+    // registered with Caches so the runner unpersists it after the action
+    val grams = graft.Caches.persist(docs.filter(length($"text") >= 3)
       .select($"doc_id", $"lang", $"text",
         explode(sequence(lit(1), length($"text") - 2)).as("i"))
-      .select($"doc_id", $"lang", expr("substring(text, i, 3)").as("g"))
-      .persist()
+      .select($"doc_id", $"lang", expr("substring(text, i, 3)").as("g")))
     val profile = grams
       .groupBy($"lang", $"g").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
@@ -252,18 +252,19 @@ object LlmTextOps {
     // scans unify, so persist the two small derived tables for the duration
     // of the query. On a persistent 100 TB deployment these would be
     // materialized artifacts (written once, reused by every similarity op) —
-    // persist() is the single-session form of that materialization.
-    val docsSh = docsShRaw.persist()
+    // persist() is the single-session form of that materialization; Caches
+    // tracks each one so the runner unpersists after the consuming action.
+    val docsSh = graft.Caches.persist(docsShRaw)
     val freq = docsSh.select(explode($"sh").as("g"))
       .groupBy($"g").agg(count(lit(1)).as("f"))
-    val ordered = docsSh.select($"doc_id", explode($"sh").as("g"))
-      .join(freq, "g")
-      .groupBy($"doc_id")
-      .agg(array_sort(collect_list(struct($"f", $"g"))).as("fg"))
-      .select($"doc_id",
-        transform($"fg", x => x.getField("g")).as("sh"),
-        size($"fg").as("n"))
-      .persist()
+    val ordered = graft.Caches.persist(
+      docsSh.select($"doc_id", explode($"sh").as("g"))
+        .join(freq, "g")
+        .groupBy($"doc_id")
+        .agg(array_sort(collect_list(struct($"f", $"g"))).as("fg"))
+        .select($"doc_id",
+          transform($"fg", x => x.getField("g")).as("sh"),
+          size($"fg").as("n")))
     // prefix length p = n - ceil(0.8n) + 1; ceil(4n/5) = floor((4n+4)/5)
     val pref = ordered
       .withColumn("p", $"n" - floor(($"n" * 4 + 4) / lit(5)).cast("int") + 1)
@@ -335,7 +336,7 @@ object LlmTextOps {
     (spark, dir) =>
       // shingle table feeds both the signature path and the verification
       // joins — persist it for the query (see neardupPlan note)
-      val docsSh = docShingles(spark, dir).persist()
+      val docsSh = graft.Caches.persist(docShingles(spark, dir))
       val signed = baseHashes(docsSh)
         .select(($"doc_id" +: $"sh" +: (0 until 32).map(sigCol)): _*)
       // Band key already folds in the band index, so one long per band row.

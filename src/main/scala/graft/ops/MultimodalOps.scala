@@ -11,17 +11,20 @@ import graft.io.Tables
   * opaque `binary` columns with typed metadata; decode / feature-extract /
   * frame-sample as batch functions over them).
   *
-  * The actual media DECODING is a stub — this container has no image/audio
-  * codecs — marked [STUB] below: payloads are deterministic fake bytes (the
-  * document text utf-8-encoded) and "features" are byte statistics. What IS
-  * real, and what these operators exercise end-to-end, is the Spark-side
-  * plumbing a 100 TB media pipeline needs: BinaryType payload columns,
-  * StructType metadata carried next to them, ArrayType(BinaryType) frame
-  * slicing, and a `mapPartitions` batch-feature-extraction seam with an
-  * explicit output schema (the Scala counterpart of a `mapInPandas` decode
-  * UDF: one invocation per partition, vectorizable inside, schema fixed up
-  * front). Swapping the stub for a real codec changes ONE function body and
-  * no plan shape.
+  * CONTAINER decoding is real: `mediaBlobs` synthesizes byte-valid BMP and
+  * WAV files and `decodeHeaders` parses their headers back with a pure-JVM
+  * java.nio reader (magic sniff + little-endian field reads), round-tripped
+  * and oracle-verified by `mm_decode_meta`. Only the innermost
+  * pixel/sample decode stays fake — this environment ships no image/audio
+  * codecs — so `extractFeatures` computes byte statistics where production
+  * would call a codec, marked [STUB] below. The Spark-side plumbing a
+  * 100 TB media pipeline needs is exercised end-to-end either way:
+  * BinaryType payload columns, StructType metadata carried next to them,
+  * ArrayType(BinaryType) frame slicing, and a `mapPartitions`
+  * batch-decode seam with an explicit output schema (the Scala counterpart
+  * of a `mapInPandas` decode UDF: one invocation per partition,
+  * vectorizable inside, schema fixed up front). Swapping in a real codec
+  * changes ONE function body and no plan shape.
   *
   * Scale notes: media rows are wide (payload-dominated), so every operator
   * here prunes to the columns it needs before any shuffle; the feature
@@ -102,14 +105,132 @@ object MultimodalOps {
   /** payload → array of FrameBytes-sized binary slices (substr works on
     * BinaryType; the last frame is the remainder). An empty payload yields
     * an EMPTY array — ceil(0/32)=0 frames — matching the oracle's count
-    * rather than forcing a single zero-length frame through sequence(0,0). */
+    * rather than forcing a single zero-length frame through sequence(0,0).
+    * A NULL payload yields a NULL array (length(NULL)===0 is NULL, which
+    * would otherwise fall through to the otherwise-branch where
+    * sequence(0, NULL) produces NULL anyway but size() would then read -1
+    * under legacy sizeOfNull — make the NULL explicit instead). */
   private[graft] def frames(payload: org.apache.spark.sql.Column) =
-    when(length(payload) === 0,
+    when(length(payload).isNull, lit(null).cast(ArrayType(BinaryType)))
+    .when(length(payload) === 0,
       array().cast(ArrayType(BinaryType)))
     .otherwise(transform(
       sequence(lit(0),
         ceil(length(payload) / lit(FrameBytes.toDouble)).cast("int") - 1),
       i => substring(payload, (i * FrameBytes + 1).cast("int"), lit(FrameBytes))))
+
+  // ------------------------------------------------ real container decode
+  //
+  // The decode seam is no longer a stub for HEADERED containers: mediaBlobs
+  // below synthesizes byte-valid BMP and WAV files (real magic, real
+  // little-endian header fields, fake pixel/sample data — the one part a
+  // codec-free container can't make real), and decodeHeaders parses them
+  // back with a pure-JVM java.nio reader. mm_decode_meta round-trips
+  // synthesis → binary column → header parse and the DuckDB oracle
+  // re-derives every field arithmetically from doc_id, so a decode bug
+  // cannot hide: the parser must exactly invert the byte layout.
+
+  /** n little-endian bytes of `c` as a BinaryType column — built from
+    * codegen'd builtins only (hex/shiftright/unhex), no UDF. */
+  private def leBytes(c: org.apache.spark.sql.Column, n: Int) =
+    unhex(concat((0 until n).map(i =>
+      lpad(hex(shiftright(c.cast("long"), 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*))
+
+  private def ascii(s: String) = lit(s.getBytes("US-ASCII"))
+
+  /** Deterministic per-doc media parameters (all INT, all re-derivable in
+    * SQL): BMP for even doc_ids, WAV for odd. */
+  private def bmpWidth  = (lit(64) + ($"doc_id" % 8) * 16).cast("int")
+  private def bmpHeight = (lit(48) + ($"doc_id" % 5) * 16).cast("int")
+  private def wavRate   = (lit(8000) + ($"doc_id" % 4) * 4000).cast("int")
+  private def wavChannels = (lit(1) + ($"doc_id".cast("long") / 2).cast("long") % 2).cast("int")
+
+  /** A byte-valid 24bpp BITMAPINFOHEADER BMP: 14-byte file header + 40-byte
+    * info header + the doc text as stand-in pixel data. */
+  private def bmpBytes = {
+    val pixels = encode($"text", "UTF-8")
+    concat(
+      ascii("BM"), leBytes(lit(54) + length(pixels), 4), // file size
+      leBytes(lit(0), 4), leBytes(lit(54), 4),           // reserved, data offset
+      leBytes(lit(40), 4),                               // info header size
+      leBytes(bmpWidth, 4), leBytes(bmpHeight, 4),
+      leBytes(lit(1), 2), leBytes(lit(24), 2),           // planes, bpp
+      leBytes(lit(0), 4), leBytes(length(pixels), 4),    // compression, image size
+      leBytes(lit(2835), 4), leBytes(lit(2835), 4),      // x/y pixels-per-meter
+      leBytes(lit(0), 4), leBytes(lit(0), 4),            // palette sizes
+      pixels)
+  }
+
+  /** A byte-valid 16-bit PCM RIFF/WAVE: 44-byte header + the doc text as
+    * stand-in sample data. */
+  private def wavBytes = {
+    val samples = encode($"text", "UTF-8")
+    val blockAlign = wavChannels * 2
+    concat(
+      ascii("RIFF"), leBytes(lit(36) + length(samples), 4), ascii("WAVE"),
+      ascii("fmt "), leBytes(lit(16), 4),
+      leBytes(lit(1), 2), leBytes(wavChannels, 2),        // PCM, channels
+      leBytes(wavRate, 4), leBytes(wavRate * blockAlign, 4),
+      leBytes(blockAlign, 2), leBytes(lit(16), 2),        // block align, bits
+      ascii("data"), leBytes(length(samples), 4),
+      samples)
+  }
+
+  /** Headered media table: real BMP (even doc_id) / WAV (odd) payloads. */
+  def mediaBlobs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select($"doc_id", $"text")
+      .select($"doc_id",
+        when($"doc_id" % 2 === 0, bmpBytes).otherwise(wavBytes).as("payload"))
+
+  /** Decoded-header output schema — fixed up front like a decode UDF's. */
+  val headerSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("container", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_bytes", IntegerType)))
+
+  /** REAL header decode (pure JVM, no codec dependency): sniff the magic,
+    * read the little-endian header fields with java.nio. Same mapPartitions
+    * seam as extractFeatures — binary in, typed struct out, narrow map. */
+  def decodeHeaders(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select($"doc_id", $"payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def str(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+        if (bytes.length >= 26 && str(0, 2) == "BM")
+          Row(id, "bmp", bb.getInt(18), bb.getInt(22), null, null, bytes.length)
+        else if (bytes.length >= 44 && str(0, 4) == "RIFF" && str(8, 4) == "WAVE")
+          Row(id, "wav", null, null, bb.getInt(24), bb.getShort(22).toInt,
+            bytes.length)
+        else Row(id, "unknown", null, null, null, null, bytes.length)
+      }
+    }
+    spark.createDataFrame(rdd, headerSchema)
+  }
+
+  /** Round-trip: synthesize headered payloads, decode them back, emit the
+    * parsed fields. The oracle recomputes each field arithmetically from
+    * doc_id — pass ⇒ the parser exactly inverted the container layout. */
+  val decodeMeta: QueryDef = QueryDef(
+    "mm_decode_meta",
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS container,
+      |       CASE WHEN doc_id % 2 = 0 THEN (64 + (doc_id % 8) * 16)::INT END AS width,
+      |       CASE WHEN doc_id % 2 = 0 THEN (48 + (doc_id % 5) * 16)::INT END AS height,
+      |       CASE WHEN doc_id % 2 = 1 THEN (8000 + (doc_id % 4) * 4000)::INT END AS sample_rate,
+      |       CASE WHEN doc_id % 2 = 1 THEN (1 + (doc_id // 2) % 2)::INT END AS channels,
+      |       (CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END + octet_length(encode(text)))::INT AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    decodeHeaders(mediaBlobs(spark, dir)).orderBy($"doc_id")
+  }
 
   /** Feature-extraction output schema — fixed up front, like a decode UDF's
     * return schema. */
@@ -140,5 +261,5 @@ object MultimodalOps {
     spark.createDataFrame(rdd, featureSchema)
   }
 
-  val all: Seq[QueryDef] = Seq(bytesStats, metaFilter, frameSample)
+  val all: Seq[QueryDef] = Seq(bytesStats, metaFilter, frameSample, decodeMeta)
 }

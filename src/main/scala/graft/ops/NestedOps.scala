@@ -174,7 +174,57 @@ object NestedOps {
       .orderBy($"event_type")
   }
 
+  /** JSON OUTPUT surface (`MongoDB.java:317,373`: results rendered via
+    * `doc.toJson()`): project each row as a compact JSON document with
+    * `to_json(struct(...))`. Field order is pinned by the struct; Spark and
+    * DuckDB both render `{"k":v}` with no whitespace, ints bare, strings
+    * quoted — only non-null fields are used since Spark's to_json drops
+    * nulls where DuckDB emits `"k":null`. */
+  val toJsonDoc: QueryDef = QueryDef(
+    "a7_to_json",
+    """SELECT c_custkey,
+      |       to_json(struct_pack(c_custkey := c_custkey, c_name := c_name, c_mktsegment := c_mktsegment))::VARCHAR AS doc
+      |FROM customer ORDER BY c_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .select($"c_custkey",
+        to_json(struct($"c_custkey", $"c_name", $"c_mktsegment")).as("doc"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Plain int-array column with membership/range predicates
+    * (`ExampleMongo.java:42-46` stores `vals: [i, i*10, i*20]` per doc;
+    * line 67 queries with `$lt`): build `vals: array<int>` from the key,
+    * filter with a higher-order `exists(vals, _ < 3)`, count the in-range
+    * elements with `filter`. The array goes out joined to a string — the
+    * driver's hash compare has no portable ArrayType encoding. */
+  val intArrayOps: QueryDef = QueryDef(
+    "a7_int_array",
+    """WITH t AS (
+      |  SELECT p_partkey AS num,
+      |         [(p_partkey % 7 + 1)::INT,
+      |          ((p_partkey % 7 + 1) * 10)::INT,
+      |          ((p_partkey % 7 + 1) * 20)::INT] AS vals
+      |  FROM part)
+      |SELECT num, array_to_string(vals, ',') AS vals,
+      |       len(list_filter(vals, x -> x < 30))::BIGINT AS n_small
+      |FROM t
+      |WHERE len(list_filter(vals, x -> x < 3)) > 0
+      |ORDER BY num""".stripMargin,
+  ) { (spark, dir) =>
+    val base = ($"p_partkey" % 7 + 1).cast("int")
+    Tables.part(spark, dir)
+      .select($"p_partkey".as("num"),
+        array(base, (base * 10).cast("int"), (base * 20).cast("int")).as("vals"))
+      .filter(exists($"vals", _ < 3))
+      .select($"num",
+        concat_ws(",", transform($"vals", _.cast("string"))).as("vals"),
+        size(filter($"vals", _ < 30)).cast("long").as("n_small"))
+      .orderBy($"num")
+  }
+
   val all: Seq[QueryDef] = Seq(
     nest, pointNested, unwindCount, top5Customers, top5Nested, jsonProps,
+    toJsonDoc, intArrayOps,
   )
 }

@@ -59,5 +59,32 @@ object RefDataOps {
         .select($"c_custkey", $"c_name", $"total_order_amount")
     }
 
-  val all: Seq[QueryDef] = Seq(weatherMonthlyMax, usersSearch, tblTop5Customers)
+  /** The Redis leaderboard query end-to-end on the reference's OWN files
+    * (`redis_client.py:427-465` query5: `zrevrange('leaderboard:2', 0, 9,
+    * withscores=True)` then a per-member `hget(email)` loop): top-10 of
+    * leaderboard:2 with Redis's exact tie order — score desc, then member
+    * string desc, since ZREVRANGE reverses the sorted set's (score,
+    * member-lex-asc) order — joined to the parsed users.txt hash table for
+    * emails. The reference's 10 sequential RPCs become one broadcast join of
+    * the 10-row top-k; left join keeps a NULL email exactly where the
+    * reference appends None. */
+  val scoresTop10: QueryDef =
+    QueryDef.rowsOnly("ref_scores_top10") { (spark, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val top = RefFormats.scoresCsv(spark, s"$RefRoot/Assignment 5/userscores.csv")
+        .filter($"leaderboard" === "leaderboard:2")
+        .withColumn("member", concat(lit("user:"), $"user_id"))
+        .orderBy(desc("score"), desc("member"))
+        .limit(10) // TakeOrderedAndProject — top-k before any join
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), desc("member"))))
+      val users = RefFormats.usersKv(spark, s"$RefRoot/Assignment 5/users.txt")
+        .select($"user_id".as("u_id"), $"email")
+      broadcast(top).join(users, top("user_id") === $"u_id", "left")
+        .select($"rank", $"user_id", $"score", $"email")
+        .orderBy($"rank")
+    }
+
+  val all: Seq[QueryDef] =
+    Seq(weatherMonthlyMax, usersSearch, tblTop5Customers, scoresTop10)
 }

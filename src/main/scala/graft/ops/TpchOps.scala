@@ -273,7 +273,33 @@ object TpchOps {
     Tables.part(spark, dir).limit(10)
   }
 
+  /** DECIMAL(15,2) money path — the reference's DDL is decimal everywhere
+    * (`Assignment 7/data/tpch_ddl.sql:3-22`, `SQLonRDS.java:120`
+    * `annualRevenue DECIMAL(15,2)`) while the driver testdata is double
+    * (SURVEY §7.5 accepts this). This query proves the decimal lane both
+    * ways: cast to DECIMAL(15,2) at the scan, aggregate in exact decimal
+    * arithmetic (no float accumulation-order drift — this is the one money
+    * aggregate with NO round() crutch), emit DECIMAL(15,2). Safe because
+    * every o_totalprice is an exact 2-decimal value, so the double→decimal
+    * cast is far from any rounding boundary in both engines. */
+  val decimalMoney: QueryDef = QueryDef(
+    "rds_decimal_money",
+    """SELECT o_orderpriority,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS total_money,
+      |       CAST(min(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS min_money,
+      |       CAST(max(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS max_money
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  ) { (spark, dir) =>
+    val money = $"o_totalprice".cast("decimal(15,2)")
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(sum(money).cast("decimal(15,2)").as("total_money"),
+        min(money).cast("decimal(15,2)").as("min_money"),
+        max(money).cast("decimal(15,2)").as("max_money"))
+      .orderBy($"o_orderpriority")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, redshiftQ1, redshiftQ2, redshiftQ3, rdsQ1, rdsQ2, rdsQ3,
-      displayScan, monthlyOrders, limitPeek)
+      displayScan, monthlyOrders, limitPeek, decimalMoney)
 }

@@ -65,4 +65,15 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.nonEmpty && a.forall(_.getString(2).nonEmpty))
   }
+
+  test("Caches.release() leaves no persisted blocks after the persisting queries run") {
+    Caches.release() // clear anything earlier tests registered
+    Seq(LlmTextOps.langId, LlmTextOps.neardupJaccard, LlmTextOps.minhashLsh)
+      .foreach { q =>
+        q.run(spark, sf).write.format("noop").mode("overwrite").save()
+        Caches.release()
+        assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+          s"${q.name} left persisted RDDs behind after release()")
+      }
+  }
 }

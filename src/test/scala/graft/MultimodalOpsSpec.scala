@@ -31,6 +31,48 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(rows == Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
 
+  test("NULL payload yields a NULL frame array, not -1 or a null frame") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val r = Seq(Tuple1(1L)).toDF("doc_id")
+      .select(MultimodalOps.frames(
+        lit(null).cast(org.apache.spark.sql.types.BinaryType)).as("fr"))
+      .select($"fr", size($"fr").as("n"))
+      .collect().head
+    assert(r.isNullAt(0), "frames(NULL) must be NULL")
+  }
+
+  test("decodeHeaders round-trips the synthesized BMP/WAV containers exactly") {
+    val decoded = MultimodalOps.decodeHeaders(
+      MultimodalOps.mediaBlobs(spark, sf)).collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) {
+        assert(r.getString(1) == "bmp", s"doc $id")
+        assert(r.getInt(2) == 64 + (id % 8) * 16, s"doc $id width")
+        assert(r.getInt(3) == 48 + (id % 5) * 16, s"doc $id height")
+        assert(r.isNullAt(4) && r.isNullAt(5))
+      } else {
+        assert(r.getString(1) == "wav", s"doc $id")
+        assert(r.isNullAt(2) && r.isNullAt(3))
+        assert(r.getInt(4) == 8000 + (id % 4) * 4000, s"doc $id rate")
+        assert(r.getInt(5) == 1 + (id / 2) % 2, s"doc $id channels")
+      }
+    }
+  }
+
+  test("synthesized BMP bytes are a parseable image header (javax ImageIO-free check)") {
+    // independent byte-level check of ONE payload: magic, offsets, sizes
+    val row = MultimodalOps.mediaBlobs(spark, sf)
+      .filter($"doc_id" === 2L).collect().head
+    val b = row.getAs[Array[Byte]]("payload")
+    assert(b(0) == 'B' && b(1) == 'M')
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(2) == b.length, "file-size field must equal payload size")
+    assert(bb.getInt(10) == 54 && bb.getInt(14) == 40)
+    assert(bb.getShort(26) == 1 && bb.getShort(28) == 24) // planes, bpp
+  }
+
   test("feature extraction is deterministic and computes real byte stats") {
     val media = MultimodalOps.mediaTable(spark, sf).limit(50)
     val a = MultimodalOps.extractFeatures(media).collect()

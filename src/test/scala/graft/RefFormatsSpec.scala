@@ -66,6 +66,20 @@ class RefFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("leaderboard:2 top-10 matches an independent python recount (Redis tie order)") {
+    // golden: sorted (-score, member-string desc) over leaderboard:2 rows of
+    // userscores.csv, emails joined from users.txt — computed outside Spark
+    val rows = ops.RefDataOps.scoresTop10.run(spark, "").collect()
+    assert(rows.map(_.getInt(1)).toSeq ==
+      Seq(2468, 501, 318, 2971, 2491, 1972, 1731, 1868, 3326, 2082))
+    assert(rows.map(_.getInt(2)).toSeq ==
+      Seq(499, 498, 498, 498, 498, 498, 498, 497, 496, 496))
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    assert(rows.head.getString(3) == "dpriddlecz@wp.com")
+    assert(rows.last.getString(3) == "bbowhay29@economist.com")
+    assert(rows.forall(!_.isNullAt(3)))
+  }
+
   test("userscores.csv: 3911 rows, int scores, leaderboard tags") {
     val df = RefFormats.scoresCsv(spark, s"$ref/Assignment 5/userscores.csv")
     assert(df.count() == 3911) // header + 3911 CRLF data rows, no final \n
