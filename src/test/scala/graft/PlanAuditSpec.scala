@@ -49,4 +49,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plans.size == SparkEntry.queries.size)
     assert(plans.values.forall(_.nonEmpty))
   }
+
+  test("A4 keyed reads over the partitionBy(event_type, day) layout prune at the directory level") {
+    import ops.TimeSeriesOps
+    val out = java.nio.file.Files.createTempDirectory("graft_a4_layout").toString
+    TimeSeriesOps.writeLayout(spark, sf, out)
+    val layout = spark.read.parquet(out)
+    Seq(
+      "a4_point_read" -> TimeSeriesOps.pointReadPartitioned(layout),
+      "a4_day_slice" -> TimeSeriesOps.daySlicePartitioned(layout),
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      // the scan's PartitionFilters clause must carry BOTH layout keys —
+      // that is the directory-level rowkey-range read the layout exists for
+      val pf = plan.linesIterator
+        .find(_.contains("PartitionFilters: ["))
+        .map(l => l.substring(l.indexOf("PartitionFilters: [")))
+        .getOrElse("")
+      assert(pf.contains("event_type") && pf.contains("day"),
+        s"$name does not prune on both partition keys:\n$pf")
+      // and the pruned read computes exactly what the flat-layout query does
+      val flat = SparkEntry.queries(name)(spark, sf)
+      assert(df.exceptAll(flat).isEmpty && flat.exceptAll(df).isEmpty,
+        s"$name over the partitioned layout diverges from the flat layout")
+    }
+  }
+
+  test("a1_recommend's shared basket subtree plans a ReusedExchange (AQE final plan)") {
+    // the market-basket query builds the (custkey, partkey) basket table
+    // twice — recommendation expansion and ownership anti-join — from one
+    // canonical subtree; exchange reuse is what keeps that single-scan at
+    // scale. AQE only materializes reuse in the FINAL plan of the executed
+    // QueryExecution, so run the action on this df object, then inspect it.
+    val df = SparkEntry.queries("a1_recommend")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("ReusedExchange"),
+      s"a1_recommend no longer reuses its basket exchange:\n$plan")
+  }
 }
