@@ -65,6 +65,43 @@ object StreamingOps {
         unix_micros($"session_window.end").as("session_end_us"),
         $"n_events", $"total")
 
+  /** Typed row for the custom-state path (only the columns the state
+    * function touches — prune before the shuffle). */
+  final case class UserEvent(user_id: Long, value: Double)
+
+  /** Custom per-key state through `KeyValueGroupedDataset.mapGroupsWithState`
+    * — the seam for stateful logic the built-in windows can't express
+    * (SURVEY.md §2.10). The SAME function runs in both execution modes: on a
+    * stream the state carries across micro-batches (StreamingOpsSpec feeds
+    * two batches and asserts the carried totals), in batch each group is
+    * seen once with empty state — and the batch form is the registered,
+    * oracle-checked query. Count + max only: both are arrival-order
+    * independent, so batch, stream, and oracle agree exactly with no
+    * float-accumulation-order caveat. State size: one (long, double) per
+    * live user key — at 100 TB this is the state-store-backed path with a
+    * timeout (`GroupStateTimeout.ProcessingTimeTimeout`) evicting idle keys;
+    * NoTimeout here because the testbed stream is bounded. */
+  def statefulUserStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val evEnc: Encoder[UserEvent] = Encoders.product[UserEvent]
+    implicit val stEnc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val outEnc: Encoder[(Long, Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    events.select($"user_id", $"value").as[UserEvent]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
+          var (n, mx) = state.getOption.getOrElse((0L, Double.NegativeInfinity))
+          evs.foreach { e => n += 1; if (e.value > mx) mx = e.value }
+          state.update((n, mx))
+          (uid, n, mx)
+      }
+      .toDF("user_id", "n_events", "max_value")
+  }
+
   // ------------------------------------------------- registered batch twins
 
   val tumbling: QueryDef = QueryDef(
@@ -130,5 +167,13 @@ object StreamingOps {
       .orderBy($"user_id", $"session_start_us")
   }
 
-  val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session)
+  val stateful: QueryDef = QueryDef(
+    "stream_stateful_stats",
+    """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  ) { (spark, dir) =>
+    statefulUserStats(Tables.events(spark, dir)).orderBy($"user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful)
 }

