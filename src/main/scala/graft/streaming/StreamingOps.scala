@@ -102,6 +102,90 @@ object StreamingOps {
       .toDF("user_id", "n_events", "max_value")
   }
 
+  /** Stream–static enrichment: the event stream joined to the (slowly
+    * changing) customer dimension, aggregated per market segment. The
+    * dimension side is `broadcast()` — on a stream this is the canonical
+    * enrichment plan (no stateful join, each micro-batch hash-joins against
+    * the broadcast table; at 100 TB/day of events the dimension still fits
+    * in memory and the join stays shuffle-free). */
+  def enrichedSegmentAgg(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select($"c_custkey", $"c_mktsegment")),
+        $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total"))
+
+  /** Stream–stream interval join: each purchase matched to the same user's
+    * clicks in the 10 minutes leading up to it (click-attribution). In
+    * streaming both sides carry watermarks and the time-interval condition
+    * bounds the join state Spark must retain (clicks older than the horizon
+    * are evicted); in batch the same plan is an equi-join on user_id with a
+    * range residual — never a cross product. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    purchases
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("p_ts"))
+      .join(
+        clicks.select($"user_id".as("c_user"), $"event_id".as("click_id"),
+          $"ts".as("c_ts")),
+        expr("""p_user = c_user AND
+                c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts <= p_ts"""))
+      .select($"p_user".as("user_id"), $"purchase_id", $"click_id",
+        unix_micros($"p_ts").as("purchase_ts_us"),
+        unix_micros($"c_ts").as("click_ts_us"))
+
+  /** Typed row and open-session state for the custom sessionizer. */
+  final case class SessEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long, total: Double)
+
+  private val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Gap-based sessionization re-expressed through
+    * `flatMapGroupsWithState` — the whole-operator custom-state seam
+    * (SURVEY.md §2.10), computing exactly what `session_window` computes so
+    * the SAME relational oracle checks it. Each invocation folds the key's
+    * new events (ts-sorted) into sessions: a >30-min gap closes one. Closed
+    * sessions and the currently-open one are emitted; the open one is kept
+    * in state so the next micro-batch extends it instead of starting fresh
+    * (re-emissions only grow `n`, so a reader keeps the max-n row per
+    * (user, session_start) — StreamingOpsSpec does exactly that). In batch
+    * each group is seen once and complete, so the emission IS the final
+    * session list. State is one `OpenSession` per live user; on an unbounded
+    * stream an event-time timeout at `last_us + gap` would both flush and
+    * evict (bounded here, so NoTimeout). */
+  def customSessions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val evEnc: Encoder[SessEvent] = Encoders.product[SessEvent]
+    implicit val stEnc: Encoder[OpenSession] = Encoders.product[OpenSession]
+    implicit val outEnc: Encoder[(Long, Long, Long, Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    events
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"value").as[SessEvent]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          val sorted = evs.toArray.sortBy(_.ts_us)
+          val closed = Array.newBuilder[OpenSession]
+          var cur = state.getOption.orNull
+          sorted.foreach { e =>
+            if (cur == null) cur = OpenSession(e.ts_us, e.ts_us, 1L, e.value)
+            else if (e.ts_us - cur.last_us <= SessionGapUs)
+              cur = OpenSession(cur.start_us, e.ts_us, cur.n + 1, cur.total + e.value)
+            else { closed += cur; cur = OpenSession(e.ts_us, e.ts_us, 1L, e.value) }
+          }
+          if (cur != null) state.update(cur)
+          (closed.result().iterator ++ Option(cur).iterator).map { s =>
+            (uid, s.start_us, s.last_us + SessionGapUs, s.n, s.total)
+          }
+      }
+      .toDF("user_id", "session_start_us", "session_end_us", "n_events", "raw_total")
+      .select($"user_id", $"session_start_us", $"session_end_us", $"n_events",
+        round($"raw_total", 2).as("total"))
+  }
+
   // ------------------------------------------------- registered batch twins
 
   val tumbling: QueryDef = QueryDef(
@@ -141,9 +225,10 @@ object StreamingOps {
   /** Oracle replays session merging relationally: a session break is a
     * >30-min gap (or first event) per user; running-sum the breaks to get a
     * session id, then aggregate. Session end = last event + gap, matching
-    * `session_window` semantics. */
-  val session: QueryDef = QueryDef(
-    "stream_session_agg",
+    * `session_window` semantics. Shared by the built-in (`session_window`)
+    * and custom (`flatMapGroupsWithState`) sessionizers — identical
+    * semantics, one oracle. */
+  private val sessionOracle: String =
     """WITH s AS (
       |  SELECT user_id, ts, event_id, value,
       |         CASE WHEN lag(ts) OVER w IS NULL
@@ -161,10 +246,46 @@ object StreamingOps {
       |       CAST(epoch_us(max(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS session_end_us,
       |       count(*) AS n_events, round(sum(value), 2) AS total
       |FROM g GROUP BY user_id, sid
-      |ORDER BY user_id, session_start_us""".stripMargin,
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  val session: QueryDef = QueryDef("stream_session_agg", sessionOracle) {
+    (spark, dir) =>
+      sessionAgg(Tables.events(spark, dir))
+        .orderBy($"user_id", $"session_start_us")
+  }
+
+  val customSession: QueryDef = QueryDef("stream_custom_sessions", sessionOracle) {
+    (spark, dir) =>
+      customSessions(Tables.events(spark, dir))
+        .orderBy($"user_id", $"session_start_us")
+  }
+
+  val enriched: QueryDef = QueryDef(
+    "stream_static_join",
+    """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
   ) { (spark, dir) =>
-    sessionAgg(Tables.events(spark, dir))
-      .orderBy($"user_id", $"session_start_us")
+    enrichedSegmentAgg(Tables.events(spark, dir), Tables.customer(spark, dir))
+      .orderBy($"c_mktsegment")
+  }
+
+  val attribution: QueryDef = QueryDef(
+    "stream_stream_join",
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+      |       CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us
+      |FROM events p JOIN events c
+      |  ON c.user_id = p.user_id
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |ORDER BY purchase_id, click_id""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    clickAttribution(
+      ev.filter($"event_type" === "click"),
+      ev.filter($"event_type" === "purchase"))
+      .orderBy($"purchase_id", $"click_id")
   }
 
   val stateful: QueryDef = QueryDef(
@@ -175,5 +296,6 @@ object StreamingOps {
     statefulUserStats(Tables.events(spark, dir)).orderBy($"user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful)
+  val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
+    customSession, enriched, attribution)
 }

@@ -147,6 +147,106 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(both.nonEmpty)
   }
 
+  test("flatMapGroupsWithState sessionizer merges a session spanning micro-batches") {
+    // Inline fixture: user 7's batch-2 events continue (≤30 min gap) the
+    // session batch 1 left open, so the stream must MERGE them via carried
+    // state; user 8's batch-2 event is >30 min later, so state must CLOSE
+    // the old session and open a new one. Final deduped rows must equal the
+    // single-pass batch answer, which itself equals the session_window twin.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    def ev(id: Long, user: Long, minute: Long): Ev =
+      Ev(id, Timestamp.from(Timestamp.valueOf("2024-01-01 10:00:00").toInstant
+        .plusSeconds(minute * 60)), user, "view", 1.0)
+    val batch1 = Seq(ev(1, 7, 0), ev(2, 7, 10), ev(3, 8, 0))
+    val batch2 = Seq(ev(4, 7, 35), ev(5, 8, 45)) // 7: 25min gap → merge; 8: 45min → new
+    val stream = MemoryStream[Ev]
+    val out = StreamingOps.customSessions(stream.toDF())
+    val q = out.writeStream
+      .format("memory").queryName("csess_out").outputMode("append")
+      .start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    // keep the max-n row per (user, session_start) — re-emissions only grow n
+    val got = spark.table("csess_out")
+      .groupBy($"user_id", $"session_start_us")
+      .agg(max(struct($"n_events", $"session_end_us", $"total")).as("s"))
+      .select($"user_id", $"session_start_us", $"s.session_end_us",
+        $"s.n_events", $"s.total")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batchDf = StreamingOps.customSessions(
+      spark.createDataFrame(batch1 ++ batch2))
+    val want = batchDf.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want)
+    // user 7 merged across the batch boundary into ONE 3-event session
+    assert(got.count(_._1 == 7L) == 1 && got.find(_._1 == 7L).get._4 == 3L)
+    // user 8 split into TWO 1-event sessions
+    assert(got.count(_._1 == 8L) == 2)
+    // and the custom sessionizer agrees with the built-in session_window
+    val builtin = StreamingOps.sessionAgg(spark.createDataFrame(batch1 ++ batch2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(want == builtin)
+  }
+
+  test("stream-static broadcast enrichment equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val slice = boundedSlice()
+    val customers = io.Tables.customer(spark, sf)
+    val stream = MemoryStream[Ev]
+    stream.addData(slice)
+    val agg = StreamingOps.enrichedSegmentAgg(stream.toDF(), customers)
+    val q = agg.writeStream
+      .format("memory").queryName("enrich_out").outputMode("complete")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("enrich_out")
+      .orderBy($"c_mktsegment").collect().toSeq
+    val want = StreamingOps.enrichedSegmentAgg(
+      io.Tables.events(spark, sf)
+        .filter($"ts" < to_timestamp(lit("2024-01-03 00:00:00"))), customers)
+      .orderBy($"c_mktsegment").collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("watermarked stream-stream interval join equals the batch twin") {
+    // Inline fixture with known pairs: purchase at 10:30 picks up clicks at
+    // 10:21..10:30 (within 10 min), not the 10:05 click; cross-user clicks
+    // never match.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    def at(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val clicks = Seq(
+      Ev(101, at("10:05"), 1, "click", 0), Ev(102, at("10:21"), 1, "click", 0),
+      Ev(103, at("10:30"), 1, "click", 0), Ev(104, at("10:25"), 2, "click", 0))
+    val purchases = Seq(
+      Ev(201, at("10:30"), 1, "purchase", 9), Ev(202, at("11:30"), 2, "purchase", 9))
+    val cs = MemoryStream[Ev]; val ps = MemoryStream[Ev]
+    val joined = StreamingOps.clickAttribution(
+      cs.toDF().withWatermark("ts", "1 hour"),
+      ps.toDF().withWatermark("ts", "1 hour"))
+    val q = joined.writeStream
+      .format("memory").queryName("attrib_out").outputMode("append")
+      .start()
+    try {
+      cs.addData(clicks); ps.addData(purchases); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attrib_out")
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = StreamingOps.clickAttribution(
+      spark.createDataFrame(clicks), spark.createDataFrame(purchases))
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got == Set((201L, 102L), (201L, 103L))) // hand-computed pairs
+  }
+
   test("streaming dropDuplicates discards replayed events exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits.newProductEncoder
