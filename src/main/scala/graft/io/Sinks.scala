@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Write-side surface. The reference's three sink families — JDBC batched
   * INSERT (`SQLonRDS.java:156-205`), multi-row INSERT rewriting
@@ -35,4 +35,28 @@ object Sinks {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction — the maintenance pass every long-lived ingest
+    * layout needs (streaming sinks and partitioned appends produce
+    * per-micro-batch / per-task files; at 100 TB the resulting
+    * millions-of-small-files kill scan throughput via open/seek overhead
+    * and NameNode/listing pressure). Rewrites `inPath` into
+    * ceil(bytes / targetBytes) files at `outPath` using `coalesce` —
+    * a shuffle-free narrow rewrite (each output task concatenates input
+    * splits; use `repartition` instead only when output files must also be
+    * size-balanced). Returns the output file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    // The scan packs small files (openCostInBytes), so it may already plan
+    // fewer partitions than n — then an even redistribution needs a shuffle.
+    val sized =
+      if (df.rdd.getNumPartitions >= n) df.coalesce(n) else df.repartition(n)
+    sized.write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

@@ -75,6 +75,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (no manual salting needed)") {
+    // The runtime complement to SkewOps.saltedJoin: one hot key (90% of the
+    // probe side) lands in one shuffle partition; with skew thresholds
+    // scaled to the fixture, AQE's OptimizeSkewedJoin must split it into
+    // sub-partitions — visible as skew=true on the join in the FINAL plan
+    // (readable only off the same QueryExecution after its action runs).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ).map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val hot = spark.range(0, 300000)
+        .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v")
+      val dim = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS w")
+      val joined = hot.join(dim, "k")
+      joined.collect() // run THIS QueryExecution so AQE re-plans with stats
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("a1_recommend's shared basket subtree plans a ReusedExchange (AQE final plan)") {
     // the market-basket query builds the (custkey, partkey) basket table
     // twice — recommendation expansion and ownership anti-join — from one

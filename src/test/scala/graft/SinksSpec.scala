@@ -27,6 +27,23 @@ class SinksSpec extends AnyFunSuite {
     assert(read.count() == expected)
   }
 
+  test("compaction rewrites a many-small-files layout into the target file count") {
+    val smallDir = Files.createTempDirectory("graft_small").toString
+    val bigDir = Files.createTempDirectory("graft_compact").toString
+    // simulate a streaming/append layout: 64 tiny files
+    Tables.events(spark, sf).repartition(64).write
+      .mode("overwrite").parquet(smallDir)
+    def parquetFiles(d: String): Array[java.io.File] =
+      new java.io.File(d).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(smallDir).length == 64)
+    val totalBytes = parquetFiles(smallDir).map(_.length).sum
+    val n = Sinks.compact(spark, smallDir, bigDir, targetBytes = totalBytes / 4)
+    assert(parquetFiles(bigDir).length == n && n <= 8)
+    // content survives the rewrite exactly
+    val before = Tables.events(spark, sf).count()
+    assert(spark.read.parquet(bigDir).count() == before)
+  }
+
   test("bucketed tables join and aggregate without a shuffle exchange") {
     Sinks.writeBucketed(Tables.orders(spark, sf), "b_orders", "o_orderkey", 8)
     Sinks.writeBucketed(
