@@ -95,6 +95,95 @@ object LlmTextOps {
       .orderBy($"keep_id")
   }
 
+  // ------------------------------------------- winnowing fingerprints
+
+  private val WinK = 8 // k-gram length (chars)
+  private val WinW = 4 // winnowing window (k-grams)
+
+  /** Winnowing (MOSS-style rolling-hash document fingerprinting): hash every
+    * K-char gram, then keep the minimum hash of each W-gram sliding window —
+    * the classic guarantee that any shared substring of length ≥ K+W-1
+    * yields at least one shared fingerprint. Runs as ONE per-doc window
+    * function over posexploded gram hashes (shuffle keyed on doc_id, no
+    * cross-doc traffic); docs shorter than one full window are excluded.
+    * Hashes are the portable 60-bit md5 form, so DuckDB replays the exact
+    * pipeline. */
+  private[graft] def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .filter(length($"text") >= WinK + WinW - 1)
+      .select($"doc_id", $"text", (length($"text") - (WinK - 1)).as("n_grams"))
+    val grams = docs.select($"doc_id", $"n_grams",
+      posexplode(transform(sequence(lit(1), $"n_grams"),
+        i => portableHash($"text".substr(i, lit(WinK))))))
+      .toDF("doc_id", "n_grams", "pos", "h")
+    grams
+      .withColumn("fp", min($"h").over(
+        Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.currentRow, WinW - 1)))
+      .filter($"pos" <= $"n_grams" - WinW) // complete windows only
+      .select($"doc_id", $"fp").distinct()
+  }
+
+  /** Shared oracle CTE: same grams, same window min, same completeness
+    * guard, in DuckDB. */
+  private val winnowCte: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, i - 1 AS pos, length(text) - ${WinK - 1} AS n_grams,
+       |         ('0x' || substr(md5(substr(text, i, $WinK)), 1, 15))::BIGINT AS h
+       |  FROM documents, unnest(range(1, length(text) - ${WinK - 1} + 1)) AS t(i)
+       |  WHERE length(text) >= ${WinK + WinW - 1}),
+       |m AS (
+       |  SELECT doc_id, pos, n_grams,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS fp
+       |  FROM g),
+       |f AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n_grams - $WinW)""".stripMargin
+
+  /** Per-document winnowing summary (fingerprint count + min). */
+  val winnow: QueryDef = QueryDef(
+    "llm_winnow",
+    winnowCte +
+      """
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(fp) AS min_fp
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    winnowFingerprints(spark, dir)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"), min($"fp").as("min_fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Near-dup candidate pairs: docs sharing ≥3 winnowing fingerprints. The
+    * join key is the fingerprint — an equi-join, never all-pairs — and
+    * ubiquitous fingerprints (>10 docs: boilerplate grams, the stop-word
+    * analog) are dropped before the join, the standard frequency cap that
+    * keeps the hottest key bounded at corpus scale. */
+  val winnowPairs: QueryDef = QueryDef(
+    "llm_winnow_pairs",
+    winnowCte +
+      """,
+        |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 10),
+        |p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
+        |      FROM f a JOIN rare r ON a.fp = r.fp JOIN f b ON a.fp = b.fp
+        |      WHERE a.doc_id < b.doc_id)
+        |SELECT doc1, doc2, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin,
+  ) { (spark, dir) =>
+    // three consumers of the fingerprint set → one persisted materialization
+    val f = graft.Caches.persist(winnowFingerprints(spark, dir))
+    val rare = f.groupBy($"fp").agg(count(lit(1)).as("nf"))
+      .filter($"nf" <= 10).select($"fp")
+    val b = f.select($"doc_id".as("doc2"), $"fp".as("fp2"))
+    f.select($"doc_id".as("doc1"), $"fp")
+      .join(rare, Seq("fp"))
+      .join(b, $"fp" === $"fp2" && $"doc1" < $"doc2")
+      .groupBy($"doc1", $"doc2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 3)
+      .orderBy($"doc1", $"doc2")
+  }
+
   // ----------------------------------------------------- text analysis
 
   /** Per-document token statistics (whitespace tokenization). */
@@ -432,7 +521,8 @@ object LlmTextOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    exactDedup, fingerprint, textStats, tokenCount, quality, langId,
-    neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
+    exactDedup, fingerprint, winnow, winnowPairs, textStats, tokenCount,
+    quality, langId, neardupJaccard, minhashSig, minhashLsh, simhash,
+    simhashPairs,
   )
 }

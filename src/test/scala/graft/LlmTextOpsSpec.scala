@@ -66,6 +66,29 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.forall(_.getString(2).nonEmpty))
   }
 
+  test("winnowing guarantees a shared fingerprint for any shared run of length >= K+W-1") {
+    // The MOSS guarantee: two docs sharing a contiguous substring of at
+    // least K+W-1 = 11 chars must share >= 1 winnowing fingerprint; two
+    // docs with no common 8-gram must share none. Fixture docs go through
+    // the real documents.parquet read path.
+    import spark.implicits.newLongEncoder
+    val shared = "the quick brown fox jumps over it" // 33-char shared run
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    val rows = Seq(
+      (1L, s"AAAA $shared BBBB", "en", "t", 0L),
+      (2L, s"zzzz qq $shared yy xx", "en", "t", 0L),
+      (3L, "completely different content with no overlap at all", "en", "t", 0L),
+    )
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f = LlmTextOps.winnowFingerprints(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = f.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty, "shared run produced no shared fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty, "disjoint docs share a fingerprint")
+  }
+
   test("Caches.release() leaves no persisted blocks after the persisting queries run") {
     Caches.release() // clear anything earlier tests registered
     Seq(LlmTextOps.langId, LlmTextOps.neardupJaccard, LlmTextOps.minhashLsh)
