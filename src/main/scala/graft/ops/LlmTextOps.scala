@@ -184,6 +184,48 @@ object LlmTextOps {
       .orderBy($"doc1", $"doc2")
   }
 
+  /** DuckDB replay of [[graft.graft.functions.WinnowFps]]'s polynomial gram hash:
+    * the identical left fold `h = (h*B + codepoint) mod M`, written out as
+    * K nested terms in exact BIGINT arithmetic. */
+  private def polyFoldSql(pos: String): String =
+    (0 until graft.functions.WinnowFps.K).foldLeft("(0::BIGINT)") { (acc, j) =>
+      s"(($acc * ${graft.functions.WinnowFps.B} + unicode(substr(text, $pos + $j, 1))) % ${graft.functions.WinnowFps.M})"
+    }
+
+  /** Winnowing via the native expression — same algorithm as `llm_winnow`,
+    * different engine path: ONE codegen'd linear pass per document
+    * (Rabin-Karp O(1) hash roll + monotonic-deque window min, returning the
+    * distinct fingerprint set as an array), where the declarative form pays
+    * an md5 + substring allocation per character and shuffles every gram
+    * row through a per-doc window sort. Bench shows the two side by side.
+    * The oracle replays the polynomial fold positionally, proving the
+    * fused loop computes exactly what the relational algorithm specifies. */
+  val winnowNative: QueryDef = QueryDef(
+    "llm_winnow_native", {
+      val K = graft.functions.WinnowFps.K; val W = graft.functions.WinnowFps.W
+      s"""WITH g AS (
+         |  SELECT doc_id, i - 1 AS pos, length(text) - ${K - 1} AS n_grams,
+         |         ${polyFoldSql("i")} AS h
+         |  FROM documents, unnest(range(1, length(text) - ${K - 1} + 1)) AS t(i)
+         |  WHERE length(text) >= ${K + W - 1}),
+         |m AS (
+         |  SELECT doc_id, pos, n_grams,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp
+         |  FROM g),
+         |f AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n_grams - $W)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(fp) AS min_fp
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(call_function("winnow_fps", $"text")).as("fp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"), min($"fp").as("min_fp"))
+      .orderBy($"doc_id")
+  }
+
   // ----------------------------------------------------- text analysis
 
   /** Per-document token statistics (whitespace tokenization). */
@@ -521,8 +563,8 @@ object LlmTextOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    exactDedup, fingerprint, winnow, winnowPairs, textStats, tokenCount,
-    quality, langId, neardupJaccard, minhashSig, minhashLsh, simhash,
-    simhashPairs,
+    exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
+    tokenCount, quality, langId, neardupJaccard, minhashSig, minhashLsh,
+    simhash, simhashPairs,
   )
 }
