@@ -247,6 +247,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Set((201L, 102L), (201L, 103L))) // hand-computed pairs
   }
 
+  test("file sink restarted from its checkpoint neither loses nor duplicates rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val slice = boundedSlice()
+    val (first, second) = slice.splitAt(slice.length / 2)
+    val data = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_fsink_chk").toString
+    val stream = MemoryStream[Ev]
+    // batch 1, then STOP the query (simulated failure/redeploy)
+    stream.addData(first)
+    val q1 = graft.streaming.StreamingSinks.parquetSink(stream.toDF(), data, chk)
+    try q1.processAllAvailable() finally q1.stop()
+    // restart from the SAME checkpoint: committed offsets skip batch 1
+    stream.addData(second)
+    val q2 = graft.streaming.StreamingSinks.parquetSink(stream.toDF(), data, chk)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(data)
+      .select($"event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = slice.map(_.event_id).sorted
+    assert(got == want) // every event exactly once across the restart
+  }
+
+  test("foreachBatch batchId-keyed writes stay idempotent across replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val slice = boundedSlice()
+    val (first, second) = slice.splitAt(slice.length / 2)
+    val data = java.nio.file.Files.createTempDirectory("graft_bsink").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_bsink_chk").toString
+    val stream = MemoryStream[Ev]
+    stream.addData(first)
+    val q1 = graft.streaming.StreamingSinks.idempotentBatchSink(stream.toDF(), data, chk)
+    try q1.processAllAvailable() finally q1.stop()
+    stream.addData(second)
+    val q2 = graft.streaming.StreamingSinks.idempotentBatchSink(stream.toDF(), data, chk)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$data/batch=*")
+      .select($"event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == slice.map(_.event_id).sorted)
+  }
+
   test("streaming dropDuplicates discards replayed events exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits.newProductEncoder
