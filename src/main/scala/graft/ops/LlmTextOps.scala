@@ -103,27 +103,28 @@ object LlmTextOps {
   /** Winnowing (MOSS-style rolling-hash document fingerprinting): hash every
     * K-char gram, then keep the minimum hash of each W-gram sliding window —
     * the classic guarantee that any shared substring of length ≥ K+W-1
-    * yields at least one shared fingerprint. Runs as ONE per-doc window
-    * function over posexploded gram hashes (shuffle keyed on doc_id, no
-    * cross-doc traffic); docs shorter than one full window are excluded.
-    * Hashes are the portable 60-bit md5 form, so DuckDB replays the exact
-    * pipeline. */
-  private[graft] def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+    * yields at least one shared fingerprint. The whole computation is
+    * per-document array algebra — gram hashes, window minima, and the
+    * distinct fingerprint set are all built inside one projection, so the
+    * plan has ZERO shuffle before whatever consumes the fingerprints (the
+    * earlier formulation posexploded every gram into a row and paid a
+    * per-doc window sort plus a distinct shuffle — a shuffle of ~12× the
+    * text volume at corpus scale). The single-element-array `transform`
+    * let-binds the hash array so it is computed exactly once per document
+    * even after project collapsing. Docs shorter than one full window are
+    * excluded. Hashes are the portable 60-bit md5 form, so DuckDB replays
+    * the exact pipeline. */
+  private[graft] def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .filter(length($"text") >= WinK + WinW - 1)
       .select($"doc_id", $"text", (length($"text") - (WinK - 1)).as("n_grams"))
-    val grams = docs.select($"doc_id", $"n_grams",
-      posexplode(transform(sequence(lit(1), $"n_grams"),
-        i => portableHash($"text".substr(i, lit(WinK))))))
-      .toDF("doc_id", "n_grams", "pos", "h")
-    grams
-      .withColumn("fp", min($"h").over(
-        Window.partitionBy($"doc_id").orderBy($"pos")
-          .rowsBetween(Window.currentRow, WinW - 1)))
-      .filter($"pos" <= $"n_grams" - WinW) // complete windows only
-      .select($"doc_id", $"fp").distinct()
-  }
+      .select($"doc_id",
+        explode(flatten(transform(
+          array(transform(sequence(lit(1), $"n_grams"),
+            i => portableHash($"text".substr(i, lit(WinK))))),
+          hs => array_distinct(transform(
+            sequence(lit(1), size(hs) - WinW + 1),
+            p => array_min(slice(hs, p, lit(WinW)))))))).as("fp"))
 
   /** Shared oracle CTE: same grams, same window min, same completeness
     * guard, in DuckDB. */
@@ -196,8 +197,8 @@ object LlmTextOps {
     * different engine path: ONE codegen'd linear pass per document
     * (Rabin-Karp O(1) hash roll + monotonic-deque window min, returning the
     * distinct fingerprint set as an array), where the declarative form pays
-    * an md5 + substring allocation per character and shuffles every gram
-    * row through a per-doc window sort. Bench shows the two side by side.
+    * an interpreted md5 + substring allocation per gram inside its
+    * higher-order-function loop. Bench shows the two side by side.
     * The oracle replays the polynomial fold positionally, proving the
     * fused loop computes exactly what the relational algorithm specifies. */
   val winnowNative: QueryDef = QueryDef(
