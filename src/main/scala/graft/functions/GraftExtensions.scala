@@ -28,6 +28,14 @@ object GraftExtensions {
         CosineSimilarity(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("md5hash60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "md5hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"md5hash60 expects 1 argument, got ${children.length}")
+        Md5Hash60(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (children: Seq[Expression]) => {

@@ -41,9 +41,13 @@ import graft.io.Tables
 object LlmTextOps {
 
   /** Cross-engine deterministic 60-bit hash (see class doc). DuckDB
-    * equivalent: `('0x' || substr(md5(x),1,15))::BIGINT`. */
+    * equivalent: `('0x' || substr(md5(x),1,15))::BIGINT`. Evaluated by the
+    * native [[graft.functions.Md5Hash60]] expression — bit-identical to
+    * `conv(substring(md5(c),1,15),16,10)` but a single fused digest read,
+    * which matters because most call sites sit inside higher-order-function
+    * lambdas where every sub-expression evaluates interpreted per element. */
   private def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function("md5hash60", c)
 
   private def tokens: Column = split($"text", " ")
 
