@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** Deterministic sampling for training-data pipelines — the reproducible
+  * alternative to `rand()` at corpus scale. Every operator keys its
+  * keep/drop decision on the portable 60-bit hash of the document id
+  * ([[graft.functions.Md5Hash60]], DuckDB-replayable), so:
+  *
+  *  - the sample is STABLE: re-running over 100 TB, adding partitions, or
+  *    changing parallelism yields byte-identical membership (a `rand()`
+  *    sample is unrepeatable and breaks the correctness oracle);
+  *  - membership is a pure per-row predicate — no shuffle, no state, fully
+  *    pushed into the scan's partition-parallel filter;
+  *  - train/validation/test assignment is a total function of the key, so
+  *    the splits are provably disjoint and exhaustive, and any later join
+  *    against the same corpus re-derives membership instead of storing it.
+  *
+  * The hash-order ORDER BY doubles as the pipeline's deterministic global
+  * shuffle: sorting by `h` is an unbiased, reproducible permutation of the
+  * corpus (what a training job wants instead of `ORDER BY rand()`).
+  */
+object SamplingOps {
+
+  /** Portable hash of the document key — the sampling coin. */
+  private def docHash = call_function("md5hash60", $"doc_id".cast("string"))
+  private val docHashSql = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+  /** 10% Bernoulli sample by hash residue, emitted in hash order — the
+    * deterministic sample + shuffle in one pass. */
+  val sampleHash: QueryDef = QueryDef(
+    "llm_sample_hash",
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+       |FROM documents
+       |WHERE $docHashSql % 10 = 0
+       |ORDER BY $docHashSql, doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .filter(docHash % 10 === 0)
+      .orderBy(docHash, $"doc_id")
+      .select($"doc_id", length($"text").cast("long").as("n_chars"))
+  }
+
+  /** Stratified sample: at most 20 docs per length-bucket stratum, chosen
+    * by hash order — per-stratum quotas without a global sort (one shuffle
+    * keyed on the stratum, `row_number` inside). */
+  val sampleStratified: QueryDef = QueryDef(
+    "llm_sample_stratified",
+    s"""SELECT bucket, doc_id FROM (
+       |  SELECT length(text) // 100 AS bucket, doc_id,
+       |         row_number() OVER (PARTITION BY length(text) // 100
+       |                            ORDER BY $docHashSql, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 20 ORDER BY bucket, doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select((length($"text") / 100).cast("long").as("bucket"), $"doc_id",
+        docHash.as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"bucket").orderBy($"h", $"doc_id")))
+      .filter($"rn" <= 20)
+      .select($"bucket", $"doc_id")
+      .orderBy($"bucket", $"doc_id")
+  }
+
+  /** 80/10/10 train/validation/test split as a total function of the key:
+    * per-split row count plus a membership checksum (sum of doc_ids mod a
+    * prime) proving the assignment, not just the sizes, matches. */
+  val trainSplit: QueryDef = QueryDef(
+    "llm_train_split",
+    s"""SELECT CASE WHEN $docHashSql % 10 < 8 THEN 'train'
+       |            WHEN $docHashSql % 10 = 8 THEN 'valid'
+       |            ELSE 'test' END AS split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(doc_id) % 1000000007 AS BIGINT) AS member_sum
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        when(docHash % 10 < 8, "train")
+          .when(docHash % 10 === 8, "valid")
+          .otherwise("test").as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"doc_id") % 1000000007L).cast("long").as("member_sum"))
+      .orderBy($"split")
+  }
+
+  val all: Seq[QueryDef] = Seq(sampleHash, sampleStratified, trainSplit)
+}

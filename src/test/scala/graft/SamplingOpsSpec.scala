@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class SamplingOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hash sample is deterministic and close to its 10% rate") {
+    val total = graft.io.Tables.documents(spark, sf).count()
+    val a = SamplingOps.sampleHash.run(spark, sf).collect().toSeq
+    val b = SamplingOps.sampleHash.run(spark, sf).collect().toSeq
+    assert(a == b, "re-running the sample must reproduce membership AND order")
+    val rate = a.size.toDouble / total
+    assert(rate > 0.05 && rate < 0.15, s"rate $rate far from 1/10")
+  }
+
+  test("hash order is a non-trivial permutation of the kept ids") {
+    val ids = SamplingOps.sampleHash.run(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted != ids, "hash order should not degenerate to id order")
+    assert(ids.distinct.size == ids.size)
+  }
+
+  test("stratified sample caps every stratum at its quota, deterministically") {
+    val rows = SamplingOps.sampleStratified.run(spark, sf).collect()
+    val perBucket = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perBucket.values.forall(_ <= 20))
+    assert(perBucket.values.exists(_ == 20),
+      "at least one stratum should be capped at sf0.001")
+    val again = SamplingOps.sampleStratified.run(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("train/valid/test split is disjoint, exhaustive, and ~80/10/10") {
+    val total = graft.io.Tables.documents(spark, sf).count()
+    val rows = SamplingOps.trainSplit.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("train", "valid", "test"))
+    // split is a total function of doc_id -> sizes sum exactly to the corpus
+    assert(rows.values.sum == total)
+    assert(rows("train").toDouble / total > 0.7)
+    assert(rows("valid") > 0 && rows("test") > 0)
+  }
+}
