@@ -155,7 +155,29 @@ object TimeSeriesOps {
         $"day" === to_date(lit("2024-01-10"))))
       .select($"hr", $"event_id", $"value").orderBy($"hr")
 
+  /** Morton (Z-order) clustering key over (user_id, day-of-year) — the
+    * multi-dimensional layout key [[graft.io.ZOrder.writeZOrdered]] sorts
+    * by, exposed as a query so the bit-interleave is oracle-verified
+    * end-to-end (DuckDB replays the identical shift/mask fold on BIGINT).
+    * Top-k by key is the usual `TakeOrderedAndProject`; ZOrderSpec proves
+    * the layout property the key exists for (file skipping on either
+    * dimension). */
+  val zorderKey: QueryDef = QueryDef(
+    "a4_zorder_key", {
+      val z = graft.io.ZOrder.mortonKeySql("user_id", "dayofyear(ts)", 10)
+      s"""SELECT event_id, user_id, CAST(dayofyear(ts) AS BIGINT) AS doy,
+         |       CAST($z AS BIGINT) AS z
+         |FROM events ORDER BY z, event_id LIMIT 100""".stripMargin
+    },
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", dayofyear($"ts").cast("long").as("doy"))
+      .withColumn("z", graft.io.ZOrder.mortonKey($"user_id", $"doy", 10))
+      .orderBy($"z", $"event_id")
+      .limit(100)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    hourlyDedup, pointRead, daySlice, rangeMax, dailyMax,
+    hourlyDedup, pointRead, daySlice, rangeMax, dailyMax, zorderKey,
   )
 }
