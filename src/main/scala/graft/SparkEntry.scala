@@ -21,7 +21,8 @@ object SparkEntry {
       LlmTextOps.all ++ EmbeddingOps.all ++ KvOps.all ++ TimeSeriesOps.all ++
       SqlOps.all ++ graft.streaming.StreamingOps.all ++ MultimodalOps.all ++
       RefDataOps.all ++ SkewOps.all ++ TypedOps.all ++ SketchOps.all ++
-      AsofOps.all ++ RangeJoinOps.all ++ OlapOps.all ++ SamplingOps.all
+      AsofOps.all ++ RangeJoinOps.all ++ OlapOps.all ++ SamplingOps.all ++
+      WindowOps.all ++ PackingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

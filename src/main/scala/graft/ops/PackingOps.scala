@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** Training-batch assembly operators: deterministic sequence packing and
+  * benchmark decontamination — the last-mile steps between a deduplicated
+  * corpus and a training run, built on the same portable-hash determinism as
+  * [[SamplingOps]] (no `rand()`, every assignment a total function of the
+  * document key, so the layout is reproducible at any parallelism and
+  * DuckDB-replayable).
+  *
+  * Scale notes:
+  *  - Packing partitions the corpus into hash buckets FIRST, then packs
+  *    within each bucket independently — one shuffle on the bucket key, a
+  *    per-bucket sort, and a running-sum window; no global sort, no driver
+  *    state. At 100 TB the bucket count scales with the cluster (here 32 to
+  *    match local parallelism) and each bucket's window is a single sorted
+  *    pass.
+  *  - Decontamination joins corpus n-grams against the benchmark set's
+  *    n-grams. Benchmark suites are tiny (thousands of documents) next to a
+  *    100 TB corpus, so the eval-gram set is the broadcast side and the scan
+  *    over corpus grams stays shuffle-free. (At extreme eval sizes the same
+  *    plan degrades gracefully to a shuffled equi-join on the gram.)
+  */
+object PackingOps {
+
+  private def docHash = call_function("md5hash60", $"doc_id".cast("string"))
+  private val docHashSql = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+  /** Context window (tokens) and bucket fan-out for packing. */
+  private val Ctx = 2048
+  private val Buckets = 32
+
+  /** Concat-and-chunk sequence packing (the GPT-style pretraining layout):
+    * documents are laid end-to-end in deterministic hash order within each
+    * of 32 hash buckets, and every document is assigned to the `Ctx`-token
+    * window its first token falls in, with its offset inside that window.
+    * Pure integer math over the portable hash → oracle-exact.
+    *
+    * `start` is the running token count of all earlier docs in the bucket
+    * (exclusive prefix sum via ROWS … 1 PRECEDING), so `pack_id` and `off`
+    * re-derive on any engine without storing the layout. */
+  val packSequences: QueryDef = QueryDef(
+    "llm_pack_sequences",
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+       |         $docHashSql AS h
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, h % $Buckets AS bucket, n_tok,
+       |         coalesce(sum(n_tok) OVER (PARTITION BY h % $Buckets
+       |                                   ORDER BY h, doc_id
+       |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                  0) AS start
+       |  FROM t)
+       |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       |       CAST(start // $Ctx AS BIGINT) AS pack_id,
+       |       CAST(start % $Ctx AS BIGINT) AS off,
+       |       CAST(n_tok AS BIGINT) AS n_tok
+       |FROM s ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) => packOf(Tables.documents(spark, dir)) }
+
+  /** Packing over any (doc_id, text) frame — split out for the spec. */
+  private[graft] def packOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"bucket").orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"),
+        docHash.as("h"))
+      .withColumn("bucket", $"h" % Buckets)
+      .withColumn("start", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .select($"doc_id", $"bucket".cast("long").as("bucket"),
+        floor($"start" / Ctx).cast("long").as("pack_id"),
+        ($"start" % Ctx).cast("long").as("off"),
+        $"n_tok")
+      .orderBy($"doc_id")
+  }
+
+  /** Decontamination n-gram width (words). The canonical 13-gram of the
+    * GPT-3 report shrinks to 4 here because the synthetic corpus's documents
+    * are 10-99 tokens over a small vocabulary — the plan is identical at any
+    * width. */
+  private val GramK = 4
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * `GramK`-gram with the held-out benchmark set (docs with
+    * `doc_id % 97 = 0` stand in for the eval suite). Returns each
+    * contaminated doc with how many distinct benchmark grams it collides on
+    * — the GPT-3 appendix-C / Dolma decontamination shape. */
+  val decontaminate: QueryDef = QueryDef(
+    "llm_decontam",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |g AS (
+       |  SELECT doc_id, array_to_string(ts[i:i+${GramK - 1}], ' ') AS g
+       |  FROM t, unnest(range(1, len(ts) - ${GramK - 2})) AS u(i)
+       |  WHERE len(ts) >= $GramK),
+       |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+       |SELECT a.doc_id, CAST(count(DISTINCT a.g) AS BIGINT) AS n_hit_grams
+       |FROM g a JOIN ev USING (g)
+       |WHERE a.doc_id % 97 <> 0
+       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+  ) { (spark, dir) => decontamOf(Tables.documents(spark, dir)) }
+
+  /** Decontamination over any (doc_id, text) frame — split out for the spec.
+    * Grams are exploded once; the distinct benchmark-gram set is broadcast
+    * to keep the corpus-side scan shuffle-free. */
+  private[graft] def decontamOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .filter(size($"ts") >= GramK)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"ts") - (GramK - 1)),
+        i => concat_ws(" ", slice($"ts", i, lit(GramK))))).as("g"))
+    val evalGrams = grams.filter($"doc_id" % 97 === 0).select($"g").distinct()
+    grams.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"g").as("n_hit_grams"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(packSequences, decontaminate)
+}

@@ -177,7 +177,72 @@ object TimeSeriesOps {
       .limit(100)
   }
 
+  /** Hourly resample with forward fill: every (station, hour) cell on a
+    * dense per-station hourly grid, missing hours carried forward from the
+    * last observed reading (`last(..., ignoreNulls)` over the station-keyed
+    * order — DuckDB `last_value(... IGNORE NULLS)`). This is the gap-fill
+    * read the reference's weather table implies but `Bigtable.java` leaves
+    * to the client: its first-reading-per-hour ingest (lines 95-113) makes
+    * holes whenever a station misses an hour.
+    *
+    * Scale: the grid explodes one row per station-hour from each station's
+    * [min, max] bounds — output-proportional, no cross join of stations ×
+    * global calendar — and the fill window partitions per station, so the
+    * plan is two station-keyed shuffles (grid join, fill sort). The grid
+    * start is each station's own first reading, so the filled value is never
+    * NULL. */
+  val gapFill: QueryDef = QueryDef(
+    "a4_gap_fill",
+    """WITH r AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hts, value,
+      |         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |h AS (SELECT event_type, hts, value FROM r WHERE rn = 1),
+      |b AS (SELECT event_type, min(hts) AS lo, max(hts) AS hi FROM h GROUP BY event_type),
+      |grid AS (
+      |  SELECT b.event_type, g.g AS hts
+      |  FROM b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(g)),
+      |j AS (
+      |  SELECT grid.event_type AS event_type, grid.hts AS hts, h.value AS v
+      |  FROM grid LEFT JOIN h ON grid.event_type = h.event_type AND grid.hts = h.hts)
+      |SELECT event_type, strftime(hts, '%Y-%m-%d %H') AS hr,
+      |       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap,
+      |       last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hts
+      |                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      |FROM j ORDER BY event_type, hts""".stripMargin,
+  ) { (spark, dir) => gapFillOf(Tables.events(spark, dir)) }
+
+  /** Gap-fill over any events frame — split out for the spec. */
+  private[graft] def gapFillOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDedup = Window
+      .partitionBy($"event_type", date_trunc("hour", $"ts"))
+      .orderBy($"ts", $"event_id")
+    val h = events
+      .withColumn("hts", date_trunc("hour", $"ts"))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter($"rn" === 1)
+      .select($"event_type", $"hts", $"value")
+    val grid = h
+      .groupBy($"event_type")
+      .agg(min($"hts").as("lo"), max($"hts").as("hi"))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hts"))
+    val wFill = Window.partitionBy($"event_type").orderBy($"hts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(h.withColumnRenamed("value", "v"), Seq("event_type", "hts"), "left")
+      .select($"event_type",
+        date_format($"hts", "yyyy-MM-dd HH").as("hr"),
+        when($"v".isNull, 1L).otherwise(0L).as("was_gap"),
+        last($"v", ignoreNulls = true).over(wFill).as("value"),
+        $"hts")
+      .orderBy($"event_type", $"hts")
+      .drop("hts")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    hourlyDedup, pointRead, daySlice, rangeMax, dailyMax, zorderKey,
+    hourlyDedup, pointRead, daySlice, rangeMax, dailyMax, zorderKey, gapFill,
   )
 }

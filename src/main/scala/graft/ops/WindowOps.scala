@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** Window-function breadth beyond the reference's ROW_NUMBER/RANK usage
+  * (SURVEY §2.5): lag/lead event gaps, frame-bounded moving aggregates,
+  * gap-based sessionization, per-group NTILE and distribution ranks — the
+  * shapes an events/time-series surface needs that the reference's engines
+  * (`Bigtable.java` scans, `redis_client.py` sorted sets) compute client-side
+  * when they compute them at all.
+  *
+  * Scale notes: every window here is partitioned on a high-cardinality key
+  * (`user_id`, `c_nationkey`, `c_mktsegment`), so the plan is ONE hash
+  * shuffle on the partition key followed by a per-partition sort — no global
+  * sort, no single-partition window (the classic scale bug with an
+  * unpartitioned OVER ()). Sessionization is the lag→flag→running-sum
+  * composition, all inside the same window partitioning, so the three window
+  * functions share one exchange + sort. Timestamps are compared as integer
+  * microseconds (`unix_micros` ↔ DuckDB `epoch_us`) so gap thresholds are
+  * exact integer predicates on both engines.
+  */
+object WindowOps {
+
+  /** Events keyed for user-ordered windows: integer-µs event time. */
+  private def userEvents(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"value", unix_micros($"ts").as("tus"))
+
+  private def userWindow = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+
+  /** Per-user previous/next inter-event gaps (lag + lead over one window —
+    * both functions share the single user-keyed sort). */
+  val lagLead: QueryDef = QueryDef(
+    "a4_lag_lead",
+    """SELECT user_id, event_id,
+      |       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_prev_us,
+      |       lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_next_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |ORDER BY user_id, event_id""".stripMargin,
+  ) { (spark, dir) =>
+    val w = userWindow
+    userEvents(spark, dir)
+      .select($"user_id", $"event_id",
+        ($"tus" - lag($"tus", 1).over(w)).as("gap_prev_us"),
+        (lead($"tus", 1).over(w) - $"tus").as("gap_next_us"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Frame-bounded moving aggregate: average and max of the last 4 readings
+    * per user (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW). The average is
+    * round(sum,2)/count — the repo's float-determinism convention — and the
+    * max is exact, so the frame aggregate hash-compares. */
+  val movingAvg: QueryDef = QueryDef(
+    "a4_moving_avg",
+    """SELECT user_id, event_id,
+      |       round(sum(value) OVER w, 2) / count(value) OVER w AS mov_avg,
+      |       max(value) OVER w AS mov_max
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin,
+  ) { (spark, dir) =>
+    val w = userWindow.rowsBetween(-3, Window.currentRow)
+    userEvents(spark, dir)
+      .select($"user_id", $"event_id",
+        (round(sum($"value").over(w), 2) / count($"value").over(w)).as("mov_avg"),
+        max($"value").over(w).as("mov_max"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Gap-based sessionization (30-minute inactivity closes a session): the
+    * batch twin of `stream_session_agg`'s session windows, as the canonical
+    * lag → new-session flag → running-sum session id, then one aggregate per
+    * (user, session). All three window steps reuse the same user-keyed
+    * exchange + sort; the final aggregate shuffles on (user_id, session_id).
+    */
+  val sessionize: QueryDef = QueryDef(
+    "a4_sessionize",
+    """WITH x AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, value, tus,
+      |         CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM x),
+      |s AS (
+      |  SELECT user_id, value, tus,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM f)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       max(tus) - min(tus) AS dur_us,
+      |       round(sum(value), 2) AS sum_value
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin,
+  ) { (spark, dir) => sessionizeOf(userEvents(spark, dir)) }
+
+  /** Session assembly over (user_id, event_id, value, tus) rows — split out
+    * so the spec can pin boundary semantics on an inline fixture. */
+  private[graft] def sessionizeOf(e: org.apache.spark.sql.DataFrame) = {
+    val wo = userWindow
+    e.withColumn("prev", lag($"tus", 1).over(wo))
+      .withColumn("brk",
+        when($"prev".isNull || $"tus" - $"prev" > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum($"brk").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"tus") - min($"tus")).as("dur_us"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Per-nation account-balance quartiles: NTILE(4) inside each nation, then
+    * one aggregate per (nation, quartile). The window partitions on
+    * nationkey, so quartile assignment parallelizes per nation group. */
+  val ntileQuartiles: QueryDef = QueryDef(
+    "a2_ntile_quartiles",
+    """WITH q AS (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |         ntile(4) OVER (PARTITION BY c_nationkey
+      |                        ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      |  FROM customer)
+      |SELECT c_nationkey, CAST(quartile AS BIGINT) AS quartile,
+      |       CAST(count(*) AS BIGINT) AS n_cust,
+      |       round(sum(c_acctbal), 2) AS sum_bal
+      |FROM q GROUP BY c_nationkey, quartile
+      |ORDER BY c_nationkey, quartile""".stripMargin,
+  ) { (spark, dir) =>
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_acctbal",
+        ntile(4).over(w).cast("long").as("quartile"))
+      .groupBy($"c_nationkey", $"quartile")
+      .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 2).as("sum_bal"))
+      .orderBy($"c_nationkey", $"quartile")
+  }
+
+  /** PERCENT_RANK + CUME_DIST per market segment. Both are exact rational
+    * divisions of the same integers on both engines ((rank-1)/(n-1),
+    * rows≤/n), so the doubles are bit-identical — no rounding needed. */
+  val percentRank: QueryDef = QueryDef(
+    "a2_percent_rank",
+    """SELECT c_mktsegment, c_custkey,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(spark, dir)
+      .select($"c_mktsegment", $"c_custkey",
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(lagLead, movingAvg, sessionize, ntileQuartiles, percentRank)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class PackingOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("packing is a dense end-to-end layout within every bucket") {
+    val rows = PackingOps.packSequences.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == graft.io.Tables.documents(spark, sf).count())
+    // every offset lies inside the context window
+    assert(rows.forall { case (_, _, _, off, _) => off >= 0 && off < 2048 })
+    // within a bucket, doc starts (pack*2048+off) tile the token stream with
+    // no holes: sorted starts advance by exactly the previous doc's length
+    rows.groupBy(_._2).foreach { case (bucket, docs) =>
+      val starts = docs.map(d => (d._3 * 2048 + d._4, d._5)).sortBy(_._1)
+      starts.sliding(2).foreach {
+        case Array((s1, n1), (s2, _)) =>
+          assert(s2 == s1 + n1, s"hole in bucket $bucket: $s1+$n1 != $s2")
+        case _ =>
+      }
+      assert(starts.head._1 == 0L, s"bucket $bucket must start at offset 0")
+    }
+  }
+
+  test("packing re-derives identically (pure function of the corpus)") {
+    val a = PackingOps.packSequences.run(spark, sf).collect().map(_.toSeq).toSeq
+    val b = PackingOps.packSequences.run(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("decontamination flags exactly the docs sharing a 4-gram with the eval set") {
+    import spark.implicits.{newLongEncoder, newProductEncoder, localSeqToDatasetHolder}
+    // doc 97*2=194 is "eval" (id % 97 == 0); doc 1 shares its 4-gram, doc 2
+    // shares only 3 consecutive words, doc 3 nothing.
+    val docs = Seq(
+      (194L, "alpha beta gamma delta epsilon"),
+      (1L, "xx alpha beta gamma delta yy"),   // contains eval 4-gram
+      (2L, "beta gamma delta zz ww qq"),      // only a 3-word overlap
+      (3L, "totally different words here ok"),
+    ).toDF("doc_id", "text")
+    val out = PackingOps.decontamOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L)))
+  }
+
+  test("eval docs are never self-flagged") {
+    val flagged = PackingOps.decontaminate.run(spark, sf)
+      .filter("doc_id % 97 = 0").count()
+    assert(flagged == 0)
+  }
+
+  test("gap fill emits a dense hourly grid per station with correct carry") {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    import org.apache.spark.sql.functions._
+    // station A reads at 00h and 03h -> hours 01,02 are gaps carrying 1.0
+    val events = Seq(
+      (1L, "2024-01-01 00:10:00", "A", 1.0),
+      (2L, "2024-01-01 03:20:00", "A", 9.0),
+      (3L, "2024-01-01 01:00:00", "B", 5.0),
+    ).toDF("event_id", "ts", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+      .withColumn("user_id", lit(0L))
+    val out = ops.TimeSeriesOps.gapFillOf(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("A", "2024-01-01 00", 0L, 1.0),
+      ("A", "2024-01-01 01", 1L, 1.0),
+      ("A", "2024-01-01 02", 1L, 1.0),
+      ("A", "2024-01-01 03", 0L, 9.0),
+      ("B", "2024-01-01 01", 0L, 5.0),
+    ))
+  }
+}

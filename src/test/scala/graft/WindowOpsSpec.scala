@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class WindowOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  import org.apache.spark.sql.Row
+
+  /** Inline session fixture: user 1 has gaps 60 s / 1801 s / 10 s around four
+    * events — the 1801 s gap (just over the 30-min threshold) must split the
+    * stream into exactly two sessions; the 1800 s gap of user 2 (exactly the
+    * threshold, NOT greater) must not. */
+  private def fixture = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id LONG, event_id LONG, value DOUBLE, tus LONG")
+    val m = 1000000L // µs per second
+    spark.createDataFrame(
+      Seq(
+        Row(1L, 10L, 1.0, 0L * m),
+        Row(1L, 11L, 2.0, 60L * m),
+        Row(1L, 12L, 4.0, (60L + 1801L) * m),
+        Row(1L, 13L, 8.0, (60L + 1801L + 10L) * m),
+        Row(2L, 20L, 1.0, 0L * m),
+        Row(2L, 21L, 1.0, 1800L * m),
+      ).asJava, schema)
+  }
+
+  test("sessionize splits strictly-over-threshold gaps and keeps boundary gaps") {
+    val rows = WindowOps.sessionizeOf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 2L, 60L * 1000000L, 3.0),   // events 10,11
+      (1L, 2L, 2L, 10L * 1000000L, 12.0),  // events 12,13 after the 1801 s gap
+      (2L, 1L, 2L, 1800L * 1000000L, 2.0), // exactly-1800 s gap does NOT split
+    ))
+  }
+
+  test("sessionize covers every event exactly once on real data") {
+    val total = graft.io.Tables.events(spark, sf).count()
+    val sessions = WindowOps.sessionize.run(spark, sf)
+    assert(sessions.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .head.getLong(0) == total)
+  }
+
+  test("ntile quartiles are balanced within every nation (sizes differ by ≤1)") {
+    val rows = WindowOps.ntileQuartiles.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (nation, qs) =>
+      assert(qs.map(_._2).sorted.toSeq == (1L to qs.length).toSeq,
+        s"nation $nation quartiles not contiguous from 1")
+      val sizes = qs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"nation $nation unbalanced: ${sizes.toSeq}")
+    }
+  }
+
+  test("percent_rank spans [0,1] and cume_dist ends at 1 per segment") {
+    val rows = WindowOps.percentRank.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      assert(rs.map(_._2).min == 0.0 && rs.map(_._2).max == 1.0, s"segment $seg pr range")
+      assert(rs.map(_._3).max == 1.0, s"segment $seg cume_dist must reach 1")
+      assert(rs.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+    }
+  }
+
+  test("lag/lead gaps are inverse views of the same adjacency") {
+    val df = WindowOps.lagLead.run(spark, sf)
+    // sum of gap_prev over all rows equals sum of gap_next: each adjacent
+    // pair contributes the same gap once to each column.
+    val Array(p, n) = df
+      .agg(org.apache.spark.sql.functions.sum("gap_prev_us"),
+        org.apache.spark.sql.functions.sum("gap_next_us"))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(p == n && p > 0)
+  }
+}
