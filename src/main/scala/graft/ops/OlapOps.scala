@@ -88,6 +88,34 @@ object OlapOps {
     }
   }
 
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE above are sugar
+    * for: per-year totals and per-priority totals in ONE aggregate pass
+    * (no grand-total set, which neither ROLLUP nor CUBE can express alone).
+    */
+  val groupingSetsOrders: QueryDef = QueryDef(
+    "olap_grouping_sets",
+    """SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       CAST(grouping(year(o_orderdate)) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority))
+      |ORDER BY gid, yr, priority""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .withColumn("y", year($"o_orderdate"))
+      .groupingSets(Seq(Seq($"y"), Seq($"o_orderpriority")),
+        $"y", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total"),
+        (grouping($"y") * 2 + grouping($"o_orderpriority")).cast("long").as("gid"))
+      .select(
+        coalesce($"y".cast("string"), lit("ALL")).as("yr"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"gid", $"n_orders", $"total")
+      .orderBy($"gid", $"yr", $"priority")
+  }
+
   /** INTERSECT (distinct) — parts both cheap and ordered-in-quantity
     * (set-op family completion; reference only ever uses UNION). */
   val intersectParts: QueryDef = QueryDef(
@@ -118,5 +146,5 @@ object OlapOps {
   }
 
   val all: Seq[QueryDef] = Seq(rollupOrders, cubeCustomers, pivotPriorities,
-    intersectParts, exceptParts)
+    groupingSetsOrders, intersectParts, exceptParts)
 }

@@ -37,5 +37,37 @@ object SketchOps {
         .orderBy($"event_type")
     }
 
-  val all: Seq[QueryDef] = Seq(approxDistinct, approxPercentiles)
+  /** Exact interpolated percentiles per group — the ground truth the
+    * sketches above are bounded against, itself oracle-checked: Spark's
+    * `percentile` and DuckDB's `quantile_cont` both compute the standard
+    * linear interpolation over the sorted group, and the raw doubles are
+    * bit-identical (verified; `round()` is NOT applied because the two
+    * engines' decimal rounding diverges on half-cent boundaries while the
+    * unrounded values agree exactly).
+    *
+    * Scale note: exact percentile buffers every group value — fine for
+    * bounded groups (3 return flags), the reason the KLL sketch twin above
+    * is the 100 TB form for high-cardinality groups. */
+  val percentileExact: QueryDef = QueryDef(
+    "sketch_percentile_exact",
+    """SELECT l_returnflag,
+      |       quantile_cont(l_extendedprice, 0.25) AS q25,
+      |       quantile_cont(l_extendedprice, 0.50) AS q50,
+      |       quantile_cont(l_extendedprice, 0.75) AS q75,
+      |       quantile_cont(l_extendedprice, 0.90) AS q90,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_extendedprice", lit(0.25)).as("q25"),
+        percentile($"l_extendedprice", lit(0.5)).as("q50"),
+        percentile($"l_extendedprice", lit(0.75)).as("q75"),
+        percentile($"l_extendedprice", lit(0.9)).as("q90"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(approxDistinct, approxPercentiles, percentileExact)
 }
