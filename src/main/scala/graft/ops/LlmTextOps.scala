@@ -567,9 +567,85 @@ object LlmTextOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // ------------------------------------------- duplicate-cluster resolution
+
+  /** Connected components over the near-dup pair graph — the step that turns
+    * pair mining into an actual dedup decision: every document gets the id
+    * of its duplicate cluster (the component's minimum doc_id) and a `keep`
+    * flag marking the one survivor per cluster. Transitivity matters: if
+    * A≈B and B≈C, exact pairwise Jaccard may never link A to C, but all
+    * three are one duplicate group and only one should survive.
+    *
+    * Spark side is min-label propagation: each round every vertex takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds (near-dup clusters are small and dense, so
+    * typically 1–3). Each round is ONE shuffle keyed on the edge endpoint;
+    * the driver loop holds only a convergence counter, never data — this is
+    * the standard distributed-CC layout (GraphX/GraphFrames use the same
+    * propagation; large-star/small-star would cut rounds on adversarially
+    * deep graphs). The DuckDB oracle replays the same fixpoint as a
+    * recursive transitive-closure CTE, so cluster assignment is
+    * hash-verified end-to-end including singleton handling. */
+  val dedupCluster: QueryDef = QueryDef(
+    "llm_dedup_cluster",
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      |sh AS (SELECT doc_id,
+      |              list_distinct([array_to_string(ts[i:i+2], ' ')
+      |                             for i in range(1, len(ts)-1)]) AS s
+      |       FROM toks WHERE len(ts) >= 3),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |      WHERE len(list_intersect(a.s, b.s)) * 5
+      |            >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+      |e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db AS a, da AS b FROM p),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id
+      |)
+      |SELECT id AS doc_id, min(r) AS cluster_id,
+      |       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    clusterOf(
+      neardupPlan(docShingles(spark, dir)).select($"doc_a", $"doc_b"),
+      Tables.documents(spark, dir).select($"doc_id"))
+  }
+
+  /** Min-label propagation over an undirected pair list, to fixpoint.
+    * `pairs` must have (doc_a, doc_b); `docs` supplies the vertex set (so
+    * documents in no pair come out as their own singleton cluster). */
+  private[graft] def clusterOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val edges = graft.Caches.persist(
+      pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
+        .union(pairs.select($"doc_b".as("a"), $"doc_a".as("b"))))
+    var labels = graft.Caches.persist(
+      docs.select($"doc_id", $"doc_id".as("cluster_id")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("a"), $"cluster_id".as("la")), "a")
+        .groupBy($"b").agg(min($"la").as("nmin"))
+        .select($"b".as("doc_id"), $"nmin")
+      val next = graft.Caches.persist(
+        labels.join(nbrMin, Seq("doc_id"), "left")
+          .select($"doc_id",
+            least($"cluster_id", coalesce($"nmin", $"cluster_id")).as("cluster_id")))
+      changed = next
+        .join(labels.select($"doc_id", $"cluster_id".as("old")), "doc_id")
+        .filter($"cluster_id" < $"old").count()
+      labels = next
+      iter += 1
+    }
+    labels.select($"doc_id", $"cluster_id",
+      when($"cluster_id" === $"doc_id", 1L).otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
     tokenCount, quality, langId, neardupJaccard, minhashSig, minhashLsh,
-    simhash, simhashPairs,
+    simhash, simhashPairs, dedupCluster,
   )
 }

@@ -91,12 +91,40 @@ class LlmTextOpsSpec extends AnyFunSuite {
 
   test("Caches.release() leaves no persisted blocks after the persisting queries run") {
     Caches.release() // clear anything earlier tests registered
-    Seq(LlmTextOps.langId, LlmTextOps.neardupJaccard, LlmTextOps.minhashLsh)
+    Seq(LlmTextOps.langId, LlmTextOps.neardupJaccard, LlmTextOps.minhashLsh,
+      LlmTextOps.dedupCluster)
       .foreach { q =>
         q.run(spark, sf).write.format("noop").mode("overwrite").save()
         Caches.release()
         assert(spark.sparkContext.getPersistentRDDs.isEmpty,
           s"${q.name} left persisted RDDs behind after release()")
       }
+  }
+
+  test("dedup clustering is transitive and keeps exactly one doc per cluster") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder, newLongEncoder}
+    // pair graph: 1-2, 2-3 (A≈B≈C chain, 1 and 3 never directly paired),
+    // 10-11 (independent pair); 99 is in no pair.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val out = LlmTextOps.clusterOf(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Caches.release()
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L),
+      (10L, 10L, 1L), (11L, 10L, 0L),
+      (99L, 99L, 1L),
+    ))
+  }
+
+  test("dedup cluster keep-set plus drop-set partitions the corpus") {
+    val out = LlmTextOps.dedupCluster.run(spark, sf)
+    val total = graft.io.Tables.documents(spark, sf).count()
+    val byKeep = out.groupBy("keep").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.release()
+    assert(byKeep.values.sum == total)
+    assert(byKeep(1L) > 0 && byKeep.getOrElse(0L, 0L) > 0,
+      "corpus has planted near-dups, so some docs must be dropped")
   }
 }
