@@ -357,6 +357,53 @@ object LlmTextOps {
       .orderBy($"doc_id")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction of
+    * the document that is its single most frequent token, and fraction of
+    * duplicated 3-grams — the two cheapest filters for the
+    * boilerplate/keyword-stuffing documents that survive dedup. The flag
+    * applies the Gopher-ish thresholds (top token > 20%, duplicate
+    * 3-grams > 30%) as pure integer predicates; the reported fractions are
+    * single identical divisions of exact ints on both engines, so they ship
+    * unrounded. Per-doc array math only — no shuffle, cost bounded by
+    * document length, fully parallel at 100 TB. */
+  val repetition: QueryDef = QueryDef(
+    "llm_repetition",
+    """SELECT doc_id,
+      |       len(ts)::BIGINT AS n_tokens,
+      |       top_cnt::BIGINT AS top_cnt,
+      |       CAST(top_cnt AS DOUBLE) / len(ts) AS top_frac,
+      |       CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri) AS dup_tri_frac,
+      |       CAST(CASE WHEN top_cnt * 5 > len(ts)
+      |                   OR (len(tri) - len(list_distinct(tri))) * 10 > len(tri) * 3
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      |FROM (
+      |  SELECT doc_id, ts,
+      |         list_max([len(list_filter(ts, x -> x = w)) for w in list_distinct(ts)]) AS top_cnt,
+      |         [array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts)-1)] AS tri
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |  WHERE len(ts) >= 3)
+      |ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select($"doc_id", tokens.as("ts"))
+      .filter(size($"ts") >= 3)
+      .select($"doc_id", $"ts",
+        array_max(transform(array_distinct($"ts"),
+          w => size(filter($"ts", x => x === w)))).as("top_cnt"),
+        transform(sequence(lit(0), size($"ts") - 3),
+          i => concat_ws(" ", slice($"ts", i + 1, lit(3)))).as("tri"))
+      .select($"doc_id",
+        size($"ts").cast("long").as("n_tokens"),
+        $"top_cnt".cast("long").as("top_cnt"),
+        ($"top_cnt".cast("double") / size($"ts")).as("top_frac"),
+        ((size($"tri") - size(array_distinct($"tri"))).cast("double") / size($"tri"))
+          .as("dup_tri_frac"),
+        when($"top_cnt" * 5 > size($"ts") ||
+            (size($"tri") - size(array_distinct($"tri"))) * 10 > size($"tri") * 3, 1L)
+          .otherwise(0L).as("flagged"))
+      .orderBy($"doc_id")
+  }
+
   // ------------------------------------------- near-duplicate similarity
 
   /** All-pairs exact Jaccard oracle (naive is fine for the oracle; the
@@ -645,7 +692,7 @@ object LlmTextOps {
 
   val all: Seq[QueryDef] = Seq(
     exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
-    tokenCount, quality, langId, neardupJaccard, minhashSig, minhashLsh,
-    simhash, simhashPairs, dedupCluster,
+    tokenCount, quality, langId, repetition, neardupJaccard, minhashSig,
+    minhashLsh, simhash, simhashPairs, dedupCluster,
   )
 }

@@ -75,6 +75,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("window-family queries never degrade to a single-partition window") {
+    // every analytic window in these plans must stay partitioned on its
+    // high-cardinality key; an unpartitioned OVER () serializes the whole
+    // input through one task (the scale bug a1_idgen is allowed to keep —
+    // its global window ranks a 20-row top-k, after the limit).
+    Seq("a4_lag_lead", "a4_moving_avg", "a4_sessionize", "a4_gap_fill",
+      "a2_ntile_quartiles", "a2_percent_rank", "llm_pack_sequences",
+      "llm_sample_stratified").foreach { n =>
+      assert(!plans(n).contains("SinglePartition"),
+        s"$n plans a single-partition exchange")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (no manual salting needed)") {
     // The runtime complement to SkewOps.saltedJoin: one hot key (90% of the
     // probe side) lands in one shuffle partition; with skew thresholds
