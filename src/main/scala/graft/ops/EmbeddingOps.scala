@@ -295,6 +295,29 @@ object EmbeddingOps {
       .orderBy($"label")
   }
 
+  /** Per-label centroids (the k-means/IVF training step and the class-
+    * prototype readout): element-wise mean per (label, dim) via posexplode →
+    * one shuffle keyed on (label, dim), partial sums map-side. The mean
+    * follows the repo's float convention (`round(sum,2)/count`) so the
+    * accumulation order difference between engines is absorbed. Output is
+    * labels × 64 rows — tiny at any corpus scale. */
+  val embedCentroid: QueryDef = QueryDef(
+    "llm_embed_centroid",
+    """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+      |       round(sum(embedding[i]::DOUBLE), 2) / count(*) AS c,
+      |       CAST(count(*) AS BIGINT) AS n_vecs
+      |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding"))
+      .groupBy($"label", $"pos")
+      .agg((round(sum($"col".cast("double")), 2) / count(lit(1))).as("c"),
+        count(lit(1)).as("n_vecs"))
+      .select($"label", $"pos".cast("long").as("dim"), $"c", $"n_vecs")
+      .orderBy($"label", $"dim")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(cosineTopK, annLsh, annIvf, embedNeardup, embedStats)
+    Seq(cosineTopK, annLsh, annIvf, embedNeardup, embedStats, embedCentroid)
 }

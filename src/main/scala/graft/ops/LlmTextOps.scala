@@ -308,8 +308,9 @@ object LlmTextOps {
     * overlap, predict argmax (ties broken by language name). The profile is
     * tiny (langs × 20) and broadcast to the scoring join; the gram explode
     * is the only wide stage and is linear in corpus size. */
-  val langId: QueryDef = QueryDef(
-    "llm_langid",
+  /** Shared langid pipeline SQL, ending in the per-doc `out` CTE — reused
+    * verbatim by the per-doc query and the confusion-matrix eval. */
+  private val langIdCte: String =
     """WITH g AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g
       |           FROM documents, unnest(range(1, length(text)-1)) AS t(i)
       |           WHERE length(text) >= 3),
@@ -322,12 +323,19 @@ object LlmTextOps {
       |pred AS (SELECT doc_id, p_lang, hits FROM (
       |  SELECT doc_id, p_lang, hits,
       |         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rk
-      |  FROM sc) WHERE rk = 1)
-      |SELECT d.doc_id, d.lang, coalesce(p.p_lang, '??') AS predicted_lang,
-      |       CAST(coalesce(p.hits, 0) AS BIGINT) AS hits
-      |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
-      |ORDER BY d.doc_id""".stripMargin,
-  ) { (spark, dir) =>
+      |  FROM sc) WHERE rk = 1),
+      |out AS (
+      |  SELECT d.doc_id, d.lang, coalesce(p.p_lang, '??') AS predicted_lang,
+      |         CAST(coalesce(p.hits, 0) AS BIGINT) AS hits
+      |  FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id)""".stripMargin
+
+  val langId: QueryDef = QueryDef(
+    "llm_langid",
+    langIdCte + "\nSELECT doc_id, lang, predicted_lang, hits FROM out ORDER BY doc_id",
+  ) { (spark, dir) => langIdOut(spark, dir).orderBy($"doc_id") }
+
+  /** Per-doc langid output (doc_id, lang, predicted_lang, hits), unordered. */
+  private def langIdOut(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // grams feed both the profile build and the scoring side — persist for
     // the query (see neardupPlan note on materialized artifacts at scale);
@@ -354,7 +362,42 @@ object LlmTextOps {
       .select($"doc_id", $"lang",
         coalesce($"p_lang", lit("??")).as("predicted_lang"),
         coalesce($"hits", lit(0L)).as("hits"))
-      .orderBy($"doc_id")
+  }
+
+  /** Language-ID confusion matrix: the labeled corpus doubles as the eval
+    * set, so the per-doc predictions compress to (actual, predicted, count)
+    * cells — the model-quality readout a pipeline watches per ingest batch.
+    * Same pipeline as `llm_langid` (shared CTE / shared builder), one extra
+    * tiny aggregate on top. */
+  val langIdEval: QueryDef = QueryDef(
+    "llm_langid_eval",
+    langIdCte +
+      """
+        |SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM out GROUP BY lang, predicted_lang
+        |ORDER BY lang, predicted_lang""".stripMargin,
+  ) { (spark, dir) =>
+    langIdOut(spark, dir)
+      .groupBy($"lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted_lang")
+  }
+
+  /** Exact vocabulary head: top-50 tokens by corpus frequency (ties by
+    * token) — the first step of any tokenizer/vocab build. One explode +
+    * count shuffle keyed on the token, then a TakeOrdered top-k — never a
+    * global sort of the full vocabulary. */
+  val vocabTopK: QueryDef = QueryDef(
+    "llm_vocab_topk",
+    """SELECT w, CAST(count(*) AS BIGINT) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY freq DESC, w LIMIT 50""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(explode(tokens).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("w"))
+      .limit(50)
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction of
@@ -692,7 +735,8 @@ object LlmTextOps {
 
   val all: Seq[QueryDef] = Seq(
     exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
-    tokenCount, quality, langId, repetition, neardupJaccard, minhashSig,
-    minhashLsh, simhash, simhashPairs, dedupCluster,
+    tokenCount, quality, langId, langIdEval, vocabTopK, repetition,
+    neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
+    dedupCluster,
   )
 }
