@@ -318,6 +318,40 @@ object EmbeddingOps {
       .orderBy($"label", $"dim")
   }
 
+  /** Int8 scalar quantization (the memory-side half of IVF/SQ indexes):
+    * per-vector min/max range, each component mapped to a 0–255 code. All
+    * arithmetic is the identical IEEE double expression on both engines
+    * (floats widened first), and `round` of a positive double is
+    * half-away-from-zero in both — so even the code assignment is
+    * hash-verified. Long-format output (vec_id, dim, code) keeps the
+    * compare value-level; per-row math only, no shuffle. At 100 TB this is
+    * a map-only pass writing 16× smaller vectors. */
+  val embedQuantize: QueryDef = QueryDef(
+    "llm_embed_quantize",
+    """SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+      |       CAST(CASE WHEN hi = lo THEN 0
+      |                 ELSE round((embedding[i]::DOUBLE - lo) * 255.0 / (hi - lo))
+      |            END AS BIGINT) AS code
+      |FROM (SELECT vec_id, embedding,
+      |             list_min(embedding)::DOUBLE AS lo,
+      |             list_max(embedding)::DOUBLE AS hi
+      |      FROM embeddings),
+      |     unnest(range(1, len(embedding) + 1)) AS t(i)
+      |ORDER BY vec_id, dim""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        array_min($"embedding").cast("double").as("lo"),
+        array_max($"embedding").cast("double").as("hi"),
+        posexplode($"embedding"))
+      .select($"vec_id", $"pos".cast("long").as("dim"),
+        when($"hi" === $"lo", 0L)
+          .otherwise(round(($"col".cast("double") - $"lo") * 255.0 / ($"hi" - $"lo"))
+            .cast("long")).as("code"))
+      .orderBy($"vec_id", $"dim")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(cosineTopK, annLsh, annIvf, embedNeardup, embedStats, embedCentroid)
+    Seq(cosineTopK, annLsh, annIvf, embedNeardup, embedStats, embedCentroid,
+      embedQuantize)
 }

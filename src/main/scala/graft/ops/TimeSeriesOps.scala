@@ -242,7 +242,75 @@ object TimeSeriesOps {
       .drop("hts")
   }
 
+  /** Ordered conversion funnel (signup → view → click → purchase): per user,
+    * the earliest event chain where each stage strictly follows the previous
+    * one, plus the depth reached — the event-analytics readout every
+    * product pipeline computes over this table shape.
+    *
+    * The Spark plan is ONE shuffle: collect each user's (ts, type) pairs,
+    * sort chronologically (struct order = (tus, ty), a deterministic total
+    * order), and advance the 4-slot state with a single `aggregate` fold —
+    * strict `>` conditions make the fold exactly equivalent to the oracle's
+    * 4-stage min-join cascade, which would re-scan events four times. Ties
+    * at the same microsecond can't double-count a stage in either form
+    * because `X > X` is false. Per-user event lists are bounded (a user's
+    * activity, not the corpus), so collect_list is safe at 100 TB.
+    */
+  val funnel: QueryDef = QueryDef(
+    "a4_funnel",
+    """WITH e AS (SELECT user_id, event_type AS ty, epoch_us(ts) AS tus FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |s1 AS (SELECT user_id, min(tus) AS t1 FROM e WHERE ty = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.tus) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.ty = 'view' AND e.tus > s1.t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.tus) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.ty = 'click' AND e.tus > s2.t2 GROUP BY e.user_id),
+      |s4 AS (SELECT e.user_id, min(e.tus) AS t4 FROM e JOIN s3 ON e.user_id = s3.user_id
+      |       WHERE e.ty = 'purchase' AND e.tus > s3.t3 GROUP BY e.user_id)
+      |SELECT u.user_id, s1.t1, s2.t2, s3.t3, s4.t4,
+      |       CAST(CASE WHEN s4.t4 IS NOT NULL THEN 4 WHEN s3.t3 IS NOT NULL THEN 3
+      |                 WHEN s2.t2 IS NOT NULL THEN 2 WHEN s1.t1 IS NOT NULL THEN 1
+      |                 ELSE 0 END AS BIGINT) AS depth
+      |FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+      |       LEFT JOIN s2 ON u.user_id = s2.user_id
+      |       LEFT JOIN s3 ON u.user_id = s3.user_id
+      |       LEFT JOIN s4 ON u.user_id = s4.user_id
+      |ORDER BY u.user_id""".stripMargin,
+  ) { (spark, dir) => funnelOf(Tables.events(spark, dir)) }
+
+  /** Funnel over any events frame — split out for the spec. */
+  private[graft] def funnelOf(events: DataFrame): DataFrame = {
+    val nullT = lit(null).cast("long")
+    val folded = events
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_type".as("ty"))
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"tus", $"ty"))).as("evs"))
+      .select($"user_id", aggregate(
+        $"evs",
+        struct(nullT.as("t1"), nullT.as("t2"), nullT.as("t3"), nullT.as("t4")),
+        (acc, x) => {
+          val (tus, ty) = (x.getField("tus"), x.getField("ty"))
+          val t1 = when(acc.getField("t1").isNull && ty === "signup", tus)
+            .otherwise(acc.getField("t1"))
+          val t2 = when(acc.getField("t2").isNull && ty === "view" &&
+              t1.isNotNull && tus > t1, tus).otherwise(acc.getField("t2"))
+          val t3 = when(acc.getField("t3").isNull && ty === "click" &&
+              t2.isNotNull && tus > t2, tus).otherwise(acc.getField("t3"))
+          val t4 = when(acc.getField("t4").isNull && ty === "purchase" &&
+              t3.isNotNull && tus > t3, tus).otherwise(acc.getField("t4"))
+          struct(t1.as("t1"), t2.as("t2"), t3.as("t3"), t4.as("t4"))
+        }).as("f"))
+      .select($"user_id",
+        $"f.t1".as("t1"), $"f.t2".as("t2"), $"f.t3".as("t3"), $"f.t4".as("t4"))
+    folded
+      .withColumn("depth",
+        when($"t4".isNotNull, 4L).when($"t3".isNotNull, 3L)
+          .when($"t2".isNotNull, 2L).when($"t1".isNotNull, 1L).otherwise(0L))
+      .orderBy($"user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     hourlyDedup, pointRead, daySlice, rangeMax, dailyMax, zorderKey, gapFill,
+    funnel,
   )
 }

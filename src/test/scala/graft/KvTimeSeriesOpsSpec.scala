@@ -50,4 +50,31 @@ class KvTimeSeriesOpsSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     assert(rows.forall(_.getString(1).startsWith("Customer#")))
   }
+
+  test("funnel fold: strict ordering, same-µs ties don't count, partial depths") {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    val m = 1000000L
+    val events = Seq(
+      // user 1: clean full chain
+      (1L, 10L * m, "signup"), (1L, 20L * m, "view"),
+      (1L, 30L * m, "click"), (1L, 40L * m, "purchase"),
+      // user 2: view BEFORE signup ignored; view at the signup µs not
+      // counted (strict >); later view counts; no click so purchase@25
+      // can't complete the chain
+      (2L, 5L * m, "view"), (2L, 10L * m, "signup"), (2L, 10L * m, "view"),
+      (2L, 20L * m, "view"), (2L, 25L * m, "purchase"),
+      // user 3: activity but never signs up
+      (3L, 7L * m, "click"), (3L, 9L * m, "purchase"),
+    ).toDF("user_id", "tus", "event_type")
+      .withColumn("ts", timestamp_micros($"tus"))
+      .select($"user_id", $"ts", $"event_type")
+    val out = TimeSeriesOps.funnelOf(events).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, Some(10L * m), Some(20L * m), Some(30L * m), Some(40L * m), 4L),
+      (2L, Some(10L * m), Some(20L * m), None, None, 2L),
+      (3L, None, None, None, None, 0L),
+    ))
+  }
 }
