@@ -400,6 +400,32 @@ object LlmTextOps {
       .limit(50)
   }
 
+  /** Document frequency + smoothed IDF for the corpus vocabulary head:
+    * df counts docs containing each token (distinct-per-doc explode, one
+    * token-keyed shuffle), idf = ln((N+1)/(df+1)) with the corpus size N
+    * broadcast as a 1-row scalar subquery. The log's argument is the same
+    * exact rational on both engines and `round(...,6)` guards the last-ulp
+    * libm difference. Top-50 by df with token tiebreak → TakeOrdered. */
+  val idf: QueryDef = QueryDef(
+    "llm_idf",
+    """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |            FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT w, CAST(count(*) AS BIGINT) AS df,
+      |       round(ln((n.n_docs + 1.0) / (count(*) + 1.0)), 6) AS idf
+      |FROM dw, n GROUP BY w, n.n_docs ORDER BY df DESC, w LIMIT 50""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select($"doc_id", explode(array_distinct(tokens)).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select($"w", $"df",
+        round(log(($"n_docs" + 1.0) / ($"df" + 1.0)), 6).as("idf"))
+      .orderBy(desc("df"), asc("w"))
+      .limit(50)
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction of
     * the document that is its single most frequent token, and fraction of
     * duplicated 3-grams — the two cheapest filters for the
@@ -427,12 +453,26 @@ object LlmTextOps {
       |  WHERE len(ts) >= 3)
       |ORDER BY doc_id""".stripMargin,
   ) { (spark, dir) =>
+    // top_cnt as the longest equal-run of the SORTED token array — a single
+    // O(n) fold instead of the oracle's O(n·distinct) count-per-word form
+    // (same value by definition; measured ~3× faster on the interpreted
+    // higher-order path).
+    val topCnt = aggregate(
+      array_sort($"ts"),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     Tables.documents(spark, dir)
       .select($"doc_id", tokens.as("ts"))
       .filter(size($"ts") >= 3)
       .select($"doc_id", $"ts",
-        array_max(transform(array_distinct($"ts"),
-          w => size(filter($"ts", x => x === w)))).as("top_cnt"),
+        topCnt.as("top_cnt"),
         transform(sequence(lit(0), size($"ts") - 3),
           i => concat_ws(" ", slice($"ts", i + 1, lit(3)))).as("tri"))
       .select($"doc_id",
@@ -735,7 +775,7 @@ object LlmTextOps {
 
   val all: Seq[QueryDef] = Seq(
     exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
-    tokenCount, quality, langId, langIdEval, vocabTopK, repetition,
+    tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
     dedupCluster,
   )

@@ -309,8 +309,36 @@ object TimeSeriesOps {
       .orderBy($"user_id")
   }
 
+  /** Cohort retention: users grouped by first-active day, counted on each
+    * later active day as an offset from their cohort start — the standard
+    * retention triangle. `a` is already distinct (user, day), so the cell
+    * count is a plain count(*); shuffles are user-keyed (cohort derivation,
+    * activity join) then (cohort, offset)-keyed — no fan-out beyond the
+    * user-day activity set at any scale. */
+  val retention: QueryDef = QueryDef(
+    "a4_retention",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort FROM a GROUP BY user_id)
+      |SELECT CAST(c.cohort AS VARCHAR) AS cohort_day,
+      |       CAST(datediff('day', c.cohort, a.day) AS BIGINT) AS day_n,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY c.cohort, datediff('day', c.cohort, a.day)
+      |ORDER BY cohort_day, day_n""".stripMargin,
+  ) { (spark, dir) =>
+    val a = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val c = a.groupBy($"user_id").agg(min($"day").as("cohort"))
+    a.join(c, "user_id")
+      .groupBy($"cohort", datediff($"day", $"cohort").as("day_n"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format($"cohort", "yyyy-MM-dd").as("cohort_day"),
+        $"day_n".cast("long").as("day_n"), $"n_users")
+      .orderBy($"cohort_day", $"day_n")
+  }
+
   val all: Seq[QueryDef] = Seq(
     hourlyDedup, pointRead, daySlice, rangeMax, dailyMax, zorderKey, gapFill,
-    funnel,
+    funnel, retention,
   )
 }
