@@ -107,8 +107,26 @@ object KvOps {
       .orderBy(desc("score"), asc("user_id"))
   }
 
+  /** Keyset (cursor) pagination — the declarative form of the reference's
+    * SCAN cursor loop (`redis_client.py:248` `scan_iter`): resume strictly
+    * after the last key seen, never OFFSET. The key predicate pushes into
+    * the scan and the page is a `TakeOrderedAndProject` — constant work per
+    * page at any table size, where OFFSET n re-reads n rows. */
+  val keysetPage: QueryDef = QueryDef(
+    "a5_keyset_page",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_name > 'Customer#000000042'
+      |ORDER BY c_name LIMIT 20""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .filter($"c_name" > "Customer#000000042")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_name")
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     pointLookup, projLookup, prefixDigitFilter, searchTagRange,
-    top10Leaderboard,
+    top10Leaderboard, keysetPage,
   )
 }

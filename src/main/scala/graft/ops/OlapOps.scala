@@ -116,6 +116,28 @@ object OlapOps {
       .orderBy($"gid", $"yr", $"priority")
   }
 
+  /** UNPIVOT — the inverse of the PIVOT above: the four lineitem measures
+    * melted to (measure, value) long form, keys scoped to bound the output.
+    * Pure row-local expansion (a generator, no shuffle); measure names
+    * become values identically in both engines (lineitem measures are
+    * non-null, so DuckDB's NULL-dropping UNPIVOT default can't diverge). */
+  val unpivotMeasures: QueryDef = QueryDef(
+    "olap_unpivot",
+    """SELECT l_orderkey, l_linenumber, measure, value
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+      |      FROM lineitem WHERE l_orderkey <= 100)
+      |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" <= 100)
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "measure", "value")
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+  }
+
   /** INTERSECT (distinct) — parts both cheap and ordered-in-quantity
     * (set-op family completion; reference only ever uses UNION). */
   val intersectParts: QueryDef = QueryDef(
@@ -146,5 +168,5 @@ object OlapOps {
   }
 
   val all: Seq[QueryDef] = Seq(rollupOrders, cubeCustomers, pivotPriorities,
-    groupingSetsOrders, intersectParts, exceptParts)
+    groupingSetsOrders, unpivotMeasures, intersectParts, exceptParts)
 }
