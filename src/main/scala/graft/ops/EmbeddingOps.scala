@@ -297,14 +297,22 @@ object EmbeddingOps {
 
   /** Per-label centroids (the k-means/IVF training step and the class-
     * prototype readout): element-wise mean per (label, dim) via posexplode →
-    * one shuffle keyed on (label, dim), partial sums map-side. The mean
-    * follows the repo's float convention (`round(sum,2)/count`) so the
-    * accumulation order difference between engines is absorbed. Output is
-    * labels × 64 rows — tiny at any corpus scale. */
+    * one shuffle keyed on (label, dim), partial sums map-side. Components
+    * are quantized to 1e-6 integers BEFORE the sum (`round(x*1e6)` of the
+    * identical IEEE double rounds identically in both engines), so the
+    * shuffled aggregate is an exact BIGINT — immune to the float
+    * accumulation-order drift that a `round(sum(double),2)` convention
+    * cannot absorb for arbitrary embedding sums (r4 lesson: those sums DO
+    * land on half-cent boundaries). The mean then divides the exact integer
+    * by 1e6 and the count — two IEEE ops in a fixed order, bit-identical
+    * cross-engine at any parallelism. Output is labels × 64 rows — tiny at
+    * any corpus scale, and the integer sum keeps map-side combine exact on
+    * a 1000-executor shuffle too. */
   val embedCentroid: QueryDef = QueryDef(
     "llm_embed_centroid",
     """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
-      |       round(sum(embedding[i]::DOUBLE), 2) / count(*) AS c,
+      |       CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000.0) AS BIGINT)) AS DOUBLE)
+      |         / 1000000.0 / count(*) AS c,
       |       CAST(count(*) AS BIGINT) AS n_vecs
       |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
       |GROUP BY label, i ORDER BY label, dim""".stripMargin,
@@ -312,9 +320,11 @@ object EmbeddingOps {
     Tables.embeddings(spark, dir)
       .select($"label", posexplode($"embedding"))
       .groupBy($"label", $"pos")
-      .agg((round(sum($"col".cast("double")), 2) / count(lit(1))).as("c"),
+      .agg(sum(round($"col".cast("double") * lit(1000000.0)).cast("long")).as("sq"),
         count(lit(1)).as("n_vecs"))
-      .select($"label", $"pos".cast("long").as("dim"), $"c", $"n_vecs")
+      .select($"label", $"pos".cast("long").as("dim"),
+        ($"sq".cast("double") / lit(1000000.0) / $"n_vecs").as("c"),
+        $"n_vecs")
       .orderBy($"label", $"dim")
   }
 

@@ -279,23 +279,27 @@ object TpchOps {
     * (SURVEY §7.5 accepts this). This query proves the decimal lane both
     * ways: cast to DECIMAL(15,2) at the scan, aggregate in exact decimal
     * arithmetic (no float accumulation-order drift — this is the one money
-    * aggregate with NO round() crutch), emit DECIMAL(15,2). Safe because
-    * every o_totalprice is an exact 2-decimal value, so the double→decimal
-    * cast is far from any rounding boundary in both engines. */
+    * aggregate with NO round() crutch). The final projection renders each
+    * DECIMAL(15,2) to its canonical scale-2 string ('1013.70', trailing
+    * zero kept): decimal VALUES agree between engines, but a decimal-typed
+    * output column is hashed through each comparator's decimal→native
+    * bridge (DuckDB→pandas renders float64, parquet keeps Decimal), which
+    * is a representation mismatch, not a value one. The string form is the
+    * decimal fidelity proof — a double lane could never emit '1013.70'. */
   val decimalMoney: QueryDef = QueryDef(
     "rds_decimal_money",
     """SELECT o_orderpriority,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS total_money,
-      |       CAST(min(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS min_money,
-      |       CAST(max(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS max_money
+      |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS VARCHAR) AS total_money,
+      |       CAST(CAST(min(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS VARCHAR) AS min_money,
+      |       CAST(CAST(max(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS VARCHAR) AS max_money
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   ) { (spark, dir) =>
     val money = $"o_totalprice".cast("decimal(15,2)")
     Tables.orders(spark, dir)
       .groupBy($"o_orderpriority")
-      .agg(sum(money).cast("decimal(15,2)").as("total_money"),
-        min(money).cast("decimal(15,2)").as("min_money"),
-        max(money).cast("decimal(15,2)").as("max_money"))
+      .agg(sum(money).cast("decimal(15,2)").cast("string").as("total_money"),
+        min(money).cast("decimal(15,2)").cast("string").as("min_money"),
+        max(money).cast("decimal(15,2)").cast("string").as("max_money"))
       .orderBy($"o_orderpriority")
   }
 
