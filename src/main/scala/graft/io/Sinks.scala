@@ -54,8 +54,15 @@ object Sinks {
     val df = spark.read.parquet(inPath)
     // The scan packs small files (openCostInBytes), so it may already plan
     // fewer partitions than n — then an even redistribution needs a shuffle.
-    val sized =
-      if (df.rdd.getNumPartitions >= n) df.coalesce(n) else df.repartition(n)
+    // Read the planned partition count off the physical scan node, not
+    // `df.rdd` (which wraps the whole plan in a row-conversion RDD lineage
+    // just to read one int).
+    val planned = df.queryExecution.executedPlan.collectLeaves().map {
+      case scan: org.apache.spark.sql.execution.FileSourceScanExec =>
+        scan.inputRDD.getNumPartitions
+      case other => other.execute().getNumPartitions
+    }.sum
+    val sized = if (planned >= n) df.coalesce(n) else df.repartition(n)
     sized.write.mode("overwrite").parquet(outPath)
     n
   }

@@ -706,16 +706,18 @@ object LlmTextOps {
     * A≈B and B≈C, exact pairwise Jaccard may never link A to C, but all
     * three are one duplicate group and only one should survive.
     *
-    * Spark side is min-label propagation: each round every vertex takes the
-    * minimum label among itself and its neighbors; converges in
-    * O(component diameter) rounds (near-dup clusters are small and dense, so
-    * typically 1–3). Each round is ONE shuffle keyed on the edge endpoint;
-    * the driver loop holds only a convergence counter, never data — this is
-    * the standard distributed-CC layout (GraphX/GraphFrames use the same
-    * propagation; large-star/small-star would cut rounds on adversarially
-    * deep graphs). The DuckDB oracle replays the same fixpoint as a
-    * recursive transitive-closure CTE, so cluster assignment is
-    * hash-verified end-to-end including singleton handling. */
+    * Spark side is min-label propagation with pointer jumping: each round
+    * every vertex takes the minimum label among itself, its neighbors, AND
+    * its label's label (path doubling), so the distance-to-root roughly
+    * halves per round and convergence is O(log diameter) — a 1000-hop
+    * duplicate chain (templated boilerplate produces exactly those)
+    * resolves in ~11 rounds, not 1000. Each round is two shuffles keyed on
+    * (edge endpoint, label); the driver loop holds only a convergence
+    * counter, never data — the same round-bounding idea as
+    * large-star/small-star. A non-converged exit THROWS rather than
+    * returning silently-wrong labels. The DuckDB oracle replays the same
+    * fixpoint as a recursive transitive-closure CTE, so cluster assignment
+    * is hash-verified end-to-end including singleton handling. */
   val dedupCluster: QueryDef = QueryDef(
     "llm_dedup_cluster",
     """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
@@ -742,9 +744,28 @@ object LlmTextOps {
       Tables.documents(spark, dir).select($"doc_id"))
   }
 
-  /** Min-label propagation over an undirected pair list, to fixpoint.
-    * `pairs` must have (doc_a, doc_b); `docs` supplies the vertex set (so
-    * documents in no pair come out as their own singleton cluster). */
+  /** Safety cap on propagation rounds. Pointer jumping halves the
+    * distance-to-root each round, so 48 rounds covers component diameters
+    * beyond 2^40 — hitting the cap means the loop is broken, not the data,
+    * and [[clusterOf]] throws rather than returning wrong labels. */
+  private val MaxClusterRounds = 48
+
+  /** Min-label propagation with pointer jumping over an undirected pair
+    * list, to fixpoint. `pairs` must have (doc_a, doc_b); `docs` supplies
+    * the vertex set (so documents in no pair come out as their own
+    * singleton cluster).
+    *
+    * Each round computes
+    * `l'(v) = min(l(v), min_{u∈N(v)} l(u), l(l(v)))`: the neighbor-min term
+    * is classic label propagation (O(diameter) alone); the label-of-label
+    * term is path doubling, which cuts the round count to O(log diameter)
+    * — labels always name a vertex in the same component, so the lookup
+    * join stays inside the component and the fixpoint is still exactly
+    * "every vertex holds its component's minimum doc_id" (at fixpoint the
+    * label is constant across every edge, hence constant per component,
+    * and the only self-labeled vertex is the minimum). Throws if the cap
+    * is hit without convergence instead of silently returning
+    * part-propagated labels (the round-4/5 latent bug). */
   private[graft] def clusterOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val edges = graft.Caches.persist(
       pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
@@ -753,21 +774,36 @@ object LlmTextOps {
       docs.select($"doc_id", $"doc_id".as("cluster_id")))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < MaxClusterRounds) {
       val nbrMin = edges
         .join(labels.select($"doc_id".as("a"), $"cluster_id".as("la")), "a")
         .groupBy($"b").agg(min($"la").as("nmin"))
         .select($"b".as("doc_id"), $"nmin")
-      val next = graft.Caches.persist(
-        labels.join(nbrMin, Seq("doc_id"), "left")
-          .select($"doc_id",
-            least($"cluster_id", coalesce($"nmin", $"cluster_id")).as("cluster_id")))
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"cluster_id", coalesce($"nmin", $"cluster_id")).as("cluster_id"))
+      val jump = labels.select(
+        $"doc_id".as("via"), $"cluster_id".as("lvia"))
+      // eager localCheckpoint, not persist: each round references the
+      // previous label table three times, so without lineage truncation the
+      // logical plan grows 3^rounds and deep components OOM the driver on
+      // plan strings alone
+      val next = graft.Caches.localCheckpoint(
+        stepped.join(jump, stepped("cluster_id") === jump("via"), "left")
+          .select(stepped("doc_id"),
+            least(stepped("cluster_id"), coalesce($"lvia", stepped("cluster_id")))
+              .as("cluster_id")))
       changed = next
         .join(labels.select($"doc_id", $"cluster_id".as("old")), "doc_id")
         .filter($"cluster_id" < $"old").count()
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clusterOf did not converge after $MaxClusterRounds rounds " +
+          s"($changed labels still changing) — refusing to return " +
+          "non-converged cluster labels")
     labels.select($"doc_id", $"cluster_id",
       when($"cluster_id" === $"doc_id", 1L).otherwise(0L).as("keep"))
       .orderBy($"doc_id")

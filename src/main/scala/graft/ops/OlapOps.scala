@@ -127,15 +127,18 @@ object OlapOps {
       |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
       |      FROM lineitem WHERE l_orderkey <= 100)
       |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
-      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+      |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
   ) { (spark, dir) =>
+    // `value` tiebreak: the synthetic lineitem does NOT keep l_linenumber
+    // unique per order, so (orderkey, linenumber, measure) alone ties
+    // across distinct source rows and the as-ordered compare flaps.
     Tables.lineitem(spark, dir)
       .filter($"l_orderkey" <= 100)
       .unpivot(
         Array($"l_orderkey", $"l_linenumber"),
         Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
         "measure", "value")
-      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure", $"value")
   }
 
   /** INTERSECT (distinct) — parts both cheap and ordered-in-quantity

@@ -117,6 +117,26 @@ class LlmTextOpsSpec extends AnyFunSuite {
     ))
   }
 
+  test("clusterOf resolves a 120-hop chain (pointer jumping, O(log d) rounds)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder, newLongEncoder}
+    // A single path component 0-1-2-...-120: plain neighbor-min propagation
+    // needs 120 rounds (the pre-round-6 code capped at 20 and silently
+    // returned wrong labels for exactly this shape — templated-boilerplate
+    // dedup chains are real); with path doubling it converges well inside
+    // MaxClusterRounds. Expected labels match the recursive-CTE oracle
+    // semantics analytically: every vertex labels to the component min (0),
+    // only vertex 0 keeps; 500 stays a self-labeled singleton.
+    val n = 120
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val docs = ((0L to n) :+ 500L).toDF("doc_id")
+    val out = LlmTextOps.clusterOf(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Caches.release()
+    val expected = (0L to n).map(i => (i, 0L, if (i == 0L) 1L else 0L)) :+
+      (500L, 500L, 1L)
+    assert(out.toSeq == expected)
+  }
+
   test("dedup cluster keep-set plus drop-set partitions the corpus") {
     val out = LlmTextOps.dedupCluster.run(spark, sf)
     val total = graft.io.Tables.documents(spark, sf).count()
