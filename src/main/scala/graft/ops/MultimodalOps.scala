@@ -17,7 +17,8 @@ import graft.io.Tables
   * and oracle-verified by `mm_decode_meta`. Only the innermost
   * pixel/sample decode stays fake — this environment ships no image/audio
   * codecs — so `extractFeatures` computes byte statistics where production
-  * would call a codec, marked [STUB] below. The Spark-side plumbing a
+  * would call a codec (oracle-verified by `mm_features`). The Spark-side
+  * plumbing a
   * 100 TB media pipeline needs is exercised end-to-end either way:
   * BinaryType payload columns, StructType metadata carried next to them,
   * ArrayType(BinaryType) frame slicing, and a `mapPartitions`
@@ -241,11 +242,15 @@ object MultimodalOps {
     StructField("byte_mean", DoubleType),
     StructField("head", BinaryType)))
 
-  /** [STUB] Batch "decode + feature extract" over binary payloads via
-    * mapPartitions: the per-batch seam where a real implementation would
-    * call a codec (decode → resize → embed). Features here are byte stats —
-    * deterministic, codec-free — but the shape (binary in, typed struct
-    * out, one call per partition, no shuffle) is the production plumbing. */
+  /** Batch "decode + feature extract" over binary payloads via
+    * mapPartitions: the per-batch seam where a production pipeline would
+    * call a codec (decode → resize → embed — not shipped in this
+    * container). Features here are byte stats — deterministic and
+    * codec-free, so the DuckDB oracle re-derives every one arithmetically
+    * from the hex dump of the same payload (`mm_features`) — and the shape
+    * (binary in, typed struct out, one call per partition, no shuffle) is
+    * the production plumbing; swapping in a real codec changes only this
+    * function body. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select($"doc_id", $"payload").rdd.mapPartitions { it =>
@@ -261,5 +266,34 @@ object MultimodalOps {
     spark.createDataFrame(rdd, featureSchema)
   }
 
-  val all: Seq[QueryDef] = Seq(bytesStats, metaFilter, frameSample, decodeMeta)
+  /** Feature extraction through the mapPartitions batch seam, every output
+    * value oracle-checked: the oracle replays the byte statistics from a
+    * hex dump of the identical payload (per-byte sum via list
+    * comprehension), and the mean is the same exact-BIGINT-over-BIGINT
+    * IEEE division in both engines — bit-identical at any parallelism
+    * because the sum is integer, not float. `head` is rendered as hex on
+    * both sides (binary columns hash through engine-specific native
+    * bridges; the hex string is representation-neutral). */
+  val features: QueryDef = QueryDef(
+    "mm_features",
+    """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+      |h AS (SELECT doc_id, p, hex(p) AS hx, octet_length(p) AS n FROM b),
+      |s AS (SELECT doc_id, n,
+      |             CAST(COALESCE(list_sum([('0x' || substr(hx, 2*i-1, 2))::BIGINT
+      |                                     for i in range(1, n + 1)]), 0) AS BIGINT) AS byte_sum,
+      |             substr(hx, 1, 16) AS head_hex
+      |      FROM h)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, byte_sum,
+      |       CASE WHEN n = 0 THEN 0.0 ELSE CAST(byte_sum AS DOUBLE) / n END AS byte_mean,
+      |       head_hex
+      |FROM s ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    extractFeatures(mediaTable(spark, dir))
+      .select($"doc_id", $"n_bytes".cast("long").as("n_bytes"), $"byte_sum",
+        $"byte_mean", hex($"head").as("head_hex"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(bytesStats, metaFilter, frameSample, decodeMeta, features)
 }

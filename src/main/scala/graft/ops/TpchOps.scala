@@ -289,21 +289,61 @@ object TpchOps {
   val decimalMoney: QueryDef = QueryDef(
     "rds_decimal_money",
     """SELECT o_orderpriority,
-      |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS VARCHAR) AS total_money,
-      |       CAST(CAST(min(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS VARCHAR) AS min_money,
-      |       CAST(CAST(max(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS VARCHAR) AS max_money
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS VARCHAR) AS total_money,
+      |       CAST(min(CAST(o_totalprice AS DECIMAL(15,2))) AS VARCHAR) AS min_money,
+      |       CAST(max(CAST(o_totalprice AS DECIMAL(15,2))) AS VARCHAR) AS max_money
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   ) { (spark, dir) =>
+    // The SUM is rendered from its WIDE accumulator type (DECIMAL(25,2) in
+    // Spark, DECIMAL(38,2) in DuckDB) — both render the same scale-2 string,
+    // and narrowing back to DECIMAL(15,2) first would make ANSI mode throw
+    // once a per-priority total passes ~10^13 (roughly TPC-H sf 200).
     val money = $"o_totalprice".cast("decimal(15,2)")
     Tables.orders(spark, dir)
       .groupBy($"o_orderpriority")
-      .agg(sum(money).cast("decimal(15,2)").cast("string").as("total_money"),
-        min(money).cast("decimal(15,2)").cast("string").as("min_money"),
-        max(money).cast("decimal(15,2)").cast("string").as("max_money"))
+      .agg(sum(money).cast("string").as("total_money"),
+        min(money).cast("string").as("min_money"),
+        max(money).cast("string").as("max_money"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** DECIMAL(15,2) STORAGE end-to-end — the stored half of the decimal lane
+    * [[decimalMoney]] proves by cast: the engine WRITES a decimal-typed
+    * parquet orders table (matching `Assignment 7/data/tpch_ddl.sql:3-22`'s
+    * money columns) through [[graft.io.Sinks.writeParquet]], re-reads it,
+    * asserts the stored schema really is DECIMAL(15,2), and aggregates the
+    * stored decimals in exact decimal arithmetic. The oracle computes the
+    * identical values from the double-typed source (SURVEY §7.5), so a
+    * write-path precision loss anywhere — encode, parquet logical type,
+    * re-read — breaks the hash compare. */
+  val decimalStored: QueryDef = QueryDef(
+    "rds_decimal_stored",
+    """SELECT o_orderpriority,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS VARCHAR) AS total_money,
+      |       CAST(min(CAST(o_totalprice AS DECIMAL(15,2))) AS VARCHAR) AS min_money,
+      |       CAST(max(CAST(o_totalprice AS DECIMAL(15,2))) AS VARCHAR) AS max_money,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  ) { (spark, dir) =>
+    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_decimal_" +
+      Integer.toHexString(dir.hashCode)
+    graft.io.Sinks.writeParquet(
+      Tables.orders(spark, dir).select($"o_orderpriority",
+        $"o_totalprice".cast("decimal(15,2)").as("o_totalprice")), path)
+    val stored = spark.read.parquet(path)
+    require(stored.schema("o_totalprice").dataType ==
+      org.apache.spark.sql.types.DecimalType(15, 2),
+      s"decimal lane fixture stored as ${stored.schema("o_totalprice").dataType}, " +
+        "expected DECIMAL(15,2)")
+    stored.groupBy($"o_orderpriority")
+      .agg(sum($"o_totalprice").cast("string").as("total_money"),
+        min($"o_totalprice").cast("string").as("min_money"),
+        max($"o_totalprice").cast("string").as("max_money"),
+        count(lit(1)).as("n_orders"))
       .orderBy($"o_orderpriority")
   }
 
   val all: Seq[QueryDef] =
     Seq(q1Agg, redshiftQ1, redshiftQ2, redshiftQ3, rdsQ1, rdsQ2, rdsQ3,
-      displayScan, monthlyOrders, limitPeek, decimalMoney)
+      displayScan, monthlyOrders, limitPeek, decimalMoney, decimalStored)
 }

@@ -41,6 +41,29 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.15, f"recall $recall%.2f too low — cell assignment broken?")
   }
 
+  test("centroid quantization pins half-away-from-zero ties (round-5 advice)") {
+    // llm_embed_centroid's cross-engine equality rests on Spark's HALF_UP
+    // round of x*1e6 agreeing with DuckDB's half-away-from-zero on exact
+    // .5 ties. Pin that convention with components whose product is an
+    // EXACT .5 tie (verified, not assumed — float literals only
+    // approximate k+0.5/1e6): round must go AWAY from zero on both signs,
+    // so +2.5 → 3 and -2.5 → -3, never banker's-rounding to 2/-2.
+    import org.apache.spark.sql.functions.{col, round => sqlRound}
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val tie = Iterator.from(1)
+      .map(k => (2 * k + 1) / 2.0 / 1e6)
+      .find { x => val p = x * 1e6; p == math.floor(p) + 0.5 }
+      .get
+    val p = tie * 1e6 // exact k.5 by construction of `tie`
+    val rows = Seq(("pos", tie), ("neg", -tie)).toDF("label", "x")
+      .select(col("label"),
+        sqlRound(col("x") * 1e6).cast("long").as("q"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val up = math.floor(p).toLong + 1 // away from zero
+    assert(rows("pos") == up, s"positive .5 tie must round AWAY from zero ($p)")
+    assert(rows("neg") == -up, s"negative .5 tie must round AWAY from zero (-$p)")
+  }
+
   test("ANN similarities agree with brute-force for common pairs") {
     val brute = EmbeddingOps.cosineTopK.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap

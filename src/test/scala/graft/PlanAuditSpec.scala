@@ -116,6 +116,23 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("a1_recommend_m1/m2 reuse their shared listens subtree (AQE final plan)") {
+    // both recommenders derive candidate and ownership sides from ONE
+    // listens table (orders ⋈ lineitem); at scale that scan+join must be
+    // planned once and reused, not recomputed per branch — the same
+    // guarantee a1_recommend already has, extended to the reference-exact
+    // M1/M2 forms (round-5 verdict follow-up: m1 is the most expensive
+    // registered query, so a silent reuse regression is a real cost).
+    Seq("a1_recommend_m1", "a1_recommend_m2").foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("ReusedExchange"),
+        s"$n no longer reuses its listens exchange:\n$plan")
+    }
+  }
+
   test("a1_recommend's shared basket subtree plans a ReusedExchange (AQE final plan)") {
     // the market-basket query builds the (custkey, partkey) basket table
     // twice — recommendation expansion and ownership anti-join — from one
