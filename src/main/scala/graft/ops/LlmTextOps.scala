@@ -809,10 +809,49 @@ object LlmTextOps {
       .orderBy($"doc_id")
   }
 
+  /** Cross-document CHUNK dedup — the CCNet/RefinedWeb "paragraph dedup"
+    * stage re-expressed over whitespace token streams (this corpus has no
+    * newline paragraphs, so a paragraph = a 10-token chunk): every doc is
+    * cut into fixed 10-token chunks, each chunk is counted corpus-wide, and
+    * each doc reports how many of its chunks also occur elsewhere (or twice
+    * in itself — the oracle counts occurrences, not distinct docs, and so
+    * does the engine). Boilerplate headers/footers shared across pages are
+    * exactly what this catches that whole-document dedup cannot.
+    *
+    * Scale shape: chunks shuffle as (doc_id, 60-bit hash) — never text —
+    * through one hash-keyed count and one hash-keyed equi-join back, then a
+    * doc-keyed rollup; all three are bounded by the token count of the
+    * corpus, no pair expansion anywhere. */
+  val dupChunks: QueryDef = QueryDef(
+    "llm_dup_chunks",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      |ck AS (SELECT doc_id,
+      |              ('0x' || substr(md5(array_to_string(ts[10*i+1:10*i+10], ' ')), 1, 15))::BIGINT AS h
+      |       FROM toks, unnest(range(0, (len(ts) - 1) // 10 + 1)) AS t(i)),
+      |fr AS (SELECT h, count(*) AS n FROM ck GROUP BY h)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(CASE WHEN fr.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+      |FROM ck JOIN fr USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val chunks = Tables.documents(spark, dir)
+      .select($"doc_id", tokens.as("ts"))
+      .select($"doc_id", explode(transform(
+        sequence(lit(0), ((size($"ts") - 1) / 10).cast("int")),
+        i => concat_ws(" ", slice($"ts", i * 10 + 1, lit(10))))).as("chunk"))
+      .select($"doc_id", portableHash($"chunk").as("h"))
+    val freq = chunks.groupBy($"h").agg(count(lit(1)).as("n"))
+    chunks.join(freq, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"n" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
-    dedupCluster,
+    dedupCluster, dupChunks,
   )
 }

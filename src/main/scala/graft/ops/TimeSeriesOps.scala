@@ -337,8 +337,52 @@ object TimeSeriesOps {
       .orderBy($"cohort_day", $"day_n")
   }
 
+  /** Per-series z-score outlier counts (the classic monitoring/data-quality
+    * pass): per event_type, count readings more than 3 standard deviations
+    * from that type's mean. Determinism contract (same idea as the centroid
+    * quantization): values are quantized to 1e-3 integers FIRST, so the
+    * per-type sum and sum-of-squares are exact BIGINTs at any shuffle
+    * parallelism (q ≤ ~5.6e5 here ⇒ Σq² stays inside BIGINT up to ~1e7
+    * rows per type, ≈ sf100), and the |x−μ| > 3σ test is evaluated as
+    * (n·q − s)² > 9·(n·s2 − s²). The left difference stays exact BIGINT
+    * (≤ ~1e11) before one cast; the right side's products would overflow
+    * BIGINT, so each FACTOR is cast to double first and the products taken
+    * in double — the identical IEEE expression in both engines, so the
+    * boundary cannot flip. One (event_type)-keyed aggregate broadcast back
+    * over the scan: two narrow passes, no wide shuffle of the raw rows. */
+  val zscoreOutliers: QueryDef = QueryDef(
+    "a4_zscore_outliers",
+    """WITH q AS (SELECT event_type,
+      |                  CAST(round(value * 1000.0) AS BIGINT) AS qv
+      |           FROM events),
+      |st AS (SELECT event_type, count(*) AS n, sum(qv) AS s, sum(qv * qv) AS s2
+      |       FROM q GROUP BY event_type)
+      |SELECT q.event_type, CAST(st.n AS BIGINT) AS n_events,
+      |       CAST(sum(CASE WHEN
+      |              CAST(st.n * q.qv - st.s AS DOUBLE) * CAST(st.n * q.qv - st.s AS DOUBLE)
+      |              > 9.0 * (CAST(st.n AS DOUBLE) * CAST(st.s2 AS DOUBLE)
+      |                       - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM q JOIN st ON q.event_type = st.event_type
+      |GROUP BY q.event_type, st.n ORDER BY q.event_type""".stripMargin,
+  ) { (spark, dir) =>
+    val q = Tables.events(spark, dir)
+      .select($"event_type", round($"value" * 1000.0).cast("long").as("qv"))
+    val st = q.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"qv").as("s"), sum($"qv" * $"qv").as("s2"))
+    q.join(broadcast(st), "event_type")
+      .groupBy($"event_type", $"n")
+      .agg(sum(when(
+        ($"n" * $"qv" - $"s").cast("double") * ($"n" * $"qv" - $"s").cast("double")
+          > lit(9.0) * ($"n".cast("double") * $"s2".cast("double")
+            - $"s".cast("double") * $"s".cast("double")), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select($"event_type", $"n".cast("long").as("n_events"), $"n_outliers")
+      .orderBy($"event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     hourlyDedup, pointRead, daySlice, rangeMax, dailyMax, zorderKey, gapFill,
-    funnel, retention,
+    funnel, retention, zscoreOutliers,
   )
 }

@@ -343,7 +343,50 @@ object TpchOps {
       .orderBy($"o_orderpriority")
   }
 
+  /** MERGE / upsert — the batch form of the reference's row-at-a-time JDBC
+    * update path (`SQLonRDS.java` update + insert methods): a deterministic
+    * change set (price-bumped updates for o_orderkey % 10 = 3, key-shifted
+    * inserts for % 97 = 0) is applied to orders as
+    * `base ANTI-JOIN changes UNION ALL changes` — exactly the
+    * copy-on-write MERGE INTO plan (matched rows replaced, unmatched
+    * inserted). The result is verified through a per-priority rollup so
+    * the oracle sees every row of the merged table without emitting it.
+    * At scale the anti-join shuffles on the primary key (or broadcasts the
+    * change set when small — AQE decides) and a real deployment would
+    * rewrite only the partitions the change keys touch. */
+  val upsertMerge: QueryDef = QueryDef(
+    "rds_upsert_merge",
+    """WITH updates AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 3),
+      |inserts AS (
+      |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+      |         o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+      |merged AS (
+      |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+      |  UNION ALL SELECT * FROM changes)
+      |SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  ) { (spark, dir) =>
+    val base = Tables.orders(spark, dir)
+    val updates = base.filter($"o_orderkey" % 10 === 3)
+      .withColumn("o_totalprice", $"o_totalprice" * 1.1)
+    val inserts = base.filter($"o_orderkey" % 97 === 0)
+      .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+    val changes = updates.unionByName(inserts)
+    val merged = base
+      .join(changes.select($"o_orderkey".as("ck")), $"o_orderkey" === $"ck", "left_anti")
+      .unionByName(changes)
+    merged.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, redshiftQ1, redshiftQ2, redshiftQ3, rdsQ1, rdsQ2, rdsQ3,
-      displayScan, monthlyOrders, limitPeek, decimalMoney, decimalStored)
+      displayScan, monthlyOrders, limitPeek, decimalMoney, decimalStored,
+      upsertMerge)
 }
