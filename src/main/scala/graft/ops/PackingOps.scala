@@ -124,5 +124,47 @@ object PackingOps {
       .orderBy($"doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(packSequences, decontaminate)
+  /** Contamination FRACTION per document — [[decontaminate]] reports only
+    * colliding docs; training-data curation also needs the denominator
+    * (drop at any hit, or threshold on the overlap share — Dolma does
+    * both). For every non-benchmark doc: its distinct-gram count, how many
+    * of those grams appear in the benchmark set, and a `clean` flag
+    * (integer comparison — no float threshold to flip between engines).
+    * Same broadcast shape as decontaminate: eval grams ship to executors,
+    * the corpus side adds one doc-keyed rollup. */
+  val contamFraction: QueryDef = QueryDef(
+    "llm_contam_frac",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |g AS (
+       |  SELECT doc_id, array_to_string(ts[i:i+${GramK - 1}], ' ') AS g
+       |  FROM t, unnest(range(1, len(ts) - ${GramK - 2})) AS u(i)
+       |  WHERE len(ts) >= $GramK),
+       |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+       |dg AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 97 <> 0)
+       |SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_grams,
+       |       CAST(CASE WHEN sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) = 0
+       |            THEN 1 ELSE 0 END AS BIGINT) AS clean
+       |FROM dg LEFT JOIN ev ON dg.g = ev.g
+       |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .filter(size($"ts") >= GramK)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"ts") - (GramK - 1)),
+        i => concat_ws(" ", slice($"ts", i, lit(GramK))))).as("g"))
+    val evalGrams = grams.filter($"doc_id" % 97 === 0).select($"g").distinct()
+    grams.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", $"g").distinct()
+      .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit_grams"))
+      .select($"doc_id", $"n_grams", $"n_hit_grams",
+        when($"n_hit_grams" === 0, 1L).otherwise(0L).as("clean"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(packSequences, decontaminate, contamFraction)
 }

@@ -385,8 +385,40 @@ object TpchOps {
       .orderBy($"o_orderpriority")
   }
 
+  /** FULL OUTER join — the one join shape the assignment queries never
+    * exercise (their LEFT/INNER/anti forms are all covered elsewhere):
+    * per-customer order counts for the first calendar half-year joined
+    * full-outer against the second, customers active in only one half
+    * surviving from either side with a zero on the other. The USING-style
+    * key coalesce is part of the semantics under test. Both sides are
+    * pre-aggregated to one row per customer before the join — the
+    * outer-join input is already minimal at any scale. */
+  val fullOuterHalves: QueryDef = QueryDef(
+    "rds_full_outer",
+    """WITH h1 AS (SELECT o_custkey, count(*) AS n_h1 FROM orders
+      |            WHERE month(o_orderdate) <= 6 GROUP BY o_custkey),
+      |h2 AS (SELECT o_custkey, count(*) AS n_h2 FROM orders
+      |       WHERE month(o_orderdate) >= 7 GROUP BY o_custkey)
+      |SELECT COALESCE(h1.o_custkey, h2.o_custkey) AS o_custkey,
+      |       CAST(COALESCE(n_h1, 0) AS BIGINT) AS n_h1,
+      |       CAST(COALESCE(n_h2, 0) AS BIGINT) AS n_h2
+      |FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+      |ORDER BY o_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val h1 = o.filter(month($"o_orderdate") <= 6)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_h1"))
+    val h2 = o.filter(month($"o_orderdate") >= 7)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_h2"))
+    h1.join(h2, Seq("o_custkey"), "full_outer")
+      .select($"o_custkey",
+        coalesce($"n_h1", lit(0L)).as("n_h1"),
+        coalesce($"n_h2", lit(0L)).as("n_h2"))
+      .orderBy($"o_custkey")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, redshiftQ1, redshiftQ2, redshiftQ3, rdsQ1, rdsQ2, rdsQ3,
       displayScan, monthlyOrders, limitPeek, decimalMoney, decimalStored,
-      upsertMerge)
+      upsertMerge, fullOuterHalves)
 }
