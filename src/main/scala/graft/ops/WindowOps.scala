@@ -164,6 +164,34 @@ object WindowOps {
       .orderBy($"c_mktsegment", $"c_custkey")
   }
 
+  /** Time-interval RANGE frame — the frame type [[movingAvg]]'s ROWS frame
+    * cannot express: per user, the event count and value sum over the
+    * TRAILING HOUR of event time, however many rows that is. Ordering and
+    * the frame bound are integer microseconds on both engines (`unix_micros`
+    * ↔ `epoch_us`, bound = 3_600_000_000), so peer-row and boundary
+    * semantics are exact; values quantize to 1e-3 BIGINTs before the frame
+    * sum (same determinism contract as `a4_zscore_outliers`), so the
+    * windowed aggregate hash-compares at any parallelism. Same single
+    * user-keyed exchange + sort as every other window here. */
+  val rangeFrame: QueryDef = QueryDef(
+    "a4_range_frame",
+    """SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |       CAST(sum(CAST(round(value * 1000.0) AS BIGINT)) OVER w AS BIGINT) AS sumq_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin,
+  ) { (spark, dir) =>
+    val w = Window.partitionBy($"user_id").orderBy($"tus")
+      .rangeBetween(-3600000000L, Window.currentRow)
+    userEvents(spark, dir)
+      .select($"user_id", $"event_id", $"tus",
+        count(lit(1)).over(w).as("n_1h"),
+        sum(round($"value" * 1000.0).cast("long")).over(w).as("sumq_1h"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(lagLead, movingAvg, sessionize, ntileQuartiles, percentRank)
+    Seq(lagLead, movingAvg, sessionize, ntileQuartiles, percentRank, rangeFrame)
 }

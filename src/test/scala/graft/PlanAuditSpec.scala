@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("dimension joins broadcast the small side") {
-    Seq("redshift_q1", "a5_search_tag_range", "llm_cosine_topk").foreach { n =>
+    Seq("redshift_q1", "a5_search_tag_range", "llm_cosine_topk",
+      "a4_zscore_outliers", "llm_decontam", "llm_contam_frac").foreach { n =>
       assert(plans(n).contains("Broadcast"), s"$n lost its broadcast")
     }
   }
@@ -82,7 +83,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // its global window ranks a 20-row top-k, after the limit).
     Seq("a4_lag_lead", "a4_moving_avg", "a4_sessionize", "a4_gap_fill",
       "a2_ntile_quartiles", "a2_percent_rank", "llm_pack_sequences",
-      "llm_sample_stratified").foreach { n =>
+      "llm_sample_stratified", "a4_range_frame").foreach { n =>
       assert(!plans(n).contains("SinglePartition"),
         s"$n plans a single-partition exchange")
     }
