@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** Descriptive-statistics surface — correlation/covariance from exact
+  * moments, equi-width histograms, quantile bucketing, and per-column data
+  * profiling. The reference stops at AVG/MIN/MAX; these are the next
+  * statistics a warehouse (and any dataset-curation pipeline deciding what
+  * to train on) asks for.
+  *
+  * Determinism architecture (same as `llm_embed_centroid`): every shuffled
+  * sum is over EXACT integers — values are scaled to cents (×100, exact for
+  * the 2-dp testdata) and summed as DECIMAL(38,0), so partial aggregation
+  * order cannot change a bit. The float formulas (corr, covar, stddev) are
+  * then one identically-parenthesized expression over those exact sums on
+  * both engines.
+  */
+object StatsOps {
+
+  /** Pearson correlation, sample covariance and stddev per return flag,
+    * computed from exact integer moments in ONE pass (map-side combinable
+    * decimal sums — the textbook single-pass moments form, scale-safe at
+    * any row count; Spark's builtin `corr` would give the same value only
+    * up to float accumulation order). */
+  val corrMoments: QueryDef = QueryDef(
+    "stats_corr_moments",
+    """WITH s AS (SELECT l_returnflag,
+      |                  CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+      |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS py
+      |           FROM lineitem),
+      |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(count(*) AS DOUBLE) AS nd,
+      |             CAST(sum(qx) AS DOUBLE) AS sx, CAST(sum(py) AS DOUBLE) AS sy,
+      |             CAST(sum(qx * py) AS DOUBLE) AS sxy,
+      |             CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+      |             CAST(sum(py * py) AS DOUBLE) AS syy
+      |      FROM s GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |       round((nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS corr_qty_price,
+      |       round((nd * sxy - sx * sy) / (nd * (nd - 1.0)) / 10000.0, 4) AS covar_qty_price,
+      |       round(sqrt((nd * syy - sy * sy) / (nd * (nd - 1.0))) / 100.0, 4) AS sd_price
+      |FROM m ORDER BY l_returnflag""".stripMargin,
+  ) { (spark, dir) =>
+    val dec = "decimal(38,0)"
+    val s = Tables.lineitem(spark, dir).select($"l_returnflag",
+      round($"l_quantity" * 100).cast("long").as("qx"),
+      round($"l_extendedprice" * 100).cast("long").as("py"))
+    val m = s.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(($"qx" * $"py").cast(dec)).as("sxy_d"),
+      sum(($"qx" * $"qx").cast(dec)).as("sxx_d"),
+      sum(($"py" * $"py").cast(dec)).as("syy_d"),
+      sum($"qx".cast(dec)).as("sx_d"), sum($"py".cast(dec)).as("sy_d"))
+    val (nd, sx, sy) = ($"n".cast("double"), $"sx_d".cast("double"), $"sy_d".cast("double"))
+    val (sxy, sxx, syy) = ($"sxy_d".cast("double"), $"sxx_d".cast("double"), $"syy_d".cast("double"))
+    m.select($"l_returnflag", $"n",
+      round((nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+        .as("corr_qty_price"),
+      round((nd * sxy - sx * sy) / (nd * (nd - lit(1.0))) / 10000.0, 4)
+        .as("covar_qty_price"),
+      round(sqrt((nd * syy - sy * sy) / (nd * (nd - lit(1.0)))) / 100.0, 4)
+        .as("sd_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Equi-width histogram of order totals (20 × 25k bins). Pure map-side
+    * arithmetic + one tiny-key aggregate — the distribution profile that
+    * costs one scan at any scale. */
+  val histogram: QueryDef = QueryDef(
+    "stats_histogram",
+    """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+      |       CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000 AS BIGINT) AS lo,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(floor($"o_totalprice" / 25000.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+      .select($"bin", ($"bin" * 25000).cast("long").as("lo"), $"n_orders", $"total")
+      .orderBy($"bin")
+  }
+
+  /** Quantile bucketing (quartile discretizer): exact interpolated quartile
+    * thresholds computed once, broadcast as a 1-row scalar subquery, then a
+    * pure comparison bucketing pass — the scale-right discretizer shape
+    * (the thresholds are the only global state; the bucketing scan is
+    * embarrassingly parallel). At 100 TB the exact percentile over one
+    * group would buffer too much — swap the threshold subquery for the KLL
+    * sketch twin (`sketch_approx_percentiles`); the bucketing pass is
+    * unchanged. Raw quantile doubles are bit-identical cross-engine
+    * (established by `sketch_percentile_exact`). */
+  val quantileBucket: QueryDef = QueryDef(
+    "feat_quantile_bucket",
+    """WITH th AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+      |                   quantile_cont(o_totalprice, 0.50) AS q2,
+      |                   quantile_cont(o_totalprice, 0.75) AS q3 FROM orders)
+      |SELECT CAST(CASE WHEN o_totalprice < th.q1 THEN 0
+      |                 WHEN o_totalprice < th.q2 THEN 1
+      |                 WHEN o_totalprice < th.q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders, th GROUP BY 1 ORDER BY bucket""".stripMargin,
+  ) { (spark, dir) =>
+    val orders = Tables.orders(spark, dir)
+    val th = orders.agg(
+      percentile($"o_totalprice", array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      .select($"qs"(0).as("q1"), $"qs"(1).as("q2"), $"qs"(2).as("q3"))
+    orders.crossJoin(broadcast(th))
+      .select($"o_totalprice",
+        when($"o_totalprice" < $"q1", 0L).when($"o_totalprice" < $"q2", 1L)
+          .when($"o_totalprice" < $"q3", 2L).otherwise(3L).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_totalprice").as("min_price"), max($"o_totalprice").as("max_price"),
+        round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"bucket")
+  }
+
+  /** Per-column data profile of `orders`: null count, exact distinct count,
+    * canonical min/max strings — the schema-dynamic profiling pass every
+    * ingestion pipeline runs first. One single-column aggregate per column
+    * (column pruning makes each pass read exactly one parquet column — N
+    * pruned scans beat one N-way `count(distinct)` EXPAND pass, which
+    * multiplies every row N-fold before the shuffle). Numeric/temporal
+    * min/max are rendered through the canonical decimal/date string forms
+    * (`rds_decimal_money` convention) so the comparator sees plain text. */
+  val profileOrders: QueryDef = {
+    // (name, null-safe count col, distinct col, min/max render)
+    def renderNum(c: Column) = c.cast("decimal(18,2)").cast("string")
+    def renderDate(c: Column) = c.cast("date").cast("string")
+    def renderStr(c: Column) = c.cast("string")
+    val cols: Seq[(String, Column => Column)] = Seq(
+      ("o_orderkey", renderStr), ("o_custkey", renderStr),
+      ("o_orderstatus", renderStr), ("o_totalprice", renderNum),
+      ("o_orderdate", renderDate), ("o_orderpriority", renderStr))
+    val sqlRender: Map[String, String => String] = Map(
+      "o_totalprice" -> ((c: String) => s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"),
+      "o_orderdate" -> ((c: String) => s"CAST(CAST($c AS DATE) AS VARCHAR)"),
+    ).withDefaultValue((c: String) => s"CAST($c AS VARCHAR)")
+    val oracle = cols.map { case (name, _) =>
+      // min/max on the NATIVE value, rendered after — a lexicographic
+      // string min would call '999.00' larger than '10000.00'.
+      s"""SELECT '$name' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(*) - count($name) AS BIGINT) AS n_nulls,
+         |       CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct,
+         |       ${sqlRender(name)(s"min($name)")} AS min_s,
+         |       ${sqlRender(name)(s"max($name)")} AS max_s
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    QueryDef("profile_orders", oracle) { (spark, dir) =>
+      val orders = Tables.orders(spark, dir)
+      cols.map { case (name, render) =>
+        val c = col(name)
+        orders.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(c)).as("n_nulls"),
+          countDistinct(c).as("n_distinct"),
+          render(min(c)).as("min_s"), render(max(c)).as("max_s"))
+          .select(lit(name).as("col_name"), $"n_rows", $"n_nulls",
+            $"n_distinct", $"min_s", $"max_s")
+      }.reduce(_ union _).orderBy($"col_name")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(corrMoments, histogram, quantileBucket, profileOrders)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class StatsOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("moment-based corr agrees with Spark's builtin corr to 1e-6") {
+    val ours = StatsOps.corrMoments.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val builtin = graft.io.Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_extendedprice").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ours.keySet == builtin.keySet)
+    for ((k, v) <- ours)
+      assert(math.abs(v - builtin(k)) < 1e-6, s"flag $k: $v vs ${builtin(k)}")
+  }
+
+  test("quantile buckets partition every order into near-equal quarters") {
+    val orders = graft.io.Tables.orders(spark, sf)
+    val total = orders.count()
+    val rows = StatsOps.quantileBucket.run(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getLong(1)).sum == total, "buckets partition all rows")
+    val counts = rows.map(_.getLong(1))
+    assert(counts.max - counts.min <= 2, s"quartiles balanced: ${counts.toSeq}")
+    // bucket boundaries are ordered: each bucket's max <= next bucket's min
+    val spans = rows.map(r => (r.getDouble(2), r.getDouble(3)))
+    spans.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi <= lo) }
+  }
+
+  test("histogram bins tile the value range and count every order") {
+    val rows = StatsOps.histogram.run(spark, sf).collect()
+    val total = graft.io.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 25000))
+  }
+
+  test("profile counts nulls, distincts and native-order min/max") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // 999.0 < 10000.0 numerically but '999.00' > '10000.00' as strings —
+    // pins the render-after-min ordering.
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 999.0), (2L, 10000.0), (3L, null), (3L, 42.5))
+      .toDF("k", "price")
+    val prof = df.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count($"price")).as("n_nulls"),
+      countDistinct($"price").as("n_distinct"),
+      min($"price").cast("decimal(18,2)").cast("string").as("min_s"),
+      max($"price").cast("decimal(18,2)").cast("string").as("max_s")).collect().head
+    assert(prof.getLong(0) == 4 && prof.getLong(1) == 1 && prof.getLong(2) == 3)
+    assert(prof.getString(3) == "42.50" && prof.getString(4) == "10000.00")
+    // and the registered op emits one row per orders column, zero nulls
+    val out = StatsOps.profileOrders.run(spark, sf).collect()
+    assert(out.length == 6)
+    assert(out.forall(_.getLong(2) == 0L), "testdata orders has no nulls")
+    assert(out.forall(r => r.getString(4) <= r.getString(5) ||
+      r.getString(0) == "o_totalprice"), "min_s <= max_s except decimal render")
+  }
+}
