@@ -22,7 +22,8 @@ object SparkEntry {
       SqlOps.all ++ graft.streaming.StreamingOps.all ++ MultimodalOps.all ++
       RefDataOps.all ++ SkewOps.all ++ TypedOps.all ++ SketchOps.all ++
       AsofOps.all ++ RangeJoinOps.all ++ OlapOps.all ++ SamplingOps.all ++
-      WindowOps.all ++ PackingOps.all ++ RankingOps.all ++ StatsOps.all
+      WindowOps.all ++ PackingOps.all ++ RankingOps.all ++ StatsOps.all ++
+      GraphOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -381,8 +381,42 @@ object TimeSeriesOps {
       .orderBy($"event_type")
   }
 
+  /** Event-sequence pattern matching (MATCH_RECOGNIZE-lite): each user's
+    * chronological event stream is compressed to one character per event
+    * (initials are unique across the five types) and matched against a
+    * regex — here "view, then click, then purchase, with no error anywhere
+    * between" (`v[^e]*c[^e]*p`). Where [[funnel]] fixes the stage sequence
+    * in the plan shape, the pattern here is DATA — any regex over the
+    * alphabet works without replanning, which is the MATCH_RECOGNIZE value
+    * proposition. Emitting the full sequence string makes the oracle
+    * compare pin the exact per-user event ordering, microsecond ties
+    * broken by event_id on both engines. One user-keyed shuffle; per-user
+    * lists are a user's own activity, bounded at any corpus scale. */
+  val patternMatch: QueryDef = QueryDef(
+    "a4_pattern_match",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+      |                  substr(event_type, 1, 1) AS c FROM events),
+      |s AS (SELECT user_id, string_agg(c, '' ORDER BY tus, event_id) AS seq
+      |      FROM e GROUP BY user_id)
+      |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events, seq,
+      |       CAST(CASE WHEN regexp_matches(seq, 'v[^e]*c[^e]*p')
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS matched
+      |FROM s ORDER BY user_id""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        substring($"event_type", 1, 1).as("c"))
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"tus", $"event_id", $"c"))).as("evs"))
+      .select($"user_id",
+        array_join(transform($"evs", e => e.getField("c")), "").as("seq"))
+      .select($"user_id", length($"seq").cast("long").as("n_events"), $"seq",
+        when($"seq".rlike("v[^e]*c[^e]*p"), 1L).otherwise(0L).as("matched"))
+      .orderBy($"user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     hourlyDedup, pointRead, daySlice, rangeMax, dailyMax, zorderKey, gapFill,
-    funnel, retention, zscoreOutliers,
+    funnel, retention, zscoreOutliers, patternMatch,
   )
 }
