@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Whole-registry physical-plan invariants: every registered query is
@@ -114,6 +115,37 @@ class PlanAuditSpec extends AnyFunSuite {
       joined.collect() // run THIS QueryExecution so AQE re-plans with stats
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"), s"no skew split in:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB the cheapest join optimization after broadcast is Spark's
+    // runtime bloom filter: the selective (build) side's keys are sketched
+    // into a bloom filter that is pushed into the probe side's scan-filter,
+    // dropping most probe rows BEFORE the shuffle. Verify the optimizer
+    // injects it for the canonical shape (big fact ⋈ selectively-filtered
+    // dim, too big to broadcast) once the size thresholds match the fixture
+    // scale — on a real cluster the defaults (10 GB probe side) hit the
+    // same path without tuning.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+    ).map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = io.Tables.lineitem(spark, sf)
+      val sel = io.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey")).count()
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected in:\n$optimized")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
