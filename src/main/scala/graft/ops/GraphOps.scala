@@ -79,5 +79,49 @@ object GraphOps {
       .orderBy($"degree")
   }
 
-  val all: Seq[QueryDef] = Seq(triangles, degreeDist)
+  /** PageRank over a directed edge list (undirected graphs pass both
+    * orientations), fixed iteration count, damping 0.85.
+    *
+    * Determinism: per-edge contributions are quantized to 1e-9 BIGINTs
+    * BEFORE the per-node sum (the `llm_embed_centroid` architecture), so
+    * every iteration is bit-reproducible at any parallelism — rerunning
+    * the op yields identical ranks, which the spec asserts. Each round is
+    * one edge-keyed join + one node-keyed aggregate; lineage is truncated
+    * per round with an eager localCheckpoint exactly as
+    * `LlmTextOps.clusterOf` does (plan depth stays O(1), not O(rounds)).
+    * Registered rows-only: fixed-point float iteration has no ANSI-SQL
+    * oracle; GraphOpsSpec value-checks rank conservation, hub dominance,
+    * and bit-stability instead. */
+  private[graft] def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
+    val e = graft.Caches.persist(edges.select($"src", $"dst"))
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nodes = graft.Caches.persist(e.select($"src".as("id")).distinct())
+    var ranks = nodes.select($"id", lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.select($"id".as("src"), $"rank"), "src")
+        .join(deg, "src")
+        .select($"dst".as("id"),
+          round($"rank" / $"deg" * 1e9).cast("long").as("cq"))
+      val summed = contribs.groupBy($"id").agg(sum($"cq").as("sq"))
+      ranks = graft.Caches.localCheckpoint(
+        nodes.join(summed, Seq("id"), "left")
+          .select($"id",
+            (lit(0.15) + lit(0.85) * (coalesce($"sq", lit(0L)) / 1e9)).as("rank")))
+    }
+    ranks
+  }
+
+  /** Top-20 PageRank hubs of the co-occurrence graph (15 rounds). */
+  val pageRank: QueryDef = QueryDef.rowsOnly("graph_pagerank") { (spark, dir) =>
+    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val edges = und.select($"p1".as("src"), $"p2".as("dst"))
+      .union(und.select($"p2".as("src"), $"p1".as("dst")))
+    pageRankOf(edges, 15)
+      .select($"id".as("part"), round($"rank", 6).as("rank"))
+      .orderBy($"rank".desc, $"part")
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(triangles, degreeDist, pageRank)
 }

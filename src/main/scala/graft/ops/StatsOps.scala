@@ -168,5 +168,43 @@ object StatsOps {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(corrMoments, histogram, quantileBucket, profileOrders)
+  /** Robust outlier counts per event type via median/MAD (median absolute
+    * deviation) — the z-score twin (`a4_zscore_outliers`) that heavy tails
+    * can't poison: one extreme value shifts a mean/stddev threshold but
+    * leaves the medians untouched. Two exact-percentile passes (median,
+    * then median of |x − med|), thresholds broadcast between them; the
+    * outlier test `|x − med| > 3·1.4826·mad` is a strict comparison of
+    * identically-derived doubles on both engines. Exact percentiles buffer
+    * per-group — 5 event types here; the KLL sketch is the 100 TB swap, as
+    * with `feat_quantile_bucket`. */
+  val madOutliers: QueryDef = QueryDef(
+    "stats_mad_outliers",
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |             FROM events GROUP BY event_type),
+      |mad AS (SELECT e.event_type, quantile_cont(abs(e.value - med.med), 0.5) AS mad
+      |        FROM events e JOIN med ON e.event_type = med.event_type
+      |        GROUP BY e.event_type)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CASE WHEN abs(e.value - med.med) > 3 * 1.4826 * mad.mad
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN med ON e.event_type = med.event_type
+      |              JOIN mad ON e.event_type = mad.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+  ) { (spark, dir) =>
+    val e = Tables.events(spark, dir).select($"event_type", $"value")
+    val med = e.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val withMed = e.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy($"event_type")
+      .agg(percentile(abs($"value" - $"med"), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs($"value" - $"med") > lit(3) * 1.4826 * $"mad", 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(corrMoments, histogram, quantileBucket, profileOrders, madOutliers)
 }

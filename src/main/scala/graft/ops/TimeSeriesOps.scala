@@ -415,8 +415,34 @@ object TimeSeriesOps {
       .orderBy($"user_id")
   }
 
+  /** 7-day rolling distinct active users per day. Sliding-window DISTINCT
+    * can't use a plain window frame (distinct isn't decomposable), so the
+    * scale-right plan is: dedup to (user, day) once — the same first step
+    * as [[retention]] — then join the tiny day dimension against it on a
+    * bounded date-offset band and count distinct per day. The expansion is
+    * exactly 7× the user-day activity set, independent of raw event volume;
+    * the day dimension is broadcast. */
+  val rollingDistinct: QueryDef = QueryDef(
+    "a4_rolling_distinct",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |d AS (SELECT DISTINCT day FROM a)
+      |SELECT CAST(d.day AS VARCHAR) AS day,
+      |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users_7d
+      |FROM d JOIN a ON datediff('day', a.day, d.day) BETWEEN 0 AND 6
+      |GROUP BY d.day ORDER BY day""".stripMargin,
+  ) { (spark, dir) =>
+    val a = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val d = a.select($"day".as("d")).distinct()
+    a.join(broadcast(d), datediff($"d", $"day").between(0, 6))
+      .groupBy($"d")
+      .agg(countDistinct($"user_id").as("users_7d"))
+      .select($"d".cast("string").as("day"), $"users_7d")
+      .orderBy($"day")
+  }
+
   val all: Seq[QueryDef] = Seq(
     hourlyDedup, pointRead, daySlice, rangeMax, dailyMax, zorderKey, gapFill,
-    funnel, retention, zscoreOutliers, patternMatch,
+    funnel, retention, zscoreOutliers, patternMatch, rollingDistinct,
   )
 }

@@ -53,6 +53,61 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(dist.map(r => r.getLong(0) * r.getLong(1)).sum == 2 * nEdges)
   }
 
+  test("pagerank: hub dominance, rank conservation, bit-stable reruns") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // star graph: node 0 connects to 1..8; undirected -> both orientations
+    val und = (1L to 8L).map(i => (0L, i))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = GraphOps.pageRankOf(edges, 15).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r(0L) > r(1L) * 3, s"hub must dominate spokes: $r")
+    assert((1L to 8L).map(r).distinct.size == 1, "spokes symmetric")
+    // with no dangling nodes total rank stays ~n (damping redistributes)
+    assert(math.abs(r.values.sum - 9.0) < 0.01)
+    // quantized contributions -> rerun is bit-identical
+    val r2 = GraphOps.pageRankOf(edges, 15).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r == r2, "pagerank must be deterministic")
+  }
+
+  test("mad outliers: extreme values don't poison the threshold") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions._
+    // 99 values near 10, one at 10000: median/MAD flags exactly the one
+    // extreme row, while a mean/stddev (z-score) threshold would be dragged
+    // by the outlier itself
+    val vals = (1 to 99).map(i => ("a", 10.0 + (i % 5) * 0.1)) :+ (("a", 10000.0))
+    val e = vals.toDF("event_type", "value")
+    val med = e.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val withMed = e.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy($"event_type")
+      .agg(percentile(abs($"value" - $"med"), lit(0.5)).as("mad"))
+    val out = withMed.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(sum(when(abs($"value" - $"med") > lit(3) * 1.4826 * $"mad", 1L)
+        .otherwise(0L)).as("n_outliers")).collect().head
+    assert(out.getLong(1) == 1L, s"exactly the planted outlier: $out")
+  }
+
+  test("rolling 7-day distinct counts each user once per window") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions._
+    // user 1 active on days 1 and 3 (must count once in any window holding
+    // both); user 2 only on day 1 (ages out of the day-8 window)
+    val a = Seq((1L, "2024-01-01"), (1L, "2024-01-03"), (2L, "2024-01-01"),
+      (3L, "2024-01-08"))
+      .toDF("user_id", "day_s").select($"user_id", to_date($"day_s").as("day"))
+      .distinct()
+    val d = a.select($"day".as("d")).distinct()
+    val out = a.join(broadcast(d), datediff($"d", $"day").between(0, 6))
+      .groupBy($"d").agg(countDistinct($"user_id").as("users_7d"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(out("2024-01-01") == 2L) // users 1,2
+    assert(out("2024-01-03") == 2L) // user 1 once (two active days), user 2
+    assert(out("2024-01-08") == 2L) // user 1 (day 3) + user 3; user 2 aged out
+  }
+
   test("pattern match: tie-broken ordering and no-error constraint") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     import org.apache.spark.sql.functions._
