@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("top-k queries plan as TakeOrderedAndProject, not global sorts") {
     val topK = Seq("redshift_q1", "a7_top5_customers", "a7_top5_nested",
-      "a5_top10_leaderboard", "sql_top_orders")
+      "a5_top10_leaderboard", "sql_top_orders", "llm_bm25_rank",
+      "graph_pagerank")
     topK.foreach { n =>
       assert(plans(n).contains("TakeOrderedAndProject"),
         s"$n lost its top-k plan")
@@ -35,7 +36,9 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("dimension joins broadcast the small side") {
     Seq("redshift_q1", "a5_search_tag_range", "llm_cosine_topk",
-      "a4_zscore_outliers", "llm_decontam", "llm_contam_frac").foreach { n =>
+      "a4_zscore_outliers", "llm_decontam", "llm_contam_frac",
+      "llm_tfidf_rank", "llm_bm25_rank", "feat_quantile_bucket",
+      "stats_mad_outliers", "a4_rolling_distinct").foreach { n =>
       assert(plans(n).contains("Broadcast"), s"$n lost its broadcast")
     }
   }
