@@ -76,5 +76,50 @@ object SketchOps {
       .orderBy($"l_returnflag")
   }
 
-  val all: Seq[QueryDef] = Seq(approxDistinct, approxPercentiles, percentileExact)
+  /** Count-min sketch heavy hitters over the document token stream —
+    * d=4 hash rows × w=1024 counters, estimate = min over rows of the
+    * hashed bucket (Cormode & Muthukrishnan 2005). Built DECLARATIVELY:
+    * the sketch is just `GROUP BY (row, bucket)` over hashed token counts,
+    * so — unusually for a sketch — it is exactly reproducible cross-engine
+    * via the portable 60-bit md5 hash and ships ORACLE-BACKED, overcount
+    * and all (`est >= cnt` by construction; equality when no collision).
+    *
+    * Scale path: here the exact per-token counts feed the sketch (the
+    * corpus vocabulary is small); at 100 TB you feed raw occurrences
+    * straight into the same (row, bucket) aggregate — identical result by
+    * associativity, 4·1024 counters of state instead of a vocabulary-sized
+    * shuffle — and estimate only a candidate set (per-partition top-k)
+    * rather than every distinct token. */
+  val cmsTopk: QueryDef = QueryDef(
+    "sketch_cms_topk",
+    """WITH tok AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      |             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |             GROUP BY w),
+      |cells AS (SELECT i, w, cnt,
+      |                 ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || w), 1, 15))::BIGINT % 1024 AS j
+      |          FROM tok, (SELECT unnest([0, 1, 2, 3]) AS i)),
+      |sketch AS (SELECT i, j, sum(cnt) AS bucket FROM cells GROUP BY i, j),
+      |est AS (SELECT c.w, min(c.cnt) AS cnt, min(s.bucket) AS est
+      |        FROM cells c JOIN sketch s ON s.i = c.i AND s.j = c.j
+      |        GROUP BY c.w)
+      |SELECT w, CAST(cnt AS BIGINT) AS cnt, CAST(est AS BIGINT) AS est
+      |FROM est ORDER BY est DESC, w LIMIT 20""".stripMargin,
+  ) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val cells = toks
+      .select($"w", $"cnt", explode(array((0 to 3).map(lit(_)): _*)).as("i"))
+      .withColumn("j",
+        call_function("md5hash60",
+          concat($"i".cast("string"), lit(":"), $"w")) % 1024)
+    val sketch = cells.groupBy($"i", $"j").agg(sum($"cnt").as("bucket"))
+    cells.join(sketch, Seq("i", "j"))
+      .groupBy($"w").agg(min($"cnt").as("cnt"), min($"bucket").as("est"))
+      .orderBy($"est".desc, $"w")
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(approxDistinct, approxPercentiles, percentileExact, cmsTopk)
 }

@@ -36,4 +36,31 @@ class SketchOpsSpec extends AnyFunSuite {
       assert(math.abs(p50 - exact50) < math.max(1.0, exact50 * 0.05))
     }
   }
+
+  test("count-min estimates never undercount and bound the overcount") {
+    import org.apache.spark.sql.functions._
+    // full-vocabulary estimates (not just the registered top-20): CMS can
+    // only overcount, and with 31 tokens in 4x1024 counters collisions are
+    // rare — the total overcount across the vocabulary stays tiny relative
+    // to the stream.
+    val docs = io.Tables.documents(spark, sf)
+    val toks = docs.select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val cells = toks
+      .select($"w", $"cnt", explode(array((0 to 3).map(lit(_)): _*)).as("i"))
+      .withColumn("j", call_function("md5hash60",
+        concat($"i".cast("string"), lit(":"), $"w")) % 1024)
+    val sketch = cells.groupBy($"i", $"j").agg(sum($"cnt").as("bucket"))
+    val est = cells.join(sketch, Seq("i", "j"))
+      .groupBy($"w").agg(min($"cnt").as("cnt"), min($"bucket").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (w, cnt, e) =>
+      assert(e >= cnt, s"CMS undercounted $w: $e < $cnt")
+    }
+    val stream = est.map(_._2).sum
+    val overcount = est.map(t => t._3 - t._2).sum
+    assert(overcount <= stream / 100,
+      s"overcount $overcount too large for stream $stream")
+  }
 }
