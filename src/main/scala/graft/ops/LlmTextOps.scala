@@ -848,10 +848,46 @@ object LlmTextOps {
       .orderBy($"doc_id")
   }
 
+  /** Per-document token (Shannon) entropy — the information-density twin
+    * of [[repetition]]: keyword-stuffed and template boilerplate collapses
+    * toward 0 bits while diverse text approaches ln(distinct). Computed as
+    * `ln(n) − (Σ c·ln c)/n` over the per-token counts; each `c·ln c` term
+    * is quantized to a 1e-6 BIGINT before the per-doc sum so the fold is
+    * exact integer math in a deterministic order (the `llm_embed_centroid`
+    * architecture applied inside an array fold). Pure per-doc array math —
+    * no shuffle, linear scan, fully parallel at any corpus size; the
+    * O(n·distinct) count form mirrors the oracle exactly (distinct ≤ 31 in
+    * this vocab; the sorted-run fold in [[repetition]] is the swap if a
+    * real corpus makes it hot). */
+  val entropy: QueryDef = QueryDef(
+    "llm_entropy",
+    """SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+      |       round(ln(len(ts)) - CAST(list_sum(
+      |         [CAST(round(c * ln(c) * 1000000) AS BIGINT)
+      |          for c in [len(list_filter(ts, x -> x = w)) for w in list_distinct(ts)]]
+      |       ) AS DOUBLE) / 1e6 / len(ts), 6) AS entropy
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id", size($"ts").as("n"),
+        size(array_distinct($"ts")).cast("long").as("n_distinct"),
+        aggregate(
+          transform(array_distinct($"ts"),
+            w => round(size(filter($"ts", x => x === w))
+              * log(size(filter($"ts", x => x === w))) * 1000000).cast("long")),
+          lit(0L), (acc, t) => acc + t).as("s"))
+      .select($"doc_id", $"n".cast("long").as("n_tokens"), $"n_distinct",
+        round(log($"n") - $"s".cast("double") / 1e6 / $"n", 6).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
-    neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
+    entropy, neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
     dedupCluster, dupChunks,
   )
 }

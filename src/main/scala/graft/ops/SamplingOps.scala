@@ -90,5 +90,38 @@ object SamplingOps {
       .orderBy($"split")
   }
 
-  val all: Seq[QueryDef] = Seq(sampleHash, sampleStratified, trainSplit)
+  /** A/B experiment readout: variant assignment is the portable hash of
+    * the user id mod 2 — the industry-standard deterministic bucketing
+    * (same user always lands in the same arm, at any parallelism, with no
+    * assignment table to store or join) — and conversion is "has any
+    * purchase event". Distinct-user and converted-user sets are user-keyed
+    * dedups; the readout is a 2-row aggregate. The conversion rate is one
+    * identical division of exact counts on both engines. */
+  val abConversion: QueryDef = QueryDef(
+    "ab_conversion",
+    """WITH v AS (SELECT DISTINCT user_id,
+      |                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant
+      |           FROM events),
+      |conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT v.variant, CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(count(conv.user_id) AS BIGINT) AS n_converted,
+      |       round(CAST(count(conv.user_id) AS DOUBLE) / count(*), 6) AS conv_rate
+      |FROM v LEFT JOIN conv ON v.user_id = conv.user_id
+      |GROUP BY v.variant ORDER BY v.variant""".stripMargin,
+  ) { (spark, dir) =>
+    val events = Tables.events(spark, dir)
+    val v = events.select($"user_id").distinct()
+      .select($"user_id",
+        (call_function("md5hash60", $"user_id".cast("string")) % 2).as("variant"))
+    val conv = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("conv_user")).distinct()
+    v.join(conv, $"user_id" === $"conv_user", "left")
+      .groupBy($"variant")
+      .agg(count(lit(1)).as("n_users"), count($"conv_user").as("n_converted"))
+      .select($"variant", $"n_users", $"n_converted",
+        round($"n_converted".cast("double") / $"n_users", 6).as("conv_rate"))
+      .orderBy($"variant")
+  }
+
+  val all: Seq[QueryDef] = Seq(sampleHash, sampleStratified, trainSplit, abConversion)
 }

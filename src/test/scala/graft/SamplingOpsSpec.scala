@@ -44,4 +44,19 @@ class SamplingOpsSpec extends AnyFunSuite {
     assert(rows("train").toDouble / total > 0.7)
     assert(rows("valid") > 0 && rows("test") > 0)
   }
+
+  test("A/B arms partition all users, assignment is rerun-stable") {
+    val out = SamplingOps.abConversion.run(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val totalUsers = io.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(out.map(_.getLong(1)).sum == totalUsers, "arms partition users")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "converted <= users per arm")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // hash bucketing -> identical arms on rerun (rand() could never)
+    val again = SamplingOps.abConversion.run(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
