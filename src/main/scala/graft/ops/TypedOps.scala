@@ -76,5 +76,61 @@ object TypedOps {
       .orderBy($"c_mktsegment")
   }
 
-  val all: Seq[QueryDef] = Seq(filterMap, typedAvg)
+  /** Bounded top-k buffer for [[TopKOrders]] — a case class so
+    * `Encoders.product` gives it a codegen'd ExpressionEncoder. Items are
+    * (score, id) kept sorted by (score DESC, id ASC), capped at k. */
+  final case class TopKBuf(items: Seq[(Double, Long)])
+
+  /** Top-k-per-group as a custom Aggregator: each partial buffer holds at
+    * most k rows, so the shuffle moves O(k · groups) instead of every row —
+    * the bounded-heap alternative to `row_number() OVER (...) <= k`, whose
+    * window form must co-locate and sort each group's FULL history. (Spark
+    * ≥3.5 narrows the gap with WindowGroupLimit pushdown; the Aggregator
+    * keeps the bound explicit and works inside any typed pipeline.) Pure
+    * comparisons on stored values — no arithmetic, so cross-engine
+    * determinism is just the (score DESC, id ASC) total order. */
+  final class TopKOrders(k: Int)
+      extends Aggregator[(Long, Double), TopKBuf, TopKBuf] {
+    private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(items: Seq[(Double, Long)], x: (Double, Long)) = {
+      val (before, after) = items.span(beats(_, x))
+      (before ++ (x +: after)).take(k)
+    }
+    override def zero: TopKBuf = TopKBuf(Nil)
+    override def reduce(b: TopKBuf, in: (Long, Double)): TopKBuf =
+      TopKBuf(insert(b.items, (in._2, in._1)))
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf(b.items.foldLeft(a.items)(insert))
+    override def finish(b: TopKBuf): TopKBuf = b
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
+
+  /** Top-3 orders per customer via the bounded-heap Aggregator, exploded
+    * back to rows and checked against the window-rank oracle. */
+  val typedTopK: QueryDef = QueryDef(
+    "typed_topk_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+  ) { (spark, dir) =>
+    implicit val inEnc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Double)](Encoders.tuple(
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new TopKOrders(3).toColumn.name("topk"))
+      .toDF("o_custkey", "topk")
+      .select($"o_custkey", explode($"topk.items").as("it"))
+      .select($"o_custkey", $"it._2".as("o_orderkey"), $"it._1".as("o_totalprice"))
+      .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(filterMap, typedAvg, typedTopK)
 }

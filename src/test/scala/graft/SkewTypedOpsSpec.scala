@@ -31,4 +31,21 @@ class SkewTypedOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(typed == sql)
   }
+
+  test("top-k aggregator: cap, tie order, and cross-partition merge") {
+    val agg = new TypedOps.TopKOrders(3)
+    val full = Seq((9.0, 5L), (9.0, 2L), (7.0, 1L)) // sorted, at cap
+    // insert below the floor: dropped; above: pushes the floor out
+    assert(agg.merge(TypedOps.TopKBuf(full), agg.reduce(agg.zero, (8L, 1.0))).items == full)
+    assert(agg.merge(TypedOps.TopKBuf(full), agg.reduce(agg.zero, (8L, 8.0))).items ==
+      Seq((9.0, 5L), (9.0, 2L), (8.0, 8L)))
+    // equal score: lower id wins the tie
+    assert(agg.reduce(TypedOps.TopKBuf(Seq((9.0, 5L))), (2L, 9.0)).items ==
+      Seq((9.0, 2L), (9.0, 5L)))
+    // merging two partial buffers = aggregating the union
+    val left = Seq((5.0, 1L), (3.0, 2L))
+    val right = Seq((4.0, 3L), (2.0, 4L))
+    assert(agg.merge(TypedOps.TopKBuf(left), TypedOps.TopKBuf(right)).items ==
+      Seq((5.0, 1L), (4.0, 3L), (3.0, 2L)))
+  }
 }
