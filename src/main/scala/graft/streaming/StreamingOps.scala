@@ -296,6 +296,31 @@ object StreamingOps {
     statefulUserStats(Tables.events(spark, dir)).orderBy($"user_id")
   }
 
+  /** Count-min sketch of user-activity frequencies maintained as a
+    * STREAMING aggregate: 4 hash rows × 1024 counters of state regardless
+    * of stream volume — the reason sketches are the streaming-state form
+    * at scale (an exact per-user count grows state with the user
+    * population; the sketch never does). Same portable-hash bucket
+    * derivation as the batch `sketch_cms_topk`, so the batch twin is
+    * oracle-checked and the spec proves stream ≡ batch on the same slice. */
+  def cmsAgg(events: DataFrame): DataFrame =
+    events
+      .select($"user_id", explode(array((0 to 3).map(lit(_)): _*)).as("i"))
+      .withColumn("j", call_function("md5hash60",
+        concat($"i".cast("string"), lit(":"), $"user_id".cast("string"))) % 1024)
+      .groupBy($"i", $"j").agg(count(lit(1)).as("hits"))
+
+  val cms: QueryDef = QueryDef(
+    "stream_cms",
+    """SELECT i, j, CAST(count(*) AS BIGINT) AS hits
+      |FROM (SELECT g.i,
+      |             ('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS j
+      |      FROM events e, (SELECT unnest([0, 1, 2, 3]) AS i) g)
+      |GROUP BY i, j ORDER BY i, j""".stripMargin,
+  ) { (spark, dir) =>
+    cmsAgg(Tables.events(spark, dir)).orderBy($"i", $"j")
+  }
+
   val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
-    customSession, enriched, attribution)
+    customSession, enriched, attribution, cms)
 }

@@ -55,6 +55,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming count-min sketch state equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val slice = boundedSlice()
+    val stream = MemoryStream[Ev]
+    // two batches: the sketch must accumulate across micro-batches
+    val (b1, b2) = slice.splitAt(slice.length / 2)
+    stream.addData(b1)
+    val q = StreamingOps.cmsAgg(stream.toDF()).writeStream
+      .format("memory").queryName("cms_out").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cms_out")
+      .orderBy($"i", $"j").collect().toSeq
+    val batch = StreamingOps.cmsAgg(
+      io.Tables.events(spark, sf)
+        .filter($"ts" < to_timestamp(lit("2024-01-03 00:00:00"))))
+      .orderBy($"i", $"j").collect().toSeq
+    assert(streamed == batch)
+    // bounded state: never more than 4 x 1024 counters
+    assert(streamed.length <= 4 * 1024)
+  }
+
   test("streaming session windows equal the batch sessionization") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits.newProductEncoder
