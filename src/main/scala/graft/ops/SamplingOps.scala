@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -123,5 +124,68 @@ object SamplingOps {
       .orderBy($"variant")
   }
 
-  val all: Seq[QueryDef] = Seq(sampleHash, sampleStratified, trainSplit, abConversion)
+  /** Welch two-sample t statistic between the A/B arms on purchase values —
+    * the readout that tells an experimenter whether the arms differ. Arms
+    * are the same deterministic hash bucketing as [[abConversion]]; per-arm
+    * moments are exact integer sums (values ×1000) so the shuffled
+    * aggregation is order-free, and the t statistic is ONE
+    * identically-parenthesized float expression over those exact moments on
+    * both engines (the `stats_corr_moments` architecture). Null-hypothesis
+    * data ⇒ |t| should be small; the spec asserts a planted uplift flips it
+    * large. */
+  val abTTest: QueryDef = QueryDef(
+    "ab_value_ttest",
+    """WITH x AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant,
+      |                  CAST(round(value * 1000) AS BIGINT) AS xq
+      |           FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(count(*) AS DOUBLE) AS nd,
+      |             CAST(sum(xq) AS DOUBLE) AS sx, CAST(sum(xq * xq) AS DOUBLE) AS sxx
+      |      FROM x GROUP BY variant),
+      |p AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+      |             max(CASE WHEN variant = 1 THEN n END) AS n1,
+      |             max(CASE WHEN variant = 0 THEN nd END) AS nd0,
+      |             max(CASE WHEN variant = 1 THEN nd END) AS nd1,
+      |             max(CASE WHEN variant = 0 THEN sx END) AS sx0,
+      |             max(CASE WHEN variant = 1 THEN sx END) AS sx1,
+      |             max(CASE WHEN variant = 0 THEN sxx END) AS sxx0,
+      |             max(CASE WHEN variant = 1 THEN sxx END) AS sxx1
+      |      FROM m)
+      |SELECT n0, n1,
+      |       round(sx0 / 1000.0 / nd0, 6) AS mean0,
+      |       round(sx1 / 1000.0 / nd1, 6) AS mean1,
+      |       round((sx0 / 1000.0 / nd0 - sx1 / 1000.0 / nd1) /
+      |             sqrt((nd0 * sxx0 - sx0 * sx0) / (nd0 * (nd0 - 1.0)) / 1000000.0 / nd0
+      |                + (nd1 * sxx1 - sx1 * sx1) / (nd1 * (nd1 - 1.0)) / 1000000.0 / nd1), 6) AS t_welch
+      |FROM p""".stripMargin,
+  ) { (spark, dir) => welchT(Tables.events(spark, dir)) }
+
+  /** Welch-t plan over any events frame — split out for the spec. */
+  private[graft] def welchT(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val x = events
+      .filter($"event_type" === "purchase")
+      .select(
+        (call_function("md5hash60", $"user_id".cast("string")) % 2).as("variant"),
+        round($"value" * 1000).cast("long").as("xq"))
+    val m = x.groupBy($"variant").agg(
+      count(lit(1)).as("n"),
+      sum($"xq".cast("decimal(38,0)")).as("sx_d"),
+      sum(($"xq" * $"xq").cast("decimal(38,0)")).as("sxx_d"))
+    def arm(v: Int, c: Column) = max(when($"variant" === v, c))
+    val p = m.select(
+      arm(0, $"n").as("n0"), arm(1, $"n").as("n1"),
+      arm(0, $"n".cast("double")).as("nd0"), arm(1, $"n".cast("double")).as("nd1"),
+      arm(0, $"sx_d".cast("double")).as("sx0"), arm(1, $"sx_d".cast("double")).as("sx1"),
+      arm(0, $"sxx_d".cast("double")).as("sxx0"), arm(1, $"sxx_d".cast("double")).as("sxx1"))
+    p.select($"n0", $"n1",
+      round($"sx0" / 1000.0 / $"nd0", 6).as("mean0"),
+      round($"sx1" / 1000.0 / $"nd1", 6).as("mean1"),
+      round(($"sx0" / 1000.0 / $"nd0" - $"sx1" / 1000.0 / $"nd1") /
+        sqrt(($"nd0" * $"sxx0" - $"sx0" * $"sx0") / ($"nd0" * ($"nd0" - lit(1.0))) / 1000000.0 / $"nd0"
+          + ($"nd1" * $"sxx1" - $"sx1" * $"sx1") / ($"nd1" * ($"nd1" - lit(1.0))) / 1000000.0 / $"nd1"), 6)
+        .as("t_welch"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(sampleHash, sampleStratified, trainSplit, abConversion, abTTest)
 }

@@ -59,4 +59,25 @@ class SamplingOpsSpec extends AnyFunSuite {
     val again = SamplingOps.abConversion.run(spark, sf).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("welch t: near zero on null data, decisive on a planted uplift") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions._
+    // 2000 purchases over 200 users, value cycling independently of the
+    // user, so under the null both arms draw from the same distribution
+    val base = (1 to 2000).map(i => (i.toLong, (i % 200).toLong + 1L,
+      "purchase", 10.0 + (i % 5) * 0.5))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val tNull = SamplingOps.welchT(base).collect().head
+    assert(math.abs(tNull.getDouble(4)) < 5.0,
+      s"null data should not reject: t=${tNull.getDouble(4)}")
+    // +5.0 planted on arm-1 users (same hash assignment the op uses)
+    val uplifted = base.withColumn("value",
+      $"value" + when(call_function("md5hash60",
+        $"user_id".cast("string")) % 2 === 1, 5.0).otherwise(0.0))
+    val tUp = SamplingOps.welchT(uplifted).collect().head
+    assert(tUp.getDouble(3) > tUp.getDouble(2), "arm 1 mean must be lifted")
+    assert(tUp.getDouble(4) < -10.0,
+      s"planted uplift must be decisive: t=${tUp.getDouble(4)}")
+  }
 }
