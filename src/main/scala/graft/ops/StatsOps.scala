@@ -205,6 +205,52 @@ object StatsOps {
       .orderBy($"event_type")
   }
 
+  /** Chi-square independence test: event type × A/B arm over the full
+    * event stream (are the arms balanced across behavior?). Observed
+    * counts are exact; each cell's (o−e)²/e term is derived from exact
+    * BIGINTs with one identical float expression and quantized to a 1e-6
+    * BIGINT before the final 10-cell sum — the largest shuffled float sum
+    * in the query is therefore exact integer math. Cells/marginals are
+    * tiny keyed aggregates (2 arms × 5 types); everything after the first
+    * groupBy is broadcast. */
+  val chi2: QueryDef = QueryDef(
+    "stats_chi2",
+    """WITH cells AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant,
+      |                      event_type, CAST(count(*) AS BIGINT) AS o
+      |               FROM events GROUP BY 1, 2),
+      |rt AS (SELECT variant, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY variant),
+      |ct AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY event_type),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS total FROM cells),
+      |terms AS (SELECT CAST(round(
+      |            (CAST(cells.o AS DOUBLE) - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(n.total AS DOUBLE))
+      |            * (CAST(cells.o AS DOUBLE) - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(n.total AS DOUBLE))
+      |            / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(n.total AS DOUBLE)) * 1000000) AS BIGINT) AS tq,
+      |                 cells.variant, cells.event_type
+      |          FROM cells JOIN rt USING (variant) JOIN ct USING (event_type), n)
+      |SELECT round(CAST(sum(tq) AS DOUBLE) / 1e6, 4) AS chi2,
+      |       CAST((count(DISTINCT variant) - 1) * (count(DISTINCT event_type) - 1) AS BIGINT) AS dof
+      |FROM terms""".stripMargin,
+  ) { (spark, dir) =>
+    val cells = Tables.events(spark, dir)
+      .groupBy(
+        (call_function("md5hash60", $"user_id".cast("string")) % 2).as("variant"),
+        $"event_type")
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy($"variant").agg(sum($"o").as("r"))
+    val ct = cells.groupBy($"event_type").agg(sum($"o").as("c"))
+    val n = cells.agg(sum($"o").as("total"))
+    val e = $"r".cast("double") * $"c".cast("double") / $"total".cast("double")
+    val d = $"o".cast("double") - e
+    cells.join(broadcast(rt), "variant").join(broadcast(ct), "event_type")
+      .crossJoin(broadcast(n))
+      .select($"variant", $"event_type",
+        round(d * d / e * 1000000).cast("long").as("tq"))
+      .agg(
+        round(sum($"tq").cast("double") / 1e6, 4).as("chi2"),
+        ((countDistinct($"variant") - 1) * (countDistinct($"event_type") - 1))
+          .as("dof"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(corrMoments, histogram, quantileBucket, profileOrders, madOutliers)
+    Seq(corrMoments, histogram, quantileBucket, profileOrders, madOutliers, chi2)
 }

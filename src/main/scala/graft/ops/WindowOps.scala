@@ -192,6 +192,47 @@ object WindowOps {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** first/nth/last_value over the full partition frame — the positional
+    * window family the other queries don't touch. One row per
+    * (event_type, day) group (row_number()=1 filter after the full-frame
+    * values are computed), ordering pinned by (µs, event_id) so same-µs
+    * ties can't flip a position. The frame must be spelled UNBOUNDED
+    * PRECEDING AND UNBOUNDED FOLLOWING on both engines: the default frame
+    * stops at CURRENT ROW, which silently turns last_value into "current
+    * value" — the classic positional-window bug, pinned here by the
+    * oracle. */
+  val positional: QueryDef = QueryDef(
+    "a4_positional_values",
+    """SELECT event_type, day, first_v, second_v, last_v FROM (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |         first_value(value) OVER w AS first_v,
+      |         nth_value(value, 2) OVER w AS second_v,
+      |         last_value(value) OVER w AS last_v,
+      |         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |                            ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+      |               ORDER BY epoch_us(ts), event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |WHERE rn = 1 ORDER BY event_type, day""".stripMargin,
+  ) { (spark, dir) =>
+    val wRank = Window
+      .partitionBy($"event_type", $"day").orderBy($"tus", $"event_id")
+    val w = wRank
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").cast("string").as("day"),
+        unix_micros($"ts").as("tus"), $"event_id", $"value")
+      .select($"event_type", $"day",
+        first($"value").over(w).as("first_v"),
+        nth_value($"value", 2).over(w).as("second_v"),
+        last($"value").over(w).as("last_v"),
+        row_number().over(wRank).as("rn"))
+      .filter($"rn" === 1).drop("rn")
+      .orderBy($"event_type", $"day")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(lagLead, movingAvg, sessionize, ntileQuartiles, percentRank, rangeFrame)
+    Seq(lagLead, movingAvg, sessionize, ntileQuartiles, percentRank,
+      rangeFrame, positional)
 }

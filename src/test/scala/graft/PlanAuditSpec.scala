@@ -87,7 +87,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // its global window ranks a 20-row top-k, after the limit).
     Seq("a4_lag_lead", "a4_moving_avg", "a4_sessionize", "a4_gap_fill",
       "a2_ntile_quartiles", "a2_percent_rank", "llm_pack_sequences",
-      "llm_sample_stratified", "a4_range_frame").foreach { n =>
+      "llm_sample_stratified", "a4_range_frame", "a4_positional_values",
+      "typed_topk_group").foreach { n =>
+      // (llm_tfidf_rank is excluded: its top-k window IS partitioned by
+      // qid, but the corpus-size scalar subquery plans the same 1-row
+      // SinglePartition aggregate llm_idf is allowed.)
       assert(!plans(n).contains("SinglePartition"),
         s"$n plans a single-partition exchange")
     }
