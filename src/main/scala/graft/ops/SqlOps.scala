@@ -105,5 +105,24 @@ object SqlOps {
       .orderBy($"table_name")
   }
 
-  val all: Seq[QueryDef] = Seq(topOrders, aggPricing, ddlView, catalogTables)
+  /** The native `md5hash60` expression invoked FROM SQL TEXT — proving the
+    * `SparkSessionExtensions` registration reaches the SQL surface, not
+    * just the Column API (`call_function`). The oracle spells the same
+    * 60-bit value in DuckDB's md5/substr form, so the cross-engine hash
+    * contract is re-verified through the SQL entry path end-to-end. */
+  val nativeFunction: QueryDef = QueryDef(
+    "sql_native_function",
+    """SELECT c_custkey,
+      |       ('0x' || substr(md5(c_name), 1, 15))::BIGINT AS h,
+      |       ('0x' || substr(md5(c_name), 1, 15))::BIGINT % 100 AS bucket
+      |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, md5hash60(c_name) AS h, md5hash60(c_name) % 100 AS bucket
+        |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(topOrders, aggPricing, ddlView, catalogTables, nativeFunction)
 }

@@ -24,6 +24,31 @@ class FormatOpsSpec extends AnyFunSuite {
     assert(back.count() == docs.count())
   }
 
+  test("jsonl read surfaces corrupt lines without poisoning good rows") {
+    import org.apache.spark.sql.types._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_jsonl_corrupt")
+    Files.writeString(Paths.get(dir.toString, "part.json"),
+      """{"doc_id": 1, "text": "good row"}
+        |{"doc_id": 2, "text": "also good"}
+        |{"doc_id": 3, "text": "broken
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (default): bad line lands in _corrupt_record, good rows parse
+    val permissive = spark.read.schema(schema).json(dir.toString)
+      .cache() // required before filtering on the corrupt column
+    assert(permissive.where("_corrupt_record IS NULL").count() == 2)
+    assert(permissive.where("_corrupt_record IS NOT NULL").count() == 1)
+    permissive.unpersist()
+    // DROPMALFORMED: the lane yields only the parseable rows
+    val dropped = spark.read.schema(schema)
+      .option("mode", "DROPMALFORMED").json(dir.toString)
+      .select("doc_id", "text")
+    assert(dropped.count() == 2)
+  }
+
   test("csv lane: decimal money survives the text round trip at scale 2") {
     val out = FormatOps.csvRoundtrip.run(spark, sf).collect()
     assert(out.length == 5)
