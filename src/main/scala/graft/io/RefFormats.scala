@@ -24,7 +24,7 @@ object RefFormats {
   def pipeTbl(spark: SparkSession, path: String, schema: StructType,
       minFields: Int): DataFrame = {
     val arr = split(col("value"), "\\|")
-    val typed = schema.fields.zipWithIndex.map { case (f, i) =>
+    val typed = schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
       element_at(arr, i + 1).cast(f.dataType).as(f.name)
     }
     spark.read.text(path)

@@ -40,6 +40,6 @@ object SqlDump {
       .select(from_csv(col("tuple"), schema,
         Map("quote" -> "'", "escape" -> "'", // SQL '' quote-escape
           "ignoreLeadingWhiteSpace" -> "true")).as("r"))
-      .select(schema.fieldNames.map(n => col(s"r.$n").as(n)): _*)
+      .select(schema.fieldNames.toSeq.map(n => col(s"r.$n").as(n)): _*)
   }
 }
