@@ -435,6 +435,24 @@ object LlmTextOps {
     * single identical divisions of exact ints on both engines, so they ship
     * unrounded. Per-doc array math only — no shuffle, cost bounded by
     * document length, fully parallel at 100 TB. */
+  /** Most-frequent-token count as the longest equal-run of the SORTED
+    * token array — a single O(n) fold instead of the oracle's
+    * O(n·distinct) count-per-word form (same value by definition; measured
+    * ~3× faster on the interpreted higher-order path). Shared by
+    * [[repetition]] and [[filterCascade]]. */
+  private def topRunCount(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      array_sort(ts),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   val repetition: QueryDef = QueryDef(
     "llm_repetition",
     """SELECT doc_id,
@@ -453,21 +471,7 @@ object LlmTextOps {
       |  WHERE len(ts) >= 3)
       |ORDER BY doc_id""".stripMargin,
   ) { (spark, dir) =>
-    // top_cnt as the longest equal-run of the SORTED token array — a single
-    // O(n) fold instead of the oracle's O(n·distinct) count-per-word form
-    // (same value by definition; measured ~3× faster on the interpreted
-    // higher-order path).
-    val topCnt = aggregate(
-      array_sort($"ts"),
-      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
-        lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    val topCnt = topRunCount($"ts")
     Tables.documents(spark, dir)
       .select($"doc_id", tokens.as("ts"))
       .filter(size($"ts") >= 3)
@@ -884,10 +888,128 @@ object LlmTextOps {
       .orderBy($"doc_id")
   }
 
+  /** Overlapping chunk split (50-token windows every 40 tokens — the
+    * RAG/pretraining chunking step): starts at every 40-token stride,
+    * ceil(n/40) chunks per doc, short tail chunks kept. Emits the portable
+    * 60-bit hash of each chunk (not its text), so the oracle compare pins
+    * exact chunk CONTENT while the result stays narrow — the same
+    * shuffle-digests-not-text discipline as the dedup family. Map-only:
+    * per-doc array algebra, one output row per chunk. */
+  val chunkSplit: QueryDef = QueryDef(
+    "llm_chunk_split",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |c AS (SELECT doc_id,
+      |             unnest([{'idx': i, 'chunk': array_to_string(ts[i*40+1 : i*40+50], ' ')}
+      |                     for i in range(0, CAST(ceil(len(ts) / 40.0) AS BIGINT))]) AS u
+      |      FROM t)
+      |SELECT doc_id, CAST(u.idx AS BIGINT) AS chunk_idx,
+      |       len(string_split(u.chunk, ' '))::BIGINT AS n_chunk_tokens,
+      |       ('0x' || substr(md5(u.chunk), 1, 15))::BIGINT AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select($"doc_id", tokens.as("ts"))
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), ceil(size($"ts") / lit(40.0)).cast("int") - 1),
+          i => concat_ws(" ", slice($"ts", i * 40 + 1, lit(50))))))
+      .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
+        size(split($"col", " ")).cast("long").as("n_chunk_tokens"),
+        portableHash($"col").as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Corpus-wide adjacent-token pair frequencies, top-20 — the counting
+    * step of the first BPE merge (Sennrich et al. 2016): the pair a
+    * tokenizer trainer would fuse next. Per-doc array expansion, one
+    * pair-keyed aggregate, TakeOrdered head. */
+  val bpePairs: QueryDef = QueryDef(
+    "llm_bpe_pairs",
+    """SELECT pair, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT unnest([array_to_string(ts[i : i+1], ' ')
+      |                     for i in range(1, len(ts))]) AS pair
+      |      FROM (SELECT string_split(text, ' ') AS ts FROM documents)
+      |      WHERE len(ts) >= 2)
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(tokens.as("ts"))
+      .filter(size($"ts") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"ts") - 1),
+        i => concat_ws(" ", slice($"ts", i, lit(2))))).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(20)
+  }
+
+  /** C4/Gopher-style quality-filter cascade in ONE pass: every signal the
+    * pipeline computes separately ([[tokenCount]], [[quality]],
+    * [[repetition]], [[entropy]]) evaluated per document, with the FIRST
+    * failing rule recorded as the drop reason — the end-to-end curation
+    * decision a training pipeline applies before packing. All predicates
+    * are exact-integer comparisons (counts, quantized entropy), so the
+    * verdict is hash-stable cross-engine. Map-only over the corpus. */
+  val filterCascade: QueryDef = QueryDef(
+    "llm_filter_cascade",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |s AS (SELECT doc_id, ts, len(ts) AS n,
+      |             len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and'))) AS stop_hits,
+      |             list_max([len(list_filter(ts, x -> x = w)) for w in list_distinct(ts)]) AS top_cnt,
+      |             CASE WHEN len(ts) >= 3
+      |                  THEN [array_to_string(ts[i : i+2], ' ') for i in range(1, len(ts) - 1)]
+      |                  ELSE []::VARCHAR[] END AS tri,
+      |             CAST(round((ln(len(ts)) - CAST(list_sum(
+      |               [CAST(round(c * ln(c) * 1000000) AS BIGINT)
+      |                for c in [len(list_filter(ts, x -> x = w)) for w in list_distinct(ts)]]
+      |             ) AS DOUBLE) / 1e6 / len(ts)) * 1000000) AS BIGINT) AS eq
+      |      FROM t)
+      |SELECT doc_id, n_tokens, reason,
+      |       CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |             CASE WHEN n < 20 THEN 'too_short'
+      |                  WHEN n > 1000 THEN 'too_long'
+      |                  WHEN stop_hits * 20 < n THEN 'low_stopword'
+      |                  WHEN top_cnt * 5 > n THEN 'repetitive_top'
+      |                  WHEN (len(tri) - len(list_distinct(tri))) * 10 > len(tri) * 3 THEN 'dup_trigrams'
+      |                  WHEN eq < 1000000 THEN 'low_entropy'
+      |                  ELSE 'keep' END AS reason
+      |      FROM s)
+      |ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val n = size($"ts")
+    val tri = when(n >= 3,
+      transform(sequence(lit(0), n - 3),
+        i => concat_ws(" ", slice($"ts", i + 1, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val entropyQ = round((log(n) - $"s".cast("double") / 1e6 / n) * 1000000)
+      .cast("long")
+    Tables.documents(spark, dir)
+      .select($"doc_id", tokens.as("ts"))
+      .select($"doc_id", $"ts", n.as("n"),
+        size(filter($"ts", x => x.isin("the", "a", "of", "and"))).as("stop_hits"),
+        topRunCount($"ts").as("top_cnt"), tri.as("tri"),
+        aggregate(
+          transform(array_distinct($"ts"),
+            w => round(size(filter($"ts", x => x === w))
+              * log(size(filter($"ts", x => x === w))) * 1000000).cast("long")),
+          lit(0L), (acc, t) => acc + t).as("s"))
+      .select($"doc_id", $"n".cast("long").as("n_tokens"),
+        when($"n" < 20, "too_short")
+          .when($"n" > 1000, "too_long")
+          .when($"stop_hits" * 20 < $"n", "low_stopword")
+          .when($"top_cnt" * 5 > $"n", "repetitive_top")
+          .when((size($"tri") - size(array_distinct($"tri"))) * 10 > size($"tri") * 3,
+            "dup_trigrams")
+          .when(entropyQ < 1000000L, "low_entropy")
+          .otherwise("keep").as("reason"))
+      .select($"doc_id", $"n_tokens", $"reason",
+        when($"reason" === "keep", 1L).otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     entropy, neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
-    dedupCluster, dupChunks,
+    dedupCluster, dupChunks, chunkSplit, bpePairs, filterCascade,
   )
 }

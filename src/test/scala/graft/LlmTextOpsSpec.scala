@@ -148,6 +148,42 @@ class LlmTextOpsSpec extends AnyFunSuite {
       "corpus has planted near-dups, so some docs must be dropped")
   }
 
+  test("filter cascade assigns the FIRST failing rule as the reason") {
+    val out = LlmTextOps.filterCascade.run(spark, sf).collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // keep flag is exactly reason == 'keep'
+    assert(out.forall { case (reason, keep) =>
+      (reason == "keep") == (keep == 1L) })
+    val reasons = out.map(_._1).toSet
+    assert(reasons.contains("keep") && reasons.size > 1,
+      s"cascade should both keep and drop on the corpus: $reasons")
+    // every emitted reason is from the cascade's fixed rule alphabet
+    val legal = Set("keep", "too_short", "too_long", "low_stopword",
+      "repetitive_top", "dup_trigrams", "low_entropy")
+    assert(reasons.subsetOf(legal), s"unknown reasons: ${reasons -- legal}")
+  }
+
+  test("chunk split: ceil(n/40) chunks, 50-token cap, full coverage") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = LlmTextOps.chunkSplit.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val n = docs(id)
+      assert(cs.length == (n + 39) / 40, s"doc $id: ${cs.length} chunks for $n")
+      assert(cs.forall(_._3 <= 50), "chunk token cap")
+      // stride-40 windows of width 50: token coverage accounting holds
+      val covered = cs.map(_._3).sum
+      val expected = (0 until cs.length)
+        .map(i => math.min(50, n - i * 40)).sum
+      assert(covered == expected, s"doc $id coverage $covered vs $expected")
+    }
+  }
+
   test("token entropy: 0 for constant docs, ln(n) for all-distinct docs") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val docs = Seq(
