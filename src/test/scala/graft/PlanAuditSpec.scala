@@ -50,6 +50,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("column pruning reaches the scan: profiler reads one column per pass") {
+    // profile_orders' whole design premise is N pruned single-column scans
+    // (vs one N-way EXPAND); if pruning broke, every pass would read the
+    // full 6-column schema and the design would silently be the worst of
+    // both. ReadSchema in the scan node is the proof.
+    val plan = plans("profile_orders")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty, s"no scans found in:\n$plan")
+    assert(readSchemas.forall(s => s.count(_ == ':') == 1),
+      s"a profiler pass reads more than one column: $readSchemas")
+    // and the text-heavy cascade must not drag unused document columns
+    // (lang, source, n_chars) through its scan
+    val cascade = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plans("llm_filter_cascade")).map(_.group(1)).toSeq
+    assert(cascade.forall(s => !s.contains("lang") && !s.contains("source")),
+      s"cascade reads unused columns: $cascade")
+  }
+
   test("every registered query resolves and plans without error") {
     assert(plans.size == SparkEntry.queries.size)
     assert(plans.values.forall(_.nonEmpty))
