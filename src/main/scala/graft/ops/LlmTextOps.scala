@@ -879,9 +879,12 @@ object LlmTextOps {
       .select($"doc_id", size($"ts").as("n"),
         size(array_distinct($"ts")).cast("long").as("n_distinct"),
         aggregate(
-          transform(array_distinct($"ts"),
-            w => round(size(filter($"ts", x => x === w))
-              * log(size(filter($"ts", x => x === w))) * 1000000).cast("long")),
+          // counts array FIRST, then one c*ln(c) pass — evaluating the
+          // O(n) filter once per distinct token, not twice (measured ~2x
+          // on the interpreted higher-order path)
+          transform(
+            transform(array_distinct($"ts"), w => size(filter($"ts", x => x === w))),
+            c => round(c * log(c) * 1000000).cast("long")),
           lit(0L), (acc, t) => acc + t).as("s"))
       .select($"doc_id", $"n".cast("long").as("n_tokens"), $"n_distinct",
         round(log($"n") - $"s".cast("double") / 1e6 / $"n", 6).as("entropy"))
@@ -988,9 +991,12 @@ object LlmTextOps {
         size(filter($"ts", x => x.isin("the", "a", "of", "and"))).as("stop_hits"),
         topRunCount($"ts").as("top_cnt"), tri.as("tri"),
         aggregate(
-          transform(array_distinct($"ts"),
-            w => round(size(filter($"ts", x => x === w))
-              * log(size(filter($"ts", x => x === w))) * 1000000).cast("long")),
+          // counts array FIRST, then one c*ln(c) pass — evaluating the
+          // O(n) filter once per distinct token, not twice (measured ~2x
+          // on the interpreted higher-order path)
+          transform(
+            transform(array_distinct($"ts"), w => size(filter($"ts", x => x === w))),
+            c => round(c * log(c) * 1000000).cast("long")),
           lit(0L), (acc, t) => acc + t).as("s"))
       .select($"doc_id", $"n".cast("long").as("n_tokens"),
         when($"n" < 20, "too_short")
