@@ -951,10 +951,11 @@ object LlmTextOps {
     * decision a training pipeline applies before packing. All predicates
     * are exact-integer comparisons (counts, quantized entropy), so the
     * verdict is hash-stable cross-engine. Map-only over the corpus. */
-  val filterCascade: QueryDef = QueryDef(
-    "llm_filter_cascade",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |s AS (SELECT doc_id, ts, len(ts) AS n,
+  /** Shared cascade-signal SQL (expects a CTE `t(doc_id, ..., ts)`): the
+    * per-doc counts, trigram set, and quantized entropy every verdict
+    * consumer derives rules from. */
+  private val cascadeSignalsSql =
+    """s AS (SELECT doc_id, ts, len(ts) AS n,
       |             len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and'))) AS stop_hits,
       |             list_max([len(list_filter(ts, x -> x = w)) for w in list_distinct(ts)]) AS top_cnt,
       |             CASE WHEN len(ts) >= 3
@@ -964,10 +965,8 @@ object LlmTextOps {
       |               [CAST(round(c * ln(c) * 1000000) AS BIGINT)
       |                for c in [len(list_filter(ts, x -> x = w)) for w in list_distinct(ts)]]
       |             ) AS DOUBLE) / 1e6 / len(ts)) * 1000000) AS BIGINT) AS eq
-      |      FROM t)
-      |SELECT doc_id, n_tokens, reason,
-      |       CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep
-      |FROM (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |      FROM t),
+      |r AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
       |             CASE WHEN n < 20 THEN 'too_short'
       |                  WHEN n > 1000 THEN 'too_long'
       |                  WHEN stop_hits * 20 < n THEN 'low_stopword'
@@ -975,9 +974,11 @@ object LlmTextOps {
       |                  WHEN (len(tri) - len(list_distinct(tri))) * 10 > len(tri) * 3 THEN 'dup_trigrams'
       |                  WHEN eq < 1000000 THEN 'low_entropy'
       |                  ELSE 'keep' END AS reason
-      |      FROM s)
-      |ORDER BY doc_id""".stripMargin,
-  ) { (spark, dir) =>
+      |      FROM s)""".stripMargin
+
+  /** Cascade verdict per document — (doc_id, n_tokens, reason, keep),
+    * unordered; shared by [[filterCascade]] and [[corpusPipeline]]. */
+  private[graft] def cascadeVerdict(docs: DataFrame): DataFrame = {
     val n = size($"ts")
     val tri = when(n >= 3,
       transform(sequence(lit(0), n - 3),
@@ -985,7 +986,7 @@ object LlmTextOps {
       .otherwise(array().cast("array<string>"))
     val entropyQ = round((log(n) - $"s".cast("double") / 1e6 / n) * 1000000)
       .cast("long")
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id", tokens.as("ts"))
       .select($"doc_id", $"ts", n.as("n"),
         size(filter($"ts", x => x.isin("the", "a", "of", "and"))).as("stop_hits"),
@@ -1009,7 +1010,53 @@ object LlmTextOps {
           .otherwise("keep").as("reason"))
       .select($"doc_id", $"n_tokens", $"reason",
         when($"reason" === "keep", 1L).otherwise(0L).as("keep"))
-      .orderBy($"doc_id")
+  }
+
+  val filterCascade: QueryDef = QueryDef(
+    "llm_filter_cascade",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |$cascadeSignalsSql
+       |SELECT doc_id, n_tokens, reason,
+       |       CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    cascadeVerdict(Tables.documents(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** The curation pipeline end-to-end in ONE plan: exact dedup (keep the
+    * first copy of each byte-identical text) composed with the quality
+    * cascade, rolled up to the per-language corpus yield — docs in, docs
+    * kept, training tokens surviving. This is the query a data engineer
+    * actually runs before a training job; it exists to prove the operators
+    * COMPOSE as plain DataFrames (one digest-keyed aggregate + a map-only
+    * verdict + a semi-join — no new shuffle shape beyond its parts). */
+  val corpusPipeline: QueryDef = QueryDef(
+    "llm_corpus_pipeline",
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts,
+       |                  md5(text) AS dg FROM documents),
+       |$cascadeSignalsSql,
+       |fc AS (SELECT min(doc_id) AS doc_id FROM t GROUP BY dg)
+       |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN fc.doc_id IS NOT NULL AND r.reason = 'keep'
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN fc.doc_id IS NOT NULL AND r.reason = 'keep'
+       |                     THEN r.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM t JOIN r USING (doc_id) LEFT JOIN fc USING (doc_id)
+       |GROUP BY t.lang ORDER BY lang""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val firstCopy = docs.groupBy(md5($"text").as("dg"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", lit(1L).as("is_first"))
+    docs.select($"doc_id", $"lang")
+      .join(cascadeVerdict(docs).select($"doc_id", $"n_tokens", $"keep"), "doc_id")
+      .join(firstCopy, Seq("doc_id"), "left")
+      .select($"lang", $"n_tokens",
+        (coalesce($"is_first", lit(0L)) * $"keep").as("kept"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"kept").as("n_kept"),
+        sum(when($"kept" === 1L, $"n_tokens").otherwise(0L)).as("kept_tokens"))
+      .orderBy($"lang")
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -1017,5 +1064,6 @@ object LlmTextOps {
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     entropy, neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
     dedupCluster, dupChunks, chunkSplit, bpePairs, filterCascade,
+    corpusPipeline,
   )
 }
