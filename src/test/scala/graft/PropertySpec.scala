@@ -95,4 +95,29 @@ class PropertySpec extends AnyFunSuite {
       assert(plain.exceptAll(salted).count() == 0)
     }
   }
+
+  test("top-k aggregator laws: any partition + merge order gives the sorted top-k") {
+    // Partial aggregation is only correct if the buffer algebra commutes
+    // with arbitrary partitioning and merge grouping — the law Spark
+    // exploits when it map-side-combines. No Spark job needed: the laws
+    // are pure buffer algebra.
+    val agg = new TypedOps.TopKOrders(3)
+    val item = Gen.zip(Gen.chooseNum(1L, 50L), Gen.chooseNum(0.0, 10.0))
+    forAll2(Gen.listOf(item), Gen.chooseNum(1, 7), n = 8) { (xs, splitN) =>
+      // feed distinct (score,id) pairs: the reference ranking below dedups,
+      // and the aggregator (correctly) keeps whatever multiset it is given
+      val in = xs.map { case (id, v) => (v, id) }.distinct
+      val exp = in.sortBy { case (v, id) => (-v, id) }.take(3)
+      // sequential reduce
+      val seq = in.foldLeft(agg.zero) { (b, x) => agg.reduce(b, (x._2, x._1)) }
+      assert(seq.items == exp)
+      // arbitrary partitioning, then merges in arbitrary grouping order
+      val parts = in.grouped(math.max(1, in.length / splitN)).toList
+      val bufs = parts.map(_.foldLeft(agg.zero) { (b, x) => agg.reduce(b, (x._2, x._1)) })
+      val mergedLtr = bufs.foldLeft(agg.zero)(agg.merge)
+      val mergedRtl = bufs.foldRight(agg.zero)(agg.merge)
+      assert(mergedLtr.items == exp, s"LTR merge broke on $in split $splitN")
+      assert(mergedRtl.items == exp, s"RTL merge broke on $in split $splitN")
+    }
+  }
 }
