@@ -77,5 +77,33 @@ object FormatOps {
       .orderBy($"o_orderpriority")
   }
 
-  val all: Seq[QueryDef] = Seq(jsonlRoundtrip, csvRoundtrip)
+  /** ORC round trip of lineitem's pricing columns — the third columnar
+    * format Spark ships natively. Unlike the text lanes the schema rides
+    * in the file, so the lane proves type fidelity (DECIMAL(15,2) logical
+    * type included) through a different writer/reader stack than parquet. */
+  val orcRoundtrip: QueryDef = QueryDef(
+    "src_orc_roundtrip",
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS total_price,
+      |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  ) { (spark, dir) =>
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lineitem_orc_" +
+      Integer.toHexString(dir.hashCode)
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        $"l_extendedprice".cast("decimal(15,2)").as("l_extendedprice"),
+        round($"l_quantity").cast("long").as("l_quantity"))
+      .write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    require(back.schema("l_extendedprice").dataType ==
+      DecimalType(15, 2), "ORC lane lost the decimal logical type")
+    back.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_extendedprice").cast("string").as("total_price"),
+        sum($"l_quantity").as("total_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(jsonlRoundtrip, csvRoundtrip, orcRoundtrip)
 }

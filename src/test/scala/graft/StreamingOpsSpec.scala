@@ -55,6 +55,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("watermark drops late data and finalizes windows in append mode") {
+    // The state-eviction semantics that matter at scale: once the
+    // watermark passes a window's end, the window EMITS (append mode) and
+    // an event arriving later than the lateness horizon is dropped — state
+    // cannot grow unboundedly and stragglers cannot mutate shipped
+    // results. Complete-mode tests can't show this (they keep all state).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    def ev(id: Long, minute: Int) = Ev(id,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), 1L, "view", 1.0)
+    val stream = MemoryStream[Ev]
+    val agg = StreamingOps.tumblingAgg(
+      stream.toDF().withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream
+      .format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      stream.addData(ev(1, 5), ev(2, 10)) // hour-10 window, wm -> 10:00
+      q.processAllAvailable()
+      // advance event time far enough that watermark (12:50) passes 11:00
+      stream.addData(ev(3, 0).copy(ts = java.sql.Timestamp.valueOf("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      // hour-10 window is now FINAL; this event is 2h late -> dropped
+      stream.addData(ev(4, 20))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_out")
+      .select($"window_start", $"n_events").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.get("2024-01-01 10:00:00").contains(2L),
+      s"hour-10 window must finalize with the 2 on-time events, got $out")
+  }
+
   test("streaming count-min sketch state equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits.newProductEncoder
