@@ -232,7 +232,46 @@ object WindowOps {
       .orderBy($"event_type", $"day")
   }
 
+  /** The BUILT-IN session assembly (`session_window(ts, gap)`) — the same
+    * sessions [[sessionize]] derives manually via lag→flag→running-sum,
+    * through Spark's native session-window aggregate instead (one
+    * user-keyed aggregate, merge-on-overlap state; also the form
+    * Structured Streaming runs incrementally). Boundary semantics differ
+    * at EXACTLY the gap: the built-in closes a session when the next event
+    * is ≥ gap away (windows are half-open `[start, start+gap)`), while the
+    * manual form's `> gap` keeps it — the oracle spells `>=` to pin the
+    * built-in's convention. */
+  val sessionWindow: QueryDef = QueryDef(
+    "a4_session_window",
+    """WITH x AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, value, tus,
+      |         CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM x),
+      |s AS (
+      |  SELECT user_id, value, tus,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM f)
+      |SELECT user_id, min(tus) AS session_start,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select($"user_id",
+        unix_micros($"session_window.start").as("session_start"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
   val all: Seq[QueryDef] =
     Seq(lagLead, movingAvg, sessionize, ntileQuartiles, percentRank,
-      rangeFrame, positional)
+      rangeFrame, positional, sessionWindow)
 }

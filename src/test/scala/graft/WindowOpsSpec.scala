@@ -78,4 +78,17 @@ class WindowOpsSpec extends AnyFunSuite {
       .head.toSeq.map(_.asInstanceOf[Long]).toArray
     assert(p == n && p > 0)
   }
+
+  test("built-in session_window assembles the same sessions as the manual form") {
+    // The two formulations may only diverge on a gap of EXACTLY 30 minutes
+    // (built-in: >= closes, manual: > keeps) — absent on µs-grained data,
+    // so per-user session counts and total event accounting must agree.
+    val manual = WindowOps.sessionize.run(spark, sf)
+      .groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val builtin = WindowOps.sessionWindow.run(spark, sf)
+      .groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manual == builtin)
+  }
 }
