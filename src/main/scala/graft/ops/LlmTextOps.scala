@@ -1059,11 +1059,47 @@ object LlmTextOps {
       .orderBy($"lang")
   }
 
+  /** One-row corpus "dataset card": the headline numbers a curation
+    * pipeline publishes alongside the data — sizes, language breadth,
+    * exact-duplicate rate, token-length quantiles. ONE aggregate pass;
+    * the two `count(distinct ...)` expand the scan 3-way, which is fine
+    * for a one-off card (the HLL-sketch swap in `sketch_hll_union` is the
+    * repeated-dashboard form). Quantiles are the raw interpolated doubles,
+    * bit-identical cross-engine per `sketch_percentile_exact`; the dup
+    * rate is one division of exact counts. */
+  val datasetCard: QueryDef = QueryDef(
+    "llm_dataset_card",
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts,
+      |                  md5(text) AS dg FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(sum(len(ts)) AS BIGINT) AS total_tokens,
+      |       CAST(count(DISTINCT dg) AS BIGINT) AS n_unique_texts,
+      |       round(CAST(count(*) - count(DISTINCT dg) AS DOUBLE) / count(*), 4) AS dup_rate,
+      |       quantile_cont(len(ts), 0.5) AS p50_tokens,
+      |       quantile_cont(len(ts), 0.95) AS p95_tokens
+      |FROM t""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select($"lang", size(split($"text", " ")).as("n"), md5($"text").as("dg"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"n").cast("long").as("total_tokens"),
+        countDistinct($"dg").as("n_unique_texts"),
+        percentile($"n", array(lit(0.5), lit(0.95))).as("qs"))
+      .select($"n_docs", $"n_langs", $"total_tokens", $"n_unique_texts",
+        round(($"n_docs" - $"n_unique_texts").cast("double") / $"n_docs", 4)
+          .as("dup_rate"),
+        $"qs"(0).as("p50_tokens"), $"qs"(1).as("p95_tokens"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     entropy, neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
     dedupCluster, dupChunks, chunkSplit, bpePairs, filterCascade,
-    corpusPipeline,
+    corpusPipeline, datasetCard,
   )
+
 }
