@@ -51,5 +51,38 @@ object SkewOps {
       .orderBy($"o_orderpriority")
   }
 
-  val all: Seq[QueryDef] = Seq(saltedJoinQuery)
+  /** Key-skew diagnostic — the measurement that decides whether a join
+    * needs the salted treatment (or AQE's runtime split) BEFORE it runs:
+    * per join-key column, total rows, distinct keys, the heaviest key's
+    * row count, and its corpus share in ppm (exact integer, no float
+    * compare). One aggregate per key column; the heaviest-key extraction
+    * is a max over the key-count table, not a sort. */
+  val keySkew: QueryDef = QueryDef(
+    "skew_key_diag",
+    Seq(("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+      ("orders", "o_custkey"))
+      .map { case (t, k) =>
+        s"""SELECT '$t.$k' AS key_col,
+           |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |       CAST(count(*) AS BIGINT) AS n_keys,
+           |       CAST(max(cnt) AS BIGINT) AS max_key_rows,
+           |       CAST(floor(max(cnt) * 1000000.0 / sum(cnt)) AS BIGINT) AS top_share_ppm
+           |FROM (SELECT $k, count(*) AS cnt FROM $t GROUP BY $k)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY key_col"),
+  ) { (spark, dir) =>
+    Seq(("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+      ("orders", "o_custkey"))
+      .map { case (t, k) =>
+        Tables.load(spark, dir, t)
+          .groupBy(col(k)).agg(count(lit(1)).as("cnt"))
+          .agg(sum($"cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+            max($"cnt").as("max_key_rows"))
+          .select(lit(s"$t.$k").as("key_col"), $"n_rows", $"n_keys",
+            $"max_key_rows",
+            floor($"max_key_rows" * 1000000.0 / $"n_rows")
+              .cast("long").as("top_share_ppm"))
+      }.reduce(_ union _).orderBy($"key_col")
+  }
+
+  val all: Seq[QueryDef] = Seq(saltedJoinQuery, keySkew)
 }

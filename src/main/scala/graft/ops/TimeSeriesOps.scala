@@ -441,8 +441,47 @@ object TimeSeriesOps {
       .orderBy($"day")
   }
 
+  /** OHLC downsampling — the finance-standard bar aggregation: per
+    * (event_type, hour), the opening value (first by time), high, low, and
+    * closing value (last by time). Open/close are `min/max(struct(tus,
+    * event_id, value))` — argmin/argmax as ONE ordinary min/max aggregate
+    * (map-side combinable, no window sort), with the (µs, event_id) total
+    * order making same-microsecond ties deterministic on both engines. */
+  val ohlcBars: QueryDef = QueryDef(
+    "a4_ohlc_bars",
+    """WITH e AS (SELECT event_type, CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR) AS hr,
+      |                  epoch_us(ts) AS tus, event_id, value FROM events),
+      |w AS (SELECT event_type, hr, value,
+      |             first_value(value) OVER win AS open,
+      |             last_value(value) OVER win AS close,
+      |             row_number() OVER (PARTITION BY event_type, hr
+      |                                ORDER BY tus, event_id) AS rn
+      |      FROM e
+      |      WINDOW win AS (PARTITION BY event_type, hr ORDER BY tus, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, hr,
+      |       min(open) AS open, max(value) AS high, min(value) AS low,
+      |       min(close) AS close, CAST(count(*) AS BIGINT) AS n_events
+      |FROM w GROUP BY event_type, hr
+      |ORDER BY event_type, hr""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select($"event_type", date_trunc("hour", $"ts").as("hr"),
+        unix_micros($"ts").as("tus"), $"event_id", $"value")
+      .groupBy($"event_type", $"hr")
+      .agg(
+        min(struct($"tus", $"event_id", $"value")).getField("value").as("open"),
+        max($"value").as("high"), min($"value").as("low"),
+        max(struct($"tus", $"event_id", $"value")).getField("value").as("close"),
+        count(lit(1)).as("n_events"))
+      .select($"event_type", $"hr".cast("string").as("hr"),
+        $"open", $"high", $"low", $"close", $"n_events")
+      .orderBy($"event_type", $"hr")
+  }
+
   val all: Seq[QueryDef] = Seq(
     hourlyDedup, pointRead, daySlice, rangeMax, dailyMax, zorderKey, gapFill,
     funnel, retention, zscoreOutliers, patternMatch, rollingDistinct,
+    ohlcBars,
   )
 }
