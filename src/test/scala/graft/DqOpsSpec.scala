@@ -21,13 +21,13 @@ class DqOpsSpec extends AnyFunSuite {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     import org.apache.spark.sql.functions._
     // planted duplicate key: 2 rows share PK 7 -> n_dup_rows = 1
-    val t = Seq(7L, 7L, 8L, 9L).toDF("k")
+    val t = Seq(7L, 7L, 8L, 9L).map(Tuple1(_)).toDF("k")
     val dup = t.agg((count(lit(1)) - countDistinct($"k")).as("d"))
       .collect().head.getLong(0)
     assert(dup == 1L)
     // planted orphan: child 99 has no parent -> 1 orphan
-    val child = Seq(1L, 2L, 99L).toDF("ck")
-    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(1L, 2L, 99L).map(Tuple1(_)).toDF("ck")
+    val parent = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("pk")
     val orphans = child.join(parent, $"ck" === $"pk", "left_anti").count()
     assert(orphans == 1L)
   }
