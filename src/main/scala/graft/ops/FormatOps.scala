@@ -15,6 +15,19 @@ import graft.io.Tables
   */
 object FormatOps {
 
+  /** Staging directory for a round-trip lane: keyed on the SANITIZED full
+    * source path (not its hashCode — two different dirs must never collide)
+    * and suffixed with the session's applicationId so concurrent runners
+    * over the same testdata (e.g. a parallel Verify + Bench) each stage in
+    * their own directory instead of racing `mode("overwrite")` against each
+    * other mid-read. */
+  private def stagePath(
+      spark: org.apache.spark.sql.SparkSession, dir: String, fmt: String): String = {
+    val safeDir = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_stage_${fmt}_${safeDir}_$app"
+  }
+
   /** JSON-lines round trip of the documents table. The read side supplies
     * an EXPLICIT schema — schema inference over JSONL is a full extra pass
     * of the data at scale (and type-unstable on partial data), so the
@@ -28,8 +41,7 @@ object FormatOps {
       |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   ) { (spark, dir) =>
-    val path = s"${sys.props("java.io.tmpdir")}/graft_documents_jsonl_" +
-      Integer.toHexString(dir.hashCode)
+    val path = stagePath(spark, dir, "jsonl")
     Tables.documents(spark, dir)
       .write.mode("overwrite").json(path)
     val schema = StructType(Seq(
@@ -56,8 +68,7 @@ object FormatOps {
       |       CAST(min(o_orderdate) AS DATE) AS first_day
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   ) { (spark, dir) =>
-    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_csv_" +
-      Integer.toHexString(dir.hashCode)
+    val path = stagePath(spark, dir, "csv")
     Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
         $"o_totalprice".cast("decimal(15,2)").as("o_totalprice"),
@@ -88,8 +99,7 @@ object FormatOps {
       |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   ) { (spark, dir) =>
-    val path = s"${sys.props("java.io.tmpdir")}/graft_lineitem_orc_" +
-      Integer.toHexString(dir.hashCode)
+    val path = stagePath(spark, dir, "orc")
     Tables.lineitem(spark, dir)
       .select($"l_returnflag",
         $"l_extendedprice".cast("decimal(15,2)").as("l_extendedprice"),

@@ -42,6 +42,19 @@ object GraphOps {
       |                             AND b1.l_partkey < b2.l_partkey
       |          GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin
 
+  /** Triangle closure over a canonically-oriented (p1 < p2) edge list —
+    * each triangle a<b<c emitted exactly once via two equi-joins.
+    * Extracted so the fixture spec exercises the identical plan the
+    * registered query ships. */
+  private[graft] def trianglesOf(edges: DataFrame): DataFrame = {
+    val e = edges.select($"p1", $"p2")
+    e.as("e1").join(e.as("e2"), col("e1.p2") === col("e2.p1"))
+      .join(e.as("e3"),
+        col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+      .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+      .orderBy($"a", $"b", $"c")
+  }
+
   /** Every triangle (a < b < c) in the mined co-occurrence graph — part
     * trios that pairwise co-occur, the depth-3 itemset the pairwise
     * recommender can't see. */
@@ -53,12 +66,7 @@ object GraphOps {
        |     JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
        |ORDER BY a, b, c""".stripMargin,
   ) { (spark, dir) =>
-    val e = cooccurEdges(Tables.lineitem(spark, dir)).select($"p1", $"p2")
-    e.as("e1").join(e.as("e2"), col("e1.p2") === col("e2.p1"))
-      .join(e.as("e3"),
-        col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
-      .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
-      .orderBy($"a", $"b", $"c")
+    trianglesOf(cooccurEdges(Tables.lineitem(spark, dir)))
   }
 
   /** Degree distribution of the mined graph — how many parts have k
@@ -82,22 +90,36 @@ object GraphOps {
   /** PageRank over a directed edge list (undirected graphs pass both
     * orientations), fixed iteration count, damping 0.85.
     *
+    * The node set is src ∪ dst, so sink nodes (appearing only as dst) are
+    * ranked too, and their mass — which has no out-edges to flow along — is
+    * redistributed uniformly each round (the standard dangling-node
+    * treatment) instead of silently evaporating. Danglingness is detected
+    * once up front, so the common no-dangling case (undirected
+    * both-orientation inputs like the registered query) pays nothing for
+    * it and keeps the exact arithmetic the DuckDB oracle replays.
+    *
     * Determinism: per-edge contributions are quantized to 1e-9 BIGINTs
     * BEFORE the per-node sum (the `llm_embed_centroid` architecture), so
     * every iteration is bit-reproducible at any parallelism — rerunning
-    * the op yields identical ranks, which the spec asserts. Each round is
-    * one edge-keyed join + one node-keyed aggregate; lineage is truncated
-    * per round with an eager localCheckpoint exactly as
-    * `LlmTextOps.clusterOf` does (plan depth stays O(1), not O(rounds)).
-    * Registered rows-only: fixed-point float iteration has no ANSI-SQL
-    * oracle; GraphOpsSpec value-checks rank conservation, hub dominance,
-    * and bit-stability instead. */
+    * the op yields identical ranks, which the spec asserts.
+    *
+    * Lineage: without dangling nodes each round references the previous
+    * ranks ONCE (contributions join), so the plan grows linearly and a
+    * localCheckpoint every 5th round bounds it at 1/5 the actions
+    * (measured 11.4 s → ~5.7 s at sf0.1). With dangling nodes the ranks
+    * are referenced twice per round (contributions + dangling-mass sum),
+    * which would double the logical plan each round — so that path
+    * truncates every round, exactly as `LlmTextOps.clusterOf` does. */
   private[graft] def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
-    val e = graft.Caches.persist(
-      edges.select($"src", $"dst").join(
-        edges.select($"src").groupBy($"src").agg(count(lit(1)).as("deg")),
-        "src"))
-    val nodes = graft.Caches.persist(e.select($"src".as("id")).distinct())
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val e = graft.Caches.persist(edges.select($"src", $"dst").join(deg, "src"))
+    val nodes = graft.Caches.persist(
+      edges.select($"src".as("id"))
+        .union(edges.select($"dst".as("id"))).distinct())
+    val dangling = graft.Caches.persist(
+      nodes.join(deg.select($"src".as("id")), Seq("id"), "left_anti"))
+    val hasDangling = !dangling.isEmpty
+    val nNodes = nodes.select(count(lit(1)).cast("double").as("nn"))
     var ranks = nodes.select($"id", lit(1.0).as("rank"))
     for (iter <- 1 to iters) {
       val contribs = e
@@ -105,28 +127,72 @@ object GraphOps {
         .select($"dst".as("id"),
           round($"rank" / $"deg" * 1e9).cast("long").as("cq"))
       val summed = contribs.groupBy($"id").agg(sum($"cq").as("sq"))
-      val next = nodes.join(summed, Seq("id"), "left")
-        .select($"id",
-          (lit(0.15) + lit(0.85) * (coalesce($"sq", lit(0L)) / 1e9)).as("rank"))
-      // Unlike clusterOf (which references the previous labels three times a
-      // round → exponential lineage), each PageRank round references the
-      // previous ranks ONCE, so the plan grows linearly and an eager
-      // materialization every round would pay 15 actions for nothing.
-      // Checkpoint every 5th round: plan depth stays bounded, total actions
-      // drop to iters/5 (measured 11.4 s → ~3 s at sf0.1).
-      ranks = if (iter % 5 == 0 || iter == iters)
+      val next =
+        if (!hasDangling)
+          nodes.join(summed, Seq("id"), "left")
+            .select($"id",
+              (lit(0.15) + lit(0.85) * (coalesce($"sq", lit(0L)) / 1e9)).as("rank"))
+        else {
+          // total dangling mass this round, quantized like the edge
+          // contributions; redistributed as dq/n to every node
+          val dq = dangling.join(ranks, "id")
+            .agg(coalesce(sum(round($"rank" * 1e9).cast("long")), lit(0L)).as("dq"))
+          nodes.join(summed, Seq("id"), "left")
+            .crossJoin(broadcast(dq)).crossJoin(broadcast(nNodes))
+            .select($"id",
+              (lit(0.15) + lit(0.85) *
+                ((coalesce($"sq", lit(0L)).cast("double") +
+                  $"dq".cast("double") / $"nn") / 1e9)).as("rank"))
+        }
+      ranks = if (hasDangling || iter % 5 == 0 || iter == iters)
         graft.Caches.localCheckpoint(next)
       else next
     }
     ranks
   }
 
-  /** Top-20 PageRank hubs of the co-occurrence graph (15 rounds). */
-  val pageRank: QueryDef = QueryDef.rowsOnly("graph_pagerank") { (spark, dir) =>
+  private val PrIters = 15
+
+  /** The oracle replays the identical fixed-point: same quantized BIGINT
+    * contribution per edge, same float expression per round, unrolled to
+    * [[PrIters]] chained CTEs (DuckDB's recursive CTEs disallow the
+    * per-round aggregate, and unrolling keeps each round a plain LEFT
+    * JOIN + GROUP BY the optimizer can check). The registered graph is
+    * undirected with both orientations present, so the dangling set is
+    * empty and the Spark side's no-dangling arithmetic is the one
+    * replayed here, bit for bit. */
+  private def pageRankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.id, 0.15 + 0.85 * (CAST(coalesce(s.sq, 0) AS DOUBLE) / 1e9) AS rank
+         |        FROM nodes n LEFT JOIN (
+         |          SELECT e.dst AS id, sum(CAST(round(r.rank / e.deg * 1e9) AS BIGINT)) AS sq
+         |          FROM ed e JOIN r${i - 1} r ON r.id = e.src GROUP BY 1) s ON n.id = s.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |und AS (SELECT p1 AS src, p2 AS dst FROM pairs
+       |        UNION ALL SELECT p2 AS src, p1 AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+       |ed AS (SELECT u.src, u.dst, d.deg FROM und u JOIN deg d ON u.src = d.src),
+       |nodes AS (SELECT src AS id FROM und UNION SELECT dst FROM und),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       |$rounds
+       |SELECT id AS part, round(rank, 6) AS rank FROM r$iters
+       |ORDER BY rank DESC, part LIMIT 20""".stripMargin
+  }
+
+  /** Top-20 PageRank hubs of the co-occurrence graph ([[PrIters]] rounds).
+    * Value-equality-checked against the DuckDB fixed-point twin — the
+    * quantize-before-sum architecture is what makes an iterative float
+    * algorithm hash-matchable across engines. */
+  val pageRank: QueryDef = QueryDef(
+    "graph_pagerank",
+    pageRankSql(PrIters),
+  ) { (spark, dir) =>
     val und = cooccurEdges(Tables.lineitem(spark, dir))
     val edges = und.select($"p1".as("src"), $"p2".as("dst"))
       .union(und.select($"p2".as("src"), $"p1".as("dst")))
-    pageRankOf(edges, 15)
+    pageRankOf(edges, PrIters)
       .select($"id".as("part"), round($"rank", 6).as("rank"))
       .orderBy($"rank".desc, $"part")
       .limit(20)

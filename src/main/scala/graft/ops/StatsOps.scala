@@ -177,6 +177,23 @@ object StatsOps {
     * identically-derived doubles on both engines. Exact percentiles buffer
     * per-group — 5 event types here; the KLL sketch is the 100 TB swap, as
     * with `feat_quantile_bucket`. */
+  /** The median/MAD outlier plan over any (event_type, value) frame —
+    * extracted (the `welchT` convention) so the fixture spec exercises the
+    * same code path the registered query ships. */
+  private[graft] def madOutliersOf(events: DataFrame): DataFrame = {
+    val med = events.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val withMed = events.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy($"event_type")
+      .agg(percentile(abs($"value" - $"med"), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs($"value" - $"med") > lit(3) * 1.4826 * $"mad", 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
   val madOutliers: QueryDef = QueryDef(
     "stats_mad_outliers",
     """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -191,18 +208,7 @@ object StatsOps {
       |              JOIN mad ON e.event_type = mad.event_type
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
   ) { (spark, dir) =>
-    val e = Tables.events(spark, dir).select($"event_type", $"value")
-    val med = e.groupBy($"event_type")
-      .agg(percentile($"value", lit(0.5)).as("med"))
-    val withMed = e.join(broadcast(med), "event_type")
-    val mad = withMed.groupBy($"event_type")
-      .agg(percentile(abs($"value" - $"med"), lit(0.5)).as("mad"))
-    withMed.join(broadcast(mad), "event_type")
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(abs($"value" - $"med") > lit(3) * 1.4826 * $"mad", 1L)
-          .otherwise(0L)).as("n_outliers"))
-      .orderBy($"event_type")
+    madOutliersOf(Tables.events(spark, dir).select($"event_type", $"value"))
   }
 
   /** Chi-square independence test: event type × A/B arm over the full

@@ -392,6 +392,22 @@ object TimeSeriesOps {
     * compare pin the exact per-user event ordering, microsecond ties
     * broken by event_id on both engines. One user-keyed shuffle; per-user
     * lists are a user's own activity, bounded at any corpus scale. */
+  /** The sequence-compression + regex-match plan over any (user_id, ts,
+    * event_id, event_type) frame and any pattern over the initials
+    * alphabet — extracted (the `welchT` convention) so the fixture spec
+    * exercises the identical plan the registered query ships. */
+  private[graft] def patternMatchOf(events: DataFrame, pattern: String): DataFrame =
+    events
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        substring($"event_type", 1, 1).as("c"))
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"tus", $"event_id", $"c"))).as("evs"))
+      .select($"user_id",
+        array_join(transform($"evs", e => e.getField("c")), "").as("seq"))
+      .select($"user_id", length($"seq").cast("long").as("n_events"), $"seq",
+        when($"seq".rlike(pattern), 1L).otherwise(0L).as("matched"))
+      .orderBy($"user_id")
+
   val patternMatch: QueryDef = QueryDef(
     "a4_pattern_match",
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
@@ -403,16 +419,7 @@ object TimeSeriesOps {
       |                 THEN 1 ELSE 0 END AS BIGINT) AS matched
       |FROM s ORDER BY user_id""".stripMargin,
   ) { (spark, dir) =>
-    Tables.events(spark, dir)
-      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
-        substring($"event_type", 1, 1).as("c"))
-      .groupBy($"user_id")
-      .agg(array_sort(collect_list(struct($"tus", $"event_id", $"c"))).as("evs"))
-      .select($"user_id",
-        array_join(transform($"evs", e => e.getField("c")), "").as("seq"))
-      .select($"user_id", length($"seq").cast("long").as("n_events"), $"seq",
-        when($"seq".rlike("v[^e]*c[^e]*p"), 1L).otherwise(0L).as("matched"))
-      .orderBy($"user_id")
+    patternMatchOf(Tables.events(spark, dir), "v[^e]*c[^e]*p")
   }
 
   /** 7-day rolling distinct active users per day. Sliding-window DISTINCT
@@ -422,6 +429,18 @@ object TimeSeriesOps {
     * bounded date-offset band and count distinct per day. The expansion is
     * exactly 7× the user-day activity set, independent of raw event volume;
     * the day dimension is broadcast. */
+  /** The dedup-then-banded-day-join plan over any (user_id, ts) frame —
+    * extracted so the fixture spec runs the registered query's real plan. */
+  private[graft] def rollingDistinctOf(events: DataFrame): DataFrame = {
+    val a = events.select($"user_id", to_date($"ts").as("day")).distinct()
+    val d = a.select($"day".as("d")).distinct()
+    a.join(broadcast(d), datediff($"d", $"day").between(0, 6))
+      .groupBy($"d")
+      .agg(countDistinct($"user_id").as("users_7d"))
+      .select($"d".cast("string").as("day"), $"users_7d")
+      .orderBy($"day")
+  }
+
   val rollingDistinct: QueryDef = QueryDef(
     "a4_rolling_distinct",
     """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -431,14 +450,7 @@ object TimeSeriesOps {
       |FROM d JOIN a ON datediff('day', a.day, d.day) BETWEEN 0 AND 6
       |GROUP BY d.day ORDER BY day""".stripMargin,
   ) { (spark, dir) =>
-    val a = Tables.events(spark, dir)
-      .select($"user_id", to_date($"ts").as("day")).distinct()
-    val d = a.select($"day".as("d")).distinct()
-    a.join(broadcast(d), datediff($"d", $"day").between(0, 6))
-      .groupBy($"d")
-      .agg(countDistinct($"user_id").as("users_7d"))
-      .select($"d".cast("string").as("day"), $"users_7d")
-      .orderBy($"day")
+    rollingDistinctOf(Tables.events(spark, dir))
   }
 
   /** OHLC downsampling — the finance-standard bar aggregation: per

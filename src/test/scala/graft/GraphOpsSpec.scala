@@ -30,17 +30,7 @@ class GraphOpsSpec extends AnyFunSuite {
     val li = (basket(1, 1, 2, 3) ++ basket(2, 1, 2, 3) ++
       basket(3, 1, 4) ++ basket(4, 1, 2, 4))
       .toDF("l_orderkey", "l_partkey")
-    val e = GraphOps.cooccurEdges(li).select("p1", "p2")
-    val tri = e.as("e1")
-      .join(e.as("e2"), org.apache.spark.sql.functions.col("e1.p2") ===
-        org.apache.spark.sql.functions.col("e2.p1"))
-      .join(e.as("e3"),
-        org.apache.spark.sql.functions.col("e3.p1") === org.apache.spark.sql.functions.col("e1.p1") &&
-          org.apache.spark.sql.functions.col("e3.p2") === org.apache.spark.sql.functions.col("e2.p2"))
-      .select(org.apache.spark.sql.functions.col("e1.p1"),
-        org.apache.spark.sql.functions.col("e1.p2"),
-        org.apache.spark.sql.functions.col("e2.p2"))
-      .collect()
+    val tri = GraphOps.trianglesOf(GraphOps.cooccurEdges(li)).collect()
     assert(tri.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((1L, 2L, 3L)))
   }
@@ -70,39 +60,48 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r == r2, "pagerank must be deterministic")
   }
 
+  test("pagerank: directed sink nodes are ranked and their mass redistributed") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // chain 1 -> 2 -> 3 plus 4 -> 3: nodes 3 is a pure sink (only a dst),
+    // node 4 a pure source. Sink must appear in the output with the top
+    // rank, and total mass must be conserved (dangling redistribution) —
+    // without it the chain leaks 3's rank every round.
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val r = GraphOps.pageRankOf(edges, 20).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L), s"sink node must be ranked: $r")
+    assert(math.abs(r.values.sum - 4.0) < 0.01,
+      s"dangling mass must be redistributed, not dropped: $r")
+    assert(r(3L) > r(2L) && r(2L) > r(1L), s"rank must flow along the chain: $r")
+    val r2 = GraphOps.pageRankOf(edges, 20).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r == r2, "dangling-path pagerank must be deterministic")
+  }
+
   test("mad outliers: extreme values don't poison the threshold") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
-    import org.apache.spark.sql.functions._
     // 99 values near 10, one at 10000: median/MAD flags exactly the one
     // extreme row, while a mean/stddev (z-score) threshold would be dragged
-    // by the outlier itself
+    // by the outlier itself. Calls the registered query's real plan builder.
     val vals = (1 to 99).map(i => ("a", 10.0 + (i % 5) * 0.1)) :+ (("a", 10000.0))
-    val e = vals.toDF("event_type", "value")
-    val med = e.groupBy($"event_type")
-      .agg(percentile($"value", lit(0.5)).as("med"))
-    val withMed = e.join(broadcast(med), "event_type")
-    val mad = withMed.groupBy($"event_type")
-      .agg(percentile(abs($"value" - $"med"), lit(0.5)).as("mad"))
-    val out = withMed.join(broadcast(mad), "event_type")
-      .groupBy($"event_type")
-      .agg(sum(when(abs($"value" - $"med") > lit(3) * 1.4826 * $"mad", 1L)
-        .otherwise(0L)).as("n_outliers")).collect().head
-    assert(out.getLong(1) == 1L, s"exactly the planted outlier: $out")
+    val out = StatsOps.madOutliersOf(vals.toDF("event_type", "value"))
+      .collect().head
+    assert(out.getLong(2) == 1L, s"exactly the planted outlier: $out")
+    assert(out.getLong(1) == 100L)
   }
 
   test("rolling 7-day distinct counts each user once per window") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     import org.apache.spark.sql.functions._
     // user 1 active on days 1 and 3 (must count once in any window holding
-    // both); user 2 only on day 1 (ages out of the day-8 window)
-    val a = Seq((1L, "2024-01-01"), (1L, "2024-01-03"), (2L, "2024-01-01"),
+    // both); user 2 only on day 1 (ages out of the day-8 window). Calls the
+    // registered query's real plan builder.
+    val events = Seq((1L, "2024-01-01"), (1L, "2024-01-03"), (2L, "2024-01-01"),
       (3L, "2024-01-08"))
-      .toDF("user_id", "day_s").select($"user_id", to_date($"day_s").as("day"))
-      .distinct()
-    val d = a.select($"day".as("d")).distinct()
-    val out = a.join(broadcast(d), datediff($"d", $"day").between(0, 6))
-      .groupBy($"d").agg(countDistinct($"user_id").as("users_7d"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+      .toDF("user_id", "day_s")
+      .select(col("user_id"), to_timestamp(col("day_s")).as("ts"))
+    val out = TimeSeriesOps.rollingDistinctOf(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out("2024-01-01") == 2L) // users 1,2
     assert(out("2024-01-03") == 2L) // user 1 once (two active days), user 2
     assert(out("2024-01-08") == 2L) // user 1 (day 3) + user 3; user 2 aged out
@@ -113,24 +112,17 @@ class GraphOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     // user 1: v..c..p clean -> match; user 2: error between c and p -> no
     // match; user 3: same-microsecond tie ordered by event_id (view before
-    // click at t=5) -> still matches
+    // click at t=5) -> still matches. Calls the registered query's real
+    // plan builder with its shipped pattern.
     val rows = Seq(
       (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"), (3L, 1L, 30L, "purchase"),
       (4L, 2L, 10L, "view"), (5L, 2L, 20L, "click"), (6L, 2L, 25L, "error"),
       (7L, 2L, 30L, "purchase"),
       (9L, 3L, 5L, "view"), (10L, 3L, 5L, "click"), (11L, 3L, 6L, "purchase"),
     ).toDF("event_id", "user_id", "us", "event_type")
-      .withColumn("ts", timestamp_micros($"us"))
-    val out = rows
-      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
-        substring($"event_type", 1, 1).as("c"))
-      .groupBy($"user_id")
-      .agg(array_sort(collect_list(struct($"tus", $"event_id", $"c"))).as("evs"))
-      .select($"user_id",
-        array_join(transform($"evs", e => e.getField("c")), "").as("seq"))
-      .select($"user_id", $"seq",
-        when($"seq".rlike("v[^e]*c[^e]*p"), 1L).otherwise(0L).as("matched"))
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = TimeSeriesOps.patternMatchOf(rows, "v[^e]*c[^e]*p")
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
     assert(out(1L) == ("vcp", 1L))
     assert(out(2L) == ("vcep", 0L))
     assert(out(3L) == ("vcp", 1L), "same-µs tie must order by event_id")
