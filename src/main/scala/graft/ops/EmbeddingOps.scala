@@ -87,6 +87,20 @@ object EmbeddingOps {
 
   // ------------------------------------------------------------- queries
 
+  /** Brute-force top-k plan — extracted so [[cosineTopK]] and the recall
+    * readout ([[annRecall]]) run the identical shipped plan. */
+  private def exactTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val scored = e.join(broadcast(q), $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        // native fused expression (graft.functions.CosineSimilarity):
+        // same folds as the HOF form, one allocation-free codegen'd loop
+        call_function("cosine_sim", $"qv", $"v").as("sim"))
+    rankTopK(scored)
+  }
+
   /** Brute-force cosine top-k for a fixed small query set — the exact
     * baseline the ANN variant is measured against. */
   val cosineTopK: QueryDef = QueryDef(
@@ -102,17 +116,7 @@ object EmbeddingOps {
          |      FROM s)
          |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
          |FROM r WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
-  ) { (spark, dir) =>
-    val e = vectors(spark, dir)
-    val q = e.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
-    val scored = e.join(broadcast(q), $"q_id" =!= $"vec_id")
-      .select($"q_id", $"vec_id",
-        // native fused expression (graft.functions.CosineSimilarity):
-        // same folds as the HOF form, one allocation-free codegen'd loop
-        call_function("cosine_sim", $"qv", $"v").as("sim"))
-    rankTopK(scored)
-  }
+  )(exactTopK)
 
   /** ANN via multi-probe sign-LSH: each query probes its own bucket plus
     * every bucket at hamming distance 1 (flip one sign bit), so the pairing
@@ -139,7 +143,10 @@ object EmbeddingOps {
          |      FROM s)
          |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
          |FROM r WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
-  ) { (spark, dir) =>
+  )(lshTopK)
+
+  /** Multi-probe LSH top-k plan — shared by [[annLsh]] and [[annRecall]]. */
+  private def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val b = vectors(spark, dir).withColumn("bucket", bucketCol)
     val probeBuckets = array(
       $"qb" +: (0 until NPlanes).map(j => $"qb".bitwiseXOR(lit(1 << j))): _*)
@@ -221,7 +228,10 @@ object EmbeddingOps {
          |      FROM s)
          |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
          |FROM r WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
-  ) { (spark, dir) =>
+  )(ivfTopK)
+
+  /** IVF nprobe=2 top-k plan — shared by [[annIvf]] and [[annRecall]]. */
+  private def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val (cell, cell2) = cellCols
     val assigned = vectors(spark, dir).withColumn("cell", cell)
     val q = vectors(spark, dir).filter($"vec_id" < NQueries)
@@ -233,6 +243,79 @@ object EmbeddingOps {
       .select($"q_id", $"vec_id",
         call_function("cosine_sim", $"qv", $"v").as("sim"))
     rankTopK(scored)
+  }
+
+  /** Recall@k of both ANN variants against the brute-force baseline — the
+    * number a user tuning hyperplane count (LSH) or probe count (IVF) at
+    * 100 TB actually needs before trading accuracy for the bucketed
+    * shuffle (the `llm_langid_eval` pattern applied to retrieval). Per
+    * query: how many of the exact top-[[TopK]] neighbors the ANN top-k
+    * recovered. All three top-k sets reuse the registered queries' shipped
+    * plan builders, and every input is oracle-replayable, so even the
+    * quality METRIC is hash-verified cross-engine — the evaluation
+    * harness itself is under test. The exact set is TopK rows per query
+    * and the join is keyed on (q_id, vec_id): at scale the cost is the
+    * three searches, never the comparison. */
+  val annRecall: QueryDef = QueryDef(
+    "llm_ann_recall",
+    vecCte +
+      s"""
+         |, xq AS (SELECT * FROM e WHERE vec_id < $NQueries),
+         |xs AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |              ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+         |       FROM xq q JOIN e ON q.vec_id <> e.vec_id),
+         |xr AS (SELECT q_id, vec_id FROM (
+         |         SELECT q_id, vec_id,
+         |                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |         FROM xs) WHERE rk <= $TopK),
+         |b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM e),
+         |lq AS (SELECT * FROM b WHERE vec_id < $NQueries),
+         |ls AS (SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+         |              ${dotSql("q.v", "b.v")} / (q.nrm * b.nrm) AS sim
+         |       FROM lq q JOIN b ON bit_count(xor(q.bucket, b.bucket)) <= 1
+         |                       AND q.vec_id <> b.vec_id),
+         |lr AS (SELECT q_id, vec_id FROM (
+         |         SELECT q_id, vec_id,
+         |                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |         FROM ls) WHERE rk <= $TopK),
+         |ia AS (SELECT vec_id, v, nrm, ${cellSqlExpr(1)} AS cell FROM e),
+         |iq0 AS (SELECT vec_id, v, nrm, ${cellSqlExpr(1)} AS c1, ${cellSqlExpr(2)} AS c2
+         |        FROM e WHERE vec_id < $NQueries),
+         |iq AS (SELECT vec_id, v, nrm, c1 AS cell FROM iq0
+         |       UNION ALL SELECT vec_id, v, nrm, c2 FROM iq0),
+         |is0 AS (SELECT q.vec_id AS q_id, a.vec_id AS vec_id,
+         |               ${dotSql("q.v", "a.v")} / (q.nrm * a.nrm) AS sim
+         |        FROM iq q JOIN ia a ON q.cell = a.cell AND q.vec_id <> a.vec_id),
+         |ir AS (SELECT q_id, vec_id FROM (
+         |         SELECT q_id, vec_id,
+         |                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |         FROM is0) WHERE rk <= $TopK),
+         |hits AS (
+         |  SELECT 'ivf' AS method, x.q_id,
+         |         CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM xr x LEFT JOIN ir a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+         |  UNION ALL
+         |  SELECT 'lsh' AS method, x.q_id,
+         |         CASE WHEN l.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM xr x LEFT JOIN lr l ON x.q_id = l.q_id AND x.vec_id = l.vec_id)
+         |SELECT method, q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(sum(hit) AS BIGINT) AS n_hit,
+         |       round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall
+         |FROM hits GROUP BY method, q_id ORDER BY method, q_id""".stripMargin,
+  ) { (spark, dir) =>
+    val exact = exactTopK(spark, dir).select($"q_id", $"vec_id")
+    def recallOf(method: String, ann: DataFrame): DataFrame =
+      exact
+        .join(ann.select($"q_id", $"vec_id", lit(1L).as("hit")),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy($"q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce($"hit", lit(0L))).as("n_hit"))
+        .select(lit(method).as("method"), $"q_id", $"n_exact", $"n_hit",
+          round($"n_hit".cast("double") / $"n_exact", 4).as("recall"))
+    recallOf("ivf", ivfTopK(spark, dir))
+      .unionAll(recallOf("lsh", lshTopK(spark, dir)))
+      .orderBy($"method", $"q_id")
   }
 
   /** Embedding-cosine near-duplicate PAIR MINING (the dedup-flavored
@@ -362,6 +445,6 @@ object EmbeddingOps {
   }
 
   val all: Seq[QueryDef] =
-    Seq(cosineTopK, annLsh, annIvf, embedNeardup, embedStats, embedCentroid,
-      embedQuantize)
+    Seq(cosineTopK, annLsh, annIvf, annRecall, embedNeardup, embedStats,
+      embedCentroid, embedQuantize)
 }

@@ -944,6 +944,104 @@ object LlmTextOps {
       .limit(20)
   }
 
+  /** Number of successive merges [[bpeTrain]] learns. */
+  private val BpeMerges = 6
+
+  /** One greedy left-to-right BPE merge of (p1, p2) in a symbol sequence:
+    * fold each symbol onto the accumulator, fusing when the accumulator's
+    * last element is p1 and the incoming symbol is p2. Greedy no-overlap
+    * comes free: a just-fused tail equals p1+p2, which can never equal p1
+    * again (p2 is non-empty), so a merge can't chain into the span the
+    * previous merge consumed — exactly the semantics of a left-to-right
+    * scan. `get` is the null-safe indexer, so the empty-accumulator case
+    * falls through to append without tripping ANSI bounds checks. */
+  private def mergePair(syms: Column, p1: Column, p2: Column): Column =
+    aggregate(syms, typedLit(Seq.empty[String]), (acc, t) =>
+      when(get(acc, size(acc) - 1) === p1 && t === p2,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(p1, p2))))
+        .otherwise(concat(acc, array(t))))
+
+  /** The [[bpeTrain]] fixed point over any frame with a `text` column —
+    * extracted so the fixture spec drives the registered query's real
+    * loop (weighting, tiebreaks, greedy merge) on hand-checkable data. */
+  private[graft] def bpeTrainOf(docs: DataFrame, k: Int): DataFrame = {
+    var words = graft.Caches.localCheckpoint(
+      docs.select(explode(tokens).as("w"))
+        .filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+        .select(transform(sequence(lit(1), length($"w")),
+          i => $"w".substr(i, lit(1))).as("syms"), $"wc"))
+    val merges = (1 to k).map { r =>
+      val pairCounts = words.filter(size($"syms") >= 2)
+        .select($"wc", explode(transform(sequence(lit(1), size($"syms") - 1),
+          i => struct(element_at($"syms", i).as("p1"),
+            element_at($"syms", i + 1).as("p2")))).as("pr"))
+        .groupBy($"pr.p1".as("p1"), $"pr.p2".as("p2"))
+        .agg(sum($"wc").as("n"))
+      val top = graft.Caches.localCheckpoint(
+        pairCounts.orderBy($"n".desc, $"p1", $"p2").limit(1))
+      words = graft.Caches.localCheckpoint(
+        words.crossJoin(broadcast(top.select($"p1".as("mp1"), $"p2".as("mp2"))))
+          .select(mergePair($"syms", $"mp1", $"mp2").as("syms"), $"wc"))
+      top.select(lit(r.toLong).as("round"), $"p1", $"p2", $"n")
+    }
+    merges.reduce(_ unionAll _).orderBy($"round")
+  }
+
+  /** See [[bpeTrain]]: the identical fixed point unrolled to k chained CTE
+    * rounds. Words are carried as boundary-anchored '#'-joined symbol
+    * strings ('#s1##s2#…'), which makes DuckDB's left-to-right
+    * non-overlapping `replace('#p1##p2#' → '#p1p2#')` exactly the greedy
+    * BPE merge — sound because the corpus vocabulary is purely alphabetic
+    * (asserted nothing contains '#'), so a pattern can never straddle a
+    * token boundary. */
+  private def bpeTrainSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""pc$i AS (SELECT u['p1'] AS p1, u['p2'] AS p2, CAST(sum(wc) AS BIGINT) AS n
+         |         FROM (SELECT string_split(trim(t, '#'), '##') AS l, wc FROM rr${i - 1}),
+         |              unnest([{'p1': l[i], 'p2': l[i+1]} for i in range(1, len(l))]) AS z(u)
+         |         GROUP BY 1, 2),
+         |tp$i AS (SELECT p1, p2, n FROM pc$i ORDER BY n DESC, p1, p2 LIMIT 1),
+         |rr$i AS (SELECT replace(r.t, '#' || b.p1 || '##' || b.p2 || '#',
+         |                        '#' || b.p1 || b.p2 || '#') AS t, r.wc
+         |         FROM rr${i - 1} r, tp$i b)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, p1, p2, n FROM tp$i")
+      .mkString(" UNION ALL ")
+    s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
+       |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |            WHERE len(w) > 0 GROUP BY w),
+       |rr0 AS (SELECT '#' || array_to_string([w[i] for i in range(1, len(w)+1)], '##') || '#' AS t, wc
+       |        FROM w0),
+       |$rounds
+       |SELECT * FROM ($finals) ORDER BY round""".stripMargin
+  }
+
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) — [[BpeMerges]]
+    * successive merge rounds, not just the first pair count
+    * ([[bpePairs]]): each round counts adjacent symbol pairs over the
+    * distinct-word symbol table (weighted by corpus word frequency), fuses
+    * the most frequent pair corpus-wide (ties broken lexicographically on
+    * the pair), and rewrites every word's symbol sequence before the next
+    * round — the clusterOf/pageRankOf iteration pattern applied to
+    * vocabulary learning, with per-round localCheckpoint lineage
+    * truncation on both the 1-row winner and the rewritten table.
+    *
+    * Scale shape: training state is the DISTINCT-word symbol table
+    * (vocab-sized — orders of magnitude smaller than the corpus) plus one
+    * exact BIGINT count per word mined in a single corpus pass; each round
+    * is one pair-keyed aggregate over that table and a broadcast 1-row
+    * scalar join applying the merge. Counts and tiebreaks are exact
+    * integers, so the learned merge table is hash-verified end-to-end
+    * against the DuckDB replay. */
+  val bpeTrain: QueryDef = QueryDef(
+    "llm_bpe_train",
+    bpeTrainSql(BpeMerges),
+  ) { (spark, dir) =>
+    bpeTrainOf(Tables.documents(spark, dir), BpeMerges)
+  }
+
   /** C4/Gopher-style quality-filter cascade in ONE pass: every signal the
     * pipeline computes separately ([[tokenCount]], [[quality]],
     * [[repetition]], [[entropy]]) evaluated per document, with the FIRST
@@ -1098,7 +1196,7 @@ object LlmTextOps {
     exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     entropy, neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
-    dedupCluster, dupChunks, chunkSplit, bpePairs, filterCascade,
+    dedupCluster, dupChunks, chunkSplit, bpePairs, bpeTrain, filterCascade,
     corpusPipeline, datasetCard,
   )
 

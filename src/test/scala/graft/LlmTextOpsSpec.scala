@@ -207,4 +207,22 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(math.abs(out(2L) - math.log(8)) < 1e-5)
     assert(out(3L) > 0.0 && out(3L) < out(2L))
   }
+
+  test("bpe training: greedy merge, frequency weighting, lexicographic ties") {
+    import spark.implicits.{localSeqToDatasetHolder, newStringEncoder}
+    // "aaa"×2 + "bc"×1: round 1 must fuse (a,a) with weight 4 (two adjacent
+    // positions × word count 2) and rewrite [a,a,a] -> [aa,a] GREEDILY
+    // (left-to-right, no overlap — NOT [a,aa]), which round 2 proves by
+    // fusing (aa,a) with weight 2; round 3 falls through to (b,c).
+    val docs = Seq("aaa aaa", "bc").toDF("text")
+    val m = LlmTextOps.bpeTrainOf(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L), (3L, "b", "c", 1L)))
+
+    // equal-frequency pairs tie-break lexicographically on (p1, p2)
+    val tie = Seq("cd ab").toDF("text")
+    val t = LlmTextOps.bpeTrainOf(tie, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(t.toSeq == Seq((1L, "a", "b", 1L)))
+  }
 }
