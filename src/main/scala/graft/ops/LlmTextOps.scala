@@ -961,15 +961,18 @@ object LlmTextOps {
         concat(slice(acc, lit(1), size(acc) - 1), array(concat(p1, p2))))
         .otherwise(concat(acc, array(t))))
 
-  /** The [[bpeTrain]] fixed point over any frame with a `text` column —
-    * extracted so the fixture spec drives the registered query's real
-    * loop (weighting, tiebreaks, greedy merge) on hand-checkable data. */
-  private[graft] def bpeTrainOf(docs: DataFrame, k: Int): DataFrame = {
+  /** The BPE fixed point over any frame with a `text` column: runs k merge
+    * rounds and returns (per-round winner DFs, final word symbol table
+    * `(w, syms, wc)`). Shared by [[bpeTrain]] (the merge table) and
+    * [[bpeEncode]] (tokenizer application), and extracted so the fixture
+    * spec drives the registered queries' real loop (weighting, tiebreaks,
+    * greedy merge) on hand-checkable data. */
+  private[graft] def bpeLoop(docs: DataFrame, k: Int): (Seq[DataFrame], DataFrame) = {
     var words = graft.Caches.localCheckpoint(
       docs.select(explode(tokens).as("w"))
         .filter(length($"w") > 0)
         .groupBy($"w").agg(count(lit(1)).as("wc"))
-        .select(transform(sequence(lit(1), length($"w")),
+        .select($"w", transform(sequence(lit(1), length($"w")),
           i => $"w".substr(i, lit(1))).as("syms"), $"wc"))
     val merges = (1 to k).map { r =>
       val pairCounts = words.filter(size($"syms") >= 2)
@@ -982,11 +985,15 @@ object LlmTextOps {
         pairCounts.orderBy($"n".desc, $"p1", $"p2").limit(1))
       words = graft.Caches.localCheckpoint(
         words.crossJoin(broadcast(top.select($"p1".as("mp1"), $"p2".as("mp2"))))
-          .select(mergePair($"syms", $"mp1", $"mp2").as("syms"), $"wc"))
+          .select($"w", mergePair($"syms", $"mp1", $"mp2").as("syms"), $"wc"))
       top.select(lit(r.toLong).as("round"), $"p1", $"p2", $"n")
     }
-    merges.reduce(_ unionAll _).orderBy($"round")
+    (merges, words)
   }
+
+  /** See [[bpeTrain]]. */
+  private[graft] def bpeTrainOf(docs: DataFrame, k: Int): DataFrame =
+    bpeLoop(docs, k)._1.reduce(_ unionAll _).orderBy($"round")
 
   /** See [[bpeTrain]]: the identical fixed point unrolled to k chained CTE
     * rounds. Words are carried as boundary-anchored '#'-joined symbol
@@ -995,26 +1002,30 @@ object LlmTextOps {
     * BPE merge — sound because the corpus vocabulary is purely alphabetic
     * (asserted nothing contains '#'), so a pattern can never straddle a
     * token boundary. */
-  private def bpeTrainSql(k: Int): String = {
+  private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""pc$i AS (SELECT u['p1'] AS p1, u['p2'] AS p2, CAST(sum(wc) AS BIGINT) AS n
          |         FROM (SELECT string_split(trim(t, '#'), '##') AS l, wc FROM rr${i - 1}),
          |              unnest([{'p1': l[i], 'p2': l[i+1]} for i in range(1, len(l))]) AS z(u)
          |         GROUP BY 1, 2),
          |tp$i AS (SELECT p1, p2, n FROM pc$i ORDER BY n DESC, p1, p2 LIMIT 1),
-         |rr$i AS (SELECT replace(r.t, '#' || b.p1 || '##' || b.p2 || '#',
+         |rr$i AS (SELECT r.w, replace(r.t, '#' || b.p1 || '##' || b.p2 || '#',
          |                        '#' || b.p1 || b.p2 || '#') AS t, r.wc
          |         FROM rr${i - 1} r, tp$i b)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to k)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS round, p1, p2, n FROM tp$i")
-      .mkString(" UNION ALL ")
     s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
        |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |            WHERE len(w) > 0 GROUP BY w),
-       |rr0 AS (SELECT '#' || array_to_string([w[i] for i in range(1, len(w)+1)], '##') || '#' AS t, wc
+       |rr0 AS (SELECT w, '#' || array_to_string([w[i] for i in range(1, len(w)+1)], '##') || '#' AS t, wc
        |        FROM w0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainSql(k: Int): String = {
+    val finals = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, p1, p2, n FROM tp$i")
+      .mkString(" UNION ALL ")
+    s"""${bpeCtes(k)}
        |SELECT * FROM ($finals) ORDER BY round""".stripMargin
   }
 
@@ -1040,6 +1051,44 @@ object LlmTextOps {
     bpeTrainSql(BpeMerges),
   ) { (spark, dir) =>
     bpeTrainOf(Tables.documents(spark, dir), BpeMerges)
+  }
+
+  /** Tokenizer APPLICATION — the second half of [[bpeTrain]]: encode the
+    * corpus with the learned merges and report the per-language
+    * compression the vocabulary buys (words, tokens, chars,
+    * chars-per-token). This is the readout that decides whether the merge
+    * budget was worth it, and at 100 TB it is exactly how encoding runs:
+    * the final symbol table is vocab-sized, broadcast to a single
+    * map-side equi-join against the exploded corpus — the trained state
+    * never shuffles with the data. Oracle replays training AND encoding
+    * from the same unrolled fixed point, so the whole train→apply lane is
+    * hash-verified. */
+  val bpeEncode: QueryDef = QueryDef(
+    "llm_bpe_encode",
+    s"""${bpeCtes(BpeMerges)},
+       |wtok AS (SELECT w, CAST(len(string_split(trim(t, '#'), '##')) AS BIGINT) AS ntok
+       |         FROM rr$BpeMerges),
+       |dw AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       |       round(CAST(sum(len(w)) AS DOUBLE) / sum(ntok), 4) AS chars_per_token
+       |FROM dw JOIN wtok USING (w)
+       |WHERE len(w) > 0
+       |GROUP BY lang ORDER BY lang""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val wtok = bpeLoop(docs, BpeMerges)._2
+      .select($"w", size($"syms").cast("long").as("ntok"))
+    docs.select($"lang", explode(tokens).as("w"))
+      .filter(length($"w") > 0)
+      .join(broadcast(wtok), "w")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"), sum($"ntok").as("n_tokens"),
+        sum(length($"w")).cast("long").as("n_chars"))
+      .select($"lang", $"n_words", $"n_tokens", $"n_chars",
+        round($"n_chars".cast("double") / $"n_tokens", 4).as("chars_per_token"))
+      .orderBy($"lang")
   }
 
   /** C4/Gopher-style quality-filter cascade in ONE pass: every signal the
@@ -1196,8 +1245,8 @@ object LlmTextOps {
     exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     entropy, neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
-    dedupCluster, dupChunks, chunkSplit, bpePairs, bpeTrain, filterCascade,
-    corpusPipeline, datasetCard,
+    dedupCluster, dupChunks, chunkSplit, bpePairs, bpeTrain, bpeEncode,
+    filterCascade, corpusPipeline, datasetCard,
   )
 
 }

@@ -67,6 +67,53 @@ object StatsOps {
       .orderBy($"l_returnflag")
   }
 
+  /** OLS regression price = slope·qty + intercept per return flag, plus r²
+    * — the modeling step after [[corrMoments]]: the SAME one-pass exact
+    * integer moments (map-side combinable decimal sums, scale-safe at any
+    * row count), with the textbook closed forms evaluated as one
+    * identically-parenthesized float expression per output column on both
+    * engines. The cents scaling cancels in the slope (both axes ×100);
+    * the intercept divides back to currency. */
+  val linreg: QueryDef = QueryDef(
+    "stats_linreg",
+    """WITH s AS (SELECT l_returnflag,
+      |                  CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+      |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS py
+      |           FROM lineitem),
+      |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(count(*) AS DOUBLE) AS nd,
+      |             CAST(sum(qx) AS DOUBLE) AS sx, CAST(sum(py) AS DOUBLE) AS sy,
+      |             CAST(sum(qx * py) AS DOUBLE) AS sxy,
+      |             CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+      |             CAST(sum(py * py) AS DOUBLE) AS syy
+      |      FROM s GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |       round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) AS slope,
+      |       round((sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd / 100.0, 4) AS intercept,
+      |       round((nd * sxy - sx * sy) * (nd * sxy - sx * sy) / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS r2
+      |FROM m ORDER BY l_returnflag""".stripMargin,
+  ) { (spark, dir) =>
+    val dec = "decimal(38,0)"
+    val s = Tables.lineitem(spark, dir).select($"l_returnflag",
+      round($"l_quantity" * 100).cast("long").as("qx"),
+      round($"l_extendedprice" * 100).cast("long").as("py"))
+    val m = s.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(($"qx" * $"py").cast(dec)).as("sxy_d"),
+      sum(($"qx" * $"qx").cast(dec)).as("sxx_d"),
+      sum(($"py" * $"py").cast(dec)).as("syy_d"),
+      sum($"qx".cast(dec)).as("sx_d"), sum($"py".cast(dec)).as("sy_d"))
+    val (nd, sx, sy) = ($"n".cast("double"), $"sx_d".cast("double"), $"sy_d".cast("double"))
+    val (sxy, sxx, syy) = ($"sxy_d".cast("double"), $"sxx_d".cast("double"), $"syy_d".cast("double"))
+    val cov = nd * sxy - sx * sy
+    val vx = nd * sxx - sx * sx
+    m.select($"l_returnflag", $"n",
+      round(cov / vx, 6).as("slope"),
+      round((sy - cov / vx * sx) / nd / 100.0, 4).as("intercept"),
+      round(cov * cov / (vx * (nd * syy - sy * sy)), 6).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Equi-width histogram of order totals (20 × 25k bins). Pure map-side
     * arithmetic + one tiny-key aggregate — the distribution profile that
     * costs one scan at any scale. */
@@ -258,5 +305,6 @@ object StatsOps {
   }
 
   val all: Seq[QueryDef] =
-    Seq(corrMoments, histogram, quantileBucket, profileOrders, madOutliers, chi2)
+    Seq(corrMoments, linreg, histogram, quantileBucket, profileOrders,
+      madOutliers, chi2)
 }

@@ -224,5 +224,11 @@ class LlmTextOpsSpec extends AnyFunSuite {
     val t = LlmTextOps.bpeTrainOf(tie, 1).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(t.toSeq == Seq((1L, "a", "b", 1L)))
+
+    // encoding side: after the three merges both words are single tokens
+    val fin = LlmTextOps.bpeLoop(docs, 3)._2.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(fin("aaa") == Seq("aaa") && fin("bc") == Seq("bc"),
+      s"learned vocab must encode the training words fully: $fin")
   }
 }
