@@ -245,6 +245,84 @@ object EmbeddingOps {
     rankTopK(scored)
   }
 
+  /** One Lloyd (k-means) iteration over the embedding corpus — the
+    * TRAINING step the IVF index doc promises ("a real deployment would
+    * k-means the centroids"): assign every vector to its nearest seed
+    * centroid (argmax cosine, the exact [[annIvf]] assignment), recompute
+    * each cell's centroid as the per-dimension mean, then re-assign
+    * against the NEW centroids and report per cell how membership moved —
+    * the convergence signal a k-means loop watches.
+    *
+    * Determinism/oracle: centroid means quantize every component to 1e-6
+    * BIGINTs before the shuffled sum (the [[embedCentroid]] architecture),
+    * so the learned centroids are bit-identical cross-engine and even the
+    * re-assignment argmax (ties broken by cell id) hash-matches. Scale
+    * shape: one corpus pass per half-iteration; the learned state (cells ×
+    * 64 means) is tiny and BROADCAST back for re-assignment — the corpus
+    * never joins itself, and more Lloyd rounds are the same two passes
+    * repeated. */
+  val kmeansIter: QueryDef = QueryDef(
+    "llm_kmeans_iter",
+    vecCte +
+      s"""
+         |, a AS (SELECT vec_id, v, nrm, ${cellSqlExpr(1)} AS cell FROM e),
+         |cm AS (SELECT cell, i,
+         |              CAST(sum(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |                / 1000000.0 / count(*) AS c
+         |       FROM a, unnest(range(1, len(v) + 1)) AS t(i)
+         |       GROUP BY cell, i),
+         |nc AS (SELECT cell, list(c ORDER BY i) AS cv FROM cm GROUP BY cell),
+         |nc2 AS (SELECT cell, cv,
+         |               sqrt(list_sum([cv[i]*cv[i] for i in range(1, len(cv)+1)])) AS cnrm
+         |        FROM nc),
+         |sc AS (SELECT a.vec_id, a.cell AS old_cell, nc2.cell AS cand,
+         |              ${dotSql("a.v", "nc2.cv")} / (a.nrm * nc2.cnrm) AS s
+         |       FROM a, nc2),
+         |re AS (SELECT vec_id, old_cell, cand AS new_cell FROM (
+         |         SELECT vec_id, old_cell, cand,
+         |                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cand) AS rk
+         |         FROM sc) WHERE rk = 1),
+         |b AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_before FROM a GROUP BY cell),
+         |f AS (SELECT new_cell AS cell, CAST(count(*) AS BIGINT) AS n_after FROM re GROUP BY new_cell),
+         |mv AS (SELECT old_cell AS cell,
+         |              CAST(sum(CASE WHEN new_cell <> old_cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |       FROM re GROUP BY old_cell)
+         |SELECT CAST(b.cell AS BIGINT) AS cell, b.n_before,
+         |       coalesce(f.n_after, 0) AS n_after, mv.n_moved
+         |FROM b LEFT JOIN f ON b.cell = f.cell JOIN mv ON b.cell = mv.cell
+         |ORDER BY cell""".stripMargin,
+  ) { (spark, dir) =>
+    val a = vectors(spark, dir).withColumn("cell", cellCols._1)
+    val cm = a.select($"cell", posexplode($"v"))
+      .groupBy($"cell", $"pos")
+      .agg((sum(round($"col" * lit(1000000.0)).cast("long")).cast("double")
+        / lit(1000000.0) / count(lit(1))).as("c"))
+    val nc = cm.groupBy($"cell")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        e => e.getField("c")).as("cv"))
+      .withColumn("cnrm", sqrt(aggregate($"cv", lit(0.0), (acc, x) => acc + x * x)))
+    val sc = a.select($"vec_id", $"cell".as("old_cell"), $"v", $"nrm")
+      .crossJoin(broadcast(nc.select($"cell".as("cand"), $"cv")))
+      .select($"vec_id", $"old_cell", $"cand",
+        call_function("cosine_sim", $"v", $"cv").as("s"))
+    val re = sc
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"s".desc, $"cand".asc)))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"old_cell", $"cand".as("new_cell"))
+    val b = a.groupBy($"cell").agg(count(lit(1)).as("n_before"))
+    val f = re.select($"new_cell".as("cell")).groupBy($"cell")
+      .agg(count(lit(1)).as("n_after"))
+    val mv = re
+      .select($"old_cell".as("cell"),
+        ($"new_cell" =!= $"old_cell").cast("long").as("m"))
+      .groupBy($"cell").agg(sum($"m").as("n_moved"))
+    b.join(f, Seq("cell"), "left").join(mv, Seq("cell"))
+      .select($"cell".cast("long").as("cell"), $"n_before",
+        coalesce($"n_after", lit(0L)).as("n_after"), $"n_moved")
+      .orderBy($"cell")
+  }
+
   /** Recall@k of both ANN variants against the brute-force baseline — the
     * number a user tuning hyperplane count (LSH) or probe count (IVF) at
     * 100 TB actually needs before trading accuracy for the bucketed
@@ -445,6 +523,6 @@ object EmbeddingOps {
   }
 
   val all: Seq[QueryDef] =
-    Seq(cosineTopK, annLsh, annIvf, annRecall, embedNeardup, embedStats,
-      embedCentroid, embedQuantize)
+    Seq(cosineTopK, annLsh, annIvf, annRecall, kmeansIter, embedNeardup,
+      embedStats, embedCentroid, embedQuantize)
 }

@@ -74,4 +74,19 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("lloyd iteration conserves membership, bounds movement, reruns stable") {
+    val n = io.Tables.embeddings(spark, sf).count()
+    val rows = EmbeddingOps.kmeansIter.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every vector is assigned before AND after the centroid update
+    assert(rows.map(_._2).sum == n, "n_before must partition the corpus")
+    assert(rows.map(_._3).sum == n, "n_after must partition the corpus")
+    rows.foreach { case (cell, before, _, moved) =>
+      assert(moved <= before, s"cell $cell: moved $moved > members $before")
+    }
+    val rerun = EmbeddingOps.kmeansIter.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == rerun.toSeq, "quantized centroids must be rerun-stable")
+  }
 }
