@@ -198,5 +198,65 @@ object GraphOps {
       .limit(20)
   }
 
-  val all: Seq[QueryDef] = Seq(triangles, degreeDist, pageRank)
+  /** BFS levels from a source over a directed edge list: round h joins the
+    * frontier to the edges, dedups, anti-joins the visited set, and tags
+    * survivors with level h — one edge-keyed equi-join + one anti-join per
+    * hop, the frontier-expansion shape that holds on any cluster (state is
+    * the visited set, never paths — no path explosion). The visited set is
+    * referenced twice per round (anti-join + union), so lineage is
+    * truncated every round like `clusterOf`. Source = the minimum src id
+    * (deterministic; callers pass both orientations for undirected
+    * graphs). */
+  private[graft] def bfsLevelsOf(edges: DataFrame, maxHops: Int): DataFrame = {
+    val e = graft.Caches.persist(edges.select($"src", $"dst"))
+    var visited = graft.Caches.localCheckpoint(
+      e.agg(min($"src").as("id")).select($"id", lit(0L).as("level")))
+    var frontier = visited.select($"id")
+    for (h <- 1 to maxHops) {
+      val nf = graft.Caches.localCheckpoint(
+        e.join(frontier.select($"id".as("src")), "src")
+          .select($"dst".as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .select($"id", lit(h.toLong).as("level")))
+      visited = graft.Caches.localCheckpoint(visited.unionAll(nf))
+      frontier = nf.select($"id")
+    }
+    visited
+  }
+
+  /** 3-hop BFS neighborhood of the co-occurrence graph's minimum part id —
+    * single-source shortest hop-distances, the graph staple next to
+    * components ([[LlmTextOps.clusterOf]]), PageRank, and triangles. The
+    * DuckDB twin unrolls the same frontier expansion level by level
+    * (NOT-IN visited = the anti-join), so hop distances are value-checked
+    * exactly. */
+  val bfsLevels: QueryDef = QueryDef(
+    "graph_bfs_levels",
+    s"""WITH $edgesSql,
+       |und AS (SELECT p1 AS src, p2 AS dst FROM pairs
+       |        UNION ALL SELECT p2 AS src, p1 AS dst FROM pairs),
+       |l0 AS (SELECT min(src) AS id FROM und),
+       |l1 AS (SELECT DISTINCT e.dst AS id FROM und e JOIN l0 ON e.src = l0.id
+       |       WHERE e.dst NOT IN (SELECT id FROM l0)),
+       |v1 AS (SELECT id FROM l0 UNION SELECT id FROM l1),
+       |l2 AS (SELECT DISTINCT e.dst AS id FROM und e JOIN l1 ON e.src = l1.id
+       |       WHERE e.dst NOT IN (SELECT id FROM v1)),
+       |v2 AS (SELECT id FROM v1 UNION SELECT id FROM l2),
+       |l3 AS (SELECT DISTINCT e.dst AS id FROM und e JOIN l2 ON e.src = l2.id
+       |       WHERE e.dst NOT IN (SELECT id FROM v2))
+       |SELECT id AS part, CAST(0 AS BIGINT) AS level FROM l0
+       |UNION ALL SELECT id, CAST(1 AS BIGINT) FROM l1
+       |UNION ALL SELECT id, CAST(2 AS BIGINT) FROM l2
+       |UNION ALL SELECT id, CAST(3 AS BIGINT) FROM l3
+       |ORDER BY part""".stripMargin,
+  ) { (spark, dir) =>
+    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val edges = und.select($"p1".as("src"), $"p2".as("dst"))
+      .union(und.select($"p2".as("src"), $"p1".as("dst")))
+    bfsLevelsOf(edges, 3)
+      .select($"id".as("part"), $"level")
+      .orderBy($"part")
+  }
+
+  val all: Seq[QueryDef] = Seq(triangles, degreeDist, pageRank, bfsLevels)
 }

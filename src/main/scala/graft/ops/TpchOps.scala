@@ -417,8 +417,61 @@ object TpchOps {
       .orderBy($"o_custkey")
   }
 
+  /** TPC-H Q5 (local supplier volume) — the 6-table benchmark classic and
+    * the largest join tree in the registry: per-nation revenue from
+    * line items whose customer and supplier sit in the SAME nation, for one
+    * region and one order year.
+    *
+    * Scale plan: the only big-big shuffles are lineitem ⋈ orders (keyed on
+    * orderkey, date filter pushed to the orders scan) and the custkey join;
+    * supplier is broadcast with the COMPOSITE key (s_suppkey, s_nationkey)
+    * so the "customer and supplier co-located" rule stays a pure equi-join
+    * (no post-join filter re-reading both sides); nation/region fold in as
+    * broadcast hash joins. Revenue terms `extprice·(1−discount)` are exact
+    * 4-dp quantities, quantized to 1e4 BIGINTs BEFORE the shuffled sum —
+    * the repo's standard money determinism — then rendered to 2 dp. */
+  val tpchQ5: QueryDef = QueryDef(
+    "tpch_q5",
+    """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_items,
+      |       round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue
+      |FROM customer c
+      |JOIN orders o   ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      |JOIN region r   ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY n.n_name
+      |ORDER BY revenue DESC, n.n_name""".stripMargin,
+  ) { (spark, dir) =>
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s),
+        l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA")
+      .groupBy(n("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(l("l_extendedprice") * (lit(1) - l("l_discount")) * 10000)
+          .cast("long")).as("rq"))
+      .select($"n_name", $"n_items",
+        round($"rq".cast("double") / 10000.0, 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, redshiftQ1, redshiftQ2, redshiftQ3, rdsQ1, rdsQ2, rdsQ3,
       displayScan, monthlyOrders, limitPeek, decimalMoney, decimalStored,
-      upsertMerge, fullOuterHalves)
+      upsertMerge, fullOuterHalves, tpchQ5)
 }

@@ -78,6 +78,19 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r == r2, "dangling-path pagerank must be deterministic")
   }
 
+  test("bfs levels: hop distances, visited exclusion, unreachable components") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // chain 1-2-3-4-5 plus a cycle edge 2-4 (shortcut) and a disconnected
+    // component {10,11}; source = min id = 1. Shortest hops: 2→1, 3→2,
+    // 4→2 (via the shortcut, NOT 3), 5→3; 10/11 unreachable -> absent.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 4L), (10L, 11L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.bfsLevelsOf(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L),
+      s"shortest hop distances must win: $out")
+  }
+
   test("mad outliers: extreme values don't poison the threshold") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // 99 values near 10, one at 10000: median/MAD flags exactly the one

@@ -38,9 +38,16 @@ class PlanAuditSpec extends AnyFunSuite {
     Seq("redshift_q1", "a5_search_tag_range", "llm_cosine_topk",
       "a4_zscore_outliers", "llm_decontam", "llm_contam_frac",
       "llm_tfidf_rank", "llm_bm25_rank", "feat_quantile_bucket",
-      "stats_mad_outliers", "a4_rolling_distinct").foreach { n =>
+      "stats_mad_outliers", "a4_rolling_distinct", "tpch_q5",
+      "llm_kmeans_iter", "llm_bpe_encode").foreach { n =>
       assert(plans(n).contains("Broadcast"), s"$n lost its broadcast")
     }
+    // Q5's six-table tree must reduce to the two keyed big-side shuffles
+    // (lineitem ⋈ orders, then custkey) — supplier/nation/region all fold
+    // in as broadcast hash joins, never extra exchanges.
+    val q5 = plans("tpch_q5")
+    val bhj = "BroadcastHashJoin".r.findAllIn(q5).size
+    assert(bhj >= 3, s"tpch_q5 must broadcast supplier+nation+region, got $bhj")
   }
 
   test("point lookups push their key predicate into the parquet scan") {
