@@ -258,5 +258,66 @@ object GraphOps {
       .orderBy($"part")
   }
 
-  val all: Seq[QueryDef] = Seq(triangles, degreeDist, pageRank, bfsLevels)
+  /** Adamic–Adar link prediction over the co-occurrence graph: for every
+    * NON-adjacent pair (a, c) with shared neighbors, score
+    * Σ_b 1/ln(deg(b)) over the common neighbors b — rare hubs count more
+    * than ubiquitous ones. The top of the list is "parts that should
+    * co-occur but don't yet", the classic recommendation-by-structure
+    * readout the pairwise recommender ([[triangles]]' open wedges) can't
+    * rank.
+    *
+    * Shape: wedge expansion (und ⋈ und on the shared hub, a < c) → anti-
+    * join against the existing edge set → hub-degree join → pair-keyed
+    * sum. Per-term 1/ln(deg) is quantized to 1e-6 BIGINTs BEFORE the
+    * shuffled sum, so the float scores hash-match cross-engine. A shared
+    * neighbor by definition has degree ≥ 2, so ln(deg) is never 0. Wedge
+    * volume is Σ deg(b)² of the MINED graph — at 100 TB the standard
+    * mitigation (cap or sample per-hub neighbor lists) applies before the
+    * expansion, same as the pair-emission caveat on the dedup family. */
+  val adamicAdar: QueryDef = QueryDef(
+    "graph_adamic_adar",
+    s"""WITH $edgesSql,
+       |und AS (SELECT p1 AS src, p2 AS dst FROM pairs
+       |        UNION ALL SELECT p2 AS src, p1 AS dst FROM pairs),
+       |deg AS (SELECT src AS b, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+       |w AS (SELECT x.src AS b, x.dst AS a, y.dst AS c
+       |      FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst),
+       |nonadj AS (SELECT w.a, w.c, w.b FROM w
+       |           WHERE NOT EXISTS (SELECT 1 FROM pairs p
+       |                             WHERE p.p1 = w.a AND p.p2 = w.c)),
+       |sc AS (SELECT a, c,
+       |              CAST(sum(CAST(round(1.0 / ln(deg.deg) * 1000000) AS BIGINT)) AS BIGINT) AS sq
+       |       FROM nonadj JOIN deg ON nonadj.b = deg.b GROUP BY a, c)
+       |SELECT a AS part_a, c AS part_b,
+       |       round(CAST(sq AS DOUBLE) / 1000000.0, 6) AS aa_score
+       |FROM sc ORDER BY aa_score DESC, part_a, part_b LIMIT 20""".stripMargin,
+  ) { (spark, dir) =>
+    adamicAdarOf(cooccurEdges(Tables.lineitem(spark, dir)))
+  }
+
+  /** The Adamic–Adar plan over any canonical (p1 < p2) edge list —
+    * extracted so the fixture spec runs the registered query's real
+    * wedge/anti-join/quantized-sum pipeline. */
+  private[graft] def adamicAdarOf(edges: DataFrame): DataFrame = {
+    val e = graft.Caches.persist(edges.select($"p1", $"p2"))
+    val und = e.select($"p1".as("src"), $"p2".as("dst"))
+      .union(e.select($"p2".as("src"), $"p1".as("dst")))
+    val deg = und.select($"src".as("b")).groupBy($"b")
+      .agg(count(lit(1)).as("deg"))
+    val w = und.as("x").join(und.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("b"), col("x.dst").as("a"), col("y.dst").as("c"))
+    val nonadj = w.join(e,
+      w("a") === e("p1") && w("c") === e("p2"), "left_anti")
+    nonadj.join(deg, "b")
+      .groupBy($"a", $"c")
+      .agg(sum(round(lit(1.0) / log($"deg") * 1000000).cast("long")).as("sq"))
+      .select($"a".as("part_a"), $"c".as("part_b"),
+        round($"sq".cast("double") / 1000000.0, 6).as("aa_score"))
+      .orderBy($"aa_score".desc, $"part_a", $"part_b")
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(triangles, degreeDist, pageRank, bfsLevels, adamicAdar)
 }

@@ -470,8 +470,46 @@ object TpchOps {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** TPC-H Q17 (small-quantity-order revenue) — the correlated-scalar-
+    * subquery classic: revenue from line items whose quantity is under 20%
+    * of their part's average, for one brand. Written DECORRELATED — the
+    * shape Catalyst rewrites correlated subqueries into anyway: brand
+    * part keys broadcast-semi-restrict lineitem FIRST (so the per-part
+    * average aggregates only the brand's rows — exactly the correlated
+    * semantics, at 1/brand-count the cost), then the per-part thresholds
+    * join back and filter. The threshold uses the repo's average
+    * convention `round(sum(q),2)/count` so both engines derive the
+    * IDENTICAL double before the strict `<` compare; revenue quantizes to
+    * cents pre-sum. */
+  val tpchQ17: QueryDef = QueryDef(
+    "tpch_q17",
+    """WITH lp AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |            WHERE p.p_brand = 'Brand#13'),
+      |t AS (SELECT l_partkey, round(sum(l_quantity), 2) / count(l_quantity) AS avg_q
+      |      FROM lp GROUP BY l_partkey)
+      |SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |       round(CAST(sum(CAST(round(lp.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
+      |FROM lp JOIN t ON lp.l_partkey = t.l_partkey
+      |WHERE lp.l_quantity < 0.2 * t.avg_q""".stripMargin,
+  ) { (spark, dir) =>
+    val bp = Tables.part(spark, dir)
+      .filter($"p_brand" === "Brand#13").select($"p_partkey")
+    val lp = Tables.lineitem(spark, dir)
+      .join(broadcast(bp), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val t = lp.groupBy($"l_partkey")
+      .agg((round(sum($"l_quantity"), 2) / count($"l_quantity")).as("avg_q"))
+      .withColumnRenamed("l_partkey", "t_partkey")
+    lp.join(t, $"l_partkey" === $"t_partkey")
+      .filter($"l_quantity" < lit(0.2) * $"avg_q")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(round($"l_extendedprice" * 100).cast("long")).cast("double")
+          / 100.0 / 7.0, 2).as("avg_yearly"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, redshiftQ1, redshiftQ2, redshiftQ3, rdsQ1, rdsQ2, rdsQ3,
       displayScan, monthlyOrders, limitPeek, decimalMoney, decimalStored,
-      upsertMerge, fullOuterHalves, tpchQ5)
+      upsertMerge, fullOuterHalves, tpchQ5, tpchQ17)
 }

@@ -91,6 +91,25 @@ class GraphOpsSpec extends AnyFunSuite {
       s"shortest hop distances must win: $out")
   }
 
+  test("adamic-adar: non-adjacent pairs only, hub-degree discounting") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // path 1-2-3 plus hub 4 connected to {1,3,5}: pair (1,3) shares TWO
+    // neighbors (2 with deg 2, 4 with deg 3) -> 1/ln2 + 1/ln3; (1,5)/(3,5)
+    // share only hub 4 -> 1/ln3; (2,4) shares deg-2 nodes 1 and 3 -> 2/ln2;
+    // adjacent pairs like (1,2) and no-shared-neighbor pairs like (2,5)
+    // must NOT appear.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("p1", "p2")
+    val out = GraphOps.adamicAdarOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def q(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out.keySet == Set((1L, 3L), (1L, 5L), (3L, 5L), (2L, 4L)),
+      s"exactly the non-adjacent shared-neighbor pairs: $out")
+    assert(math.abs(out((1L, 3L)) - q(1 / math.log(2) + 1 / math.log(3))) < 2e-6)
+    assert(math.abs(out((2L, 4L)) - q(2 / math.log(2))) < 2e-6)
+    assert(math.abs(out((1L, 5L)) - q(1 / math.log(3))) < 2e-6)
+  }
+
   test("mad outliers: extreme values don't poison the threshold") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // 99 values near 10, one at 10000: median/MAD flags exactly the one
