@@ -318,6 +318,57 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Local clustering coefficient per node — cc(v) = 2·T(v) / (deg(v)·
+    * (deg(v)−1)) for deg ≥ 2 — how close each part's co-occurrence
+    * neighborhood is to a clique, completing the graph-metrics set
+    * (degree → [[degreeDist]], closure → [[triangles]], centrality →
+    * [[pageRank]], distance → [[bfsLevels]], prediction → [[adamicAdar]]).
+    * Reuses [[trianglesOf]]'s closure (each triangle credits its three
+    * corners; Catalyst's EliminateSorts drops the builder's ORDER BY under
+    * the aggregate) and the degree aggregate; the one float division per
+    * node runs on exact integers, rounded to 6 dp on both engines. */
+  val clusterCoeff: QueryDef = QueryDef(
+    "graph_cluster_coeff",
+    s"""WITH $edgesSql,
+       |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+       |        FROM pairs e1 JOIN pairs e2 ON e2.p1 = e1.p2
+       |             JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+       |tc AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |         SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+       |         UNION ALL SELECT c FROM tri) GROUP BY v),
+       |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS degree FROM (
+       |          SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs)
+       |        GROUP BY p)
+       |SELECT deg.p AS part, deg.degree, coalesce(tc.n_tri, 0) AS n_tri,
+       |       round(CAST(2 * coalesce(tc.n_tri, 0) AS DOUBLE)
+       |             / (deg.degree * (deg.degree - 1)), 6) AS cc
+       |FROM deg LEFT JOIN tc ON deg.p = tc.v
+       |WHERE deg.degree >= 2
+       |ORDER BY part""".stripMargin,
+  ) { (spark, dir) =>
+    clusterCoeffOf(cooccurEdges(Tables.lineitem(spark, dir)))
+  }
+
+  /** The clustering-coefficient plan over any canonical (p1 < p2) edge
+    * list — extracted for the fixture spec, per the repo convention. */
+  private[graft] def clusterCoeffOf(edges: DataFrame): DataFrame = {
+    val e = graft.Caches.persist(edges.select($"p1", $"p2"))
+    val tri = trianglesOf(e)
+    val tc = tri.select($"a".as("v"))
+      .unionAll(tri.select($"b".as("v")))
+      .unionAll(tri.select($"c".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("n_tri"))
+    val deg = e.select($"p1".as("p")).union(e.select($"p2".as("p")))
+      .groupBy($"p").agg(count(lit(1)).as("degree"))
+    deg.join(tc, deg("p") === tc("v"), "left")
+      .filter($"degree" >= 2)
+      .select($"p".as("part"), $"degree",
+        coalesce($"n_tri", lit(0L)).as("n_tri"),
+        round((lit(2) * coalesce($"n_tri", lit(0L))).cast("double")
+          / ($"degree" * ($"degree" - 1)), 6).as("cc"))
+      .orderBy($"part")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(triangles, degreeDist, pageRank, bfsLevels, adamicAdar)
+    Seq(triangles, degreeDist, pageRank, bfsLevels, adamicAdar, clusterCoeff)
 }

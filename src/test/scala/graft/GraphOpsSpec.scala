@@ -110,6 +110,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(out((1L, 5L)) - q(1 / math.log(3))) < 2e-6)
   }
 
+  test("clustering coefficient: triangle credit per corner, degree-1 excluded") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // triangles {1,2,3} and {1,3,4}; node 5 hangs off 4 (deg 1 -> excluded).
+    // cc(1)=2·2/(3·2)=2/3, cc(2)=2·1/(2·1)=1, cc(3)=2/3, cc(4)=2·1/(3·2)=1/3
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("p1", "p2")
+    val out = GraphOps.clusterCoeffOf(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), s"deg-1 node 5 must be excluded: $out")
+    assert(out(1L) == ((3L, 2L, 0.666667)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 2L, 0.666667)))
+    assert(out(4L) == ((3L, 1L, 0.333333)))
+  }
+
   test("mad outliers: extreme values don't poison the threshold") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // 99 values near 10, one at 10000: median/MAD flags exactly the one

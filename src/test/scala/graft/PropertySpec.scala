@@ -120,4 +120,44 @@ class PropertySpec extends AnyFunSuite {
       assert(mergedRtl.items == exp, s"RTL merge broke on $in split $splitN")
     }
   }
+
+  test("bpe training law: the engine's merge table equals a reference BPE for any corpus") {
+    import spark.implicits.{localSeqToDatasetHolder, newStringEncoder}
+    // reference implementation: word-frequency BPE with greedy left-to-right
+    // merging and (count desc, pair asc) selection — written imperatively,
+    // independent of the DataFrame fold under test
+    def refBpe(texts: List[String], k: Int): Seq[(Long, String, String, Long)] = {
+      val wc = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var seqs: Map[String, Vector[String]] =
+        wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      (1 to k).iterator.map { r =>
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, s) <- seqs; i <- 0 until s.length - 1)
+          pc((s(i), s(i + 1))) = pc.getOrElse((s(i), s(i + 1)), 0L) + wc(w)
+        if (pc.isEmpty) None
+        else {
+          val ((p1, p2), n) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+          def merge(s: Vector[String]): Vector[String] =
+            s.foldLeft(Vector.empty[String]) { (acc, t) =>
+              if (acc.nonEmpty && acc.last == p1 && t == p2)
+                acc.init :+ (p1 + p2)
+              else acc :+ t
+            }
+          seqs = seqs.view.mapValues(merge).toMap
+          Some((r.toLong, p1, p2, n))
+        }
+      }.takeWhile(_.isDefined).flatten.toSeq
+    }
+    // words over a 2-letter alphabet maximize overlapping-merge traps
+    val word = Gen.listOfN(5, Gen.oneOf("a", "b")).map(_.mkString)
+      .flatMap(w => Gen.choose(1, 5).map(w.take))
+    val corpus = Gen.nonEmptyListOf(Gen.listOfN(4, word).map(_.mkString(" ")))
+    forAllSeeded(corpus, n = 4) { texts =>
+      val got = LlmTextOps.bpeTrainOf(texts.toDF("text"), 3).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(got == refBpe(texts, 3), s"bpe diverged on corpus $texts")
+    }
+  }
 }
