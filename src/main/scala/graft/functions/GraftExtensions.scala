@@ -43,5 +43,13 @@ object GraftExtensions {
           s"winnow_fps expects 1 argument, got ${children.length}")
         WinnowFps(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("cascade_sigs"),
+      new ExpressionInfo(classOf[CascadeSigs].getName, "cascade_sigs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"cascade_sigs expects 1 argument, got ${children.length}")
+        CascadeSigs(children.head)
+      }))
   }
 }

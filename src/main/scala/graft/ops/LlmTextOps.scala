@@ -1170,6 +1170,39 @@ object LlmTextOps {
     cascadeVerdict(Tables.documents(spark, dir)).orderBy($"doc_id")
   }
 
+  /** [[filterCascade]]'s native twin — the `llm_winnow`/`llm_winnow_native`
+    * pattern applied to the cascade: the declarative verdict stays the
+    * oracle-shaped ground truth, while this one computes every signal with
+    * the codegen'd `cascade_sigs` expression (graft.functions.CascadeSigs)
+    * — ONE linear hash-map pass per document instead of the interpreted
+    * per-distinct-token `filter` scans that dominate the declarative
+    * plan's cost. Same rules, same first-failing-reason semantics, and the
+    * SAME DuckDB oracle (the expression's quantized entropy reproduces the
+    * HOF arithmetic bit-for-bit, HALF_UP rounding included), so the
+    * speedup is hash-verified, not trusted. */
+  val filterCascadeNative: QueryDef = QueryDef(
+    "llm_filter_cascade_native",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |$cascadeSignalsSql
+       |SELECT doc_id, n_tokens, reason,
+       |       CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select($"doc_id", call_function("cascade_sigs", tokens).as("g"))
+      .select($"doc_id", $"g.n".as("n_tokens"),
+        when($"g.n" < 20, "too_short")
+          .when($"g.n" > 1000, "too_long")
+          .when($"g.stop_hits" * 20 < $"g.n", "low_stopword")
+          .when($"g.top_cnt" * 5 > $"g.n", "repetitive_top")
+          .when($"g.tri_dup" * 10 > $"g.tri_total" * 3, "dup_trigrams")
+          .when($"g.eq" < 1000000L, "low_entropy")
+          .otherwise("keep").as("reason"))
+      .select($"doc_id", $"n_tokens", $"reason",
+        when($"reason" === "keep", 1L).otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** The curation pipeline end-to-end in ONE plan: exact dedup (keep the
     * first copy of each byte-identical text) composed with the quality
     * cascade, rolled up to the per-language corpus yield — docs in, docs
@@ -1246,7 +1279,7 @@ object LlmTextOps {
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     entropy, neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
     dedupCluster, dupChunks, chunkSplit, bpePairs, bpeTrain, bpeEncode,
-    filterCascade, corpusPipeline, datasetCard,
+    filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
   )
 
 }

@@ -231,4 +231,14 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(fin("aaa") == Seq("aaa") && fin("bc") == Seq("bc"),
       s"learned vocab must encode the training words fully: $fin")
   }
+
+  test("native cascade expression matches the declarative verdict row-for-row") {
+    // the native one-pass signals (cascade_sigs) must reproduce the HOF
+    // pipeline exactly — every doc, every reason, including the quantized
+    // entropy boundary — on the full sf0.001 corpus
+    val decl = LlmTextOps.filterCascade.run(spark, sf).collect().toSeq
+    val nat = LlmTextOps.filterCascadeNative.run(spark, sf).collect().toSeq
+    assert(decl.nonEmpty && nat == decl,
+      s"native cascade diverged (${nat.size} vs ${decl.size} rows)")
+  }
 }
