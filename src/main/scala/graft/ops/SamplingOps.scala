@@ -124,15 +124,21 @@ object SamplingOps {
       .orderBy($"variant")
   }
 
-  /** Welch two-sample t statistic between the A/B arms on purchase values —
+  /** Welch two-sample t test between the A/B arms on purchase values —
     * the readout that tells an experimenter whether the arms differ. Arms
     * are the same deterministic hash bucketing as [[abConversion]]; per-arm
     * moments are exact integer sums (values ×1000) so the shuffled
-    * aggregation is order-free, and the t statistic is ONE
+    * aggregation is order-free, and the t statistic, the
+    * Welch–Satterthwaite degrees of freedom, and the decision are each ONE
     * identically-parenthesized float expression over those exact moments on
-    * both engines (the `stats_corr_moments` architecture). Null-hypothesis
-    * data ⇒ |t| should be small; the spec asserts a planted uplift flips it
-    * large. */
+    * both engines (the `stats_corr_moments` architecture; the per-arm
+    * standard-error terms u0/u1 are named columns so both engines reuse the
+    * identical IEEE sub-expression). The decision compares the ROUNDED |t|
+    * against the two-sided 5% normal critical value 1.96 — df is large here
+    * (it is reported so a reader can check that), and deriving the verdict
+    * from the 6-dp-rounded statistic keeps it hash-stable cross-engine.
+    * Null-hypothesis data ⇒ |t| small, decision `fail_to_reject`; the spec
+    * asserts a planted uplift flips both. */
   val abTTest: QueryDef = QueryDef(
     "ab_value_ttest",
     """WITH x AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant,
@@ -150,14 +156,21 @@ object SamplingOps {
       |             max(CASE WHEN variant = 1 THEN sx END) AS sx1,
       |             max(CASE WHEN variant = 0 THEN sxx END) AS sxx0,
       |             max(CASE WHEN variant = 1 THEN sxx END) AS sxx1
-      |      FROM m)
-      |SELECT n0, n1,
-      |       round(sx0 / 1000.0 / nd0, 6) AS mean0,
-      |       round(sx1 / 1000.0 / nd1, 6) AS mean1,
-      |       round((sx0 / 1000.0 / nd0 - sx1 / 1000.0 / nd1) /
-      |             sqrt((nd0 * sxx0 - sx0 * sx0) / (nd0 * (nd0 - 1.0)) / 1000000.0 / nd0
-      |                + (nd1 * sxx1 - sx1 * sx1) / (nd1 * (nd1 - 1.0)) / 1000000.0 / nd1), 6) AS t_welch
-      |FROM p""".stripMargin,
+      |      FROM m),
+      |u AS (SELECT *,
+      |             (nd0 * sxx0 - sx0 * sx0) / (nd0 * (nd0 - 1.0)) / 1000000.0 / nd0 AS u0,
+      |             (nd1 * sxx1 - sx1 * sx1) / (nd1 * (nd1 - 1.0)) / 1000000.0 / nd1 AS u1
+      |      FROM p),
+      |t AS (SELECT n0, n1,
+      |             round(sx0 / 1000.0 / nd0, 6) AS mean0,
+      |             round(sx1 / 1000.0 / nd1, 6) AS mean1,
+      |             round((sx0 / 1000.0 / nd0 - sx1 / 1000.0 / nd1) / sqrt(u0 + u1), 6) AS t_welch,
+      |             round((u0 + u1) * (u0 + u1)
+      |                   / (u0 * u0 / (nd0 - 1.0) + u1 * u1 / (nd1 - 1.0)), 4) AS df_welch
+      |      FROM u)
+      |SELECT n0, n1, mean0, mean1, t_welch, df_welch,
+      |       CASE WHEN abs(t_welch) > 1.96 THEN 'reject_h0' ELSE 'fail_to_reject' END AS decision
+      |FROM t""".stripMargin,
   ) { (spark, dir) => welchT(Tables.events(spark, dir)) }
 
   /** Welch-t plan over any events frame — split out for the spec. */
@@ -177,13 +190,19 @@ object SamplingOps {
       arm(0, $"n".cast("double")).as("nd0"), arm(1, $"n".cast("double")).as("nd1"),
       arm(0, $"sx_d".cast("double")).as("sx0"), arm(1, $"sx_d".cast("double")).as("sx1"),
       arm(0, $"sxx_d".cast("double")).as("sxx0"), arm(1, $"sxx_d".cast("double")).as("sxx1"))
-    p.select($"n0", $"n1",
+    val u = p.select($"*",
+      (($"nd0" * $"sxx0" - $"sx0" * $"sx0") / ($"nd0" * ($"nd0" - lit(1.0))) / 1000000.0 / $"nd0").as("u0"),
+      (($"nd1" * $"sxx1" - $"sx1" * $"sx1") / ($"nd1" * ($"nd1" - lit(1.0))) / 1000000.0 / $"nd1").as("u1"))
+    val t = u.select($"n0", $"n1",
       round($"sx0" / 1000.0 / $"nd0", 6).as("mean0"),
       round($"sx1" / 1000.0 / $"nd1", 6).as("mean1"),
-      round(($"sx0" / 1000.0 / $"nd0" - $"sx1" / 1000.0 / $"nd1") /
-        sqrt(($"nd0" * $"sxx0" - $"sx0" * $"sx0") / ($"nd0" * ($"nd0" - lit(1.0))) / 1000000.0 / $"nd0"
-          + ($"nd1" * $"sxx1" - $"sx1" * $"sx1") / ($"nd1" * ($"nd1" - lit(1.0))) / 1000000.0 / $"nd1"), 6)
-        .as("t_welch"))
+      round(($"sx0" / 1000.0 / $"nd0" - $"sx1" / 1000.0 / $"nd1") / sqrt($"u0" + $"u1"), 6)
+        .as("t_welch"),
+      round(($"u0" + $"u1") * ($"u0" + $"u1")
+        / ($"u0" * $"u0" / ($"nd0" - lit(1.0)) + $"u1" * $"u1" / ($"nd1" - lit(1.0))), 4)
+        .as("df_welch"))
+    t.select($"n0", $"n1", $"mean0", $"mean1", $"t_welch", $"df_welch",
+      when(abs($"t_welch") > 1.96, "reject_h0").otherwise("fail_to_reject").as("decision"))
   }
 
   val all: Seq[QueryDef] =

@@ -79,5 +79,20 @@ class SamplingOpsSpec extends AnyFunSuite {
     assert(tUp.getDouble(3) > tUp.getDouble(2), "arm 1 mean must be lifted")
     assert(tUp.getDouble(4) < -10.0,
       s"planted uplift must be decisive: t=${tUp.getDouble(4)}")
+    assert(tUp.getString(6) == "reject_h0", "uplift must flip the decision")
+  }
+
+  test("welch df: Satterthwaite bounds min(n0,n1)-1 <= df <= n0+n1-2") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val base = (1 to 2000).map(i => (i.toLong, (i % 200).toLong + 1L,
+      "purchase", 10.0 + (i % 7) * 0.5))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val r = SamplingOps.welchT(base).collect().head
+    val (n0, n1) = (r.getLong(0), r.getLong(1))
+    val df = r.getDouble(5)
+    assert(df >= math.min(n0, n1) - 1.0 && df <= n0 + n1 - 2.0,
+      s"Welch–Satterthwaite df out of range: df=$df n0=$n0 n1=$n1")
+    assert(r.getString(6) == "fail_to_reject",
+      "null data must not reject at the 5% level")
   }
 }
