@@ -15,17 +15,38 @@ import graft.io.Tables
   */
 object FormatOps {
 
+  /** Staging dirs this JVM created, deleted on exit — the applicationId
+    * suffix makes every session's staging unique (no overwrite races), so
+    * without cleanup each run would leak full table copies under tmpdir. */
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedDirs.keySet.forEach { d =>
+        try {
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () } // exit-path cleanup is best-effort
+      }))
+
   /** Staging directory for a round-trip lane: keyed on the SANITIZED full
     * source path (not its hashCode — two different dirs must never collide)
     * and suffixed with the session's applicationId so concurrent runners
     * over the same testdata (e.g. a parallel Verify + Bench) each stage in
     * their own directory instead of racing `mode("overwrite")` against each
-    * other mid-read. */
+    * other mid-read. Within one session the path is stable, so repeated
+    * runs of a lane reuse it via mode(overwrite); every path is registered
+    * for JVM-exit deletion so sessions don't accumulate staged copies. */
   private def stagePath(
       spark: org.apache.spark.sql.SparkSession, dir: String, fmt: String): String = {
     val safeDir = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stage_${fmt}_${safeDir}_$app"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_stage_${fmt}_${safeDir}_$app"
+    cleanupHook
+    stagedDirs.put(path, true)
+    path
   }
 
   /** JSON-lines round trip of the documents table. The read side supplies
