@@ -813,6 +813,109 @@ object LlmTextOps {
       .orderBy($"doc_id")
   }
 
+  /** Safety cap for [[clusterLsOf]]. The alternating algorithm is proven
+    * O(log² n) rounds worst-case (and observed O(log n) in practice — a
+    * 250-hop chain closes in ~6 rounds in the spec); 30 rounds is far past
+    * any real graph, so hitting the cap means the loop is broken and the
+    * op throws rather than returning partial stars. */
+  private val MaxLsRounds = 30
+
+  /** Large-star/small-star connected components (the alternating algorithm
+    * of Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round SCALE TWIN of [[clusterOf]]. Same
+    * contract: `pairs(doc_a, doc_b)` undirected, `docs(doc_id)` the vertex
+    * set, output (doc_id, cluster_id = component min, keep).
+    *
+    * Why a twin: [[clusterOf]]'s pointer-jumping label table is one row per
+    * VERTEX and its per-round join is labels⋈edges — the right shape when
+    * labels fit comfortably; large-star/small-star instead rewrites the
+    * EDGE LIST itself toward min-rooted stars, needs no separate label
+    * state, and its per-round cost shrinks as edges collapse into stars —
+    * the standard choice at corpus scale where the edge set, not the vertex
+    * set, dominates. Each round is two grouped aggregations + two
+    * equi-joins, all keyed on edge endpoints:
+    *
+    *  - large-star: per node u, m = min({u} ∪ N(u)); every neighbor v > u
+    *    re-links to (v, m) — strictly-larger neighbors hang off the local
+    *    minimum, so tall chains fold in half;
+    *  - small-star: per node hi over down-edges (hi, lo), m = min(lo);
+    *    every lo re-links to (lo, m) and hi keeps (hi, m) — local stars
+    *    flatten onto their minimum.
+    *
+    * Both steps only ever re-link a node to another node of its own
+    * component, so connectivity is invariant; the fixpoint is exactly one
+    * star per component rooted at the component minimum. Convergence is
+    * detected set-wise (equal counts + empty anti-join — two cheap jobs on
+    * checkpointed frames); a capped non-converged exit THROWS, the
+    * [[clusterOf]] convention. All arithmetic is integer min/join, so the
+    * result is deterministic and shares [[dedupCluster]]'s recursive-CTE
+    * oracle verbatim. */
+  private[graft] def clusterLsOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    // canonical (a > b) orientation; self-pairs dropped
+    var e = graft.Caches.localCheckpoint(
+      pairs.select(greatest($"doc_a", $"doc_b").as("a"),
+          least($"doc_a", $"doc_b").as("b"))
+        .filter($"a" =!= $"b").distinct())
+    var nEdges = e.count()
+    var converged = nEdges == 0L
+    var iter = 0
+    while (!converged && iter < MaxLsRounds) {
+      // large-star over both orientations
+      val und = e.select($"a".as("u"), $"b".as("v"))
+        .union(e.select($"b".as("u"), $"a".as("v")))
+      val lMin = und.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      val ls = und.filter($"v" > $"u")
+        .join(lMin, "u")
+        .select($"v".as("a"), $"m".as("b"))
+        .distinct()
+      // small-star over the (hi, lo) edges large-star produced
+      val sMin = ls.groupBy($"a").agg(min($"b").as("m"))
+      val next = graft.Caches.localCheckpoint(
+        ls.join(sMin, "a")
+          .select($"b".as("n"), $"m")
+          .union(sMin.select($"a".as("n"), $"m"))
+          .filter($"n" =!= $"m")
+          .select($"n".as("a"), $"m".as("b"))
+          .distinct())
+      val nNext = next.count()
+      // equal size and next ⊆ e ⇒ identical edge sets (both are distinct)
+      converged = nNext == nEdges &&
+        next.join(e, Seq("a", "b"), "left_anti").isEmpty
+      e = next
+      nEdges = nNext
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterLsOf did not converge after $MaxLsRounds large/small-star " +
+          "rounds — refusing to return non-star edges")
+    // fixpoint is a min-rooted star: each non-root node has exactly the
+    // edge (node, root); roots and singletons label themselves
+    val lbl = e.groupBy($"a").agg(min($"b").as("cluster_id"))
+      .select($"a".as("doc_id"), $"cluster_id")
+    docs.select($"doc_id")
+      .join(lbl, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+      .select($"doc_id", $"cluster_id",
+        when($"cluster_id" === $"doc_id", 1L).otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** [[dedupCluster]]'s scale twin on the identical near-dup pair graph,
+    * resolved by [[clusterLsOf]] instead of label propagation — same
+    * output contract, same recursive-CTE oracle (component membership is
+    * algorithm-independent), so both implementations are hash-verified
+    * against the same ground truth every round. */
+  val dedupClusterLs: QueryDef = QueryDef(
+    "llm_dedup_cluster_ls",
+    dedupCluster.oracle.get,
+  ) { (spark, dir) =>
+    clusterLsOf(
+      neardupPlan(docShingles(spark, dir)).select($"doc_a", $"doc_b"),
+      Tables.documents(spark, dir).select($"doc_id"))
+  }
+
   /** Cross-document CHUNK dedup — the CCNet/RefinedWeb "paragraph dedup"
     * stage re-expressed over whitespace token streams (this corpus has no
     * newline paragraphs, so a paragraph = a 10-token chunk): every doc is
@@ -983,9 +1086,15 @@ object LlmTextOps {
         .agg(sum($"wc").as("n"))
       val top = graft.Caches.localCheckpoint(
         pairCounts.orderBy($"n".desc, $"p1", $"p2").limit(1))
-      words = graft.Caches.localCheckpoint(
-        words.crossJoin(broadcast(top.select($"p1".as("mp1"), $"p2".as("mp2"))))
-          .select($"w", mergePair($"syms", $"mp1", $"mp2").as("syms"), $"wc"))
+      // pair supply can run dry before round k (every word down to one
+      // symbol): the winner is then EMPTY, and cross-joining it would wipe
+      // the whole symbol table — so the rewrite only applies when a winner
+      // exists, and later rounds just emit further empty winner rows. The
+      // isEmpty probe is one job over a checkpointed 1-row frame.
+      if (!top.isEmpty)
+        words = graft.Caches.localCheckpoint(
+          words.crossJoin(broadcast(top.select($"p1".as("mp1"), $"p2".as("mp2"))))
+            .select($"w", mergePair($"syms", $"mp1", $"mp2").as("syms"), $"wc"))
       top.select(lit(r.toLong).as("round"), $"p1", $"p2", $"n")
     }
     (merges, words)
@@ -1278,7 +1387,8 @@ object LlmTextOps {
     exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     entropy, neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
-    dedupCluster, dupChunks, chunkSplit, bpePairs, bpeTrain, bpeEncode,
+    dedupCluster, dedupClusterLs, dupChunks, chunkSplit, bpePairs, bpeTrain,
+    bpeEncode,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
   )
 

@@ -137,6 +137,45 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(out.toSeq == expected)
   }
 
+  test("large-star/small-star: transitivity, singletons, orientation-independence") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder, newLongEncoder}
+    // same shape as the clusterOf fixture, with pairs in BOTH orientations
+    // and a duplicate pair — clusterLsOf must canonicalize internally
+    val pairs = Seq((1L, 2L), (3L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val out = LlmTextOps.clusterLsOf(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Caches.release()
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L),
+      (10L, 10L, 1L), (11L, 10L, 0L),
+      (99L, 99L, 1L),
+    ))
+  }
+
+  test("large-star/small-star resolves a 250-hop chain in O(log n) rounds") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder, newLongEncoder}
+    // the corpus-scale shape: a duplicate chain deeper than any fixed
+    // O(diameter) round budget. The edge-rewriting fixpoint must collapse
+    // it to a single min-rooted star well inside MaxLsRounds (observed ~6
+    // rounds; a throw here means the alternation is broken) and agree with
+    // the pointer-jumping twin exactly.
+    val n = 250
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val docs = ((0L to n) :+ 900L).toDF("doc_id")
+    val out = LlmTextOps.clusterLsOf(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Caches.release()
+    val expected = (0L to n).map(i => (i, 0L, if (i == 0L) 1L else 0L)) :+
+      (900L, 900L, 1L)
+    assert(out.toSeq == expected)
+    // both component algorithms are interchangeable on the same input
+    val lp = LlmTextOps.clusterOf(pairs, docs).collect().map(_.toSeq)
+    Caches.release()
+    assert(out.map(t => Seq(t._1, t._2, t._3)).toSeq == lp.toSeq,
+      "clusterLsOf and clusterOf must agree")
+  }
+
   test("dedup cluster keep-set plus drop-set partitions the corpus") {
     val out = LlmTextOps.dedupCluster.run(spark, sf)
     val total = graft.io.Tables.documents(spark, sf).count()
@@ -230,6 +269,21 @@ class LlmTextOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(fin("aaa") == Seq("aaa") && fin("bc") == Seq("bc"),
       s"learned vocab must encode the training words fully: $fin")
+  }
+
+  test("bpe loop survives pair-supply exhaustion (empty winner must not wipe the vocab)") {
+    import spark.implicits.{localSeqToDatasetHolder, newStringEncoder}
+    // "ab"×2: round 1 fuses (a,b); rounds 2-3 have NO adjacent pairs left
+    // anywhere (every word is one symbol). The empty winner must not wipe
+    // the symbol table — encoding must still see both words.
+    val docs = Seq("ab ab", "c").toDF("text")
+    val (merges, words) = LlmTextOps.bpeLoop(docs, 3)
+    val m = merges.map(_.collect().length)
+    assert(m == Seq(1, 0, 0), s"rounds past exhaustion emit no winner: $m")
+    val fin = words.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(fin == Map("ab" -> Seq("ab"), "c" -> Seq("c")),
+      s"vocab must survive the dry rounds intact: $fin")
   }
 
   test("native cascade expression matches the declarative verdict row-for-row") {
