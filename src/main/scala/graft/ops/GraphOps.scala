@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -318,6 +319,83 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Per-hub neighbor-list cap for [[adamicAdarCapped]]. Chosen below the
+    * sf0.01 mined graph's max degree (13) so the correctness gate actually
+    * exercises truncation (181 of 1880 nodes trim there) while typical
+    * hubs stay exact. At 100 TB this constant is the knob that bounds
+    * wedge volume per hub at cap² regardless of skew. */
+  private[graft] val AaHubCap = 6
+
+  /** [[adamicAdar]] with the 100 TB skew mitigation APPLIED, not just
+    * documented: each hub's neighbor list is truncated to its [[AaHubCap]]
+    * smallest neighbor ids (top-N by id — deterministic, no sampling seed
+    * to disagree on) BEFORE the wedge expansion, so one celebrity hub in a
+    * skewed graph contributes at most cap·(cap−1)/2 wedges instead of
+    * deg² — the quadratic term that kills the uncapped plan. Scores still
+    * weight by the TRUE hub degree (the cap limits which wedges are
+    * enumerated, not the 1/ln(deg) evidence of the ones that are), and the
+    * readout is honest about what it dropped: every row carries
+    * `n_capped_hubs`, the number of hubs whose lists were truncated, so a
+    * 0 means the scores are exact and the capped plan was free. The
+    * rank-and-filter is a window partitioned by hub id (high-cardinality —
+    * no SinglePartition), and the oracle replays the identical cap. */
+  val adamicAdarCapped: QueryDef = QueryDef(
+    "graph_adamic_adar_capped",
+    s"""WITH $edgesSql,
+       |und AS (SELECT p1 AS src, p2 AS dst FROM pairs
+       |        UNION ALL SELECT p2 AS src, p1 AS dst FROM pairs),
+       |deg AS (SELECT src AS b, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+       |undc AS (SELECT src, dst FROM (
+       |           SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+       |           FROM und) WHERE rk <= $AaHubCap),
+       |ch AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_hubs FROM deg WHERE deg > $AaHubCap),
+       |w AS (SELECT x.src AS b, x.dst AS a, y.dst AS c
+       |      FROM undc x JOIN undc y ON x.src = y.src AND x.dst < y.dst),
+       |nonadj AS (SELECT w.a, w.c, w.b FROM w
+       |           WHERE NOT EXISTS (SELECT 1 FROM pairs p
+       |                             WHERE p.p1 = w.a AND p.p2 = w.c)),
+       |sc AS (SELECT a, c,
+       |              CAST(sum(CAST(round(1.0 / ln(deg.deg) * 1000000) AS BIGINT)) AS BIGINT) AS sq
+       |       FROM nonadj JOIN deg ON nonadj.b = deg.b GROUP BY a, c)
+       |SELECT a AS part_a, c AS part_b,
+       |       round(CAST(sq AS DOUBLE) / 1000000.0, 6) AS aa_score, ch.n_capped_hubs
+       |FROM sc, ch ORDER BY aa_score DESC, part_a, part_b LIMIT 20""".stripMargin,
+  ) { (spark, dir) =>
+    adamicAdarCappedOf(cooccurEdges(Tables.lineitem(spark, dir)), AaHubCap)
+  }
+
+  /** The capped Adamic–Adar plan over any canonical (p1 < p2) edge list —
+    * extracted so the celebrity-hub fixture spec runs the registered
+    * query's real cap/wedge/anti-join/quantized-sum pipeline. */
+  private[graft] def adamicAdarCappedOf(edges: DataFrame, cap: Int): DataFrame = {
+    val e = graft.Caches.persist(edges.select($"p1", $"p2"))
+    val und = e.select($"p1".as("src"), $"p2".as("dst"))
+      .union(e.select($"p2".as("src"), $"p1".as("dst")))
+    val deg = und.select($"src".as("b")).groupBy($"b")
+      .agg(count(lit(1)).as("deg"))
+    val undc = und
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"src").orderBy($"dst".asc)))
+      .filter($"rk" <= cap)
+      .select($"src", $"dst")
+    val nCapped = deg.filter($"deg" > cap)
+      .agg(count(lit(1)).as("n_capped_hubs"))
+    val w = undc.as("x").join(undc.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("b"), col("x.dst").as("a"), col("y.dst").as("c"))
+    val nonadj = w.join(e,
+      w("a") === e("p1") && w("c") === e("p2"), "left_anti")
+    nonadj.join(deg, "b")
+      .groupBy($"a", $"c")
+      .agg(sum(round(lit(1.0) / log($"deg") * 1000000).cast("long")).as("sq"))
+      .crossJoin(broadcast(nCapped))
+      .select($"a".as("part_a"), $"c".as("part_b"),
+        round($"sq".cast("double") / 1000000.0, 6).as("aa_score"),
+        $"n_capped_hubs")
+      .orderBy($"aa_score".desc, $"part_a", $"part_b")
+      .limit(20)
+  }
+
   /** Local clustering coefficient per node — cc(v) = 2·T(v) / (deg(v)·
     * (deg(v)−1)) for deg ≥ 2 — how close each part's co-occurrence
     * neighborhood is to a clique, completing the graph-metrics set
@@ -370,5 +448,6 @@ object GraphOps {
   }
 
   val all: Seq[QueryDef] =
-    Seq(triangles, degreeDist, pageRank, bfsLevels, adamicAdar, clusterCoeff)
+    Seq(triangles, degreeDist, pageRank, bfsLevels, adamicAdar,
+      adamicAdarCapped, clusterCoeff)
 }

@@ -110,6 +110,39 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(out((1L, 5L)) - q(1 / math.log(3))) < 2e-6)
   }
 
+  test("adamic-adar hub cap: celebrity hub's wedges bounded, truncation reported") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // celebrity hub 100 with 20 spokes 1..20 (each spoke degree 1):
+    // uncapped wedge volume through the hub is C(20,2)=190; with cap=5 the
+    // hub's neighbor list truncates to {1..5} -> exactly C(5,2)=10 wedges,
+    // every score = 1/ln(20) (TRUE hub degree, not the capped list size),
+    // and the artifact must admit one hub was truncated.
+    val e = (1L to 20L).map(i => (i, 100L)).toDF("p1", "p2")
+    val capped = GraphOps.adamicAdarCappedOf(e, 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getLong(3)))
+    val pairs = capped.map(_._1).toSet
+    assert(pairs == (for { a <- 1L to 5L; c <- a + 1 to 5L } yield (a, c)).toSet,
+      s"cap=5 must keep exactly the 10 smallest-id wedges: $pairs")
+    val expected = math.round(1.0 / math.log(20) * 1e6) / 1e6
+    assert(capped.forall(t => math.abs(t._2 - expected) < 1e-9),
+      s"scores must weight by the hub's TRUE degree 20: $capped")
+    assert(capped.forall(_._3 == 1L), "exactly one truncated hub reported")
+    graft.Caches.release()
+
+    // cap above every degree: identical pairs+scores to the uncapped plan,
+    // and the truncation column is an honest zero
+    val e2 = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("p1", "p2")
+    val loose = GraphOps.adamicAdarCappedOf(e2, 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getLong(3)))
+    val exact = GraphOps.adamicAdarOf(e2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(loose.map(t => (t._1, t._2)).toSeq == exact.toSeq,
+      "an unexercised cap must be a no-op on pairs and scores")
+    assert(loose.forall(_._3 == 0L), "no truncation -> n_capped_hubs = 0")
+    graft.Caches.release()
+  }
+
   test("clustering coefficient: triangle credit per corner, degree-1 excluded") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // triangles {1,2,3} and {1,3,4}; node 5 hangs off 4 (deg 1 -> excluded).
