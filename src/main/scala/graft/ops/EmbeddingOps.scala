@@ -245,22 +245,50 @@ object EmbeddingOps {
     rankTopK(scored)
   }
 
+  /** The broadcast re-assignment form (corpus `crossJoin(broadcast(nc))`)
+    * is only valid while the centroid table stays a few MB: past ~16k
+    * cells at 64 dims the learned state must instead be blocked (join the
+    * corpus against centroid BLOCKS and tree-reduce the per-block argmax).
+    * Enforced at class init so a config bump cannot silently ship the
+    * wrong plan shape. */
+  private val MaxBroadcastCells = (8 << 20) / (Dim * 8)
+  require(NCells <= MaxBroadcastCells,
+    s"NCells=$NCells exceeds the broadcastable bound $MaxBroadcastCells — " +
+      "switch the assignment to the blocked top-1 form")
+
+  /** Per-cell quantized-mean centroids of an assignment frame
+    * `(cell, v, …)` → `(cell, cv, cnrm)` — the Lloyd update step, shared
+    * by [[kmeansIter]] and [[kmeansTrain]]. Components quantize to 1e-6
+    * BIGINTs BEFORE the shuffled sum (the [[embedCentroid]] architecture),
+    * so learned centroids are bit-identical cross-engine at any
+    * parallelism. */
+  private def centroidsFrom(a: DataFrame): DataFrame =
+    a.select($"cell", posexplode($"v"))
+      .groupBy($"cell", $"pos")
+      .agg((sum(round($"col" * lit(1000000.0)).cast("long")).cast("double")
+        / lit(1000000.0) / count(lit(1))).as("c"))
+      .groupBy($"cell")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        e => e.getField("c")).as("cv"))
+      .withColumn("cnrm", sqrt(aggregate($"cv", lit(0.0), (acc, x) => acc + x * x)))
+
   /** One Lloyd (k-means) iteration over the embedding corpus — the
     * TRAINING step the IVF index doc promises ("a real deployment would
     * k-means the centroids"): assign every vector to its nearest seed
     * centroid (argmax cosine, the exact [[annIvf]] assignment), recompute
     * each cell's centroid as the per-dimension mean, then re-assign
     * against the NEW centroids and report per cell how membership moved —
-    * the convergence signal a k-means loop watches.
+    * the convergence signal a k-means loop watches. [[kmeansTrain]] runs
+    * this same round to a fixed point.
     *
     * Determinism/oracle: centroid means quantize every component to 1e-6
     * BIGINTs before the shuffled sum (the [[embedCentroid]] architecture),
     * so the learned centroids are bit-identical cross-engine and even the
     * re-assignment argmax (ties broken by cell id) hash-matches. Scale
     * shape: one corpus pass per half-iteration; the learned state (cells ×
-    * 64 means) is tiny and BROADCAST back for re-assignment — the corpus
-    * never joins itself, and more Lloyd rounds are the same two passes
-    * repeated. */
+    * 64 means) is tiny and BROADCAST back for re-assignment (bounded by
+    * [[MaxBroadcastCells]]) — the corpus never joins itself, and more
+    * Lloyd rounds are the same two passes repeated. */
   val kmeansIter: QueryDef = QueryDef(
     "llm_kmeans_iter",
     vecCte +
@@ -293,14 +321,7 @@ object EmbeddingOps {
          |ORDER BY cell""".stripMargin,
   ) { (spark, dir) =>
     val a = vectors(spark, dir).withColumn("cell", cellCols._1)
-    val cm = a.select($"cell", posexplode($"v"))
-      .groupBy($"cell", $"pos")
-      .agg((sum(round($"col" * lit(1000000.0)).cast("long")).cast("double")
-        / lit(1000000.0) / count(lit(1))).as("c"))
-    val nc = cm.groupBy($"cell")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-        e => e.getField("c")).as("cv"))
-      .withColumn("cnrm", sqrt(aggregate($"cv", lit(0.0), (acc, x) => acc + x * x)))
+    val nc = centroidsFrom(a)
     val sc = a.select($"vec_id", $"cell".as("old_cell"), $"v", $"nrm")
       .crossJoin(broadcast(nc.select($"cell".as("cand"), $"cv")))
       .select($"vec_id", $"old_cell", $"cand",
@@ -322,6 +343,166 @@ object EmbeddingOps {
         coalesce($"n_after", lit(0L)).as("n_after"), $"n_moved")
       .orderBy($"cell")
   }
+
+  /** Lloyd rounds [[kmeansTrain]] runs (and the trained-IVF queries index
+    * with). Movement at sf0.01 is near zero by round 3 — more rounds are
+    * the same two passes repeated with nothing left to learn. */
+  private val KmRounds = 3
+
+  /** k Lloyd rounds from the seed centroids — [[kmeansIter]]'s round run
+    * to (near) fixpoint, the `bpeTrain` loop pattern on embedding state.
+    * Returns (per-round summary frames, final learned centroids
+    * `(cell, cv, cnrm)`, final assignment `(vec_id, v, nrm, cell)`).
+    * Both the tiny centroid table and the corpus assignment are
+    * localCheckpointed every round (each is referenced by the next
+    * round's update AND a summary aggregate — the `clusterOf` lineage
+    * rule). Scale shape per round: one corpus pass for the quantized-mean
+    * update (shuffle keyed (cell, dim)), one broadcast re-assignment pass
+    * — learned state never shuffles with the corpus, and the broadcast is
+    * bounded by [[MaxBroadcastCells]]. */
+  private[graft] def kmeansTrainOf(spark: SparkSession, dir: String, rounds: Int)
+      : (Seq[DataFrame], DataFrame, DataFrame) = {
+    var a = graft.Caches.localCheckpoint(
+      vectors(spark, dir).select($"vec_id", $"v", $"nrm")
+        .withColumn("cell", cellCols._1))
+    val sums = scala.collection.mutable.Buffer[DataFrame](
+      a.groupBy($"cell").agg(count(lit(1)).as("n_members"))
+        .select(lit(0L).as("round"), $"cell".cast("long").as("cell"),
+          $"n_members", lit(0L).as("n_moved")))
+    var nc: DataFrame = null
+    for (r <- 1 to rounds) {
+      nc = graft.Caches.localCheckpoint(centroidsFrom(a))
+      val sc = a.select($"vec_id", $"v", $"nrm", $"cell".as("old_cell"))
+        .crossJoin(broadcast(nc.select($"cell".as("cand"), $"cv")))
+        .select($"vec_id", $"v", $"nrm", $"old_cell", $"cand",
+          call_function("cosine_sim", $"v", $"cv").as("s"))
+      val next = graft.Caches.localCheckpoint(
+        sc.withColumn("rk", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"s".desc, $"cand".asc)))
+          .filter($"rk" === 1)
+          .select($"vec_id", $"v", $"nrm", $"cand".as("cell"), $"old_cell"))
+      sums += next.groupBy($"cell")
+        .agg(count(lit(1)).as("n_members"),
+          sum(($"cell" =!= $"old_cell").cast("long")).as("n_moved"))
+        .select(lit(r.toLong).as("round"), $"cell".cast("long").as("cell"),
+          $"n_members", $"n_moved")
+      a = next.select($"vec_id", $"v", $"nrm", $"cell")
+    }
+    (sums.toSeq, nc, a)
+  }
+
+  /** The [[kmeansTrainOf]] fixed point unrolled to chained DuckDB CTEs
+    * (the `bpeTrain`/`graph_pagerank` oracle technique): every round's
+    * quantized-mean update and argmax re-assignment replayed exactly —
+    * sound because each re-assignment score is the identical IEEE
+    * dot/(nrm·cnrm) over bit-identical learned centroids. */
+  private def kmTrainCtes(rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""cm$r AS (SELECT cell, i,
+         |              CAST(sum(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |                / 1000000.0 / count(*) AS c
+         |       FROM a${r - 1}, unnest(range(1, len(v) + 1)) AS t(i)
+         |       GROUP BY cell, i),
+         |nc$r AS (SELECT cell, list(c ORDER BY i) AS cv FROM cm$r GROUP BY cell),
+         |n2$r AS (SELECT cell, cv,
+         |               sqrt(list_sum([cv[i]*cv[i] for i in range(1, len(cv)+1)])) AS cnrm
+         |        FROM nc$r),
+         |sc$r AS (SELECT a.vec_id, a.v, a.nrm, a.cell AS old_cell, n.cell AS cand,
+         |               ${dotSql("a.v", "n.cv")} / (a.nrm * n.cnrm) AS s
+         |        FROM a${r - 1} a, n2$r n),
+         |a$r AS (SELECT vec_id, v, nrm, cand AS cell, old_cell FROM (
+         |          SELECT vec_id, v, nrm, old_cell, cand, s,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cand) AS rk
+         |          FROM sc$r) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    vecCte +
+      s"""
+         |, a0 AS (SELECT vec_id, v, nrm, ${cellSqlExpr(1)} AS cell FROM e),
+         |$rs""".stripMargin
+  }
+
+  /** k-means TRAINING — [[KmRounds]] Lloyd rounds from the seed
+    * centroids, reporting per round and cell the membership and how many
+    * vectors arrived from another cell (`n_moved`, the convergence signal
+    * — it collapses toward zero as the cells settle). Round 0 is the seed
+    * assignment. The whole loop is hash-verified against the unrolled
+    * DuckDB fixed point, merge table to final argmax. */
+  val kmeansTrain: QueryDef = QueryDef(
+    "llm_kmeans_train",
+    s"""${kmTrainCtes(KmRounds)}
+       |SELECT CAST(0 AS BIGINT) AS round, CAST(cell AS BIGINT) AS cell,
+       |       CAST(count(*) AS BIGINT) AS n_members, CAST(0 AS BIGINT) AS n_moved
+       |FROM a0 GROUP BY cell
+       |${(1 to KmRounds).map(r =>
+            s"""UNION ALL
+               |SELECT CAST($r AS BIGINT), CAST(cell AS BIGINT), CAST(count(*) AS BIGINT),
+               |       CAST(sum(CASE WHEN cell <> old_cell THEN 1 ELSE 0 END) AS BIGINT)
+               |FROM a$r GROUP BY cell""".stripMargin).mkString("\n")}
+       |ORDER BY round, cell""".stripMargin,
+  ) { (spark, dir) =>
+    kmeansTrainOf(spark, dir, KmRounds)._1
+      .reduce(_ unionAll _)
+      .orderBy($"round", $"cell")
+  }
+
+  /** Trained-IVF top-k plan — the [[ivfTopK]] skeleton over LEARNED
+    * cells: corpus cells are the final training assignment, query probes
+    * are the top-2 learned centroids. Shared by [[annIvfTrained]] and
+    * [[annRecallTrained]]. */
+  private def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (_, nc, aFinal) = kmeansTrainOf(spark, dir, KmRounds)
+    val probes = vectors(spark, dir).filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .crossJoin(broadcast(nc.select($"cell", $"cv")))
+      .select($"q_id", $"qv", $"cell",
+        call_function("cosine_sim", $"qv", $"cv").as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"s".desc, $"cell".asc)))
+      .filter($"rk" <= 2)
+      .select($"q_id", $"qv", $"cell")
+    val scored = aFinal.join(broadcast(probes), Seq("cell"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        call_function("cosine_sim", $"qv", $"v").as("sim"))
+    rankTopK(scored)
+  }
+
+  /** IVF ANN over the TRAINED cells (nprobe=2) — what [[annIvf]]'s doc
+    * promised a real deployment would run: the index partitions are the
+    * [[kmeansTrain]] centroids instead of seed literals. Same equi-join-
+    * on-cell scale shape; the whole lane (training included) is
+    * oracle-replayed. */
+  val annIvfTrained: QueryDef = QueryDef(
+    "llm_ann_ivf_trained",
+    s"""${kmTrainCtes(KmRounds)},
+       |qa AS (SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qnrm, n.cell,
+       |              ${dotSql("q.v", "n.cv")} / (q.nrm * n.cnrm) AS s
+       |       FROM (SELECT * FROM e WHERE vec_id < $NQueries) q, n2$KmRounds n),
+       |qp AS (SELECT q_id, qv, qnrm, cell FROM (
+       |         SELECT q_id, qv, qnrm, cell,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cell) AS rk
+       |         FROM qa) WHERE rk <= 2),
+       |ts AS (SELECT qp.q_id, a.vec_id,
+       |              ${dotSql("qp.qv", "a.v")} / (qp.qnrm * a.nrm) AS sim
+       |       FROM qp JOIN a$KmRounds a ON qp.cell = a.cell AND qp.q_id <> a.vec_id),
+       |tr AS (SELECT q_id, vec_id, sim,
+       |              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |       FROM ts)
+       |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
+       |FROM tr WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
+  )(ivfTrainedTopK)
+
+  /** Recall@k join of one ANN result against the exact top-k — shared by
+    * [[annRecall]] and [[annRecallTrained]]. */
+  private def recallOf(exact: DataFrame, ann: DataFrame, method: String): DataFrame =
+    exact
+      .join(ann.select($"q_id", $"vec_id", lit(1L).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .select(lit(method).as("method"), $"q_id", $"n_exact", $"n_hit",
+        round($"n_hit".cast("double") / $"n_exact", 4).as("recall"))
 
   /** Recall@k of both ANN variants against the brute-force baseline — the
     * number a user tuning hyperplane count (LSH) or probe count (IVF) at
@@ -382,17 +563,52 @@ object EmbeddingOps {
          |FROM hits GROUP BY method, q_id ORDER BY method, q_id""".stripMargin,
   ) { (spark, dir) =>
     val exact = exactTopK(spark, dir).select($"q_id", $"vec_id")
-    def recallOf(method: String, ann: DataFrame): DataFrame =
-      exact
-        .join(ann.select($"q_id", $"vec_id", lit(1L).as("hit")),
-          Seq("q_id", "vec_id"), "left")
-        .groupBy($"q_id")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce($"hit", lit(0L))).as("n_hit"))
-        .select(lit(method).as("method"), $"q_id", $"n_exact", $"n_hit",
-          round($"n_hit".cast("double") / $"n_exact", 4).as("recall"))
-    recallOf("ivf", ivfTopK(spark, dir))
-      .unionAll(recallOf("lsh", lshTopK(spark, dir)))
+    recallOf(exact, ivfTopK(spark, dir), "ivf")
+      .unionAll(recallOf(exact, lshTopK(spark, dir), "lsh"))
+      .orderBy($"method", $"q_id")
+  }
+
+  /** Recall@k of the TRAINED IVF against the same brute-force baseline —
+    * read next to [[annRecall]]'s seed-IVF rows, this is the "did
+    * training buy recall" readout the k-means loop exists for (at sf0.01
+    * it does: learned cells lift mean recall@10 over the seed cells).
+    * Same (q_id, vec_id)-keyed comparison, metric hash-verified. */
+  val annRecallTrained: QueryDef = QueryDef(
+    "llm_ann_recall_trained",
+    s"""${kmTrainCtes(KmRounds)},
+       |xq AS (SELECT * FROM e WHERE vec_id < $NQueries),
+       |xs AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |              ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+       |       FROM xq q JOIN e ON q.vec_id <> e.vec_id),
+       |xr AS (SELECT q_id, vec_id FROM (
+       |         SELECT q_id, vec_id,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |         FROM xs) WHERE rk <= $TopK),
+       |qa AS (SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qnrm, n.cell,
+       |              ${dotSql("q.v", "n.cv")} / (q.nrm * n.cnrm) AS s
+       |       FROM xq q, n2$KmRounds n),
+       |qp AS (SELECT q_id, qv, qnrm, cell FROM (
+       |         SELECT q_id, qv, qnrm, cell,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cell) AS rk
+       |         FROM qa) WHERE rk <= 2),
+       |ts AS (SELECT qp.q_id, a.vec_id,
+       |              ${dotSql("qp.qv", "a.v")} / (qp.qnrm * a.nrm) AS sim
+       |       FROM qp JOIN a$KmRounds a ON qp.cell = a.cell AND qp.q_id <> a.vec_id),
+       |tr AS (SELECT q_id, vec_id FROM (
+       |         SELECT q_id, vec_id,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |         FROM ts) WHERE rk <= $TopK),
+       |hits AS (SELECT 'ivf_t' AS method, x.q_id,
+       |                CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+       |         FROM xr x LEFT JOIN tr t ON x.q_id = t.q_id AND x.vec_id = t.vec_id)
+       |SELECT method, q_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(sum(hit) AS BIGINT) AS n_hit,
+       |       round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall
+       |FROM hits GROUP BY method, q_id ORDER BY method, q_id""".stripMargin,
+  ) { (spark, dir) =>
+    recallOf(
+      exactTopK(spark, dir).select($"q_id", $"vec_id"),
+      ivfTrainedTopK(spark, dir), "ivf_t")
       .orderBy($"method", $"q_id")
   }
 
@@ -523,6 +739,7 @@ object EmbeddingOps {
   }
 
   val all: Seq[QueryDef] =
-    Seq(cosineTopK, annLsh, annIvf, annRecall, kmeansIter, embedNeardup,
+    Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
+      annRecallTrained, kmeansIter, kmeansTrain, embedNeardup,
       embedStats, embedCentroid, embedQuantize)
 }

@@ -89,4 +89,36 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == rerun.toSeq, "quantized centroids must be rerun-stable")
   }
+
+  test("kmeans training: membership conserved per round, movement decays") {
+    val n = io.Tables.embeddings(spark, sf).count()
+    val rows = EmbeddingOps.kmeansTrain.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byRound = rows.groupBy(_._1)
+    assert(byRound.keySet == (0L to 3L).toSet, "rounds 0..KmRounds reported")
+    byRound.foreach { case (rd, rs) =>
+      assert(rs.map(_._3).sum == n, s"round $rd must partition the corpus")
+    }
+    val moved = (1L to 3L).map(rd => byRound(rd).map(_._4).sum)
+    assert(byRound(0L).forall(_._4 == 0L), "seed round has no movement")
+    assert(moved.head > 0, "round 1 must actually learn (seed cells move)")
+    assert(moved.last < moved.head,
+      s"movement must decay toward convergence: $moved")
+  }
+
+  test("trained IVF lifts recall@10 over the seed cells (the point of training)") {
+    val brute = pairs(EmbeddingOps.cosineTopK.run(spark, sf).collect())
+    val seed = pairs(EmbeddingOps.annIvf.run(spark, sf).collect())
+    val trained = pairs(EmbeddingOps.annIvfTrained.run(spark, sf).collect())
+    val rSeed = (brute & seed).size.toDouble / brute.size
+    val rTrained = (brute & trained).size.toDouble / brute.size
+    info(f"IVF recall@10: seed $rSeed%.2f -> trained $rTrained%.2f")
+    assert(rTrained >= rSeed,
+      f"training must not lose recall: seed $rSeed%.2f, trained $rTrained%.2f")
+    // the registered metric query agrees with the locally-computed recall
+    val metric = EmbeddingOps.annRecallTrained.run(spark, sf).collect()
+    val mean = metric.map(_.getDouble(4)).sum / metric.length
+    assert(math.abs(mean - rTrained) < 1e-9,
+      f"metric query $mean%.4f must equal measured recall $rTrained%.4f")
+  }
 }
