@@ -447,7 +447,39 @@ object GraphOps {
       .orderBy($"part")
   }
 
+  /** Connected-component structure of the mined co-occurrence graph —
+    * component id (minimum member part) and size, largest first: the one
+    * graph staple the metrics suite was missing (is the graph one giant
+    * market-basket component or many niches?). Resolution is
+    * [[LlmTextOps.clusterLsOf]] — the O(log n)-round large-star/
+    * small-star twin — on its second registered surface, here over mined
+    * part edges instead of near-dup doc pairs; the oracle replays
+    * membership as the same recursive transitive-closure CTE the dedup
+    * cluster uses. */
+  val components: QueryDef = QueryDef(
+    "graph_components",
+    s"""WITH RECURSIVE $edgesSql,
+       |nodes AS (SELECT p1 AS id FROM pairs UNION SELECT p2 FROM pairs),
+       |e AS (SELECT p1 AS a, p2 AS b FROM pairs
+       |      UNION ALL SELECT p2 AS a, p1 AS b FROM pairs),
+       |reach AS (SELECT id, id AS r FROM nodes
+       |          UNION
+       |          SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id),
+       |lbl AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+       |SELECT comp AS component, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM lbl GROUP BY comp ORDER BY n_nodes DESC, component""".stripMargin,
+  ) { (spark, dir) =>
+    val e = cooccurEdges(Tables.lineitem(spark, dir))
+    val nodes = e.select($"p1".as("doc_id"))
+      .union(e.select($"p2".as("doc_id"))).distinct()
+    LlmTextOps.clusterLsOf(
+        e.select($"p1".as("doc_a"), $"p2".as("doc_b")), nodes)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("n_nodes"))
+      .select($"cluster_id".as("component"), $"n_nodes")
+      .orderBy($"n_nodes".desc, $"component")
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, bfsLevels, adamicAdar,
-      adamicAdarCapped, clusterCoeff)
+      adamicAdarCapped, clusterCoeff, components)
 }

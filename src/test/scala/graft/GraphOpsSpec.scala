@@ -143,6 +143,18 @@ class GraphOpsSpec extends AnyFunSuite {
     graft.Caches.release()
   }
 
+  test("components: sizes partition the mined node set, largest first") {
+    val e = GraphOps.cooccurEdges(io.Tables.lineitem(spark, sf))
+    val nNodes = e.select($"p1").union(e.select($"p2")).distinct().count()
+    val out = GraphOps.components.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.Caches.release()
+    assert(out.map(_._2).sum == nNodes, "component sizes must partition the nodes")
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq, "largest first")
+    // every component id is the minimum member, so ids are distinct
+    assert(out.map(_._1).distinct.length == out.length)
+  }
+
   test("clustering coefficient: triangle credit per corner, degree-1 excluded") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // triangles {1,2,3} and {1,3,4}; node 5 hangs off 4 (deg 1 -> excluded).
