@@ -851,8 +851,12 @@ object LlmTextOps {
     * result is deterministic and shares [[dedupCluster]]'s recursive-CTE
     * oracle verbatim. */
   private[graft] def clusterLsOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    // canonical (a > b) orientation; self-pairs dropped
-    var e = graft.Caches.localCheckpoint(
+    // canonical (a > b) orientation; self-pairs dropped. persist, not
+    // localCheckpoint: round 0 needs no lineage truncation (it is never
+    // rebuilt from a prior round), and persist lets the possibly-expensive
+    // upstream pair mining reuse cached blocks across reruns exactly as
+    // clusterOf does — only the per-round loop state below truncates.
+    var e = graft.Caches.persist(
       pairs.select(greatest($"doc_a", $"doc_b").as("a"),
           least($"doc_a", $"doc_b").as("b"))
         .filter($"a" =!= $"b").distinct())
