@@ -9,9 +9,9 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")
     val dir = "/root/testdata/sf0.01"
-    Seq("rds_decimal_money", "rds_decimal_stored").foreach { name =>
+    Seq("graph_adamic_adar_capped", "llm_ann_ivf_trained").foreach { name =>
       println(s"=== $name ===")
-      SparkEntry.queries(name)(spark, dir).show(10, truncate = false)
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
     spark.stop()
   }

@@ -612,6 +612,85 @@ object EmbeddingOps {
       .orderBy($"method", $"q_id")
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.
+    * 2009 — the fusion every modern hybrid-search stack runs): for each
+    * query doc, fuse the LEXICAL top-k ([[RankingOps.tfidfRankPlan]],
+    * query-by-example over the aligned `documents` table) with the VECTOR
+    * top-k ([[cosineTopK]]'s exact plan) by score Σ 1/(60 + rank), and
+    * return the fused top-[[TopK]]. Docs that only one retriever surfaces
+    * keep their other rank NULL — the readout shows which channel found
+    * what.
+    *
+    * Determinism: each 1/(60+rank) contribution is quantized to a 1e-6
+    * BIGINT before the (two-term) sum and the fused ORDER/top-k runs on
+    * the integer score, so the whole fusion is hash-verified. Scale
+    * shape: both input searches are the already-audited broadcast-query
+    * plans; the fusion itself joins two ≤ Q·k rank lists on (q_id,
+    * doc_id) — negligible at any corpus size. */
+  val hybridRrf: QueryDef = QueryDef(
+    "llm_hybrid_rrf",
+    vecCte +
+      s"""
+         |, tf AS (SELECT doc_id, w, count(*) AS tf
+         |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |         GROUP BY 1, 2),
+         |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |wt AS (SELECT tf.doc_id, tf.w,
+         |              CAST(round(tf.tf * round(ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) * 10000) AS BIGINT) AS wq
+         |       FROM tf JOIN dfreq USING (w), n),
+         |norms AS (SELECT doc_id, sum(wq * wq) AS nsq FROM wt GROUP BY 1),
+         |dots AS (SELECT q.doc_id AS qid, d.doc_id AS did, sum(q.wq * d.wq) AS dot
+         |         FROM wt q JOIN wt d ON q.w = d.w AND d.doc_id <> q.doc_id
+         |         WHERE q.doc_id < $NQueries
+         |         GROUP BY 1, 2),
+         |lscored AS (SELECT qid, did,
+         |                   round(dot / sqrt(CAST(nq.nsq AS DOUBLE) * CAST(nd.nsq AS DOUBLE)), 6) AS cosine
+         |            FROM dots JOIN norms nq ON nq.doc_id = qid
+         |                      JOIN norms nd ON nd.doc_id = did),
+         |lex AS (SELECT qid AS q_id, did AS doc_id, rn AS lex_rank FROM (
+         |          SELECT qid, did,
+         |                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, did) AS rn
+         |          FROM lscored) WHERE rn <= $TopK),
+         |xq AS (SELECT * FROM e WHERE vec_id < $NQueries),
+         |xs AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |              ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+         |       FROM xq q JOIN e ON q.vec_id <> e.vec_id),
+         |xr AS (SELECT q_id, vec_id AS doc_id, rk AS vec_rank FROM (
+         |         SELECT q_id, vec_id,
+         |                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |         FROM xs) WHERE rk <= $TopK),
+         |f AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+         |             coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |             coalesce(CAST(round(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+         |           + coalesce(CAST(round(1000000.0 / (60 + v.vec_rank)) AS BIGINT), 0) AS rrfq,
+         |             l.lex_rank, v.vec_rank
+         |      FROM lex l FULL OUTER JOIN xr v ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+         |SELECT q_id, doc_id, round(rrfq / 1e6, 6) AS rrf, lex_rank, vec_rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrfq DESC, doc_id) AS fr
+         |      FROM f) WHERE fr <= $TopK
+         |ORDER BY q_id, rrf DESC, doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val lex = RankingOps.tfidfRankPlan(Tables.documents(spark, dir), NQueries, TopK)
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cosine".desc, $"did".asc)))
+      .select($"qid".as("q_id"), $"did".as("doc_id"),
+        $"lex_rank".cast("long").as("lex_rank"))
+    val vec = exactTopK(spark, dir)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
+    lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .select($"q_id", $"doc_id", $"lex_rank", $"vec_rank",
+        (coalesce(round(lit(1000000.0) / (lit(60) + $"lex_rank")).cast("long"), lit(0L))
+          + coalesce(round(lit(1000000.0) / (lit(60) + $"vec_rank")).cast("long"), lit(0L)))
+          .as("rrfq"))
+      .withColumn("fr", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"rrfq".desc, $"doc_id".asc)))
+      .filter($"fr" <= TopK)
+      .select($"q_id", $"doc_id", round($"rrfq" / 1e6, 6).as("rrf"),
+        $"lex_rank", $"vec_rank")
+      .orderBy($"q_id", $"rrf".desc, $"doc_id")
+  }
+
   /** Embedding-cosine near-duplicate PAIR MINING (the dedup-flavored
     * counterpart of the top-k search): every pair with cosine ≥ 0.45 whose
     * sign-LSH buckets differ by at most one bit. All-pairs mining is the
@@ -740,6 +819,6 @@ object EmbeddingOps {
 
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
-      annRecallTrained, kmeansIter, kmeansTrain, embedNeardup,
+      annRecallTrained, kmeansIter, kmeansTrain, hybridRrf, embedNeardup,
       embedStats, embedCentroid, embedQuantize)
 }

@@ -121,4 +121,24 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(math.abs(mean - rTrained) < 1e-9,
       f"metric query $mean%.4f must equal measured recall $rTrained%.4f")
   }
+
+  test("hybrid RRF: fuses both channels, scores reconstruct from the ranks") {
+    val rows = EmbeddingOps.hybridRrf.run(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach(rs => assert(rs.length == 10, "fused top-10 per query"))
+    def q(r: Long) = math.round(1000000.0 / (60 + r))
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(3)) 0L else q(r.getLong(3))
+      val vec = if (r.isNullAt(4)) 0L else q(r.getLong(4))
+      assert(!(r.isNullAt(3) && r.isNullAt(4)), "a fused doc came from somewhere")
+      assert(math.abs(r.getDouble(2) - (lex + vec) / 1e6) < 1e-9,
+        s"rrf must reconstruct from quantized rank contributions: $r")
+    }
+    // on this corpus the channels fully disagree (embeddings are not
+    // derived from the text), so the fused list must carry single-channel
+    // docs from BOTH retrievers — lexical-only and vector-only rows
+    assert(rows.exists(_.isNullAt(3)) && rows.exists(_.isNullAt(4)),
+      "fusion must surface single-channel docs from both retrievers")
+  }
 }
