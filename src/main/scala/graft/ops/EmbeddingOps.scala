@@ -362,6 +362,9 @@ object EmbeddingOps {
     * bounded by [[MaxBroadcastCells]]. */
   private[graft] def kmeansTrainOf(spark: SparkSession, dir: String, rounds: Int)
       : (Seq[DataFrame], DataFrame, DataFrame) = {
+    // rounds == 0 would return nc = null and NPE in any consumer of the
+    // learned centroids (ivfTrainedTopK etc.) — fail loudly at the source.
+    require(rounds >= 1, s"kmeansTrainOf needs rounds >= 1, got $rounds")
     var a = graft.Caches.localCheckpoint(
       vectors(spark, dir).select($"vec_id", $"v", $"nrm")
         .withColumn("cell", cellCols._1))
@@ -448,7 +451,13 @@ object EmbeddingOps {
   /** Trained-IVF top-k plan — the [[ivfTopK]] skeleton over LEARNED
     * cells: corpus cells are the final training assignment, query probes
     * are the top-2 learned centroids. Shared by [[annIvfTrained]] and
-    * [[annRecallTrained]]. */
+    * [[annRecallTrained]].
+    *
+    * Each caller re-runs [[kmeansTrainOf]] from scratch: per-query
+    * independence is the registry's deliberate convention (every entry
+    * must stand alone for the oracle replay), so the 3-round training
+    * deliberately executes once per trained query rather than being
+    * memoized across them. */
   private def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
     val (_, nc, aFinal) = kmeansTrainOf(spark, dir, KmRounds)
     val probes = vectors(spark, dir).filter($"vec_id" < NQueries)

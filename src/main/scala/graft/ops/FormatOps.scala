@@ -24,10 +24,13 @@ object FormatOps {
       stagedDirs.keySet.forEach { d =>
         try {
           val root = java.nio.file.Paths.get(d)
-          if (java.nio.file.Files.exists(root))
-            java.nio.file.Files.walk(root)
+          if (java.nio.file.Files.exists(root)) {
+            val walk = java.nio.file.Files.walk(root)
+            try walk
               .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
               .forEach(p => java.nio.file.Files.deleteIfExists(p))
+            finally walk.close()
+          }
         } catch { case _: Throwable => () } // exit-path cleanup is best-effort
       }))
 
