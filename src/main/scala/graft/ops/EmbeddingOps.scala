@@ -179,7 +179,7 @@ object EmbeddingOps {
     * k-means them — the operator shape is identical), so the DuckDB oracle
     * replays assignment exactly. */
   private val NCells = 12
-  private val centroids: IndexedSeq[IndexedSeq[Double]] = {
+  private[graft] val centroids: IndexedSeq[IndexedSeq[Double]] = {
     val p = 2147483647L
     val xs = Iterator.iterate(11L)(x => x * 48271L % p)
       .drop(1).take(NCells * Dim).toIndexedSeq
@@ -247,14 +247,96 @@ object EmbeddingOps {
 
   /** The broadcast re-assignment form (corpus `crossJoin(broadcast(nc))`)
     * is only valid while the centroid table stays a few MB: past ~16k
-    * cells at 64 dims the learned state must instead be blocked (join the
-    * corpus against centroid BLOCKS and tree-reduce the per-block argmax).
-    * Enforced at class init so a config bump cannot silently ship the
-    * wrong plan shape. */
+    * cells at 64 dims [[reassignOf]] degrades to the blocked top-1 form
+    * ([[assignBlockedOf]]) instead of broadcasting an over-sized table. */
   private val MaxBroadcastCells = (8 << 20) / (Dim * 8)
-  require(NCells <= MaxBroadcastCells,
-    s"NCells=$NCells exceeds the broadcastable bound $MaxBroadcastCells — " +
-      "switch the assignment to the blocked top-1 form")
+
+  /** Blocked top-1 centroid assignment — the scale path PAST the broadcast
+    * bound (a 100 TB deployment wants cell counts far above any broadcast
+    * limit). The centroid table is grouped into blocks of `blockCells`
+    * centroids; each corpus vector is replicated once per block (an
+    * equi-join keyed on the block id — a bounded-fan-out shuffle, never a
+    * broadcast of the full table and never a cartesian product); the
+    * per-block argmax is a single fold over that block's centroid array;
+    * the cross-block argmax is a (vec_id)-keyed max of the per-block
+    * bests. Ties break toward the SMALLER cell id (the [[kmeansTrainOf]]
+    * re-assignment convention): the per-block fold maximizes
+    * `struct(s, -cell)`, so equal scores pick the larger negated id.
+    * Argmax over exact IEEE scores is fold-order-independent, so
+    * `collect_list`'s nondeterministic block order cannot change the
+    * result and the whole plan stays hash-verifiable. */
+  private[graft] def assignBlockedOf(
+      vecs: DataFrame, nc: DataFrame, nCells: Int, blockCells: Int): DataFrame = {
+    require(blockCells >= 1, s"blockCells must be >= 1, got $blockCells")
+    val nBlocks = (nCells + blockCells - 1) / blockCells
+    val blocks = nc
+      .select(floor($"cell" / blockCells).cast("int").as("blk"),
+        struct($"cell".cast("int").as("cell"), $"cv").as("c"))
+      .groupBy($"blk").agg(collect_list($"c").as("cs"))
+    vecs.select($"vec_id", $"v",
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+      .join(blocks, "blk")
+      .select($"vec_id",
+        array_max(transform($"cs", c =>
+          struct(call_function("cosine_sim", $"v", c.getField("cv")).as("s"),
+            (-c.getField("cell")).as("negcell")))).as("best"))
+      .groupBy($"vec_id")
+      .agg(max($"best").as("best"))
+      .select($"vec_id", (-$"best".getField("negcell")).as("cell"))
+  }
+
+  /** Argmax re-assignment of an assignment frame `(vec_id, v, nrm, cell,
+    * …)` against learned centroids `nc`, preserving the previous cell as
+    * `old_cell`: the broadcast crossJoin form within [[MaxBroadcastCells]],
+    * the blocked shuffle form ([[assignBlockedOf]]) past it — so a config
+    * bump degrades to the scale plan instead of refusing (or worse,
+    * silently broadcasting gigabytes). Both forms tie toward the smaller
+    * candidate cell. */
+  private def reassignOf(a: DataFrame, nc: DataFrame): DataFrame =
+    if (NCells <= MaxBroadcastCells) {
+      a.select($"vec_id", $"v", $"nrm", $"cell".as("old_cell"))
+        .crossJoin(broadcast(nc.select($"cell".as("cand"), $"cv")))
+        .select($"vec_id", $"v", $"nrm", $"old_cell", $"cand",
+          call_function("cosine_sim", $"v", $"cv").as("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"s".desc, $"cand".asc)))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"v", $"nrm", $"cand".as("cell"), $"old_cell")
+    } else {
+      a.select($"vec_id", $"v", $"nrm", $"cell".as("old_cell"))
+        .join(assignBlockedOf(a.select($"vec_id", $"v"), nc, NCells,
+          MaxBroadcastCells), "vec_id")
+        .select($"vec_id", $"v", $"nrm", $"cell", $"old_cell")
+    }
+
+  /** The blocked top-1 assignment exercised END-TO-END, oracle-backed:
+    * the seed centroid table (as a real DataFrame, not broadcastable
+    * literals) is forced through [[assignBlockedOf]] with a deliberately
+    * tiny block size (4 centroids → 3 blocks), so the registered plan IS
+    * the past-the-broadcast-bound shape — corpus replicated per block,
+    * per-block fold argmax, (vec_id)-keyed final argmax. The oracle
+    * computes the same argmax over all cells directly (blocking is a plan
+    * detail, not a semantics change — that equivalence is the point), with
+    * the same (score DESC, cell ASC) tie rule via an ascending sort on
+    * (-score, cell). */
+  val ivfAssignBlocked: QueryDef = QueryDef(
+    "llm_ivf_assign_blocked",
+    vecCte +
+      s"""
+         |SELECT vec_id,
+         |       CAST(list_sort([${(0 until NCells).map(j =>
+                  s"{'s': -(${dotSql("v", centroidSql(j))} / (nrm * sqrt(${centroids(j).map(x => x * x).sum}))), 'j': $j}")
+                  .mkString(", ")}])[1].j AS BIGINT) AS cell
+         |FROM e ORDER BY vec_id""".stripMargin,
+  ) { (spark, dir) =>
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val nc = centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toArray) }.toSeq.toDF("cell", "cv")
+    assignBlockedOf(vectors(spark, dir).select($"vec_id", $"v"), nc,
+      NCells, blockCells = 4)
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+      .orderBy($"vec_id")
+  }
 
   /** Per-cell quantized-mean centroids of an assignment frame
     * `(cell, v, …)` → `(cell, cv, cnrm)` — the Lloyd update step, shared
@@ -322,15 +404,8 @@ object EmbeddingOps {
   ) { (spark, dir) =>
     val a = vectors(spark, dir).withColumn("cell", cellCols._1)
     val nc = centroidsFrom(a)
-    val sc = a.select($"vec_id", $"cell".as("old_cell"), $"v", $"nrm")
-      .crossJoin(broadcast(nc.select($"cell".as("cand"), $"cv")))
-      .select($"vec_id", $"old_cell", $"cand",
-        call_function("cosine_sim", $"v", $"cv").as("s"))
-    val re = sc
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"s".desc, $"cand".asc)))
-      .filter($"rk" === 1)
-      .select($"vec_id", $"old_cell", $"cand".as("new_cell"))
+    val re = reassignOf(a, nc)
+      .select($"vec_id", $"old_cell", $"cell".as("new_cell"))
     val b = a.groupBy($"cell").agg(count(lit(1)).as("n_before"))
     val f = re.select($"new_cell".as("cell")).groupBy($"cell")
       .agg(count(lit(1)).as("n_after"))
@@ -375,15 +450,7 @@ object EmbeddingOps {
     var nc: DataFrame = null
     for (r <- 1 to rounds) {
       nc = graft.Caches.localCheckpoint(centroidsFrom(a))
-      val sc = a.select($"vec_id", $"v", $"nrm", $"cell".as("old_cell"))
-        .crossJoin(broadcast(nc.select($"cell".as("cand"), $"cv")))
-        .select($"vec_id", $"v", $"nrm", $"old_cell", $"cand",
-          call_function("cosine_sim", $"v", $"cv").as("s"))
-      val next = graft.Caches.localCheckpoint(
-        sc.withColumn("rk", row_number().over(
-            Window.partitionBy($"vec_id").orderBy($"s".desc, $"cand".asc)))
-          .filter($"rk" === 1)
-          .select($"vec_id", $"v", $"nrm", $"cand".as("cell"), $"old_cell"))
+      val next = graft.Caches.localCheckpoint(reassignOf(a, nc))
       sums += next.groupBy($"cell")
         .agg(count(lit(1)).as("n_members"),
           sum(($"cell" =!= $"old_cell").cast("long")).as("n_moved"))
@@ -828,6 +895,6 @@ object EmbeddingOps {
 
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
-      annRecallTrained, kmeansIter, kmeansTrain, hybridRrf, embedNeardup,
-      embedStats, embedCentroid, embedQuantize)
+      annRecallTrained, kmeansIter, kmeansTrain, ivfAssignBlocked,
+      hybridRrf, embedNeardup, embedStats, embedCentroid, embedQuantize)
 }

@@ -141,4 +141,32 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.isNullAt(3)) && rows.exists(_.isNullAt(4)),
       "fusion must surface single-channel docs from both retrievers")
   }
+
+  test("blocked centroid assignment is invariant to block size (scale path ≡ argmax)") {
+    // assignBlockedOf is the past-the-broadcast-bound plan: correctness
+    // claim is that blocking is a pure plan detail — the assignment must
+    // be identical at ANY block size, from one-cell-per-block (maximal
+    // corpus replication, 12 blocks) through a single block holding the
+    // whole table (the broadcast-equivalent degenerate case). The DuckDB
+    // oracle for llm_ivf_assign_blocked pins the argmax itself; this spec
+    // pins the blocking-invariance that makes the block size a free
+    // deployment knob.
+    import org.apache.spark.sql.functions.{col, transform => hofTransform}
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val vecs = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        hofTransform(col("embedding"), x => x.cast("double")).as("v"))
+    val nc = EmbeddingOps.centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toArray) }.toSeq.toDF("cell", "cv")
+    def assignments(blockCells: Int): Map[Long, Int] =
+      EmbeddingOps.assignBlockedOf(vecs, nc, EmbeddingOps.centroids.length, blockCells)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val one = assignments(1)
+    val four = assignments(4)
+    val whole = assignments(EmbeddingOps.centroids.length)
+    assert(one.size == 500, s"every vector must be assigned, got ${one.size}")
+    assert(one == four && four == whole,
+      "assignment must not depend on the block partitioning")
+    assert(one.values.toSet.size > 1, "degenerate: all vectors in one cell")
+  }
 }
