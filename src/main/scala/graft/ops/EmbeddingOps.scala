@@ -543,15 +543,10 @@ object EmbeddingOps {
     rankTopK(scored)
   }
 
-  /** IVF ANN over the TRAINED cells (nprobe=2) — what [[annIvf]]'s doc
-    * promised a real deployment would run: the index partitions are the
-    * [[kmeansTrain]] centroids instead of seed literals. Same equi-join-
-    * on-cell scale shape; the whole lane (training included) is
-    * oracle-replayed. */
-  val annIvfTrained: QueryDef = QueryDef(
-    "llm_ann_ivf_trained",
-    s"""${kmTrainCtes(KmRounds)},
-       |qa AS (SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qnrm, n.cell,
+  /** Trained-IVF top-k CTE chain (qa→qp→ts→tr), appended after
+    * [[kmTrainCtes]] — shared by [[annIvfTrained]] and [[hybridRrfAnn]]. */
+  private def ivfTrainedCtes: String =
+    s"""qa AS (SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qnrm, n.cell,
        |              ${dotSql("q.v", "n.cv")} / (q.nrm * n.cnrm) AS s
        |       FROM (SELECT * FROM e WHERE vec_id < $NQueries) q, n2$KmRounds n),
        |qp AS (SELECT q_id, qv, qnrm, cell FROM (
@@ -563,7 +558,17 @@ object EmbeddingOps {
        |       FROM qp JOIN a$KmRounds a ON qp.cell = a.cell AND qp.q_id <> a.vec_id),
        |tr AS (SELECT q_id, vec_id, sim,
        |              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
-       |       FROM ts)
+       |       FROM ts)""".stripMargin
+
+  /** IVF ANN over the TRAINED cells (nprobe=2) — what [[annIvf]]'s doc
+    * promised a real deployment would run: the index partitions are the
+    * [[kmeansTrain]] centroids instead of seed literals. Same equi-join-
+    * on-cell scale shape; the whole lane (training included) is
+    * oracle-replayed. */
+  val annIvfTrained: QueryDef = QueryDef(
+    "llm_ann_ivf_trained",
+    s"""${kmTrainCtes(KmRounds)},
+       |$ivfTrainedCtes
        |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
        |FROM tr WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
   )(ivfTrainedTopK)
@@ -703,57 +708,57 @@ object EmbeddingOps {
     * shape: both input searches are the already-audited broadcast-query
     * plans; the fusion itself joins two ≤ Q·k rank lists on (q_id,
     * doc_id) — negligible at any corpus size. */
-  val hybridRrf: QueryDef = QueryDef(
-    "llm_hybrid_rrf",
-    vecCte +
-      s"""
-         |, tf AS (SELECT doc_id, w, count(*) AS tf
-         |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-         |         GROUP BY 1, 2),
-         |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
-         |n AS (SELECT count(*) AS n_docs FROM documents),
-         |wt AS (SELECT tf.doc_id, tf.w,
-         |              CAST(round(tf.tf * round(ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) * 10000) AS BIGINT) AS wq
-         |       FROM tf JOIN dfreq USING (w), n),
-         |norms AS (SELECT doc_id, sum(wq * wq) AS nsq FROM wt GROUP BY 1),
-         |dots AS (SELECT q.doc_id AS qid, d.doc_id AS did, sum(q.wq * d.wq) AS dot
-         |         FROM wt q JOIN wt d ON q.w = d.w AND d.doc_id <> q.doc_id
-         |         WHERE q.doc_id < $NQueries
-         |         GROUP BY 1, 2),
-         |lscored AS (SELECT qid, did,
-         |                   round(dot / sqrt(CAST(nq.nsq AS DOUBLE) * CAST(nd.nsq AS DOUBLE)), 6) AS cosine
-         |            FROM dots JOIN norms nq ON nq.doc_id = qid
-         |                      JOIN norms nd ON nd.doc_id = did),
-         |lex AS (SELECT qid AS q_id, did AS doc_id, rn AS lex_rank FROM (
-         |          SELECT qid, did,
-         |                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, did) AS rn
-         |          FROM lscored) WHERE rn <= $TopK),
-         |xq AS (SELECT * FROM e WHERE vec_id < $NQueries),
-         |xs AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
-         |              ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
-         |       FROM xq q JOIN e ON q.vec_id <> e.vec_id),
-         |xr AS (SELECT q_id, vec_id AS doc_id, rk AS vec_rank FROM (
-         |         SELECT q_id, vec_id,
-         |                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
-         |         FROM xs) WHERE rk <= $TopK),
-         |f AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
-         |             coalesce(l.doc_id, v.doc_id) AS doc_id,
-         |             coalesce(CAST(round(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
-         |           + coalesce(CAST(round(1000000.0 / (60 + v.vec_rank)) AS BIGINT), 0) AS rrfq,
-         |             l.lex_rank, v.vec_rank
-         |      FROM lex l FULL OUTER JOIN xr v ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
-         |SELECT q_id, doc_id, round(rrfq / 1e6, 6) AS rrf, lex_rank, vec_rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrfq DESC, doc_id) AS fr
-         |      FROM f) WHERE fr <= $TopK
-         |ORDER BY q_id, rrf DESC, doc_id""".stripMargin,
-  ) { (spark, dir) =>
-    val lex = RankingOps.tfidfRankPlan(Tables.documents(spark, dir), NQueries, TopK)
+  /** Lexical-channel CTE chain ending in `lex (q_id, doc_id, lex_rank)` —
+    * the [[RankingOps.tfidfRankPlan]] oracle SQL with an explicit rank. */
+  private def lexCtes: String =
+    s"""tf AS (SELECT doc_id, w, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |       GROUP BY 1, 2),
+       |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |wt AS (SELECT tf.doc_id, tf.w,
+       |              CAST(round(tf.tf * round(ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) * 10000) AS BIGINT) AS wq
+       |       FROM tf JOIN dfreq USING (w), n),
+       |norms AS (SELECT doc_id, sum(wq * wq) AS nsq FROM wt GROUP BY 1),
+       |dots AS (SELECT q.doc_id AS qid, d.doc_id AS did, sum(q.wq * d.wq) AS dot
+       |         FROM wt q JOIN wt d ON q.w = d.w AND d.doc_id <> q.doc_id
+       |         WHERE q.doc_id < $NQueries
+       |         GROUP BY 1, 2),
+       |lscored AS (SELECT qid, did,
+       |                   round(dot / sqrt(CAST(nq.nsq AS DOUBLE) * CAST(nd.nsq AS DOUBLE)), 6) AS cosine
+       |            FROM dots JOIN norms nq ON nq.doc_id = qid
+       |                      JOIN norms nd ON nd.doc_id = did),
+       |lex AS (SELECT qid AS q_id, did AS doc_id, rn AS lex_rank FROM (
+       |          SELECT qid, did,
+       |                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, did) AS rn
+       |          FROM lscored) WHERE rn <= $TopK)""".stripMargin
+
+  /** RRF fusion tail over `lex` and a vector rank list `(q_id, doc_id,
+    * vec_rank)` named `vecList` — each channel's 1/(60+rank) quantized to
+    * a 1e-6 BIGINT before the two-term sum. */
+  private def rrfFusionSql(vecList: String): String =
+    s"""f AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+       |             coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |             coalesce(CAST(round(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+       |           + coalesce(CAST(round(1000000.0 / (60 + v.vec_rank)) AS BIGINT), 0) AS rrfq,
+       |             l.lex_rank, v.vec_rank
+       |      FROM lex l FULL OUTER JOIN $vecList v ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+       |SELECT q_id, doc_id, round(rrfq / 1e6, 6) AS rrf, lex_rank, vec_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrfq DESC, doc_id) AS fr
+       |      FROM f) WHERE fr <= $TopK
+       |ORDER BY q_id, rrf DESC, doc_id""".stripMargin
+
+  /** Lexical top-k plan with explicit rank — the Spark twin of [[lexCtes]]. */
+  private def lexTopK(spark: SparkSession, dir: String): DataFrame =
+    RankingOps.tfidfRankPlan(Tables.documents(spark, dir), NQueries, TopK)
       .withColumn("lex_rank", row_number().over(
         Window.partitionBy($"qid").orderBy($"cosine".desc, $"did".asc)))
       .select($"qid".as("q_id"), $"did".as("doc_id"),
         $"lex_rank".cast("long").as("lex_rank"))
-    val vec = exactTopK(spark, dir)
-      .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
+
+  /** RRF fusion of the lexical list and a `(q_id, doc_id, vec_rank)`
+    * vector list — the Spark twin of [[rrfFusionSql]]. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame =
     lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
       .select($"q_id", $"doc_id", $"lex_rank", $"vec_rank",
         (coalesce(round(lit(1000000.0) / (lit(60) + $"lex_rank")).cast("long"), lit(0L))
@@ -765,6 +770,46 @@ object EmbeddingOps {
       .select($"q_id", $"doc_id", round($"rrfq" / 1e6, 6).as("rrf"),
         $"lex_rank", $"vec_rank")
       .orderBy($"q_id", $"rrf".desc, $"doc_id")
+
+  val hybridRrf: QueryDef = QueryDef(
+    "llm_hybrid_rrf",
+    vecCte +
+      s"""
+         |, $lexCtes,
+         |xq AS (SELECT * FROM e WHERE vec_id < $NQueries),
+         |xs AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |              ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+         |       FROM xq q JOIN e ON q.vec_id <> e.vec_id),
+         |xr AS (SELECT q_id, vec_id AS doc_id, rk AS vec_rank FROM (
+         |         SELECT q_id, vec_id,
+         |                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |         FROM xs) WHERE rk <= $TopK),
+         |${rrfFusionSql("xr")}""".stripMargin,
+  ) { (spark, dir) =>
+    rrfFuse(lexTopK(spark, dir),
+      exactTopK(spark, dir)
+        .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank")))
+  }
+
+  /** [[hybridRrf]] with the vector channel a deployment actually runs at
+    * corpus scale: the TRAINED-IVF ANN top-k ([[ivfTrainedTopK]]) instead
+    * of the brute-force scan — the fusion is channel-agnostic, so this is
+    * the same fusion join over the equi-join-on-cell search. The whole
+    * lane (k-means training → learned-cell search → fusion) is replayed
+    * by the oracle. At sf1 the vector channel drops from the brute-force
+    * corpus scan to the two-cell candidate join, which is the entire
+    * point of indexing. */
+  val hybridRrfAnn: QueryDef = QueryDef(
+    "llm_hybrid_rrf_ann",
+    s"""${kmTrainCtes(KmRounds)},
+       |$ivfTrainedCtes,
+       |ivr AS (SELECT q_id, vec_id AS doc_id, rk AS vec_rank FROM tr WHERE rk <= $TopK),
+       |$lexCtes,
+       |${rrfFusionSql("ivr")}""".stripMargin,
+  ) { (spark, dir) =>
+    rrfFuse(lexTopK(spark, dir),
+      ivfTrainedTopK(spark, dir)
+        .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank")))
   }
 
   /** Embedding-cosine near-duplicate PAIR MINING (the dedup-flavored
@@ -896,5 +941,6 @@ object EmbeddingOps {
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, ivfAssignBlocked,
-      hybridRrf, embedNeardup, embedStats, embedCentroid, embedQuantize)
+      hybridRrf, hybridRrfAnn, embedNeardup, embedStats, embedCentroid,
+      embedQuantize)
 }

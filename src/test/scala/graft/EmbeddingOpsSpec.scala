@@ -142,6 +142,29 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       "fusion must surface single-channel docs from both retrievers")
   }
 
+  test("hybrid RRF over the trained-IVF channel: same fusion contract, ANN vector list") {
+    val rows = EmbeddingOps.hybridRrfAnn.run(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach(rs => assert(rs.length == 10, "fused top-10 per query"))
+    def q(r: Long) = math.round(1000000.0 / (60 + r))
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(3)) 0L else q(r.getLong(3))
+      val vec = if (r.isNullAt(4)) 0L else q(r.getLong(4))
+      assert(math.abs(r.getDouble(2) - (lex + vec) / 1e6) < 1e-9,
+        s"rrf must reconstruct from quantized rank contributions: $r")
+    }
+    // the ANN vector channel must actually contribute: every vec_rank that
+    // appears must also be a member of the trained-IVF top-k list
+    val ivf = EmbeddingOps.annIvfTrained.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      assert(ivf.contains((r.getLong(0), r.getLong(1))),
+        s"vec-channel doc must come from the trained-IVF top-k: $r")
+    }
+    assert(rows.exists(!_.isNullAt(4)), "ANN channel contributed nothing")
+  }
+
   test("blocked centroid assignment is invariant to block size (scale path ≡ argmax)") {
     // assignBlockedOf is the past-the-broadcast-bound plan: correctness
     // claim is that blocking is a pure plan detail — the assignment must
