@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** LM-perplexity corpus-quality scoring (the CCNet / Gopher signal: score
+  * every document against a language model and flag the least fluent) —
+  * driver north-star extension; no reference-repo counterpart. The
+  * heuristic quality suite (`LlmTextOps.quality` / `repetition` /
+  * entropy) catches STRUCTURE (length, stopword ratio, repetition); a
+  * perplexity score catches FLUENCY — gibberish with perfectly normal
+  * lengths and no repetition sails through the heuristics but lights up
+  * under an n-gram LM. The LM here is a bigram model with add-k
+  * smoothing (k = 0.5) trained on the corpus itself, the CCNet
+  * arrangement where the model and the scored data share a domain.
+  *
+  * Scale shape, stage by stage — all linear or vocabulary-bounded:
+  *  - the bigram stream is a per-doc array expansion (no shuffle);
+  *  - training is two grouped aggregates keyed on (w1, w2) and (w1) —
+  *    map-side partial counts, output bounded by the observed-bigram
+  *    vocabulary, never the corpus;
+  *  - scoring re-joins the stream against the counts — equi-joins keyed
+  *    on the bigram/context, the same posting-join shape as TF-IDF; the
+  *    vocabulary size and the flag threshold are broadcast scalars;
+  *  - the per-doc reduction is one (doc_id)-keyed sum of exact BIGINTs.
+  *
+  * Cross-engine determinism: each bigram's smoothed log-prob is
+  * `round(ln((n2+0.5)/(n1+0.5·V)), 6)` — the log's argument is the same
+  * exact rational on both engines and the 6-dp round absorbs the last-ulp
+  * libm difference — then quantized to a 1e-6 BIGINT BEFORE the shuffled
+  * per-doc sum (the `llm_embed_centroid` architecture), so accumulation
+  * order cannot move the hash. The per-doc mean re-rounds to a 1e-6
+  * BIGINT (`mq`), making the percentile-threshold comparison an exact
+  * integer-vs-interpolated-double compare that both engines evaluate
+  * identically (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+  * `sketch_percentile_exact` precedent).
+  *
+  * The decile flag uses an EXACT percentile, which buffers the per-doc
+  * `mq` column on one aggregator — fine into the billions of docs (8
+  * bytes each), and the oracle needs exactness; a 100 TB deployment that
+  * can tolerate sketch error would swap `percentile` for
+  * `percentile_approx` with no other change.
+  */
+object PerplexityOps {
+
+  /** (doc_id, w1, w2) adjacent-token bigram stream; docs with fewer than
+    * two tokens have no bigrams and are excluded by construction. */
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", split($"text", " ").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"ts") - 1),
+          i => struct(element_at($"ts", i).as("w1"),
+            element_at($"ts", i + 1).as("w2")))).as("b"))
+      .select($"doc_id", $"b".getField("w1").as("w1"),
+        $"b".getField("w2").as("w2"))
+
+  /** Smoothed per-bigram log-prob, quantized: shared by the scorer and
+    * the LM-head readout. `n2`/`n1` are exact counts, `vsz` the corpus
+    * vocabulary size. */
+  private def logpCol: org.apache.spark.sql.Column =
+    round(log(($"n2" + 0.5) / ($"n1" + lit(0.5) * $"vsz")), 6)
+
+  /** Per-doc perplexity frame `(doc_id, n_bigrams, mean_logp, ppl,
+    * flag_high_ppl)` — extracted so the spec can score a hand-built
+    * fixture corpus with the REAL plan. The flag marks the worst decile:
+    * `mq` (the quantized mean log-prob) at or below the corpus's exact
+    * 10th percentile, i.e. perplexity at or above the 90th. */
+  private[graft] def perplexityOf(docs: DataFrame): DataFrame = {
+    // the stream feeds training (two aggregates) AND scoring — persist so
+    // the expansion runs once; released by the runner after the action
+    val bi = graft.Caches.persist(bigramsOf(docs))
+    val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n2"))
+    val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("n1"))
+    val v = docs.select(explode(split($"text", " ")).as("w"))
+      .agg(countDistinct($"w").as("vsz"))
+    val sc = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select($"doc_id",
+        round(logpCol * 1000000).cast("long").as("lq"))
+    val pd = sc.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lq").as("slq"))
+      .select($"doc_id", $"n_bigrams",
+        round($"slq".cast("double") / $"n_bigrams").cast("long").as("mq"))
+    val th = pd.agg(percentile($"mq", lit(0.10)).as("t10"))
+    pd.crossJoin(broadcast(th))
+      .select($"doc_id", $"n_bigrams",
+        ($"mq".cast("double") / 1000000.0).as("mean_logp"),
+        round(exp(-($"mq".cast("double") / 1000000.0)), 4).as("ppl"),
+        ($"mq".cast("double") <= $"t10").cast("long").as("flag_high_ppl"))
+  }
+
+  /** Shared oracle CTE chain: bigram stream → counts → vocabulary →
+    * quantized log-probs → per-doc quantized mean (`pd`). */
+  private val lmCtes: String =
+    """WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      |       FROM ts, unnest(range(1, len(ts))) AS t(i)
+      |       WHERE len(ts) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS vsz
+      |      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+      |sc AS (SELECT bi.doc_id,
+      |              CAST(round(round(ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * v.vsz)), 6) * 1000000) AS BIGINT) AS lq
+      |       FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |              CAST(round(CAST(sum(lq) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+      |       FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** Per-doc perplexity under the corpus bigram LM + worst-decile flag —
+    * the canonical corpus-quality signal the heuristic suite lacks. */
+  val perplexity: QueryDef = QueryDef(
+    "llm_perplexity",
+    lmCtes +
+      """,
+        |th AS (SELECT quantile_cont(CAST(mq AS DOUBLE), 0.10) AS t10 FROM pd)
+        |SELECT doc_id, n_bigrams,
+        |       CAST(mq AS DOUBLE) / 1000000.0 AS mean_logp,
+        |       round(exp(-(CAST(mq AS DOUBLE) / 1000000.0)), 4) AS ppl,
+        |       CAST(CASE WHEN CAST(mq AS DOUBLE) <= th.t10 THEN 1 ELSE 0 END AS BIGINT) AS flag_high_ppl
+        |FROM pd, th ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    perplexityOf(Tables.documents(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** The LM head itself: top-50 bigrams by corpus count with their
+    * smoothed log-probs — the readout a pipeline inspects to sanity-check
+    * what the model learned (and the shape a distillation/export step
+    * would write). Counts-desc with (w1, w2) tiebreak → TakeOrdered. */
+  val bigramLm: QueryDef = QueryDef(
+    "llm_bigram_lm",
+    """WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      |       FROM ts, unnest(range(1, len(ts))) AS t(i)
+      |       WHERE len(ts) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS vsz
+      |      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+      |SELECT w1, w2, CAST(n2 AS BIGINT) AS n2, CAST(n1 AS BIGINT) AS n1,
+      |       round(ln((n2 + 0.5) / (n1 + 0.5 * vsz)), 6) AS logp
+      |FROM c2 JOIN c1 USING (w1), v
+      |ORDER BY n2 DESC, w1, w2 LIMIT 50""".stripMargin,
+  ) { (spark, dir) =>
+    val bi = bigramsOf(Tables.documents(spark, dir))
+    val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n2"))
+    val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("n1"))
+    val v = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .agg(countDistinct($"w").as("vsz"))
+    c2.join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .select($"w1", $"w2", $"n2", $"n1", logpCol.as("logp"))
+      .orderBy(desc("n2"), asc("w1"), asc("w2"))
+      .limit(50)
+  }
+
+  val all: Seq[QueryDef] = Seq(perplexity, bigramLm)
+}

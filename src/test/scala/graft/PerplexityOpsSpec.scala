@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class PerplexityOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("planted gibberish scores high-perplexity and is flagged; fluent text is not") {
+    // Fixture corpus: twelve "natural" docs built from a small shared
+    // vocabulary with heavily repeated bigrams, plus one gibberish doc of
+    // tokens (and therefore bigrams) that occur nowhere else. The bigram
+    // LM trains on all thirteen, so the gibberish doc's probabilities
+    // collapse to the smoothing floor k/(n1 + k·V) and its perplexity
+    // must strictly dominate every natural doc's.
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val naturals = Seq(
+      "the cat sat on the mat", "the dog sat on the rug",
+      "the cat sat on the rug", "the dog sat on the mat",
+      "a cat sat on a mat", "the cat ran on the mat",
+      "the dog ran on the rug", "a dog sat on the mat",
+      "the cat sat by the mat", "the dog sat by the rug",
+      "a cat ran on the mat", "the cat sat on a rug")
+    val gibberish = "zxq qpv mmw ovk lxr wqz pvq"
+    val docs = (naturals.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (naturals.length.toLong, gibberish)).toDF("doc_id", "text")
+
+    val rows = PerplexityOps.perplexityOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(rows.size == naturals.length + 1, "every doc with >= 2 tokens scores")
+
+    val gibId = naturals.length.toLong
+    val (gibN, gibMean, gibPpl, gibFlag) = rows(gibId)
+    assert(gibN == 6, "gibberish doc has 7 tokens -> 6 bigrams")
+    rows.filter(_._1 != gibId).foreach { case (id, (_, _, ppl, _)) =>
+      assert(gibPpl > ppl,
+        s"gibberish ppl $gibPpl must dominate doc $id's $ppl")
+    }
+    assert(gibFlag == 1L, "gibberish must land in the worst decile")
+    assert(rows.values.count(_._4 == 1L) < rows.size,
+      "the flag must be selective, not mark the whole corpus")
+    rows.values.foreach { case (_, mean, ppl, _) =>
+      assert(mean < 0.0, "mean log-prob of a real LM is negative")
+      assert(math.abs(ppl - BigDecimal(math.exp(-mean))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        "ppl must reconstruct from mean_logp")
+    }
+  }
+
+  test("registered query is well-formed over the test corpus") {
+    val rows = PerplexityOps.perplexity.run(spark, sf).collect()
+    assert(rows.length == 500, "all sf0.01 docs have >= 2 tokens")
+    // roughly a decile flagged (exact percentile; interpolation can admit
+    // one extra doc at the boundary)
+    val flagged = rows.count(_.getLong(4) == 1L)
+    assert(flagged >= 45 && flagged <= 55, s"decile flag marked $flagged of 500")
+    // LM head: 50 rows, counts non-increasing, log-probs negative
+    val lm = PerplexityOps.bigramLm.run(spark, sf).collect()
+    assert(lm.length == 50)
+    val counts = lm.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(lm.forall(_.getDouble(4) < 0.0))
+  }
+}
