@@ -23,7 +23,8 @@ object SparkEntry {
       RefDataOps.all ++ SkewOps.all ++ TypedOps.all ++ SketchOps.all ++
       AsofOps.all ++ RangeJoinOps.all ++ OlapOps.all ++ SamplingOps.all ++
       WindowOps.all ++ PackingOps.all ++ RankingOps.all ++ StatsOps.all ++
-      GraphOps.all ++ FormatOps.all ++ DqOps.all ++ PerplexityOps.all
+      GraphOps.all ++ FormatOps.all ++ DqOps.all ++ PerplexityOps.all ++
+      CompositionOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

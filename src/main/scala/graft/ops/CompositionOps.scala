@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** Corpus COMPOSITION and HYGIENE readouts — the decisions a training-mix
+  * owner makes before a run (how much of each domain to sample, which
+  * domains drifted from the corpus distribution) and the compliance scan
+  * every shipped dataset needs (PII pattern hits). Driver north-star
+  * extension; no reference-repo counterpart.
+  *
+  * All three operators are domain- or vocabulary-keyed aggregates over
+  * one corpus pass: per-domain token counts are a (lang)-keyed shuffle
+  * with map-side partials, the unigram tables are (lang, w)- and
+  * (w)-keyed shuffles bounded by vocabulary size, and the corpus-level
+  * scalars (total tokens, quantized weight norms) broadcast back — so at
+  * 100 TB every stage is linear in the data or bounded by the vocabulary,
+  * never quadratic in either.
+  *
+  * Determinism: the two libm calls (`pow` for temperature scaling, `ln`
+  * inside the KL terms) are rounded to 6 dp immediately — their arguments
+  * are identical exact rationals cross-engine — and every shuffled float
+  * sum is quantized to scaled BIGINTs first (1e-6 for mixture weights,
+  * 1e-9 for KL terms, whose per-token magnitudes are small).
+  */
+object CompositionOps {
+
+  /** Temperature exponent for mixture weights: the multilingual-sampling
+    * convention (α = 0.3, Conneau & Lample 2019 / XLM-R) that upsamples
+    * low-resource domains without letting them dominate. */
+  private val Alpha = 0.3
+
+  /** Temperature-scaled domain mixture weights — for each language
+    * (domain), its token share p_d, the α-temperature sampling weight
+    * w_d ∝ p_d^α, and the resulting up/down-sampling boost w_d / p_d the
+    * data loader applies. The weight normalization sums 1e-6-quantized
+    * BIGINTs, so even the normalized weights hash-match cross-engine. */
+  val domainMix: QueryDef = QueryDef(
+    "llm_domain_mix",
+    s"""WITH nd AS (SELECT lang, sum(len(string_split(text, ' '))) AS n_toks
+       |            FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n_toks) AS n_total FROM nd),
+       |qd AS (SELECT lang, n_toks,
+       |              CAST(n_toks AS DOUBLE) / tot.n_total AS p,
+       |              CAST(round(round(power(CAST(n_toks AS DOUBLE) / tot.n_total, $Alpha), 6) * 1000000) AS BIGINT) AS qq
+       |       FROM nd, tot),
+       |sq AS (SELECT sum(qq) AS sqq FROM qd)
+       |SELECT lang, CAST(n_toks AS BIGINT) AS n_toks, round(p, 6) AS share,
+       |       round(CAST(qq AS DOUBLE) / sq.sqq, 6) AS weight,
+       |       round((CAST(qq AS DOUBLE) / sq.sqq) / p, 6) AS boost
+       |FROM qd, sq ORDER BY lang""".stripMargin,
+  ) { (spark, dir) => domainMixOf(Tables.documents(spark, dir)).orderBy($"lang") }
+
+  /** The [[domainMix]] plan, extracted for fixture specs. */
+  private[graft] def domainMixOf(docs: DataFrame): DataFrame = {
+    val nd = docs.groupBy($"lang")
+      .agg(sum(size(split($"text", " "))).as("n_toks"))
+    val tot = nd.agg(sum($"n_toks").as("n_total"))
+    val qd = nd.crossJoin(broadcast(tot))
+      .select($"lang", $"n_toks",
+        ($"n_toks".cast("double") / $"n_total").as("p"),
+        round(round(pow($"n_toks".cast("double") / $"n_total", Alpha), 6) * 1000000)
+          .cast("long").as("qq"))
+    val sq = qd.agg(sum($"qq").as("sqq"))
+    qd.crossJoin(broadcast(sq))
+      .select($"lang", $"n_toks", round($"p", 6).as("share"),
+        round($"qq".cast("double") / $"sqq", 6).as("weight"),
+        round(($"qq".cast("double") / $"sqq") / $"p", 6).as("boost"))
+  }
+
+  /** Per-domain KL divergence KL(P_d ‖ P_corpus) between each language's
+    * unigram distribution and the whole-corpus distribution — the
+    * domain-drift diagnostic read next to [[domainMix]] (a domain with
+    * high KL needs its own eval slice; one near zero is redundant with
+    * the pool). Every (lang, token) term p·ln(p/q) is computed from exact
+    * count ratios and quantized to a 1e-9 BIGINT before the (lang)-keyed
+    * sum. Terms with c_dw ≥ 1 have q ≥ p·(n_d/N) > 0, so the log is
+    * always finite. */
+  val domainKl: QueryDef = QueryDef(
+    "llm_domain_kl",
+    """WITH tw AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cdw AS (SELECT lang, w, count(*) AS c FROM tw GROUP BY 1, 2),
+      |ndt AS (SELECT lang, sum(c) AS n_d FROM cdw GROUP BY 1),
+      |cw AS (SELECT w, sum(c) AS cg FROM cdw GROUP BY 1),
+      |nt AS (SELECT sum(c) AS n_total FROM cdw),
+      |terms AS (SELECT cdw.lang,
+      |                 CAST(round((CAST(cdw.c AS DOUBLE) / ndt.n_d)
+      |                   * round(ln((CAST(cdw.c AS DOUBLE) / ndt.n_d)
+      |                              / (CAST(cw.cg AS DOUBLE) / nt.n_total)), 6)
+      |                   * 1000000000) AS BIGINT) AS tq
+      |          FROM cdw JOIN ndt USING (lang) JOIN cw USING (w), nt),
+      |agg AS (SELECT lang, count(*) AS n_vocab, sum(tq) AS stq FROM terms GROUP BY 1)
+      |SELECT a.lang, CAST(n.n_d AS BIGINT) AS n_toks,
+      |       CAST(a.n_vocab AS BIGINT) AS n_vocab,
+      |       round(CAST(a.stq AS DOUBLE) / 1000000000.0, 6) AS kl
+      |FROM agg a JOIN ndt n USING (lang) ORDER BY lang""".stripMargin,
+  ) { (spark, dir) => domainKlOf(Tables.documents(spark, dir)).orderBy($"lang") }
+
+  /** The [[domainKl]] plan, extracted for fixture specs. */
+  private[graft] def domainKlOf(docs: DataFrame): DataFrame = {
+    // the (lang, token) count table feeds all four downstream aggregates
+    val cdw = graft.Caches.persist(
+      docs.select($"lang", explode(split($"text", " ")).as("w"))
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("c")))
+    val ndt = cdw.groupBy($"lang").agg(sum($"c").as("n_d"))
+    val cw = cdw.groupBy($"w").agg(sum($"c").as("cg"))
+    val nt = cdw.agg(sum($"c").as("n_total"))
+    val p = $"c".cast("double") / $"n_d"
+    val q = $"cg".cast("double") / $"n_total"
+    val terms = cdw.join(broadcast(ndt), "lang").join(cw, "w")
+      .crossJoin(broadcast(nt))
+      .select($"lang",
+        round(p * round(log(p / q), 6) * 1000000000L).cast("long").as("tq"))
+    terms.groupBy($"lang")
+      .agg(count(lit(1)).as("n_vocab"), sum($"tq").as("stq"))
+      .join(broadcast(ndt), "lang")
+      .select($"lang", $"n_d".as("n_toks"), $"n_vocab",
+        round($"stq".cast("double") / 1000000000.0, 6).as("kl"))
+  }
+
+  /** PII pattern families scanned per document. Kept simple enough that
+    * the Java-regex (Spark, codegen'd) and RE2 (DuckDB) dialects agree
+    * verbatim; counts are non-overlapping match counts in both. */
+  private val PiiPatterns: Seq[(String, String)] = Seq(
+    "n_emails" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "n_urls" -> "https?://[^\\s]+",
+    "n_phones" -> "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]",
+    "n_ipv4" -> "([0-9]{1,3}\\.){3}[0-9]{1,3}")
+
+  /** Per-document PII scan: match counts per pattern family plus an
+    * any-hit flag — the compliance gate a shipped dataset runs last (and
+    * the redaction step's work list). A clean corpus yields all-zero
+    * counts, which is exactly the certificate the gate exists to produce;
+    * the planted-PII behavior is pinned by the fixture spec. Map-only —
+    * codegen'd regex counts, no shuffle, embarrassingly parallel. */
+  val piiScan: QueryDef = QueryDef(
+    "llm_pii_scan",
+    s"""SELECT doc_id,
+       |${PiiPatterns.map { case (n, p) =>
+            s"       len(regexp_extract_all(text, '$p'))::BIGINT AS $n,"
+          }.mkString("\n")}
+       |       CAST(CASE WHEN ${PiiPatterns.map { case (_, p) =>
+            s"len(regexp_extract_all(text, '$p')) > 0"
+          }.mkString(" OR ")}
+       |            THEN 1 ELSE 0 END AS BIGINT) AS flag_pii
+       |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) => piiScanOf(Tables.documents(spark, dir)).orderBy($"doc_id") }
+
+  /** The [[piiScan]] plan, extracted for fixture specs. */
+  private[graft] def piiScanOf(docs: DataFrame): DataFrame = {
+    val counts = PiiPatterns.map { case (n, p) =>
+      size(regexp_extract_all($"text", lit(p), lit(0))).cast("long").as(n)
+    }
+    docs.select($"doc_id" +: counts: _*)
+      .withColumn("flag_pii",
+        (PiiPatterns.map { case (n, _) => $"$n" > 0L }.reduce(_ || _))
+          .cast("long"))
+  }
+
+  val all: Seq[QueryDef] = Seq(domainMix, domainKl, piiScan)
+}

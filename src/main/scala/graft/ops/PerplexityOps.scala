@@ -93,13 +93,17 @@ object PerplexityOps {
         ($"mq".cast("double") <= $"t10").cast("long").as("flag_high_ppl"))
   }
 
-  /** Shared oracle CTE chain: bigram stream → counts → vocabulary →
-    * quantized log-probs → per-doc quantized mean (`pd`). */
-  private val lmCtes: String =
+  /** Shared oracle CTE prefix: the per-doc bigram stream. */
+  private val biCtes: String =
     """WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
       |       FROM ts, unnest(range(1, len(ts))) AS t(i)
-      |       WHERE len(ts) >= 2),
+      |       WHERE len(ts) >= 2)""".stripMargin
+
+  /** Shared oracle CTE chain: bigram stream → counts → vocabulary →
+    * quantized log-probs → per-doc quantized mean (`pd`). */
+  private val lmCtes: String = biCtes +
+    """,
       |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY 1, 2),
       |c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
       |v AS (SELECT count(DISTINCT w) AS vsz
@@ -133,10 +137,8 @@ object PerplexityOps {
     * would write). Counts-desc with (w1, w2) tiebreak → TakeOrdered. */
   val bigramLm: QueryDef = QueryDef(
     "llm_bigram_lm",
-    """WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
-      |       FROM ts, unnest(range(1, len(ts))) AS t(i)
-      |       WHERE len(ts) >= 2),
+    biCtes +
+      """,
       |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY 1, 2),
       |c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
       |v AS (SELECT count(DISTINCT w) AS vsz
@@ -158,5 +160,43 @@ object PerplexityOps {
       .limit(50)
   }
 
-  val all: Seq[QueryDef] = Seq(perplexity, bigramLm)
+  /** Marginal n-gram novelty — for each document, the fraction of its
+    * DISTINCT bigrams that no earlier document (by doc_id, the ingest
+    * order) contains: the corpus-growth signal that tells a pipeline when
+    * additional data stops adding new language ("novelty collapse" is the
+    * classic diminishing-returns readout, and near-duplicate docs show up
+    * as novelty ≈ 0). Shape: one distinct pass over the bigram stream,
+    * one (w1, w2)-keyed min-aggregate for the global first-occurrence
+    * table, and one equi-join of the stream back against it — never a
+    * doc×doc comparison, so the cost is corpus-linear at any scale. The
+    * fraction is a single division of exact ints, rounded identically on
+    * both engines. */
+  val ngramNovelty: QueryDef = QueryDef(
+    "llm_ngram_novelty",
+    biCtes +
+      """,
+        |db AS (SELECT DISTINCT doc_id, w1, w2 FROM bi),
+        |fo AS (SELECT w1, w2, min(doc_id) AS first_doc FROM db GROUP BY 1, 2)
+        |SELECT db.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_uniq_bigrams,
+        |       CAST(sum(CASE WHEN fo.first_doc = db.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       round(CAST(sum(CASE WHEN fo.first_doc = db.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS novelty
+        |FROM db JOIN fo USING (w1, w2)
+        |GROUP BY db.doc_id ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) => noveltyOf(Tables.documents(spark, dir)).orderBy($"doc_id") }
+
+  /** The [[ngramNovelty]] plan, extracted for fixture specs. */
+  private[graft] def noveltyOf(docs: DataFrame): DataFrame = {
+    val db = bigramsOf(docs).distinct()
+    val fo = db.groupBy($"w1", $"w2").agg(min($"doc_id").as("first_doc"))
+    db.join(fo, Seq("w1", "w2"))
+      .select($"doc_id", ($"first_doc" === $"doc_id").cast("long").as("novel"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_uniq_bigrams"), sum($"novel").as("n_novel"))
+      .select($"doc_id", $"n_uniq_bigrams", $"n_novel",
+        round($"n_novel".cast("double") / $"n_uniq_bigrams", 6).as("novelty"))
+  }
+
+  val all: Seq[QueryDef] = Seq(perplexity, bigramLm, ngramNovelty)
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class CompositionOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("temperature mixing upsamples low-resource domains, weights normalize") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // 90/10 split between two domains: at alpha = 0.3 the minority domain
+    // must be boosted (> 1) and the majority damped (< 1), with weights
+    // summing to 1 — the whole point of temperature sampling.
+    val docs = (
+      (0 until 9).map(i => (i.toLong, "a b c d e f g h i j", "big")) :+
+        (9L, "a b c d e f g h i j", "small"))
+      .toDF("doc_id", "text", "lang")
+    val rows = CompositionOps.domainMixOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val (bigToks, bigShare, bigW, bigBoost) = rows("big")
+    val (smallToks, smallShare, smallW, smallBoost) = rows("small")
+    assert(bigToks == 90L && smallToks == 10L)
+    assert(math.abs(bigShare - 0.9) < 1e-9 && math.abs(smallShare - 0.1) < 1e-9)
+    assert(math.abs(bigW + smallW - 1.0) < 1e-5, "weights must normalize")
+    assert(smallBoost > 1.0 && bigBoost < 1.0,
+      s"temperature must upsample the minority: small $smallBoost, big $bigBoost")
+    assert(smallW < bigW, "temperature softens, not inverts, the ordering")
+    // corpus run: one row per language, weights normalize there too
+    val corpus = CompositionOps.domainMix.run(spark, sf).collect()
+    assert(corpus.length == 5)
+    assert(math.abs(corpus.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
+
+  test("domain KL: identical distribution scores zero, skewed scores positive") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // 'same' dominates the corpus, so the corpus distribution is nearly
+    // its own (KL ~ ln(82/80) mass correction, < 0.05); 'skew' has a
+    // disjoint vocabulary and must diverge strongly.
+    val docs = ((0 until 10).map(i => (i.toLong, "x y x y", "same")) :+
+      (10L, "q q", "skew"))
+      .toDF("doc_id", "text", "lang")
+    val rows = CompositionOps.domainKlOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows("same")._3 >= -1e-6 && rows("same")._3 < 0.05,
+      s"matching domain must sit near zero, got ${rows("same")._3}")
+    assert(rows("skew")._3 > 0.5,
+      s"disjoint-vocabulary domain must diverge, got ${rows("skew")._3}")
+    assert(rows.values.forall(_._3 >= -1e-6), "KL is non-negative")
+    // corpus run: KL defined and non-negative for every language
+    val corpus = CompositionOps.domainKl.run(spark, sf).collect()
+    assert(corpus.length == 5)
+    assert(corpus.forall(_.getDouble(3) >= -1e-6))
+  }
+
+  test("PII scan: planted identifiers are counted, clean corpus certifies zero") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val docs = Seq(
+      (0L, "contact me at jane.doe@example.com or bob@corp.io thanks"),
+      (1L, "see https://example.com/path and http://a.b/c"),
+      (2L, "call +1 (555) 123-4567 today"),
+      (3L, "server at 10.0.0.1 and 192.168.1.254"),
+      (4L, "a perfectly clean document with no identifiers"))
+      .toDF("doc_id", "text")
+    val rows = CompositionOps.piiScanOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rows(0L)._1 == 2, s"two emails, got ${rows(0L)}")
+    assert(rows(1L)._2 == 2, s"two urls, got ${rows(1L)}")
+    assert(rows(2L)._3 >= 1, s"phone number missed: ${rows(2L)}")
+    assert(rows(3L)._4 == 2, s"two ipv4 hits, got ${rows(3L)}")
+    assert((0L to 3L).forall(rows(_)._5 == 1L), "hits must raise the flag")
+    assert(rows(4L) == ((0L, 0L, 0L, 0L, 0L)), "clean doc stays clean")
+    // the synthetic corpus is PII-free: the scan is its clean certificate
+    val corpus = CompositionOps.piiScan.run(spark, sf).collect()
+    assert(corpus.length == 500 && corpus.forall(_.getLong(5) == 0L))
+  }
+}

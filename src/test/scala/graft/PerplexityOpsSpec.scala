@@ -50,6 +50,24 @@ class PerplexityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("n-gram novelty: first sight scores 1, a duplicate scores 0") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val docs = Seq(
+      (0L, "a b c d"),            // all 3 bigrams first seen here
+      (1L, "a b c d"),            // byte-duplicate: nothing novel
+      (2L, "e f g"),              // disjoint: fully novel again
+      (3L, "a b e f x y"))        // mixed: 'a b' and 'e f' seen, rest new
+      .toDF("doc_id", "text")
+    val rows = PerplexityOps.noveltyOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows(0L) == ((3L, 3L, 1.0)), s"doc 0: ${rows(0L)}")
+    assert(rows(1L) == ((3L, 0L, 0.0)), s"duplicate doc must be 0-novel: ${rows(1L)}")
+    assert(rows(2L) == ((2L, 2L, 1.0)), s"doc 2: ${rows(2L)}")
+    // doc 3's 5 bigrams: 'a b' and 'e f' are old, 'b e', 'f x', 'x y' new
+    assert(rows(3L)._1 == 5L && rows(3L)._2 == 3L, s"doc 3: ${rows(3L)}")
+  }
+
   test("registered query is well-formed over the test corpus") {
     val rows = PerplexityOps.perplexity.run(spark, sf).collect()
     assert(rows.length == 500, "all sf0.01 docs have >= 2 tokens")
