@@ -291,9 +291,17 @@ object EmbeddingOps {
     * the blocked shuffle form ([[assignBlockedOf]]) past it — so a config
     * bump degrades to the scale plan instead of refusing (or worse,
     * silently broadcasting gigabytes). Both forms tie toward the smaller
-    * candidate cell. */
-  private def reassignOf(a: DataFrame, nc: DataFrame): DataFrame =
-    if (NCells <= MaxBroadcastCells) {
+    * candidate cell. `blockCellsOverride` forces the blocked form with a
+    * given block size — the hook [[kmeansTrainBlocked]] uses to replay
+    * the WHOLE training loop through the scale path. */
+  private def reassignOf(a: DataFrame, nc: DataFrame,
+      blockCellsOverride: Option[Int] = None): DataFrame =
+    if (blockCellsOverride.isDefined) {
+      a.select($"vec_id", $"v", $"nrm", $"cell".as("old_cell"))
+        .join(assignBlockedOf(a.select($"vec_id", $"v"), nc, NCells,
+          blockCellsOverride.get), "vec_id")
+        .select($"vec_id", $"v", $"nrm", $"cell", $"old_cell")
+    } else if (NCells <= MaxBroadcastCells) {
       a.select($"vec_id", $"v", $"nrm", $"cell".as("old_cell"))
         .crossJoin(broadcast(nc.select($"cell".as("cand"), $"cv")))
         .select($"vec_id", $"v", $"nrm", $"old_cell", $"cand",
@@ -435,7 +443,8 @@ object EmbeddingOps {
     * update (shuffle keyed (cell, dim)), one broadcast re-assignment pass
     * — learned state never shuffles with the corpus, and the broadcast is
     * bounded by [[MaxBroadcastCells]]. */
-  private[graft] def kmeansTrainOf(spark: SparkSession, dir: String, rounds: Int)
+  private[graft] def kmeansTrainOf(spark: SparkSession, dir: String, rounds: Int,
+      blockCellsOverride: Option[Int] = None)
       : (Seq[DataFrame], DataFrame, DataFrame) = {
     // rounds == 0 would return nc = null and NPE in any consumer of the
     // learned centroids (ivfTrainedTopK etc.) — fail loudly at the source.
@@ -450,7 +459,8 @@ object EmbeddingOps {
     var nc: DataFrame = null
     for (r <- 1 to rounds) {
       nc = graft.Caches.localCheckpoint(centroidsFrom(a))
-      val next = graft.Caches.localCheckpoint(reassignOf(a, nc))
+      val next = graft.Caches.localCheckpoint(
+        reassignOf(a, nc, blockCellsOverride))
       sums += next.groupBy($"cell")
         .agg(count(lit(1)).as("n_members"),
           sum(($"cell" =!= $"old_cell").cast("long")).as("n_moved"))
@@ -497,8 +507,11 @@ object EmbeddingOps {
     * — it collapses toward zero as the cells settle). Round 0 is the seed
     * assignment. The whole loop is hash-verified against the unrolled
     * DuckDB fixed point, merge table to final argmax. */
-  val kmeansTrain: QueryDef = QueryDef(
-    "llm_kmeans_train",
+  /** Per-round training summary oracle — shared verbatim by
+    * [[kmeansTrain]] and [[kmeansTrainBlocked]]: the two queries must
+    * hash to the SAME result, which is what proves the blocked
+    * re-assignment is a pure plan change. */
+  private def kmTrainSummarySql: String =
     s"""${kmTrainCtes(KmRounds)}
        |SELECT CAST(0 AS BIGINT) AS round, CAST(cell AS BIGINT) AS cell,
        |       CAST(count(*) AS BIGINT) AS n_members, CAST(0 AS BIGINT) AS n_moved
@@ -508,9 +521,29 @@ object EmbeddingOps {
                |SELECT CAST($r AS BIGINT), CAST(cell AS BIGINT), CAST(count(*) AS BIGINT),
                |       CAST(sum(CASE WHEN cell <> old_cell THEN 1 ELSE 0 END) AS BIGINT)
                |FROM a$r GROUP BY cell""".stripMargin).mkString("\n")}
-       |ORDER BY round, cell""".stripMargin,
+       |ORDER BY round, cell""".stripMargin
+
+  val kmeansTrain: QueryDef = QueryDef(
+    "llm_kmeans_train",
+    kmTrainSummarySql,
   ) { (spark, dir) =>
     kmeansTrainOf(spark, dir, KmRounds)._1
+      .reduce(_ unionAll _)
+      .orderBy($"round", $"cell")
+  }
+
+  /** [[kmeansTrain]] with every re-assignment forced through the BLOCKED
+    * scale path (4-cell blocks → 3 blocks per round) — same oracle SQL as
+    * the broadcast twin, so the hash compare proves blocked ≡ broadcast
+    * across the entire 3-round Lloyd loop, not just a single assignment:
+    * identical learned centroids, identical movement trace. This is the
+    * plan a deployment trains with when the cell count exceeds any
+    * broadcast bound. */
+  val kmeansTrainBlocked: QueryDef = QueryDef(
+    "llm_kmeans_train_blocked",
+    kmTrainSummarySql,
+  ) { (spark, dir) =>
+    kmeansTrainOf(spark, dir, KmRounds, blockCellsOverride = Some(4))._1
       .reduce(_ unionAll _)
       .orderBy($"round", $"cell")
   }
@@ -940,7 +973,7 @@ object EmbeddingOps {
 
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
-      annRecallTrained, kmeansIter, kmeansTrain, ivfAssignBlocked,
-      hybridRrf, hybridRrfAnn, embedNeardup, embedStats, embedCentroid,
-      embedQuantize)
+      annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
+      ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup, embedStats,
+      embedCentroid, embedQuantize)
 }

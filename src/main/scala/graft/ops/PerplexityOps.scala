@@ -81,6 +81,12 @@ object PerplexityOps {
       .crossJoin(broadcast(v))
       .select($"doc_id",
         round(logpCol * 1000000).cast("long").as("lq"))
+    perDocPpl(sc)
+  }
+
+  /** Per-doc readout over a quantized log-prob stream `(doc_id, lq)` —
+    * the tail both LM variants share ([[pdTailSql]]'s Spark twin). */
+  private def perDocPpl(sc: DataFrame): DataFrame = {
     val pd = sc.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"lq").as("slq"))
       .select($"doc_id", $"n_bigrams",
@@ -93,16 +99,89 @@ object PerplexityOps {
         ($"mq".cast("double") <= $"t10").cast("long").as("flag_high_ppl"))
   }
 
+  /** Two-fold CROSS-perplexity under a Jelinek–Mercer interpolated LM —
+    * the arrangement CCNet actually uses (score against a model trained
+    * on OTHER data): docs split by id parity, two LMs trained (one per
+    * fold), every doc scored by the opposite fold's model with
+    * p = λ·MLE-bigram + (1−λ)·add-k-unigram (λ = 0.7). Unseen bigrams
+    * fall to the unigram floor, unseen words to the smoothing floor —
+    * never zero, always finite.
+    *
+    * Why not score against a model trained on the whole corpus, as
+    * [[perplexity]] does? Because an UNSMOOTHED MLE term memorizes:
+    * measured on the gibberish fixture, a doc of singleton tokens scores
+    * ppl ≈ 1.4 under a self-trained JM model — its one-off bigrams are
+    * deterministic continuations — which inverts the quality signal.
+    * Add-k survives self-training (the smoothing mass dominates rare
+    * counts); an interpolated-MLE model needs held-out scoring, and the
+    * parity split gives every doc a held-out score. Scale shape: the
+    * count tables gain a fold key (same shuffles), scoring joins carry
+    * the opposite-fold key — still bigram-keyed equi-joins; the two
+    * (n_total, vsz) rows broadcast. */
+  private[graft] def xvalPerplexityOf(docs: DataFrame): DataFrame = {
+    val bp = graft.Caches.persist(bigramsOf(docs)
+      .withColumn("par", $"doc_id" % 2))
+    val c2 = bp.groupBy($"par", $"w1", $"w2").agg(count(lit(1)).as("n2"))
+      .select($"par".as("p2"), $"w1".as("a1"), $"w2".as("a2"), $"n2")
+    val c1 = bp.groupBy($"par", $"w1").agg(count(lit(1)).as("n1"))
+      .select($"par".as("p1"), $"w1".as("b1"), $"n1")
+    val tw = docs.select(($"doc_id" % 2).as("par"),
+      explode(split($"text", " ")).as("w"))
+    val u = tw.groupBy($"par", $"w").agg(count(lit(1)).as("cu"))
+      .select($"par".as("pu"), $"w".as("uw2"), $"cu")
+    val nt = tw.groupBy($"par").agg(count(lit(1)).as("n_total"),
+      countDistinct($"w").as("vsz"))
+      .select($"par".as("pn"), $"n_total", $"vsz")
+    val p = lit(0.7) *
+      when($"n1" > 0, coalesce($"n2", lit(0L)).cast("double") / $"n1")
+        .otherwise(lit(0.0)) +
+      lit(0.3) * ((coalesce($"cu", lit(0L)) + 0.5)
+        / ($"n_total" + lit(0.5) * $"vsz"))
+    val sc = bp.withColumn("opar", lit(1) - $"par")
+      .join(c2, $"opar" === $"p2" && $"w1" === $"a1" && $"w2" === $"a2", "left")
+      .join(c1, $"opar" === $"p1" && $"w1" === $"b1", "left")
+      .join(u, $"opar" === $"pu" && $"w2" === $"uw2", "left")
+      .join(broadcast(nt), $"opar" === $"pn")
+      .select($"doc_id",
+        round(round(log(p), 6) * 1000000).cast("long").as("lq"))
+    perDocPpl(sc)
+  }
+
+  /** [[xvalPerplexityOf]] registered over the corpus. */
+  val perplexityXval: QueryDef = QueryDef(
+    "llm_perplexity_xval",
+    biCtes +
+      """,
+        |bp AS (SELECT doc_id, doc_id % 2 AS par, w1, w2 FROM bi),
+        |c2 AS (SELECT par, w1, w2, count(*) AS n2 FROM bp GROUP BY 1, 2, 3),
+        |c1 AS (SELECT par, w1, count(*) AS n1 FROM bp GROUP BY 1, 2),
+        |tw AS (SELECT doc_id % 2 AS par, unnest(string_split(text, ' ')) AS w FROM documents),
+        |u AS (SELECT par, w AS w2, count(*) AS cu FROM tw GROUP BY 1, 2),
+        |nt AS (SELECT par, count(*) AS n_total, count(DISTINCT w) AS vsz FROM tw GROUP BY 1),
+        |sc AS (SELECT bp.doc_id,
+        |              CAST(round(round(ln(
+        |                0.7 * (CASE WHEN c1.n1 > 0 THEN CAST(coalesce(c2.n2, 0) AS DOUBLE) / c1.n1 ELSE 0 END)
+        |              + 0.3 * ((coalesce(u.cu, 0) + 0.5) / (nt.n_total + 0.5 * nt.vsz))), 6) * 1000000) AS BIGINT) AS lq
+        |       FROM bp
+        |       LEFT JOIN c2 ON c2.par = 1 - bp.par AND c2.w1 = bp.w1 AND c2.w2 = bp.w2
+        |       LEFT JOIN c1 ON c1.par = 1 - bp.par AND c1.w1 = bp.w1
+        |       LEFT JOIN u ON u.par = 1 - bp.par AND u.w2 = bp.w2
+        |       JOIN nt ON nt.par = 1 - bp.par)""".stripMargin +
+      pdTailSql,
+  ) { (spark, dir) =>
+    xvalPerplexityOf(Tables.documents(spark, dir)).orderBy($"doc_id")
+  }
+
   /** Shared oracle CTE prefix: the per-doc bigram stream. */
-  private val biCtes: String =
+  private def biCtes: String =
     """WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
       |       FROM ts, unnest(range(1, len(ts))) AS t(i)
       |       WHERE len(ts) >= 2)""".stripMargin
 
   /** Shared oracle CTE chain: bigram stream → counts → vocabulary →
-    * quantized log-probs → per-doc quantized mean (`pd`). */
-  private val lmCtes: String = biCtes +
+    * quantized add-k log-probs (`sc`). */
+  private def lmCtes: String = biCtes +
     """,
       |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY 1, 2),
       |c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
@@ -110,23 +189,27 @@ object PerplexityOps {
       |      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
       |sc AS (SELECT bi.doc_id,
       |              CAST(round(round(ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * v.vsz)), 6) * 1000000) AS BIGINT) AS lq
-      |       FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+      |       FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)""".stripMargin
+
+  /** Shared oracle tail over any `sc (doc_id, lq)`: per-doc quantized
+    * mean → decile threshold → perplexity readout. */
+  private def pdTailSql: String =
+    """,
       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
       |              CAST(round(CAST(sum(lq) AS DOUBLE) / count(*)) AS BIGINT) AS mq
-      |       FROM sc GROUP BY doc_id)""".stripMargin
+      |       FROM sc GROUP BY doc_id),
+      |th AS (SELECT quantile_cont(CAST(mq AS DOUBLE), 0.10) AS t10 FROM pd)
+      |SELECT doc_id, n_bigrams,
+      |       CAST(mq AS DOUBLE) / 1000000.0 AS mean_logp,
+      |       round(exp(-(CAST(mq AS DOUBLE) / 1000000.0)), 4) AS ppl,
+      |       CAST(CASE WHEN CAST(mq AS DOUBLE) <= th.t10 THEN 1 ELSE 0 END AS BIGINT) AS flag_high_ppl
+      |FROM pd, th ORDER BY doc_id""".stripMargin
 
   /** Per-doc perplexity under the corpus bigram LM + worst-decile flag —
     * the canonical corpus-quality signal the heuristic suite lacks. */
   val perplexity: QueryDef = QueryDef(
     "llm_perplexity",
-    lmCtes +
-      """,
-        |th AS (SELECT quantile_cont(CAST(mq AS DOUBLE), 0.10) AS t10 FROM pd)
-        |SELECT doc_id, n_bigrams,
-        |       CAST(mq AS DOUBLE) / 1000000.0 AS mean_logp,
-        |       round(exp(-(CAST(mq AS DOUBLE) / 1000000.0)), 4) AS ppl,
-        |       CAST(CASE WHEN CAST(mq AS DOUBLE) <= th.t10 THEN 1 ELSE 0 END AS BIGINT) AS flag_high_ppl
-        |FROM pd, th ORDER BY doc_id""".stripMargin,
+    lmCtes + pdTailSql,
   ) { (spark, dir) =>
     perplexityOf(Tables.documents(spark, dir)).orderBy($"doc_id")
   }
@@ -198,5 +281,5 @@ object PerplexityOps {
         round($"n_novel".cast("double") / $"n_uniq_bigrams", 6).as("novelty"))
   }
 
-  val all: Seq[QueryDef] = Seq(perplexity, bigramLm, ngramNovelty)
+  val all: Seq[QueryDef] = Seq(perplexity, perplexityXval, bigramLm, ngramNovelty)
 }

@@ -50,6 +50,36 @@ class PerplexityOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-fold JM perplexity: gibberish dominates, memorization is impossible") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // Naturals share their bigram inventory ACROSS the parity folds, so
+    // each fold's LM predicts the other fold's fluent docs well. The
+    // gibberish doc sits at an odd id: the even-fold LM that scores it
+    // has never seen its tokens, so it falls to the smoothing floor —
+    // the memorization loophole a SELF-trained MLE model has (a doc of
+    // singleton bigrams scores ppl ~ 1.4 because its continuations are
+    // deterministic) is structurally closed by the fold split.
+    val naturals = Seq(
+      "the cat sat on the mat", "the dog sat on the rug",
+      "the cat sat on the rug", "the dog sat on the mat",
+      "a cat sat on a mat", "the cat ran on the mat",
+      "the dog ran on the rug", "a dog sat on the mat",
+      "the cat sat by the mat", "the dog sat by the rug",
+      "a cat ran on the mat", "the cat sat on a rug")
+    val gibberish = "zxq qpv mmw ovk lxr wqz pvq"
+    val docs = (naturals.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (13L, gibberish)).toDF("doc_id", "text")
+    val rows = PerplexityOps.xvalPerplexityOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getLong(4))).toMap
+    assert(rows.size == naturals.length + 1)
+    rows.filter(_._1 != 13L).foreach { case (id, (ppl, _)) =>
+      assert(rows(13L)._1 > ppl,
+        s"gibberish must dominate under the held-out LM: doc $id has $ppl")
+    }
+    assert(rows(13L)._2 == 1L, "gibberish flagged under the held-out LM")
+    assert(rows.values.count(_._2 == 1L) < rows.size, "flag stays selective")
+  }
+
   test("n-gram novelty: first sight scores 1, a duplicate scores 0") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val docs = Seq(
