@@ -868,6 +868,14 @@ object EmbeddingOps {
          |SELECT vec_a, vec_b, round(sim, 6) AS sim
          |FROM s WHERE sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
   ) { (spark, dir) =>
+    neardupPairsOf(spark, dir)
+      .select($"vec_a", $"vec_b", round($"sim", 6).as("sim"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** The [[embedNeardup]] candidate-mine + exact-cosine filter, extracted
+    * so [[embedDedupCluster]] can resolve the same pair graph. */
+  private def neardupPairsOf(spark: SparkSession, dir: String): DataFrame = {
     val b = vectors(spark, dir).withColumn("bucket", bucketCol)
     val probes = b.select($"vec_id", $"v", $"nrm",
       explode(array($"bucket" +:
@@ -885,8 +893,48 @@ object EmbeddingOps {
       .select($"vec_a", $"vec_b",
         call_function("cosine_sim", $"va", $"vb").as("sim"))
       .filter($"sim" >= 0.45)
-      .select($"vec_a", $"vec_b", round($"sim", 6).as("sim"))
-      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** SEMANTIC duplicate clusters: the [[embedNeardup]] pair graph resolved
+    * to connected components by the O(log n) large-star/small-star
+    * resolver ([[LlmTextOps.clusterLsOf]] — the same engine that powers
+    * `llm_dedup_cluster_ls` and `graph_components`), completing the dedup
+    * matrix: exact → bag-of-words → Jaccard/MinHash/SimHash/winnowing →
+    * and now embedding-space, where paraphrases that share no tokens
+    * still merge. Every vector gets its component's minimum vec_id as
+    * cluster id and a `keep` flag for the one survivor — transitivity
+    * included (A≈B≈C collapses to one cluster even when A·C misses the
+    * cosine bar). Oracle replays the identical bucket rule + threshold,
+    * then takes the transitive closure as a recursive CTE — component
+    * membership is algorithm-independent, so the hash compare pins the
+    * whole lane. */
+  val embedDedupCluster: QueryDef = QueryDef(
+    "llm_embed_dedup_cluster",
+    vecCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s"""
+         |, b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM e),
+         |s AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |             ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |      FROM b x JOIN b y ON x.vec_id < y.vec_id
+         |                       AND bit_count(xor(x.bucket, y.bucket)) <= 1),
+         |pr AS (SELECT vec_a, vec_b FROM s WHERE sim >= 0.45),
+         |ed AS (SELECT vec_a AS a, vec_b AS b FROM pr
+         |       UNION ALL SELECT vec_b AS a, vec_a AS b FROM pr),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS r FROM e
+         |  UNION
+         |  SELECT ed.b AS id, reach.r AS r FROM reach JOIN ed ON ed.a = reach.id
+         |)
+         |SELECT id AS vec_id, min(r) AS cluster_id,
+         |       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+  ) { (spark, dir) =>
+    LlmTextOps.clusterLsOf(
+      neardupPairsOf(spark, dir)
+        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")),
+      vectors(spark, dir).select($"vec_id".as("doc_id")))
+      .select($"doc_id".as("vec_id"), $"cluster_id", $"keep")
+      .orderBy($"vec_id")
   }
 
   /** Per-label corpus stats: count + mean L2 norm (array-numeric agg). */
@@ -974,6 +1022,6 @@ object EmbeddingOps {
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
-      ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup, embedStats,
-      embedCentroid, embedQuantize)
+      ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup,
+      embedDedupCluster, embedStats, embedCentroid, embedQuantize)
 }

@@ -165,6 +165,29 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(rows.exists(!_.isNullAt(4)), "ANN channel contributed nothing")
   }
 
+  test("semantic dedup clusters: pairs merge, one survivor per cluster") {
+    val pairs = EmbeddingOps.embedNeardup.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = EmbeddingOps.embedDedupCluster.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(clusters.size == 500, "every vector is assigned a cluster")
+    // every mined near-dup pair must share a cluster (transitivity closure)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1,
+        s"pair ($a,$b) split across clusters ${clusters(a)._1}/${clusters(b)._1}")
+    }
+    // exactly one keep per cluster, and it is the cluster id itself
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      val keeps = members.filter(_._2._2 == 1L).keySet
+      assert(keeps == Set(cid), s"cluster $cid keeps $keeps")
+    }
+    // vectors in no pair are their own singleton cluster
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.filterNot(c => paired(c._1)).foreach { case (id, (cid, keep)) =>
+      assert(cid == id && keep == 1L, s"singleton $id got ($cid, $keep)")
+    }
+  }
+
   test("blocked centroid assignment is invariant to block size (scale path ≡ argmax)") {
     // assignBlockedOf is the past-the-broadcast-bound plan: correctness
     // claim is that blocking is a pure plan detail — the assignment must
