@@ -479,7 +479,104 @@ object GraphOps {
       .orderBy($"n_nodes".desc, $"component")
   }
 
+  /** Safety cap on parallel peeling rounds. Each round deletes EVERY
+    * currently-under-k vertex at once, so the round count is the graph's
+    * peel depth — empirically logarithmic on co-occurrence-like graphs
+    * (11 rounds at sf0.01, k=3), worst-case linear on adversarial chains.
+    * Hitting the cap throws rather than returning a superset of the core
+    * (the `clusterOf` loud-failure convention). */
+  private val MaxPeelRounds = 64
+
+  /** k-core membership by parallel peeling: repeatedly delete all
+    * vertices of degree < k until stable; survivors are the k-core.
+    * `edges` is the canonical (p1 < p2) undirected list. Per round: one
+    * endpoint-keyed degree aggregate and two anti-joins against the
+    * victim set — never a pair expansion; the victim table is a bounded
+    * fraction of the vertex set. Loop state is localCheckpointed every
+    * round (the prior edge set is referenced by the degree agg AND the
+    * anti-joins — the `clusterOf` lineage rule); the driver holds only
+    * edge counts. Deletion is monotone, so an unchanged edge count IS the
+    * fixpoint. */
+  private[graft] def kcoreOf(edges: DataFrame, k: Int): DataFrame = {
+    val verts = edges.select($"p1".as("p"))
+      .union(edges.select($"p2".as("p"))).distinct()
+    var e = graft.Caches.persist(edges.select($"p1".as("a"), $"p2".as("b")))
+    var nEdges = e.count()
+    var converged = nEdges == 0L
+    var iter = 0
+    while (!converged && iter < MaxPeelRounds) {
+      val deg = e.select($"a".as("p")).union(e.select($"b".as("p")))
+        .groupBy($"p").agg(count(lit(1)).as("dg"))
+      val victims = deg.filter($"dg" < k).select($"p")
+      val next = graft.Caches.localCheckpoint(
+        e.join(victims.select($"p".as("a")), Seq("a"), "left_anti")
+          .join(victims.select($"p".as("b")), Seq("b"), "left_anti")
+          .select($"a", $"b"))
+      val nNext = next.count()
+      converged = nNext == nEdges || nNext == 0L
+      e = next
+      nEdges = nNext
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kcoreOf did not stabilize after $MaxPeelRounds peeling rounds — " +
+          "refusing to return a superset of the core")
+    val coreDeg = e.select($"a".as("p")).union(e.select($"b".as("p")))
+      .groupBy($"p").agg(count(lit(1)).as("core_degree"))
+    verts.join(coreDeg, Seq("p"), "left")
+      .select($"p".as("node"),
+        when($"core_degree".isNotNull, 1L).otherwise(0L).as("in_core"),
+        coalesce($"core_degree", lit(0L)).as("core_degree"))
+      .orderBy($"node")
+  }
+
+  private val KCoreK = 3
+  private val KCoreOracleRounds = 14 // fixpoint at 11 on sf0.01; margin no-ops
+
+  /** The peeling loop unrolled to chained DuckDB CTEs (the
+    * `graph_pagerank` / `llm_kmeans_train` oracle technique) — sound
+    * because rounds past the fixpoint are no-ops, so any unroll length ≥
+    * the actual peel depth replays the Spark fixpoint exactly. Each
+    * round's edge set is MATERIALIZED: every round references its
+    * predecessor three times (two degree scans + the filter), so default
+    * CTE inlining would expand 3^rounds plan copies — at 14 rounds that
+    * is millions of parquet scans (observed as a too-many-open-files
+    * failure), where materialization evaluates each round once. */
+  private def kcoreCtes(rounds: Int, k: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT p, count(*) AS dg
+         |        FROM (SELECT a AS p FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+         |        GROUP BY 1),
+         |v$r AS (SELECT p FROM d$r WHERE dg < $k),
+         |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+         |        WHERE a NOT IN (SELECT p FROM v$r) AND b NOT IN (SELECT p FROM v$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |e0 AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM pairs),
+       |$rs""".stripMargin
+  }
+
+  /** 3-core of the mined co-occurrence graph: every node with its
+    * membership flag and within-core degree — the standard dense-region
+    * extractor (community seeds, spam/bot rings, "only keep parts with
+    * ≥ 3 mutually-supported partners"). */
+  val kcore: QueryDef = QueryDef(
+    "graph_kcore",
+    s"""${kcoreCtes(KCoreOracleRounds, KCoreK)},
+       |verts AS (SELECT DISTINCT p FROM (SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs)),
+       |cd AS (SELECT p, CAST(count(*) AS BIGINT) AS core_degree
+       |       FROM (SELECT a AS p FROM e$KCoreOracleRounds UNION ALL SELECT b FROM e$KCoreOracleRounds)
+       |       GROUP BY 1)
+       |SELECT v.p AS node,
+       |       CAST(CASE WHEN cd.p IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core,
+       |       coalesce(cd.core_degree, 0) AS core_degree
+       |FROM verts v LEFT JOIN cd ON v.p = cd.p ORDER BY node""".stripMargin,
+  ) { (spark, dir) =>
+    kcoreOf(cooccurEdges(Tables.lineitem(spark, dir)), KCoreK)
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, bfsLevels, adamicAdar,
-      adamicAdarCapped, clusterCoeff, components)
+      adamicAdarCapped, clusterCoeff, components, kcore)
 }

@@ -8,6 +8,32 @@ class GraphOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("k-core peeling: triangle survives k=2, tail peels off, cascade resolves") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // triangle 1-2-3 plus a chain 3-4-5: at k=2 the chain must peel in
+    // CASCADE (5 first, then 4 — degree only drops below 2 after its
+    // neighbor goes), leaving exactly the triangle with in-core degree 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("p1", "p2")
+    val rows = GraphOps.kcoreOf(edges, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(Seq(1L, 2L, 3L).forall(rows(_) == ((1L, 2L))),
+      s"triangle must survive with degree 2: $rows")
+    assert(Seq(4L, 5L).forall(rows(_) == ((0L, 0L))),
+      s"tail must peel off: $rows")
+  }
+
+  test("k-core peeling refuses to stop early on an adversarially deep peel") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // a 140-node path needs ~70 parallel rounds at k=2 (both endpoints
+    // peel per round) — past MaxPeelRounds, so the loop must THROW rather
+    // than return the partially-peeled superset of the (empty) core
+    val path = (0L until 139L).map(i => (i, i + 1)).toDF("p1", "p2")
+    val ex = intercept[IllegalStateException](GraphOps.kcoreOf(path, 2).collect())
+    assert(ex.getMessage.contains("peeling rounds"))
+  }
+
   test("cooccur edges: support threshold, canonical orientation, set semantics") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // orders 1,2 share {10,20}; order 3 adds (10,30) once (below support);
