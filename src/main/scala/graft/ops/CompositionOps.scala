@@ -160,5 +160,73 @@ object CompositionOps {
           .cast("long"))
   }
 
-  val all: Seq[QueryDef] = Seq(domainMix, domainKl, piiScan)
+  /** The corpus QUALITY GATE — the one verdict row per document a
+    * pipeline acts on, fusing three independent signal families the
+    * engine already computes: the bigram-LM worst-decile perplexity flag
+    * ([[PerplexityOps.perplexityOf]] — fluency), the Gopher repetition
+    * flag (`llm_repetition` — structure), and the PII flag
+    * ([[piiScanOf]] — compliance). `keep` = no flag raised; `n_flags`
+    * ranks the drops by severity for triage. Each signal is computed by
+    * the SAME plan its standalone query ships (and the oracle replays
+    * each family's exact SQL), so the gate can never drift from the
+    * per-signal readouts. Missing rows (docs too short for a signal)
+    * default to unflagged via left joins. Scale: three already-audited
+    * linear pipelines plus (doc_id)-keyed joins of flag columns. */
+  val qualityGate: QueryDef = QueryDef(
+    "llm_quality_gate",
+    PerplexityOps.lmCtes + PerplexityOps.pdCtes +
+      s""",
+         |pplf AS (SELECT pd.doc_id,
+         |                CAST(CASE WHEN CAST(pd.mq AS DOUBLE) <= th.t10 THEN 1 ELSE 0 END AS BIGINT) AS flag_ppl
+         |         FROM pd, th),
+         |rep AS (SELECT doc_id,
+         |               CAST(CASE WHEN top_cnt * 5 > n_ts
+         |                           OR (n_tri - n_utri) * 10 > n_tri * 3
+         |                         THEN 1 ELSE 0 END AS BIGINT) AS flag_rep
+         |        FROM (SELECT doc_id, len(ts) AS n_ts,
+         |                     list_max([len(list_filter(ts, x -> x = w)) for w in list_distinct(ts)]) AS top_cnt,
+         |                     len([array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts)-1)]) AS n_tri,
+         |                     len(list_distinct([array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts)-1)])) AS n_utri
+         |              FROM ts WHERE len(ts) >= 3)),
+         |pii AS (SELECT doc_id,
+         |               CAST(CASE WHEN ${PiiPatterns.map { case (_, p) =>
+                            s"len(regexp_extract_all(text, '$p')) > 0"
+                          }.mkString(" OR ")}
+         |                    THEN 1 ELSE 0 END AS BIGINT) AS flag_pii
+         |        FROM documents)
+         |SELECT d.doc_id,
+         |       coalesce(pplf.flag_ppl, 0) AS flag_ppl,
+         |       coalesce(rep.flag_rep, 0) AS flag_rep,
+         |       coalesce(pii.flag_pii, 0) AS flag_pii,
+         |       coalesce(pplf.flag_ppl, 0) + coalesce(rep.flag_rep, 0)
+         |         + coalesce(pii.flag_pii, 0) AS n_flags,
+         |       CAST(CASE WHEN coalesce(pplf.flag_ppl, 0) + coalesce(rep.flag_rep, 0)
+         |                      + coalesce(pii.flag_pii, 0) = 0
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM documents d
+         |LEFT JOIN pplf ON d.doc_id = pplf.doc_id
+         |LEFT JOIN rep ON d.doc_id = rep.doc_id
+         |LEFT JOIN pii ON d.doc_id = pii.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val ppl = PerplexityOps.perplexityOf(docs)
+      .select($"doc_id", $"flag_high_ppl".as("flag_ppl"))
+    val rep = LlmTextOps.repetition.run(spark, dir)
+      .select($"doc_id", $"flagged".as("flag_rep"))
+    val pii = piiScanOf(docs).select($"doc_id", $"flag_pii")
+    docs.select($"doc_id")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(pii, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"flag_ppl", lit(0L)).as("flag_ppl"),
+        coalesce($"flag_rep", lit(0L)).as("flag_rep"),
+        coalesce($"flag_pii", lit(0L)).as("flag_pii"))
+      .withColumn("n_flags", $"flag_ppl" + $"flag_rep" + $"flag_pii")
+      .withColumn("keep", ($"n_flags" === 0L).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(domainMix, domainKl, piiScan, qualityGate)
 }

@@ -180,8 +180,9 @@ object PerplexityOps {
       |       WHERE len(ts) >= 2)""".stripMargin
 
   /** Shared oracle CTE chain: bigram stream → counts → vocabulary →
-    * quantized add-k log-probs (`sc`). */
-  private def lmCtes: String = biCtes +
+    * quantized add-k log-probs (`sc`). `private[graft]` so
+    * [[CompositionOps.qualityGate]] replays the identical LM. */
+  private[graft] def lmCtes: String = biCtes +
     """,
       |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY 1, 2),
       |c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
@@ -191,14 +192,20 @@ object PerplexityOps {
       |              CAST(round(round(ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * v.vsz)), 6) * 1000000) AS BIGINT) AS lq
       |       FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)""".stripMargin
 
-  /** Shared oracle tail over any `sc (doc_id, lq)`: per-doc quantized
-    * mean → decile threshold → perplexity readout. */
-  private def pdTailSql: String =
+  /** Per-doc mean + decile-threshold CTEs over any `sc (doc_id, lq)` —
+    * split from the readout so [[CompositionOps.qualityGate]] can reuse
+    * the flag without the full perplexity projection. */
+  private[graft] def pdCtes: String =
     """,
       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
       |              CAST(round(CAST(sum(lq) AS DOUBLE) / count(*)) AS BIGINT) AS mq
       |       FROM sc GROUP BY doc_id),
-      |th AS (SELECT quantile_cont(CAST(mq AS DOUBLE), 0.10) AS t10 FROM pd)
+      |th AS (SELECT quantile_cont(CAST(mq AS DOUBLE), 0.10) AS t10 FROM pd)""".stripMargin
+
+  /** Shared oracle tail over any `sc (doc_id, lq)`: per-doc quantized
+    * mean → decile threshold → perplexity readout. */
+  private def pdTailSql: String = pdCtes +
+    """
       |SELECT doc_id, n_bigrams,
       |       CAST(mq AS DOUBLE) / 1000000.0 AS mean_logp,
       |       round(exp(-(CAST(mq AS DOUBLE) / 1000000.0)), 4) AS ppl,

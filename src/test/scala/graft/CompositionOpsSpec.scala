@@ -56,6 +56,27 @@ class CompositionOpsSpec extends AnyFunSuite {
     assert(corpus.forall(_.getDouble(3) >= -1e-6))
   }
 
+  test("quality gate reconstructs exactly from the standalone signal queries") {
+    val gate = CompositionOps.qualityGate.run(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val ppl = PerplexityOps.perplexity.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val rep = LlmTextOps.repetition.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(gate.size == 500)
+    gate.foreach { case (id, (fp, fr, fpii, n, keep)) =>
+      assert(fp == ppl.getOrElse(id, 0L), s"doc $id ppl flag drifted")
+      assert(fr == rep.getOrElse(id, 0L), s"doc $id repetition flag drifted")
+      assert(fpii == 0L, s"doc $id: clean corpus must not raise pii")
+      assert(n == fp + fr + fpii && keep == (if (n == 0L) 1L else 0L),
+        s"doc $id: verdict must reconstruct from its flags")
+    }
+    assert(gate.values.exists(_._5 == 0L) && gate.values.exists(_._5 == 1L),
+      "the gate must discriminate, not pass or drop everything")
+  }
+
   test("PII scan: planted identifiers are counted, clean corpus certifies zero") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val docs = Seq(
