@@ -622,6 +622,89 @@ object LlmTextOps {
       verifyJaccard(candidates, docsSh)
   }
 
+  /** MinHash BAND-CONFIGURATION SWEEP — the recall/cost tuning readout an
+    * operator reads before choosing how to spend the 32 permutations:
+    * for each (bands × rows-per-band) split of the same signatures, how
+    * many candidate pairs the banding generates, how many of the exact
+    * Jaccard-0.8 pairs it recovers, and the recall. More rows per band →
+    * sharper threshold, fewer candidates, lower recall: the sweep shows
+    * the trade on THIS corpus instead of the textbook S-curve.
+    *
+    * Runs on the deterministic EVEN-doc_id half of the corpus — at scale
+    * a tuning readout runs on a sample by construction (candidate volume
+    * on duplicate cliques is quadratic in the OUTPUT; halving docs
+    * quarters it), and the predicate `doc_id % 2 = 0` replays exactly in
+    * the oracle. Band membership joins on the sig TUPLE itself (struct
+    * key), not a hash of it, so Spark and DuckDB agree on the candidate
+    * set bit-for-bit — a hashed band key (the production shortcut
+    * `llm_minhash_lsh` uses) could in principle collide. */
+  val minhashSweep: QueryDef = QueryDef(
+    "llm_minhash_sweep",
+    shingleCte.replace("FROM documents", "FROM documents WHERE doc_id % 2 = 0") +
+      s""",
+         |sg AS (SELECT doc_id, ${(0 until 32).map(sigSql).mkString(", ")} FROM sh),
+         |xp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |       WHERE len(list_intersect(a.s, b.s)) * 5
+         |             >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+         |nx AS (SELECT count(*) AS n_exact FROM xp),
+         |${Seq((16, 2), (8, 4), (4, 8)).map { case (nb, rpb) =>
+            val bands = (0 until nb).map(b =>
+              "(" + (rpb * b until rpb * b + rpb)
+                .map(i => s"a.sig$i = b.sig$i").mkString(" AND ") + ")")
+              .mkString("\n|             OR ")
+            s"""c$nb AS MATERIALIZED (
+               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+               |  WHERE $bands),
+               |r$nb AS (SELECT $nb AS n_bands, $rpb AS rows_per_band,
+               |                (SELECT count(*) FROM c$nb) AS n_candidates,
+               |                (SELECT count(*) FROM c$nb c JOIN xp
+               |                 ON c.doc_a = xp.doc_a AND c.doc_b = xp.doc_b) AS n_true)"""
+          }.mkString(",\n")}
+         |SELECT CAST(n_bands AS BIGINT) AS n_bands,
+         |       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+         |       CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_true AS BIGINT) AS n_true,
+         |       CAST(nx.n_exact AS BIGINT) AS n_exact,
+         |       round(CAST(n_true AS DOUBLE) / nx.n_exact, 6) AS recall
+         |FROM (SELECT * FROM r16 UNION ALL SELECT * FROM r8 UNION ALL SELECT * FROM r4), nx
+         |ORDER BY n_bands DESC""".stripMargin,
+  ) { (spark, dir) =>
+    val docsSh = graft.Caches.persist(
+      docShingles(spark, dir).filter($"doc_id" % 2 === 0))
+    val signed = graft.Caches.persist(
+      baseHashes(docsSh).select(($"doc_id" +: (0 until 32).map(sigCol)): _*))
+    val exact = graft.Caches.persist(
+      neardupPlan(docsSh).select($"doc_a", $"doc_b"))
+    val nx = exact.agg(count(lit(1)).as("n_exact"))
+    def configRow(nb: Int, rpb: Int): DataFrame = {
+      val bandStructs = (0 until nb).map(b =>
+        struct(lit(b).as("band"),
+          struct((0 until rpb).map(j => col(s"sig${rpb * b + j}").as(s"k$j")): _*)
+            .as("key")))
+      val rows = signed
+        .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+      val cand = graft.Caches.persist(rows.as("x")
+        .join(rows.as("y"),
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct())
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_true")))
+        .select(lit(nb.toLong).as("n_bands"), lit(rpb.toLong).as("rows_per_band"),
+          $"n_candidates", $"n_true")
+    }
+    Seq((16, 2), (8, 4), (4, 8)).map { case (nb, rpb) => configRow(nb, rpb) }
+      .reduce(_ unionAll _)
+      .crossJoin(broadcast(nx))
+      .select($"n_bands", $"rows_per_band", $"n_candidates", $"n_true",
+        $"n_exact",
+        round($"n_true".cast("double") / $"n_exact", 6).as("recall"))
+      .orderBy($"n_bands".desc)
+  }
+
   // ------------------------------------------------------------ SimHash
 
   private def simhashSumsSql: String =
@@ -1390,7 +1473,8 @@ object LlmTextOps {
   val all: Seq[QueryDef] = Seq(
     exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
-    entropy, neardupJaccard, minhashSig, minhashLsh, simhash, simhashPairs,
+    entropy, neardupJaccard, minhashSig, minhashLsh, minhashSweep, simhash,
+    simhashPairs,
     dedupCluster, dedupClusterLs, dupChunks, chunkSplit, bpePairs, bpeTrain,
     bpeEncode,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,

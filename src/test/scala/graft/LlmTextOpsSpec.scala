@@ -16,6 +16,28 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(lsh == exact, "LSH candidates must cover every qualifying pair here")
   }
 
+  test("minhash band sweep: candidate volume shrinks as bands sharpen, recall ordered") {
+    val rows = LlmTextOps.minhashSweep.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.length == 3)
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq((16L, 2L), (8L, 4L), (4L, 8L)), "all three splits of 32 perms")
+    rows.foreach { case (_, _, cand, hit, exact, recall) =>
+      assert(hit <= cand, "verified pairs are a subset of candidates")
+      assert(hit <= exact, "can't recover more than the exact set")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(exact > 0L, "sampled half must retain ground-truth pairs")
+    }
+    // more rows per band = sharper AND = fewer-or-equal candidates and
+    // lower-or-equal recall (the S-curve direction)
+    val byBands = rows.sortBy(-_._1)
+    assert(byBands.map(_._3).sliding(2).forall(s => s.head >= s.last),
+      s"candidates must not grow as bands sharpen: $byBands")
+    assert(byBands.map(_._6).sliding(2).forall(s => s.head >= s.last),
+      s"recall must not grow as bands sharpen: $byBands")
+  }
+
   test("neardup prefix-filter join finds planted near-duplicates") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val base = (1 to 60).map(i => s"w${i % 17} t$i").mkString(" ")
