@@ -174,7 +174,11 @@ object LlmTextOps {
         |      WHERE a.doc_id < b.doc_id)
         |SELECT doc1, doc2, CAST(count(*) AS BIGINT) AS n_shared
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin,
-  ) { (spark, dir) =>
+  ) { (spark, dir) => winnowPairsMine(spark, dir).orderBy($"doc1", $"doc2") }
+
+  /** [[winnowPairs]]'s mining body (unordered), extracted so
+    * [[dedupConsensus]] can fuse the same pair graph. */
+  private def winnowPairsMine(spark: SparkSession, dir: String): DataFrame = {
     // three consumers of the fingerprint set → one persisted materialization
     val f = graft.Caches.persist(winnowFingerprints(spark, dir))
     val rare = f.groupBy($"fp").agg(count(lit(1)).as("nf"))
@@ -186,7 +190,6 @@ object LlmTextOps {
       .groupBy($"doc1", $"doc2")
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= 3)
-      .orderBy($"doc1", $"doc2")
   }
 
   /** DuckDB replay of [[graft.graft.functions.WinnowFps]]'s polynomial gram hash:
@@ -764,7 +767,11 @@ object LlmTextOps {
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
-  ) { (spark, dir) =>
+  ) { (spark, dir) => simhashPairsMine(spark, dir).orderBy($"doc_a", $"doc_b") }
+
+  /** [[simhashPairs]]'s banded mining body (unordered), extracted so
+    * [[dedupConsensus]] can fuse the same pair graph. */
+  private def simhashPairsMine(spark: SparkSession, dir: String): DataFrame = {
     val f = simhashDf(spark, dir)
     val bands = f.select($"doc_id", $"simhash",
       explode(array((0 until 4).map(b => struct(
@@ -781,7 +788,6 @@ object LlmTextOps {
       .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
       .filter($"hamming" <= 3)
       .select($"doc_a", $"doc_b", $"hamming")
-      .orderBy($"doc_a", $"doc_b")
   }
 
   // ------------------------------------------- duplicate-cluster resolution
@@ -1003,6 +1009,126 @@ object LlmTextOps {
       Tables.documents(spark, dir).select($"doc_id"))
   }
 
+  /** MULTI-SIGNAL dedup consensus — the three independent near-dup miners
+    * this file ships (exact shingle-Jaccard ≥ 0.8, SimHash hamming ≤ 3,
+    * winnowing ≥ 3 shared rare fingerprints) fused into ONE duplicate
+    * graph with per-edge signal provenance, resolved to connected
+    * components by the O(log n) large-star/small-star engine, and read out
+    * per cluster: size, edge count, per-signal edge counts, and how many
+    * edges at least two signals agree on. This is how a production corpus
+    * dedup actually decides — no single signal is trusted alone; an edge
+    * seen by two independent families (token-set, bit-sketch, substring)
+    * is a far stronger duplicate claim than any one lane's hit — and the
+    * readout shows precisely where the lanes agree and where one is out on
+    * its own.
+    *
+    * Scale shape: each lane is its own already-audited bucket-join (rare
+    * shingle prefixes / 8-bit SimHash bands / rare winnow fingerprints) —
+    * the union runs over lane OUTPUTS, which are edge-count-sized, never
+    * corpus-sized; the provenance merge is one (doc_a, doc_b)-keyed
+    * aggregation; component resolution is edge-list rewriting in O(log n)
+    * rounds; the final rollups are cluster-keyed. The oracle replays all
+    * three lanes, the union, and the transitive closure as one recursive
+    * CTE, so cluster membership AND the per-signal tallies are
+    * hash-verified end-to-end. */
+  val dedupConsensus: QueryDef = QueryDef(
+    "llm_dedup_consensus",
+    s"""WITH RECURSIVE
+       |toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+       |sh AS (SELECT doc_id,
+       |              list_distinct([array_to_string(ts[i:i+2], ' ')
+       |                             for i in range(1, len(ts)-1)]) AS s
+       |       FROM toks WHERE len(ts) >= 3),
+       |pj AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |       WHERE len(list_intersect(a.s, b.s)) * 5
+       |             >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+       |sg AS (SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ')
+       |                              for i in range(1, len(ts)-1)]) AS g
+       |       FROM toks WHERE len(ts) >= 3),
+       |sv AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM sg),
+       |sm AS (SELECT doc_id, $simhashSumsSql FROM sv GROUP BY doc_id),
+       |sf2 AS (SELECT doc_id, ($simhashBitsSql) AS simhash FROM sm),
+       |psim AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |         FROM sf2 a JOIN sf2 b ON a.doc_id < b.doc_id
+       |         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |wg AS (SELECT doc_id, i - 1 AS pos, length(text) - ${WinK - 1} AS n_grams,
+       |              ('0x' || substr(md5(substr(text, i, $WinK)), 1, 15))::BIGINT AS h
+       |       FROM documents, unnest(range(1, length(text) - ${WinK - 1} + 1)) AS t(i)
+       |       WHERE length(text) >= ${WinK + WinW - 1}),
+       |wm AS (SELECT doc_id, pos, n_grams,
+       |              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                           ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS fp
+       |       FROM wg),
+       |wf AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - $WinW),
+       |wrare AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= 10),
+       |pwin AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |         FROM wf a JOIN wrare r ON a.fp = r.fp JOIN wf b ON a.fp = b.fp
+       |         WHERE a.doc_id < b.doc_id
+       |         GROUP BY 1, 2 HAVING count(*) >= 3),
+       |edges AS (SELECT da, db, max(sj) AS s_jac, max(ss) AS s_sim, max(sw) AS s_win
+       |          FROM (SELECT da, db, 1 AS sj, 0 AS ss, 0 AS sw FROM pj
+       |                UNION ALL SELECT da, db, 0, 1, 0 FROM psim
+       |                UNION ALL SELECT da, db, 0, 0, 1 FROM pwin)
+       |          GROUP BY da, db),
+       |ed AS (SELECT da AS a, db AS b FROM edges
+       |       UNION ALL SELECT db AS a, da AS b FROM edges),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT ed.b AS id, reach.r AS r FROM reach JOIN ed ON ed.a = reach.id
+       |),
+       |lbl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, count(*) AS n_docs FROM lbl
+       |          GROUP BY 1 HAVING count(*) >= 2),
+       |percl AS (SELECT l.cluster_id, count(*) AS n_edges,
+       |                 sum(s_jac) AS n_jaccard, sum(s_sim) AS n_simhash,
+       |                 sum(s_win) AS n_winnow,
+       |                 sum(CASE WHEN s_jac + s_sim + s_win >= 2 THEN 1 ELSE 0 END) AS n_multi
+       |          FROM edges e JOIN lbl l ON e.da = l.doc_id GROUP BY 1)
+       |SELECT s.cluster_id, s.n_docs::BIGINT AS n_docs,
+       |       p.n_edges::BIGINT AS n_edges, p.n_jaccard::BIGINT AS n_jaccard,
+       |       p.n_simhash::BIGINT AS n_simhash, p.n_winnow::BIGINT AS n_winnow,
+       |       p.n_multi::BIGINT AS n_multi
+       |FROM sizes s JOIN percl p USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin,
+  ) { (spark, dir) =>
+    val pj = neardupPlan(docShingles(spark, dir))
+      .select($"doc_a", $"doc_b",
+        lit(1).as("s_jac"), lit(0).as("s_sim"), lit(0).as("s_win"))
+    val ps = simhashPairsMine(spark, dir)
+      .select($"doc_a", $"doc_b",
+        lit(0).as("s_jac"), lit(1).as("s_sim"), lit(0).as("s_win"))
+    val pw = winnowPairsMine(spark, dir)
+      .select($"doc1".as("doc_a"), $"doc2".as("doc_b"),
+        lit(0).as("s_jac"), lit(0).as("s_sim"), lit(1).as("s_win"))
+    // edge table with provenance flags — consumed by the resolver AND the
+    // per-cluster rollup, so persist once (lane outputs, edge-count-sized)
+    val edges = graft.Caches.persist(
+      pj.union(ps).union(pw)
+        .groupBy($"doc_a", $"doc_b")
+        .agg(max($"s_jac").as("s_jac"), max($"s_sim").as("s_sim"),
+          max($"s_win").as("s_win")))
+    val lbl = clusterLsOf(edges.select($"doc_a", $"doc_b"),
+      Tables.documents(spark, dir).select($"doc_id"))
+    val sizes = lbl.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs")).filter($"n_docs" >= 2)
+    // doc_a's component == doc_b's by construction, so one join suffices
+    val percl = edges
+      .join(lbl.select($"doc_id".as("doc_a"), $"cluster_id"), "doc_a")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_edges"),
+        sum($"s_jac").cast("long").as("n_jaccard"),
+        sum($"s_sim").cast("long").as("n_simhash"),
+        sum($"s_win").cast("long").as("n_winnow"),
+        sum(when($"s_jac" + $"s_sim" + $"s_win" >= 2, 1L).otherwise(0L))
+          .as("n_multi"))
+    sizes.join(percl, Seq("cluster_id"))
+      .select($"cluster_id", $"n_docs", $"n_edges", $"n_jaccard",
+        $"n_simhash", $"n_winnow", $"n_multi")
+      .orderBy($"cluster_id")
+  }
+
   /** Cross-document CHUNK dedup — the CCNet/RefinedWeb "paragraph dedup"
     * stage re-expressed over whitespace token streams (this corpus has no
     * newline paragraphs, so a paragraph = a 10-token chunk): every doc is
@@ -1039,6 +1165,92 @@ object LlmTextOps {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when($"n" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy($"doc_id")
+  }
+
+  /** SUBSTRING-level dedup readout (the ExactSubstr signal of Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better",
+    * approximated at 5-token granularity): every 5-token gram occurring
+    * ≥ 2× corpus-wide marks its positions duplicated, overlapping-or-
+    * adjacent duplicated gram intervals `[i, i+4]` merge into MAXIMAL
+    * spans per document, and each doc reports its span count, covered
+    * token count, and covered fraction. This is the dedup mode the rest
+    * of the matrix misses: a boilerplate substring shared across documents
+    * that straddles a chunk boundary never hashes equal in
+    * [[dupChunks]]'s aligned chunks, and whole-doc/Jaccard signals ignore
+    * sub-document structure entirely (a suffix-array pass in the original
+    * paper; the gram-join form is its standard distributed surrogate —
+    * any shared run of ≥ 5 tokens is caught, with boundary granularity
+    * ±4 tokens).
+    *
+    * Scale shape: grams shuffle as (doc_id, position, 60-bit hash) — never
+    * text — through one hash-keyed count and one hash-keyed join back;
+    * span merging is a per-document window (bounded by document length,
+    * never corpus size); the rollup is doc-keyed. No pair expansion
+    * anywhere: cost stays linear in corpus token count no matter how many
+    * documents share a span (the pathological everyone-quotes-it snippet
+    * costs its occurrence count, not occurrences²). */
+  val dupSpans: QueryDef = QueryDef(
+    "llm_dup_spans",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      |g AS (SELECT doc_id, i,
+      |             ('0x' || substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))::BIGINT AS h
+      |      FROM toks, unnest(range(1, len(ts) - 3)) AS t(i)
+      |      WHERE len(ts) >= 5),
+      |fr AS (SELECT h, count(*) AS n FROM g GROUP BY h),
+      |dup AS (SELECT g.doc_id, g.i FROM g JOIN fr USING (h) WHERE fr.n >= 2),
+      |isl AS (SELECT doc_id, i,
+      |               CASE WHEN i > coalesce(max(i + 4) OVER (PARTITION BY doc_id ORDER BY i
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |                    THEN 1 ELSE 0 END AS new_span
+      |        FROM dup),
+      |sp AS (SELECT doc_id, i,
+      |              sum(new_span) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+      |       FROM isl),
+      |spans AS (SELECT doc_id, span_id, min(i) AS s, max(i) + 4 AS e
+      |          FROM sp GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1) AS n_dup_tokens
+      |        FROM spans GROUP BY 1)
+      |SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+      |       coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+      |       coalesce(a.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+      |       round(coalesce(a.n_dup_tokens, 0) / len(t.ts), 6) AS dup_frac
+      |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      |ORDER BY t.doc_id""".stripMargin,
+  ) { (spark, dir) => dupSpansOf(Tables.documents(spark, dir)) }
+
+  /** [[dupSpans]] over an arbitrary (doc_id, text) frame — extracted so the
+    * spec can plant a shared substring and watch its grams merge into one
+    * maximal span. */
+  private[graft] def dupSpansOf(documents: DataFrame): DataFrame = {
+    val docs = documents.select($"doc_id", tokens.as("ts"))
+    val grams = docs.filter(size($"ts") >= 5)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"ts") - 4),
+        i => struct(i.as("i"),
+          portableHash(concat_ws(" ", slice($"ts", i, lit(5)))).as("h")))).as("g"))
+      .select($"doc_id", $"g.i".as("i"), $"g.h".as("h"))
+    val freq = grams.groupBy($"h").agg(count(lit(1)).as("n"))
+    val dup = grams.join(freq.filter($"n" >= 2), "h").select($"doc_id", $"i")
+    val wPrev = Window.partitionBy($"doc_id").orderBy($"i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy($"doc_id").orderBy($"i")
+    val spans = dup
+      .withColumn("new_span",
+        when($"i" > coalesce(max($"i" + 4).over(wPrev), lit(-1)) + 1, 1)
+          .otherwise(0))
+      .withColumn("span_id", sum($"new_span").over(wRun))
+      .groupBy($"doc_id", $"span_id")
+      .agg(min($"i").as("s"), (max($"i") + 4).as("e"))
+    val agg = spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum($"e" - $"s" + 1).cast("long").as("n_dup_tokens"))
+    docs.select($"doc_id", size($"ts").cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
+        coalesce($"n_dup_tokens", lit(0L)).as("n_dup_tokens"),
+        round(coalesce($"n_dup_tokens", lit(0L)).cast("double") / $"n_tokens", 6)
+          .as("dup_frac"))
       .orderBy($"doc_id")
   }
 
@@ -1475,8 +1687,8 @@ object LlmTextOps {
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     entropy, neardupJaccard, minhashSig, minhashLsh, minhashSweep, simhash,
     simhashPairs,
-    dedupCluster, dedupClusterLs, dupChunks, chunkSplit, bpePairs, bpeTrain,
-    bpeEncode,
+    dedupCluster, dedupClusterLs, dedupConsensus, dupChunks, dupSpans,
+    chunkSplit, bpePairs, bpeTrain, bpeEncode,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
   )
 

@@ -308,6 +308,41 @@ class LlmTextOpsSpec extends AnyFunSuite {
       s"vocab must survive the dry rounds intact: $fin")
   }
 
+  test("dup spans: shared substrings merge into one maximal span per doc") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // docs 1 and 2 share a 12-token run (positions 4..15 in doc 1, 1..12 in
+    // doc 2); doc 3 is all-unique filler. The 8 duplicated 5-gram starts in
+    // doc 1 (4..11) overlap pairwise, so they must merge into exactly ONE
+    // span covering 12 tokens — not 8 spans.
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $shared u4 u5"),
+      (2L, s"$shared v1 v2 v3"),
+      (3L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = LlmTextOps.dupSpansOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(rows(1L) == ((1L, 12L, 0.705882)), s"doc 1: ${rows(1L)}")
+    assert(rows(2L) == ((1L, 12L, 0.8)), s"doc 2: ${rows(2L)}")
+    assert(rows(3L) == ((0L, 0L, 0.0)), s"doc 3 has no duplicated grams")
+  }
+
+  test("dup spans: two separated shared runs stay two spans") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val runA = (1 to 5).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 5).map(i => s"b$i").mkString(" ")
+    // doc 1 carries both runs separated by a unique gap wider than the
+    // merge adjacency; docs 2 and 3 each duplicate one run
+    val docs = Seq(
+      (1L, s"$runA x1 x2 x3 x4 x5 x6 $runB"),
+      (2L, s"$runA y1 y2 y3 y4 y5"),
+      (3L, s"z1 z2 z3 z4 z5 $runB")).toDF("doc_id", "text")
+    val r1 = LlmTextOps.dupSpansOf(docs).collect()
+      .find(_.getLong(0) == 1L).get
+    assert(r1.getLong(2) == 2L, s"two disjoint spans expected: $r1")
+    assert(r1.getLong(3) == 10L, s"five tokens covered per run: $r1")
+  }
+
   test("native cascade expression matches the declarative verdict row-for-row") {
     // the native one-pass signals (cascade_sigs) must reproduce the HOF
     // pipeline exactly — every doc, every reason, including the quantized
