@@ -576,7 +576,83 @@ object GraphOps {
     kcoreOf(cooccurEdges(Tables.lineitem(spark, dir)), KCoreK)
   }
 
+  private val LpRounds = 4
+
+  /** Synchronous label propagation over any canonical (p1 < p2) edge list,
+    * `rounds` fixed iterations — extracted for the two-clique fixture
+    * spec. Every node starts as its own label; each round every node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * the SMALLEST label. The synchronous fixed-round form is deliberate:
+    * asynchronous LPA (the usual "until converged" formulation) is
+    * visit-order-dependent and therefore unreproducible across cluster
+    * topologies — this form is a pure function of the edge set, so the
+    * same corpus gives the same communities on 1 core or 1000 executors,
+    * and the oracle can replay every round exactly. */
+  private[graft] def labelPropOf(edges: DataFrame, rounds: Int): DataFrame = {
+    // the undirected view feeds every round's join → persist once
+    val und = graft.Caches.persist(
+      edges.select($"p1".as("u"), $"p2".as("v"))
+        .union(edges.select($"p2".as("u"), $"p1".as("v"))))
+    var lbl = und.select($"u".as("p")).distinct().select($"p", $"p".as("lbl"))
+    for (_ <- 1 to rounds) {
+      val cnt = und.join(lbl.select($"p".as("v"), $"lbl"), "v")
+        .groupBy($"u", $"lbl").agg(count(lit(1)).as("c"))
+      lbl = cnt
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"u").orderBy($"c".desc, $"lbl".asc)))
+        .filter($"rk" === 1)
+        .select($"u".as("p"), $"lbl")
+    }
+    val sizes = lbl.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+    lbl.join(sizes, Seq("lbl"))
+      .select($"p".as("node"), $"lbl".as("community"), $"n_members")
+      .orderBy($"node")
+  }
+
+  /** The label-propagation rounds unrolled to chained CTEs (the
+    * `graph_pagerank` oracle technique — sound here because the round
+    * count is FIXED, not convergence-driven, so both engines run exactly
+    * [[LpRounds]] rounds). */
+  private def labelPropCtes(rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT und.u, l.lbl, count(*) AS c
+         |        FROM und JOIN l${r - 1} l ON l.p = und.v GROUP BY 1, 2),
+         |l$r AS (SELECT u AS p, lbl FROM (
+         |          SELECT u, lbl, row_number() OVER (PARTITION BY u
+         |                 ORDER BY c DESC, lbl) AS rk FROM c$r) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |und AS (SELECT p1 AS u, p2 AS v FROM pairs
+       |        UNION ALL SELECT p2 AS u, p1 AS v FROM pairs),
+       |l0 AS (SELECT DISTINCT u AS p, u AS lbl FROM und),
+       |$rs""".stripMargin
+  }
+
+  /** Community detection by label propagation (Raghavan et al. 2007) over
+    * the mined co-occurrence graph: after [[LpRounds]] synchronous rounds
+    * every node reports its community label and the community's size —
+    * the density-based grouping the metrics suite lacked ([[components]]
+    * answers "connected at all?", this answers "which dense region?").
+    *
+    * Scale shape: per round, one equi-join of the edge list against the
+    * (node, label) table, one (node, label)-keyed count, and one
+    * rank-and-filter window partitioned by node (high-cardinality — no
+    * SinglePartition); label state is one row per node. Round count is a
+    * constant, not data-driven, so the plan is round-bounded at any graph
+    * size and the oracle replays it round-for-round. */
+  val labelProp: QueryDef = QueryDef(
+    "graph_label_prop",
+    s"""${labelPropCtes(LpRounds)},
+       |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+       |       FROM l$LpRounds GROUP BY 1)
+       |SELECT l.p AS node, l.lbl AS community, sz.n_members
+       |FROM l$LpRounds l JOIN sz ON l.lbl = sz.lbl
+       |ORDER BY node""".stripMargin,
+  ) { (spark, dir) =>
+    labelPropOf(cooccurEdges(Tables.lineitem(spark, dir)), LpRounds)
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, bfsLevels, adamicAdar,
-      adamicAdarCapped, clusterCoeff, components, kcore)
+      adamicAdarCapped, clusterCoeff, components, kcore, labelProp)
 }

@@ -245,4 +245,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out(2L) == ("vcep", 0L))
     assert(out(3L) == ("vcp", 1L), "same-µs tie must order by event_id")
   }
+
+  test("label propagation: two bridged cliques settle into two communities") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // K4 on {1..4} and K4 on {11..14}, one bridge 4–11. Inside a clique
+    // every node sees 3 clique labels vs at most 1 from across the bridge,
+    // so propagation pulls each clique to its own minimum and the bridge
+    // cannot flip a community.
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val edges = (k4a ++ k4b :+ ((4L, 11L))).toDF("p1", "p2")
+    val rows = GraphOps.labelPropOf(edges, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == (1L to 4L).toSet ++ (11L to 14L).toSet)
+    val cA = (1L to 4L).map(rows(_)._1).distinct
+    val cB = (11L to 14L).map(rows(_)._1).distinct
+    assert(cA == Seq(1L), s"clique A must agree on label 1: $rows")
+    assert(cB == Seq(11L), s"clique B must agree on label 11: $rows")
+    assert(rows(1L)._2 == 4L && rows(11L)._2 == 4L,
+      s"both communities have 4 members: $rows")
+  }
+
+  test("label propagation is deterministic under tie pressure") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // a 4-cycle is all ties (each node sees two equal-count labels every
+    // round) — the min-tie-break must make the outcome a pure function of
+    // the edge set, so two runs agree row-for-row
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("p1", "p2")
+    val a = GraphOps.labelPropOf(cyc, 4).collect().toSeq
+    val b = GraphOps.labelPropOf(cyc, 4).collect().toSeq
+    assert(a == b, "fixed-round synchronous LPA must be deterministic")
+    assert(a.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+  }
 }
