@@ -71,5 +71,122 @@ object DqOps {
     ).reduce(_ union _).orderBy($"fk")
   }
 
-  val all: Seq[QueryDef] = Seq(pkUnique, fkOrphans)
+  /** Keyed SNAPSHOT DIFF — the row-level change feed between two versions
+    * of a table (the audit behind incremental loads, CDC validation, and
+    * "what did yesterday's pipeline run actually change?"). The two
+    * snapshots are carved deterministically from `orders` so the diff has
+    * all three change kinds and the oracle replays it bit-for-bit: the old
+    * snapshot lacks keys ≡ 7 (mod 10) (later inserted), the new snapshot
+    * drops keys ≡ 3 (mod 10) (deleted) and bumps the price of keys ≡ 0
+    * (mod 5) (updated). Output is ONLY the changed rows, tagged
+    * added/removed/changed with both sides' values.
+    *
+    * Scale shape: one full-outer join co-partitioned on the primary key —
+    * on bucketed warehouse tables this is shuffle-free; output is bounded
+    * by the change set, not the table. The value compare happens inside
+    * the join projection, so unchanged rows die before any further
+    * operator sees them. */
+  val snapshotDiff: QueryDef = QueryDef(
+    "dq_snapshot_diff",
+    """WITH old AS (SELECT o_orderkey, o_totalprice AS old_price
+      |             FROM orders WHERE o_orderkey % 10 != 7),
+      |new AS (SELECT o_orderkey,
+      |               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+      |                    ELSE o_totalprice END AS new_price
+      |        FROM orders WHERE o_orderkey % 10 != 3)
+      |SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+      |       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+      |            WHEN new.o_orderkey IS NULL THEN 'removed'
+      |            ELSE 'changed' END AS status,
+      |       old.old_price, new.new_price
+      |FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+      |WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+      |      OR old.old_price != new.new_price
+      |ORDER BY o_orderkey""".stripMargin,
+  ) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val old = o.filter(pmod($"o_orderkey", lit(10)) =!= 7)
+      .select($"o_orderkey", $"o_totalprice".as("old_price"))
+    val neu = o.filter(pmod($"o_orderkey", lit(10)) =!= 3)
+      .select($"o_orderkey",
+        when(pmod($"o_orderkey", lit(5)) === 0, $"o_totalprice" + 1.0)
+          .otherwise($"o_totalprice").as("new_price"))
+    old.join(neu, Seq("o_orderkey"), "full_outer")
+      .withColumn("status",
+        when($"old_price".isNull, "added")
+          .when($"new_price".isNull, "removed")
+          .when($"old_price" =!= $"new_price", "changed"))
+      .filter($"status".isNotNull)
+      .select($"o_orderkey", $"status", $"old_price", $"new_price")
+      .orderBy($"o_orderkey")
+  }
+
+  private val PsiBucket = 50000.0 // o_totalprice band width
+  private val PsiSplit = "1998-01-01"
+
+  /** Population Stability Index between the pre- and post-[[PsiSplit]]
+    * order cohorts, per price band — the standard distribution-drift
+    * monitor (PSI = Σ (p_a − p_b)·ln(p_a/p_b); < 0.1 stable, > 0.25
+    * action). Proportions use add-one (Laplace) smoothing over the union
+    * bucket set, so a band present on only one side contributes a finite,
+    * well-defined term instead of ln(0). Each band's contribution is
+    * quantized to a 1e-6 BIGINT BEFORE the total (the `llm_embed_centroid`
+    * discipline), so the cross-engine total is exact integer addition and
+    * the oracle hash-verifies both the per-band terms and the headline
+    * index.
+    *
+    * Scale shape: one scan → (side, band) counts (tiny), then all
+    * arithmetic happens on the band table; the headline total joins back
+    * by broadcast. Monitoring 100 TB costs one aggregation pass. */
+  val psiDrift: QueryDef = QueryDef(
+    "dq_psi_drift",
+    s"""WITH t AS (SELECT CAST(floor(o_totalprice / $PsiBucket) AS BIGINT) AS bucket,
+       |                  CASE WHEN o_orderdate < TIMESTAMP '$PsiSplit 00:00:00' THEN 1 ELSE 0 END AS in_a
+       |           FROM orders),
+       |b AS (SELECT bucket, sum(in_a) AS n_a, sum(1 - in_a) AS n_b
+       |      FROM t GROUP BY bucket),
+       |tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb,
+       |               CAST(count(*) AS BIGINT) AS k FROM b),
+       |c AS (SELECT bucket, n_a, n_b,
+       |             (CAST(n_a + 1 AS DOUBLE) / (ta + k)) AS pa,
+       |             (CAST(n_b + 1 AS DOUBLE) / (tb + k)) AS pb
+       |      FROM b, tot),
+       |q AS (SELECT bucket, n_a, n_b,
+       |             CAST(round((pa - pb) * ln(pa / pb) * 1000000) AS BIGINT) AS contrib_e6
+       |      FROM c),
+       |s AS (SELECT sum(contrib_e6) AS psi_e6 FROM q)
+       |SELECT q.bucket, CAST(q.n_a AS BIGINT) AS n_a, CAST(q.n_b AS BIGINT) AS n_b,
+       |       q.contrib_e6,
+       |       round(CAST(s.psi_e6 AS DOUBLE) / 1000000.0, 6) AS psi
+       |FROM q, s ORDER BY q.bucket""".stripMargin,
+  ) { (spark, dir) =>
+    psiOf(Tables.orders(spark, dir)
+      .select(floor($"o_totalprice" / PsiBucket).cast("long").as("bucket"),
+        when($"o_orderdate" < lit(PsiSplit).cast("timestamp"), 1)
+          .otherwise(0).as("in_a")))
+  }
+
+  /** The PSI plan over any (bucket, in_a ∈ {0,1}) frame — extracted so the
+    * spec can plant a genuinely shifted distribution and watch the index
+    * cross the 0.25 action bar. */
+  private[graft] def psiOf(t: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val b = t.groupBy($"bucket")
+      .agg(sum($"in_a").as("n_a"), sum(lit(1) - $"in_a").as("n_b"))
+    val tot = b.agg(sum($"n_a").as("ta"), sum($"n_b").as("tb"),
+      count(lit(1)).as("k"))
+    val q = b.crossJoin(broadcast(tot))
+      .withColumn("pa", ($"n_a" + 1).cast("double") / ($"ta" + $"k"))
+      .withColumn("pb", ($"n_b" + 1).cast("double") / ($"tb" + $"k"))
+      .select($"bucket", $"n_a".cast("long").as("n_a"),
+        $"n_b".cast("long").as("n_b"),
+        round(($"pa" - $"pb") * log($"pa" / $"pb") * 1000000)
+          .cast("long").as("contrib_e6"))
+    val s = q.agg(sum($"contrib_e6").as("psi_e6"))
+    q.crossJoin(broadcast(s))
+      .select($"bucket", $"n_a", $"n_b", $"contrib_e6",
+        round($"psi_e6".cast("double") / 1000000.0, 6).as("psi"))
+      .orderBy($"bucket")
+  }
+
+  val all: Seq[QueryDef] = Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift)
 }

@@ -31,4 +31,35 @@ class DqOpsSpec extends AnyFunSuite {
     val orphans = child.join(parent, $"ck" === $"pk", "left_anti").count()
     assert(orphans == 1L)
   }
+
+  test("snapshot diff tags every change kind and excludes unchanged rows") {
+    val rows = DqOps.snapshotDiff.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.nonEmpty)
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byStatus.keySet == Set("added", "removed", "changed"))
+    assert(byStatus("added").forall(_ % 10 == 7), "added = keys missing old")
+    assert(byStatus("removed").forall(_ % 10 == 3), "removed = keys missing new")
+    assert(byStatus("changed").forall(k => k % 5 == 0 && k % 10 != 3),
+      "changed = bumped keys present in both")
+    // unchanged keys never appear
+    assert(rows.map(_._1).forall(k =>
+      k % 10 == 7 || k % 10 == 3 || k % 5 == 0))
+  }
+
+  test("PSI crosses the action bar on a planted shift and stays near 0 without one") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // identical distributions → psi ≈ 0 (smoothing noise only)
+    val same = ((1 to 400).map(i => (i % 4, 1)) ++
+      (1 to 400).map(i => (i % 4, 0))).map { case (b, a) => (b.toLong, a) }
+      .toDF("bucket", "in_a")
+    val psiSame = DqOps.psiOf(same).collect().head.getDouble(4)
+    assert(math.abs(psiSame) < 0.01, s"no drift planted but psi=$psiSame")
+    // hard shift: A mass on buckets {0,1}, B mass on buckets {2,3}
+    val shifted = ((1 to 400).map(i => (i % 2, 1)) ++
+      (1 to 400).map(i => (2 + i % 2, 0))).map { case (b, a) => (b.toLong, a) }
+      .toDF("bucket", "in_a")
+    val psiShift = DqOps.psiOf(shifted).collect().head.getDouble(4)
+    assert(psiShift > 0.25, s"planted full shift must trip the bar: $psiShift")
+  }
 }
