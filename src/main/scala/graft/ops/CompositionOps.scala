@@ -228,5 +228,77 @@ object CompositionOps {
       .orderBy($"doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(domainMix, domainKl, piiScan, qualityGate)
+  /** Per-domain sampling boost in 1e-6 fixed point — [[domainMix]]'s
+    * `boost` column before its display rounding, kept integer so the
+    * resample decision below is exact integer arithmetic cross-engine. */
+  private[graft] def domainBoostsE6(docs: DataFrame): DataFrame = {
+    val nd = docs.groupBy($"lang")
+      .agg(sum(size(split($"text", " "))).as("n_toks"))
+    val tot = nd.agg(sum($"n_toks").as("n_total"))
+    val qd = nd.crossJoin(broadcast(tot))
+      .select($"lang",
+        ($"n_toks".cast("double") / $"n_total").as("p"),
+        round(round(pow($"n_toks".cast("double") / $"n_total", Alpha), 6) * 1000000)
+          .cast("long").as("qq"))
+    val sq = qd.agg(sum($"qq").as("sqq"))
+    qd.crossJoin(broadcast(sq))
+      .select($"lang",
+        round(($"qq".cast("double") / $"sqq") / $"p" * 1000000)
+          .cast("long").as("boost_e6"))
+  }
+
+  /** APPLY the α-temperature mixture: the deterministic resample a data
+    * loader runs from [[domainMix]]'s weights. Each document's copy count
+    * follows its domain's boost b in one integer rule —
+    * `n_copies = ⌊b⌋ + (hash(doc_id) mod 1e6 < frac(b)·1e6)` — which
+    * handles down-sampling (b < 1: keep with probability b) and
+    * up-sampling (b > 1: ⌊b⌋ copies plus a stochastic extra) uniformly,
+    * with NO random seed: the hash-uniform is a pure function of doc_id,
+    * so every executor, every rerun, and the oracle agree row-for-row.
+    * Output is the sampled manifest (dropped docs vanish, duplicated docs
+    * carry their multiplicity).
+    *
+    * Scale shape: the boost table is one row per domain — broadcast onto
+    * a map-only scan; no shuffle at all beyond [[domainMix]]'s tiny
+    * domain aggregate. This is the op a 100 TB loader actually executes
+    * every epoch, so it must cost one pass — and does. */
+  val mixResample: QueryDef = QueryDef(
+    "llm_mix_resample",
+    s"""WITH nd AS (SELECT lang, sum(len(string_split(text, ' '))) AS n_toks
+       |            FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n_toks) AS n_total FROM nd),
+       |qd AS (SELECT lang,
+       |              CAST(n_toks AS DOUBLE) / tot.n_total AS p,
+       |              CAST(round(round(power(CAST(n_toks AS DOUBLE) / tot.n_total, $Alpha), 6) * 1000000) AS BIGINT) AS qq
+       |       FROM nd, tot),
+       |sq AS (SELECT sum(qq) AS sqq FROM qd),
+       |bt AS (SELECT lang,
+       |              CAST(round((CAST(qq AS DOUBLE) / sq.sqq) / p * 1000000) AS BIGINT) AS boost_e6
+       |       FROM qd, sq),
+       |h AS (SELECT doc_id, lang,
+       |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS hv
+       |      FROM documents),
+       |m AS (SELECT h.doc_id, h.lang, bt.boost_e6,
+       |             CAST(bt.boost_e6 // 1000000
+       |                  + CASE WHEN h.hv < bt.boost_e6 % 1000000 THEN 1 ELSE 0 END
+       |               AS BIGINT) AS n_copies
+       |      FROM h JOIN bt USING (lang))
+       |SELECT doc_id, lang, boost_e6, n_copies
+       |FROM m WHERE n_copies >= 1 ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) => mixResampleOf(Tables.documents(spark, dir)) }
+
+  /** The [[mixResample]] plan, extracted for the planted-skew spec. */
+  private[graft] def mixResampleOf(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", $"lang",
+        (call_function("md5hash60", $"doc_id".cast("string")) % 1000000L).as("hv"))
+      .join(broadcast(domainBoostsE6(docs)), "lang")
+      .withColumn("n_copies",
+        expr("boost_e6 DIV 1000000")
+          + when($"hv" < $"boost_e6" % 1000000L, 1L).otherwise(0L))
+      .filter($"n_copies" >= 1)
+      .select($"doc_id", $"lang", $"boost_e6", $"n_copies")
+      .orderBy($"doc_id")
+
+  val all: Seq[QueryDef] = Seq(domainMix, domainKl, piiScan, qualityGate,
+    mixResample)
 }

@@ -100,4 +100,29 @@ class CompositionOpsSpec extends AnyFunSuite {
     val corpus = CompositionOps.piiScan.run(spark, sf).collect()
     assert(corpus.length == 500 && corpus.forall(_.getLong(5) == 0L))
   }
+
+  test("mix resample: rare domain upsampled whole, dominant domain thinned") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // 'big' holds ~95% of tokens, 'rare' ~5%: α = 0.3 must push big's
+    // boost below 1 (thinning) and rare's above 1 (full keep + extras)
+    val docs = ((1 to 190).map(i => (i.toLong, "big",
+      (1 to 10).map(j => s"b$j").mkString(" "))) ++
+      (200 to 209).map(i => (i.toLong, "rare",
+        (1 to 10).map(j => s"r$j").mkString(" "))))
+      .map { case (id, l, t) => (id, l, t) }.toDF("doc_id", "lang", "text")
+    val rows = CompositionOps.mixResampleOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val (big, rare) = rows.partition(_._2 == "big")
+    assert(rare.map(_._1).toSet == (200L to 209L).toSet,
+      "boost > 1 keeps every rare doc")
+    assert(rare.forall(_._3 > 1000000L), "rare boost must exceed 1.0")
+    assert(rare.exists(_._4 >= 2L), "fractional upsample emits extra copies")
+    assert(big.forall(_._3 < 1000000L), "big boost must fall below 1.0")
+    assert(big.length < 190 && big.nonEmpty, "big domain is thinned, not dropped")
+    assert(big.forall(_._4 == 1L), "thinned docs keep exactly one copy")
+    // determinism: rerun is bit-identical
+    assert(CompositionOps.mixResampleOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      rows.map(r => (r._1, r._4)).toSeq)
+  }
 }
