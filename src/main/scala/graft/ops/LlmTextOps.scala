@@ -54,7 +54,12 @@ object LlmTextOps {
   /** doc_id + distinct 3-word shingle set (docs with <3 tokens dropped —
     * they have no shingles and can never reach a Jaccard threshold). */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docShinglesOf(Tables.documents(spark, dir))
+
+  /** The shingle-set projection over any (doc_id, text) frame — shared
+    * with the streaming ingest-dedup twin. */
+  private[graft] def docShinglesOf(documents: DataFrame): DataFrame =
+    documents
       .select($"doc_id", tokens.as("ts"))
       .filter(size($"ts") >= 3)
       .select($"doc_id",
@@ -62,7 +67,7 @@ object LlmTextOps {
           i => concat_ws(" ", slice($"ts", i + 1, lit(3))))).as("sh"))
 
   /** DuckDB CTE producing the same (doc_id, shingle-set) pairs. */
-  private val shingleCte: String =
+  private[graft] val shingleCte: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
       |sh AS (SELECT doc_id,
       |              list_distinct([array_to_string(ts[i:i+2], ' ')
@@ -600,6 +605,33 @@ object LlmTextOps {
       .select($"doc_id" +: (0 until 8).map(sigCol): _*)
       .orderBy($"doc_id")
   }
+
+  /** One row per (doc, band) carrying the band's RAW signature tuple — the
+    * state key of the streaming ingest dedup
+    * ([[graft.streaming.StreamingOps.neardupCollisions]]). The raw sig
+    * tuple, not a hash of it, keys the bucket so the DuckDB oracle joins
+    * on the identical value (the `llm_minhash_sweep` portability rule —
+    * a hashed band key could in principle collide differently). */
+  private[graft] def minhashBandRows(documents: DataFrame): DataFrame = {
+    val signed = baseHashes(docShinglesOf(documents))
+      .select(($"doc_id" +: (0 until 32).map(sigCol)): _*)
+    signed.select($"doc_id", explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          col(s"sig${4 * b}").as("s0"), col(s"sig${4 * b + 1}").as("s1"),
+          col(s"sig${4 * b + 2}").as("s2"), col(s"sig${4 * b + 3}").as("s3"))): _*))
+        .as("bv"))
+      .select($"doc_id", $"bv.band".as("band"), $"bv.s0".as("s0"),
+        $"bv.s1".as("s1"), $"bv.s2".as("s2"), $"bv.s3".as("s3"))
+  }
+
+  /** Oracle fragment for [[minhashBandRows]]: `sg` (32 signatures) and
+    * `br` (8 band rows per doc), to append after [[shingleCte]]. */
+  private[graft] def minhashBandSqlCtes: String =
+    s"sg AS (SELECT doc_id, ${(0 until 32).map(sigSql).mkString(", ")} FROM sh),\n" +
+      "br AS (" + (0 until 8).map(b =>
+        s"SELECT doc_id, $b AS band, sig${4 * b} AS s0, sig${4 * b + 1} AS s1, " +
+          s"sig${4 * b + 2} AS s2, sig${4 * b + 3} AS s3 FROM sg")
+        .mkString("\n      UNION ALL ") + ")"
 
   /** MinHash-LSH near-dup join: 32 perms → 8 bands × 4 rows → bucket-join on
     * the band hash → exact-Jaccard verification of candidates only. Output

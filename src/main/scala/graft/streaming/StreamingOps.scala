@@ -321,6 +321,78 @@ object StreamingOps {
     cmsAgg(Tables.events(spark, dir)).orderBy($"i", $"j")
   }
 
+  /** One (doc, band) row with the band's raw MinHash signature tuple. */
+  final case class BandRow(doc_id: Long, band: Int,
+      s0: Long, s1: Long, s2: Long, s3: Long)
+
+  /** STREAMING ingest near-dup detection — MinHash-LSH collision tracking
+    * as the documents arrive, the "kill near-duplicates at the door"
+    * stage of a live training-data pipeline (the batch miners in
+    * `LlmTextOps` audit a corpus at rest; this catches the duplicate
+    * before it lands). State is keyed on the (band, signature-tuple)
+    * bucket and holds ONE long — the bucket's anchor (lowest doc_id seen);
+    * every later arrival in the bucket emits a collision row pointing at
+    * the anchor. The SAME function runs in batch (each bucket seen once,
+    * complete → anchor = min) and on a stream (anchor carries across
+    * micro-batches, so a batch-2 arrival still collides with its batch-1
+    * anchor — StreamingOpsSpec feeds exactly that split and asserts
+    * stream ≡ batch).
+    *
+    * Scale shape: state is one long per OCCUPIED bucket — bounded by
+    * distinct content, not stream volume, and an event-time timeout would
+    * evict cold buckets on an unbounded stream (NoTimeout here: the
+    * testbed is bounded). The shuffle keys on the band tuple — the same
+    * bucket-join shape as the batch LSH, incrementalized. */
+  def neardupCollisions(bandRows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val rowEnc: Encoder[BandRow] = Encoders.product[BandRow]
+    implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val keyEnc: Encoder[(Int, Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: Encoder[(Long, Int, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaLong)
+    bandRows.as[BandRow]
+      .groupByKey(r => (r.band, r.s0, r.s1, r.s2, r.s3))
+      .flatMapGroupsWithState[Long, (Long, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[BandRow], state: GroupState[Long]) =>
+          val sorted = rows.toArray.sortBy(_.doc_id)
+          val anchor = state.getOption
+            .map(a => math.min(a, sorted.head.doc_id))
+            .getOrElse(sorted.head.doc_id)
+          state.update(anchor)
+          sorted.iterator.filter(_.doc_id != anchor)
+            .map(r => (r.doc_id, r.band, anchor))
+      }
+      .toDF("doc_id", "band", "anchor_id")
+  }
+
+  /** Batch twin: per colliding document, how many of its 8 band buckets
+    * already had an anchor and the lowest anchor it collided with — the
+    * row an ingest gate would quarantine. The oracle replays the exact
+    * signature derivation and bucket-min semantics relationally. */
+  val neardup: QueryDef = QueryDef(
+    "stream_neardup",
+    LlmTextOps.shingleCte + ",\n" + LlmTextOps.minhashBandSqlCtes +
+      """,
+        |an AS (SELECT band, s0, s1, s2, s3, min(doc_id) AS anchor_id
+        |       FROM br GROUP BY 1, 2, 3, 4, 5),
+        |co AS (SELECT br.doc_id, br.band, an.anchor_id
+        |       FROM br JOIN an USING (band, s0, s1, s2, s3)
+        |       WHERE br.doc_id != an.anchor_id)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_bands,
+        |       min(anchor_id) AS anchor_id
+        |FROM co GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    neardupCollisions(
+      LlmTextOps.minhashBandRows(Tables.documents(spark, dir)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hit_bands"), min($"anchor_id").as("anchor_id"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
-    customSession, enriched, attribution, cms)
+    customSession, enriched, attribution, cms, neardup)
 }

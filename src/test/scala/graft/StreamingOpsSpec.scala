@@ -364,4 +364,46 @@ class StreamingOpsSpec extends AnyFunSuite {
     val row = spark.table("dedup_out").collect().head
     assert(row.getLong(0) == slice.length.toLong)
   }
+
+  test("streaming LSH ingest dedup: batch-2 arrival collides with its batch-1 anchor") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // doc 1 and doc 3 are near-identical (one token differs), doc 2 is
+    // unrelated filler; 1 and 2 arrive in micro-batch 1, 3 in micro-batch
+    // 2 — the collision MUST point at the anchor persisted from batch 1
+    val base = (1 to 60).map(i => s"w${i % 17} t$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, (1 to 60).map(i => s"z$i q${i * 3}").mkString(" ")),
+      (3L, base.replace("t7", "x7")))
+    def bandRows(ds: Seq[(Long, String)]) =
+      graft.ops.LlmTextOps.minhashBandRows(ds.toDF("doc_id", "text"))
+        .select($"doc_id", $"band", $"s0", $"s1", $"s2", $"s3")
+        .collect()
+        .map(r => StreamingOps.BandRow(r.getLong(0), r.getInt(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val stream = MemoryStream[StreamingOps.BandRow]
+    val q = StreamingOps.neardupCollisions(stream.toDF())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(bandRows(docs.take(2)).toSeq)
+      q.processAllAvailable()
+      stream.addData(bandRows(docs.drop(2)).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("neardup_out")
+      .orderBy($"doc_id", $"band").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // batch twin over the full doc set
+    val batch = StreamingOps.neardupCollisions(
+      graft.ops.LlmTextOps.minhashBandRows(docs.toDF("doc_id", "text")))
+      .orderBy($"doc_id", $"band").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed.nonEmpty && streamed.forall { case (d, _, a) => d == 3L && a == 1L },
+      s"only doc 3 collides, and with anchor 1: $streamed")
+    assert(streamed.length >= 6,
+      s"J≈0.95 near-dup should collide in most of the 8 bands: $streamed")
+  }
 }
