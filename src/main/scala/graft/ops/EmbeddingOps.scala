@@ -1019,9 +1019,256 @@ object EmbeddingOps {
       .orderBy($"vec_id", $"dim")
   }
 
+  // ------------------------------------------- product quantization (PQ)
+
+  private val PqM = 8    // subspaces
+  private val PqSub = Dim / PqM // dims per subspace
+  private val PqK = 8    // centroids per sub-codebook
+
+  /** Squared-L2 sequential fold — PQ's metric. L2 (not cosine) because PQ
+    * approximates a distance that DECOMPOSES ADDITIVELY across subspaces:
+    * ‖q−x‖² = Σ_m ‖q_m−x_m‖², so per-subspace lookup tables sum to the
+    * whole; cosine has no such exact decomposition. Same fold structure as
+    * [[dot]], hence the same cross-engine bit-identity. */
+  private def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def d2Sql(a: String, b: String): String =
+    s"list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in range(1, len($a)+1)])"
+
+  /** One row per (vector, subspace): the [[PqSub]]-dim subvector. */
+  private[graft] def pqSubRows(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .select($"vec_id", explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"),
+          slice($"v", m * PqSub + 1, PqSub).as("sv"))): _*)).as("s"))
+      .select($"vec_id", $"s.m".as("m"), $"s.sv".as("sv"))
+
+  /** Nearest-centroid assignment of sub-vector rows against a codebook
+    * `(m, cell, cv)`: argmin by (distance, cell id) — shared by seeding
+    * (against data-point seeds), encoding (against learned centroids),
+    * and the spec's distortion check. The codebook is M·K tiny arrays →
+    * broadcast; the window partitions on (vec_id, m) — high-cardinality,
+    * never SinglePartition. */
+  private[graft] def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb.select($"m", $"cell".as("cand"), $"cv")), Seq("m"))
+      .select($"vec_id", $"m", $"sv", $"cand", d2($"sv", $"cv").as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id", $"m").orderBy($"d".asc, $"cand".asc)))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"m", $"sv", $"cand".as("cell"), $"d")
+
+  /** Sub-codebook SEEDS: the subvectors of the first [[PqK]] corpus
+    * vectors (cell id = vec_id). Data points, not synthetic literals, so
+    * every cell is non-empty by construction (a seed is at distance 0
+    * from itself) — the k-means seeding rule that made the LCG-literal
+    * variant's codebooks collapse to 2–3 occupied cells. */
+  private[graft] def pqSeeds(sub: DataFrame): DataFrame =
+    sub.filter($"vec_id" < PqK)
+      .select($"m", $"vec_id".cast("int").as("cell"), $"sv".as("cv"))
+
+  /** Learned sub-codebooks from one Lloyd update: per-(subspace, cell)
+    * quantized-mean centroids (the [[centroidsFrom]] architecture with a
+    * subspace key). */
+  private[graft] def pqCodebook(asg: DataFrame): DataFrame =
+    asg.select($"m", $"cell", posexplode($"sv"))
+      .groupBy($"m", $"cell", $"pos")
+      .agg((sum(round($"col" * lit(1000000.0)).cast("long")).cast("double")
+        / lit(1000000.0) / count(lit(1))).as("c"))
+      .groupBy($"m", $"cell")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        e => e.getField("c")).as("cv"))
+
+  /** Shared oracle CTEs: sub-vectors → data-point seeds → seed assignment
+    * → learned codebooks → corpus codes, mirroring the Spark pipeline. */
+  private def pqCtes: String = {
+    val subSelects = (0 until PqM).map(m =>
+      s"SELECT vec_id, $m AS m, v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS sv FROM e")
+      .mkString("\n       UNION ALL ")
+    s"""sub AS ($subSelects),
+       |sd AS (SELECT m, CAST(vec_id AS INT) AS cell, sv AS cv
+       |       FROM sub WHERE vec_id < $PqK),
+       |asg AS (SELECT vec_id, m, sv, cell FROM (
+       |          SELECT s.vec_id, s.m, s.sv, sd.cell,
+       |                 row_number() OVER (PARTITION BY s.vec_id, s.m
+       |                        ORDER BY ${d2Sql("s.sv", "sd.cv")} ASC, sd.cell ASC) AS rk
+       |          FROM sub s JOIN sd ON s.m = sd.m) WHERE rk = 1),
+       |cm AS (SELECT m, cell, i,
+       |              CAST(sum(CAST(round(sv[i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |                / 1000000.0 / count(*) AS c
+       |       FROM asg, unnest(range(1, len(sv) + 1)) AS t(i)
+       |       GROUP BY m, cell, i),
+       |cb AS (SELECT m, cell, list(c ORDER BY i) AS cv FROM cm GROUP BY m, cell),
+       |enc AS (SELECT vec_id, m, cell AS code FROM (
+       |          SELECT s.vec_id, s.m, cb.cell,
+       |                 row_number() OVER (PARTITION BY s.vec_id, s.m
+       |                        ORDER BY ${d2Sql("s.sv", "cb.cv")} ASC, cb.cell ASC) AS rk
+       |          FROM sub s JOIN cb ON s.m = cb.m) WHERE rk = 1)""".stripMargin
+  }
+
+  /** PRODUCT-QUANTIZATION codebook training (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split every vector into
+    * [[PqM]] subspaces, k-means each subspace independently ([[PqK]]
+    * cells, one Lloyd update from the LCG seeds), and emit the learned
+    * sub-codebooks flattened to (sub, cell, pos, c). PQ is the memory
+    * side of the ANN scale story the IVF lane leaves open: IVF prunes
+    * WHICH vectors to score, PQ compresses WHAT is stored/scored — M
+    * codes of log₂K bits each replace the full vector (here 4 bytes vs
+    * 256: a 100 TB embedding store becomes ~1.6 TB of codes that fit in
+    * executor memory).
+    *
+    * Scale shape: the subspace explode is a constant ×M fan-out; training
+    * is the (m, cell, dim)-keyed quantized-mean shuffle — [[centroidsFrom]]
+    * with a subspace key; codebooks are M·K tiny arrays, broadcast
+    * everywhere they're consumed. */
+  val pqTrain: QueryDef = QueryDef(
+    "llm_pq_train",
+    vecCte + s",\n$pqCtes" +
+      """
+        |SELECT CAST(m AS BIGINT) AS sub, CAST(cell AS BIGINT) AS cell,
+        |       CAST(i - 1 AS BIGINT) AS pos, c
+        |FROM cm
+        |ORDER BY sub, cell, pos""".stripMargin,
+  ) { (spark, dir) =>
+    val sub = graft.Caches.persist(pqSubRows(spark, dir))
+    pqAssign(sub, pqSeeds(sub))
+      .select($"m", $"cell", posexplode($"sv"))
+      .groupBy($"m", $"cell", $"pos")
+      .agg((sum(round($"col" * lit(1000000.0)).cast("long")).cast("double")
+        / lit(1000000.0) / count(lit(1))).as("c"))
+      // c emitted RAW: it is already the deterministic quantized mean
+      // (integer sum / 1e6 / count — identical IEEE ops both engines);
+      // a display round(c, 6) can land on an exact .5 where Spark
+      // (half-up) and DuckDB (half-even) disagree by one ulp of 1e-6.
+      .select($"m".cast("long").as("sub"), $"cell".cast("long").as("cell"),
+        $"pos".cast("long").as("pos"), $"c")
+      .orderBy($"sub", $"cell", $"pos")
+  }
+
+  /** PQ encoding: every vector compressed to its [[PqM]] sub-codebook
+    * codes (nearest learned sub-centroid, ties to the lower cell). The
+    * registered surface for the code table an ADC search scans. */
+  val pqEncode: QueryDef = QueryDef(
+    "llm_pq_encode",
+    vecCte + s",\n$pqCtes" +
+      """
+        |SELECT vec_id, CAST(m AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+        |FROM enc ORDER BY vec_id, sub""".stripMargin,
+  ) { (spark, dir) =>
+    val sub = graft.Caches.persist(pqSubRows(spark, dir))
+    val cb = pqCodebook(pqAssign(sub, pqSeeds(sub)))
+    pqAssign(sub, cb)
+      .select($"vec_id", $"m".cast("long").as("sub"),
+        $"cell".cast("long").as("code"))
+      .orderBy($"vec_id", $"sub")
+  }
+
+  /** ADC (asymmetric distance computation) top-k: each query builds one
+    * M×K lookup table of exact subvector-to-centroid distances, and every
+    * corpus vector's approximate distance is the SUM of M table lookups on
+    * its codes — no corpus vector is ever decoded. Per-term distances are
+    * quantized to 1e-6 BIGINTs before the (q, vec)-keyed sum, so ranking
+    * happens on exact integers and no accumulation order can flip a rank
+    * cross-engine.
+    *
+    * Scale shape: the lookup tables are queries × M × K rows — broadcast;
+    * the scan side touches only the code table (the 64× compressed form);
+    * the rollup keys on (q_id, vec_id). This is the plan that makes
+    * 100 TB of embeddings searchable from memory. */
+  val pqAdc: QueryDef = QueryDef(
+    "llm_pq_adc",
+    vecCte + s",\n$pqCtes" +
+      s""",
+         |qt AS (SELECT s.vec_id AS q_id, s.m, cb.cell,
+         |              CAST(round(${d2Sql("s.sv", "cb.cv")} * 1000000.0) AS BIGINT) AS d_e6
+         |       FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < $NQueries),
+         |ad AS (SELECT qt.q_id, enc.vec_id, sum(qt.d_e6) AS adc_e6
+         |       FROM enc JOIN qt ON enc.m = qt.m AND enc.code = qt.cell
+         |       WHERE qt.q_id <> enc.vec_id GROUP BY 1, 2),
+         |r AS (SELECT q_id, vec_id, adc_e6,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY adc_e6, vec_id) AS rk
+         |      FROM ad)
+         |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, adc_e6
+         |FROM r WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
+  ) { (spark, dir) => pqAdcTopK(spark, dir) }
+
+  /** The ADC top-k plan — shared by [[pqAdc]] and [[pqRecall]]. */
+  private def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val sub = graft.Caches.persist(pqSubRows(spark, dir))
+    val cb = graft.Caches.persist(pqCodebook(pqAssign(sub, pqSeeds(sub))))
+    val codes = pqAssign(sub, cb).select($"vec_id", $"m", $"cell".as("code"))
+    val qt = sub.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"m".as("qm"), $"sv")
+      .join(broadcast(cb.select($"m".as("qm"), $"cell", $"cv")), Seq("qm"))
+      .select($"q_id", $"qm", $"cell",
+        round(d2($"sv", $"cv") * lit(1000000.0)).cast("long").as("d_e6"))
+    codes
+      .join(broadcast(qt),
+        codes("m") === qt("qm") && codes("code") === qt("cell") &&
+          qt("q_id") =!= codes("vec_id"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"d_e6").as("adc_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"adc_e6".asc, $"vec_id".asc)))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"vec_id", $"rank".cast("long").as("rank"), $"adc_e6")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** PQ recall@k: the ADC top-k measured against the exact full-vector
+    * L2 top-k — the honesty readout every compressed index ships with
+    * (the [[annRecall]] convention on the PQ lane). */
+  val pqRecall: QueryDef = QueryDef(
+    "llm_pq_recall",
+    vecCte + s",\n$pqCtes" +
+      s""",
+         |qt AS (SELECT s.vec_id AS q_id, s.m, cb.cell,
+         |              CAST(round(${d2Sql("s.sv", "cb.cv")} * 1000000.0) AS BIGINT) AS d_e6
+         |       FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < $NQueries),
+         |ad AS (SELECT qt.q_id, enc.vec_id, sum(qt.d_e6) AS adc_e6
+         |       FROM enc JOIN qt ON enc.m = qt.m AND enc.code = qt.cell
+         |       WHERE qt.q_id <> enc.vec_id GROUP BY 1, 2),
+         |r AS (SELECT q_id, vec_id,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY adc_e6, vec_id) AS rk
+         |      FROM ad),
+         |ex AS (SELECT q.vec_id AS q_id, e.vec_id,
+         |              row_number() OVER (PARTITION BY q.vec_id
+         |                     ORDER BY ${d2Sql("q.v", "e.v")}, e.vec_id) AS rk
+         |       FROM e q JOIN e ON q.vec_id <> e.vec_id
+         |       WHERE q.vec_id < $NQueries),
+         |hit AS (SELECT r.q_id, CAST(count(*) AS BIGINT) AS n_hits
+         |        FROM r JOIN ex ON r.q_id = ex.q_id AND r.vec_id = ex.vec_id
+         |        WHERE r.rk <= $TopK AND ex.rk <= $TopK GROUP BY 1)
+         |SELECT q.q_id, coalesce(hit.n_hits, 0) AS n_hits,
+         |       round(coalesce(hit.n_hits, 0) / $TopK.0, 6) AS recall
+         |FROM (SELECT DISTINCT vec_id AS q_id FROM e WHERE vec_id < $NQueries) q
+         |LEFT JOIN hit ON q.q_id = hit.q_id
+         |ORDER BY q.q_id""".stripMargin,
+  ) { (spark, dir) =>
+    val adc = pqAdcTopK(spark, dir).select($"q_id", $"vec_id")
+    val e = vectors(spark, dir)
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val exact = e.join(broadcast(q), $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id", d2($"qv", $"v").as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"d".asc, $"vec_id".asc)))
+      .filter($"rk" <= TopK)
+      .select($"q_id", $"vec_id")
+    val hits = adc.join(exact, Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+    q.select($"q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)).cast("double") / TopK, 6).as("recall"))
+      .orderBy($"q_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
       ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup,
-      embedDedupCluster, embedStats, embedCentroid, embedQuantize)
+      embedDedupCluster, embedStats, embedCentroid, embedQuantize,
+      pqTrain, pqEncode, pqAdc, pqRecall)
 }

@@ -215,4 +215,35 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       "assignment must not depend on the block partitioning")
     assert(one.values.toSet.size > 1, "degenerate: all vectors in one cell")
   }
+
+  test("PQ: data-point seeds fill every sub-codebook cell, Lloyd reduces distortion") {
+    import org.apache.spark.sql.functions._
+    val sub = EmbeddingOps.pqSubRows(spark, sf)
+    val seeds = EmbeddingOps.pqSeeds(sub)
+    val seedAsg = EmbeddingOps.pqAssign(sub, seeds)
+    val cb = EmbeddingOps.pqCodebook(seedAsg)
+    // every (sub, cell) occupied: a data-point seed is distance 0 from itself
+    assert(cb.count() == 8L * 8L, "8 subspaces x 8 cells, all non-empty")
+    // k-means guarantee: assigning against the UPDATED centroids cannot
+    // increase total distortion vs the seed assignment that produced them
+    def distortion(asg: org.apache.spark.sql.DataFrame): Double =
+      asg.agg(sum($"d")).collect().head.getDouble(0)
+    val before = distortion(seedAsg)
+    val after = distortion(EmbeddingOps.pqAssign(sub, cb))
+    assert(after <= before + 1e-9,
+      s"Lloyd update must not increase distortion: $before -> $after")
+    assert(after < before, s"real data should strictly improve: $before -> $after")
+  }
+
+  test("PQ ADC recall: sane bounds and better than nothing on every query") {
+    val rows = EmbeddingOps.pqRecall.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 5)
+    rows.foreach { case (_, hits, rec) =>
+      assert(hits >= 0L && hits <= 10L)
+      assert(rec == hits / 10.0)
+    }
+    assert(rows.map(_._2).sum > 0L,
+      s"ADC must recover some exact neighbors: ${rows.toSeq}")
+  }
 }
