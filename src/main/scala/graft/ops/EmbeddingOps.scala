@@ -1216,6 +1216,70 @@ object EmbeddingOps {
       .orderBy($"q_id", $"rank")
   }
 
+  /** IVF-PQ (the FAISS "IVFADC" layout, Jégou et al. 2011 §IV): the
+    * coarse quantizer prunes WHICH vectors to score — each query scans
+    * only its top-1/top-2 IVF cells, the [[annIvf]] nprobe=2 trade — and
+    * PQ compresses WHAT is scored: the candidates' 8 codes, never their
+    * full vectors. This is the composition a production deployment runs:
+    * at 100 TB the cell equi-join bounds the scan to ~nprobe/NCells of
+    * the corpus, and the scanned side is the 64×-compressed code table,
+    * so the whole search touches a few GB of codes instead of terabytes
+    * of floats. Candidate generation, lookup tables, and the quantized
+    * ADC sum are each already-verified pieces ([[annIvf]], [[pqAdc]]);
+    * the oracle replays the full composition end-to-end. */
+  val pqIvfAdc: QueryDef = QueryDef(
+    "llm_pq_ivf_adc",
+    vecCte + s",\n$pqCtes" +
+      s""",
+         |iv AS (SELECT vec_id, ${cellSqlExpr(1)} AS ivcell FROM e),
+         |qc0 AS (SELECT vec_id, ${cellSqlExpr(1)} AS c1, ${cellSqlExpr(2)} AS c2
+         |        FROM e WHERE vec_id < $NQueries),
+         |qc AS (SELECT vec_id AS q_id, c1 AS ivcell FROM qc0
+         |       UNION ALL SELECT vec_id, c2 FROM qc0),
+         |cand AS (SELECT qc.q_id, iv.vec_id FROM qc JOIN iv ON qc.ivcell = iv.ivcell
+         |         WHERE qc.q_id <> iv.vec_id),
+         |qt AS (SELECT s.vec_id AS q_id, s.m, cb.cell,
+         |              CAST(round(${d2Sql("s.sv", "cb.cv")} * 1000000.0) AS BIGINT) AS d_e6
+         |       FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < $NQueries),
+         |ad AS (SELECT c.q_id, c.vec_id, sum(qt.d_e6) AS adc_e6
+         |       FROM cand c JOIN enc ON enc.vec_id = c.vec_id
+         |            JOIN qt ON qt.q_id = c.q_id AND qt.m = enc.m AND qt.cell = enc.code
+         |       GROUP BY 1, 2),
+         |r AS (SELECT q_id, vec_id, adc_e6,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY adc_e6, vec_id) AS rk
+         |      FROM ad)
+         |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, adc_e6
+         |FROM r WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
+  ) { (spark, dir) =>
+    val (cell, cell2) = cellCols
+    val assigned = vectors(spark, dir).withColumn("ivcell", cell)
+      .select($"vec_id", $"ivcell")
+    val qiv = vectors(spark, dir).filter($"vec_id" < NQueries)
+      .withColumns(Map("c1" -> cell, "c2" -> cell2))
+      .select($"vec_id".as("q_id"), explode(array($"c1", $"c2")).as("ivcell"))
+    val cand = assigned.join(broadcast(qiv), Seq("ivcell"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id")
+    val sub = graft.Caches.persist(pqSubRows(spark, dir))
+    val cb = graft.Caches.persist(pqCodebook(pqAssign(sub, pqSeeds(sub))))
+    val codes = pqAssign(sub, cb).select($"vec_id", $"m", $"cell".as("code"))
+    val qt = sub.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("tq_id"), $"m".as("qm"), $"sv")
+      .join(broadcast(cb.select($"m".as("qm"), $"cell", $"cv")), Seq("qm"))
+      .select($"tq_id", $"qm", $"cell",
+        round(d2($"sv", $"cv") * lit(1000000.0)).cast("long").as("d_e6"))
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qt),
+        $"tq_id" === $"q_id" && $"qm" === $"m" && qt("cell") === $"code")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"d_e6").as("adc_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"adc_e6".asc, $"vec_id".asc)))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"vec_id", $"rank".cast("long").as("rank"), $"adc_e6")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** PQ recall@k: the ADC top-k measured against the exact full-vector
     * L2 top-k — the honesty readout every compressed index ships with
     * (the [[annRecall]] convention on the PQ lane). */
@@ -1270,5 +1334,5 @@ object EmbeddingOps {
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
       ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup,
       embedDedupCluster, embedStats, embedCentroid, embedQuantize,
-      pqTrain, pqEncode, pqAdc, pqRecall)
+      pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall)
 }

@@ -246,4 +246,25 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum > 0L,
       s"ADC must recover some exact neighbors: ${rows.toSeq}")
   }
+
+  test("IVF-PQ: pruning changes the candidate set, never an ADC distance") {
+    val full = EmbeddingOps.pqAdc.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val pruned = EmbeddingOps.pqIvfAdc.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pruned.nonEmpty)
+    // ranks are a dense 1..k prefix per query
+    pruned.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"dense ranks for query $q")
+    }
+    // wherever a (q, vec) pair survives in both lanes, the ADC distance is
+    // IDENTICAL — the coarse quantizer prunes candidates, it never touches
+    // the distance computation
+    val overlap = pruned.flatMap { case (q, v, _, d) =>
+      full.get((q, v)).map(fd => (q, v, d, fd)) }
+    assert(overlap.nonEmpty, "top-k lanes should share some pairs")
+    overlap.foreach { case (q, v, d, fd) =>
+      assert(d == fd, s"ADC distance drifted for ($q,$v): $d vs $fd") }
+  }
 }
