@@ -1161,6 +1161,88 @@ object LlmTextOps {
       .orderBy($"cluster_id")
   }
 
+  /** INCREMENTAL dedup — the shape a daily ingest actually runs: dedup the
+    * new DELTA (docs ≡ 0 mod 5, ~20% of the corpus at any SF) against the
+    * standing snapshot (everything else) AND against earlier docs in the
+    * same delta, without ever re-pairing the snapshot with itself. Each
+    * delta doc gets one verdict: `dup_of_corpus` (an LSH-verified match
+    * into the snapshot — the doc already exists, drop it),
+    * `dup_in_delta` (first seen earlier in this same batch), or `new`,
+    * plus the lowest matching doc id.
+    *
+    * Scale shape — the reason this op exists apart from the full-corpus
+    * miners: the snapshot×snapshot quadrant is never generated. The
+    * snapshot side contributes only its (band, signature) index — at
+    * 100 TB a materialized artifact maintained across ingests — and the
+    * small delta's band rows BROADCAST onto it; the delta×delta quadrant
+    * is a self-join of the small side only. Exact-Jaccard verification
+    * then runs on candidates alone. Banding recall on this corpus's
+    * planted near-dups is 1.0 (the [[minhashLsh]] precedent, asserted in
+    * spec), so the all-pairs exact oracle must agree row-for-row. */
+  val incrementalDedup: QueryDef = QueryDef(
+    "llm_incremental_dedup",
+    shingleCte +
+      """,
+        |m AS (SELECT a.doc_id AS d_id, b.doc_id AS c_id
+        |      FROM sh a JOIN sh b
+        |        ON a.doc_id % 5 = 0 AND b.doc_id <> a.doc_id
+        |       AND (b.doc_id % 5 <> 0 OR b.doc_id < a.doc_id)
+        |      WHERE len(list_intersect(a.s, b.s)) * 5
+        |            >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+        |agg AS (SELECT d_id,
+        |               min(CASE WHEN c_id % 5 <> 0 THEN c_id END) AS corp_match,
+        |               min(CASE WHEN c_id % 5 = 0 THEN c_id END) AS delta_match
+        |        FROM m GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CASE WHEN corp_match IS NOT NULL THEN 'dup_of_corpus'
+        |            WHEN delta_match IS NOT NULL THEN 'dup_in_delta'
+        |            ELSE 'new' END AS verdict,
+        |       coalesce(corp_match, delta_match) AS match_id
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN agg ON d.doc_id = agg.d_id
+        |ORDER BY d.doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    incrementalDedupOf(
+      docs.filter(pmod($"doc_id", lit(5)) =!= 0),
+      docs.filter(pmod($"doc_id", lit(5)) === 0))
+  }
+
+  /** The incremental-dedup plan over arbitrary (corpus, delta) frames —
+    * extracted so the spec can plant a cross-snapshot duplicate and an
+    * intra-delta duplicate and watch the verdicts split. */
+  private[graft] def incrementalDedupOf(corpus: DataFrame, delta: DataFrame): DataFrame = {
+    val corpusBands = minhashBandRows(corpus)
+    // the delta's band rows feed both quadrants → persist the small side
+    val deltaBands = graft.Caches.persist(minhashBandRows(delta))
+    val keys = Seq("band", "s0", "s1", "s2", "s3")
+    val candCorpus = corpusBands
+      .join(broadcast(deltaBands.select(($"doc_id".as("d_id") +: keys.map(col)): _*)),
+        keys)
+      .select($"d_id".as("doc_a"), $"doc_id".as("doc_b"))
+    val candDelta = deltaBands.as("x")
+      .join(deltaBands.as("y"),
+        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = candCorpus.union(candDelta).distinct()
+    val sets = docShinglesOf(corpus.unionByName(delta))
+    val inCorpus = corpus.select($"doc_id".as("doc_b"), lit(1).as("is_corpus"))
+    val agg = verifyJaccard(cand, sets)
+      .join(inCorpus, Seq("doc_b"), "left")
+      .groupBy($"doc_a")
+      .agg(min(when($"is_corpus" === 1, $"doc_b")).as("corp_match"),
+        min(when($"is_corpus".isNull, $"doc_b")).as("delta_match"))
+    delta.select($"doc_id")
+      .join(agg, $"doc_id" === $"doc_a", "left")
+      .select($"doc_id",
+        when($"corp_match".isNotNull, "dup_of_corpus")
+          .when($"delta_match".isNotNull, "dup_in_delta")
+          .otherwise("new").as("verdict"),
+        coalesce($"corp_match", $"delta_match").as("match_id"))
+      .orderBy($"doc_id")
+  }
+
   /** Cross-document CHUNK dedup — the CCNet/RefinedWeb "paragraph dedup"
     * stage re-expressed over whitespace token streams (this corpus has no
     * newline paragraphs, so a paragraph = a 10-token chunk): every doc is
@@ -1719,8 +1801,8 @@ object LlmTextOps {
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     entropy, neardupJaccard, minhashSig, minhashLsh, minhashSweep, simhash,
     simhashPairs,
-    dedupCluster, dedupClusterLs, dedupConsensus, dupChunks, dupSpans,
-    chunkSplit, bpePairs, bpeTrain, bpeEncode,
+    dedupCluster, dedupClusterLs, dedupConsensus, incrementalDedup,
+    dupChunks, dupSpans, chunkSplit, bpePairs, bpeTrain, bpeEncode,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
   )
 

@@ -343,6 +343,41 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(r1.getLong(3) == 10L, s"five tokens covered per run: $r1")
   }
 
+  test("incremental dedup: corpus match outranks delta match, fresh docs pass") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val base = (1 to 60).map(i => s"w${i % 17} t$i").mkString(" ")
+    val other = (1 to 60).map(i => s"y${i % 13} u$i").mkString(" ")
+    val corpus = Seq((10L, base), (11L, other)).toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, base.replace("t7", "x7")),  // near-dup of corpus doc 10
+      (101L, other.replace("u9", "v9")), // near-dup of corpus doc 11
+      (102L, other.replace("u9", "v9")), // ALSO matches 11 -> corpus outranks 101
+      (103L, (1 to 60).map(i => s"z$i q${i * 7}").mkString(" ")) // fresh
+    ).toDF("doc_id", "text")
+    val out = LlmTextOps.incrementalDedupOf(corpus, delta).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(100L) == (("dup_of_corpus", 10L)), s"${out(100L)}")
+    assert(out(101L) == (("dup_of_corpus", 11L)), s"${out(101L)}")
+    assert(out(102L) == (("dup_of_corpus", 11L)),
+      s"a corpus match must outrank the intra-delta twin 101: ${out(102L)}")
+    assert(out(103L) == (("new", -1L)), s"${out(103L)}")
+  }
+
+  test("incremental dedup: intra-delta duplicate without a corpus match") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val novel = (1 to 60).map(i => s"n${i % 11} m$i").mkString(" ")
+    val corpus = Seq((10L, (1 to 60).map(i => s"c$i k${i * 3}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val delta = Seq((200L, novel), (201L, novel.replace(" m5 ", " p5 ")))
+      .toDF("doc_id", "text")
+    val out = LlmTextOps.incrementalDedupOf(corpus, delta).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(200L) == (("new", -1L)), "first arrival is the keeper")
+    assert(out(201L) == (("dup_in_delta", 200L)), s"${out(201L)}")
+  }
+
   test("native cascade expression matches the declarative verdict row-for-row") {
     // the native one-pass signals (cascade_sigs) must reproduce the HOF
     // pipeline exactly — every doc, every reason, including the quantized
