@@ -90,6 +90,38 @@ object LlmTextOps {
       .orderBy($"keep_id")
   }
 
+  /** NORMALIZE-then-hash dedup — the step every production pipeline runs
+    * before exact hashing (CCNet/RefinedWeb lowercase+strip conventions):
+    * lowercase, strip non-alphanumerics, collapse whitespace, THEN group
+    * by digest. Catches the case/punctuation/spacing variants byte-exact
+    * dedup calls distinct; `n_raw_variants` counts how many distinct raw
+    * byte forms each normalized group collapsed (1 = normalization was a
+    * no-op for that group — true for this pre-normalized corpus, which
+    * the oracle pins; the planted-variant spec proves the collapse).
+    * Same scale shape as [[exactDedup]]: map-only normalization, one
+    * digest-keyed shuffle that never moves the text itself. */
+  val normDedup: QueryDef = QueryDef(
+    "llm_norm_dedup",
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                               ' +', ' ', 'g'))) AS digest,
+      |       min(doc_id) AS keep_id, count(*) AS n_copies,
+      |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+  ) { (spark, dir) => normDedupOf(Tables.documents(spark, dir)) }
+
+  /** The [[normDedup]] plan over any (doc_id, text) frame — extracted so
+    * the spec can plant case/punctuation variants. */
+  private[graft] def normDedupOf(documents: DataFrame): DataFrame =
+    documents
+      .select($"doc_id", md5($"text").as("raw_digest"),
+        md5(trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""),
+          " +", " "))).as("digest"))
+      .groupBy($"digest")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct($"raw_digest").as("n_raw_variants"))
+      .orderBy($"keep_id")
+
   /** Canonical bag-of-words fingerprint: md5 of the sorted distinct token
     * set — catches shuffled-word duplicates that byte-exact dedup misses. */
   val fingerprint: QueryDef = QueryDef(
@@ -1797,7 +1829,8 @@ object LlmTextOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    exactDedup, fingerprint, winnow, winnowPairs, winnowNative, textStats,
+    exactDedup, normDedup, fingerprint, winnow, winnowPairs, winnowNative,
+    textStats,
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     entropy, neardupJaccard, minhashSig, minhashLsh, minhashSweep, simhash,
     simhashPairs,

@@ -343,6 +343,22 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(r1.getLong(3) == 10L, s"five tokens covered per run: $r1")
   }
 
+  test("normalize-then-hash dedup collapses case/punct/spacing variants") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val docs = Seq(
+      (1L, "The quick brown fox."),
+      (2L, "the  quick   brown fox"),   // spacing + case variant of 1
+      (3L, "THE QUICK, BROWN FOX!!"),   // punctuation variant of 1
+      (4L, "an entirely different doc")).toDF("doc_id", "text")
+    val rows = LlmTextOps.normDedupOf(docs).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+    assert(rows.length == 2, s"two normalized groups: ${rows.toSeq}")
+    val byKeep = rows.toMap
+    assert(byKeep(1L) == ((3L, 3L)),
+      s"variants 1..3 collapse to one group with 3 raw forms: ${byKeep(1L)}")
+    assert(byKeep(4L) == ((1L, 1L)))
+  }
+
   test("incremental dedup: corpus match outranks delta match, fresh docs pass") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val base = (1 to 60).map(i => s"w${i % 17} t$i").mkString(" ")
