@@ -726,6 +726,68 @@ object EmbeddingOps {
       .orderBy($"method", $"q_id")
   }
 
+  /** Ideal DCG@10 in 1e-6 fixed point, with each (11−j)/log₂(j+1) term
+    * quantized exactly as the DCG terms are — computed once in Scala and
+    * embedded as the same literal in both engines. */
+  private val IdcgE6: Long = (1 to TopK).map(j =>
+    math.round((11.0 - j) / (math.log(j + 1.0) / math.log(2.0)) * 1000000.0)).sum
+
+  /** GRADED ranking quality of the trained-IVF ANN: nDCG@10 + MRR against
+    * the exact cosine top-10 — the readout recall@10 ([[annRecallTrained]])
+    * can't give: recall says "did the index find the right neighbors",
+    * nDCG says "did it put the BEST ones first" (graded relevance
+    * rel = 11 − exact_rank) and MRR says "how deep is the first good
+    * hit". Each rel/log₂(i+1) term quantizes to a 1e-6 BIGINT before the
+    * per-query sum, and the ideal DCG is the same-quantized constant, so
+    * even the float-looking metric is exact integer arithmetic until one
+    * final division. Scale: the cost is the two searches (already
+    * audited); the eval joins TopK-row sets keyed on (q_id, vec_id). */
+  val annNdcg: QueryDef = QueryDef(
+    "llm_ann_ndcg",
+    s"""${kmTrainCtes(KmRounds)},
+       |$ivfTrainedCtes,
+       |sys AS (SELECT q_id, vec_id, rk AS i FROM tr WHERE rk <= $TopK),
+       |xs AS (SELECT q.vec_id AS q_id, e.vec_id,
+       |              ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+       |       FROM (SELECT * FROM e WHERE vec_id < $NQueries) q
+       |            JOIN e ON q.vec_id <> e.vec_id),
+       |xr AS (SELECT q_id, vec_id, 11 - rk AS rel FROM (
+       |         SELECT q_id, vec_id,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |         FROM xs) WHERE rk <= $TopK),
+       |terms AS (SELECT s.q_id, s.i, x.rel,
+       |                 CAST(round(x.rel / log2(s.i + 1) * 1000000) AS BIGINT) AS t_e6
+       |          FROM sys s JOIN xr x ON s.q_id = x.q_id AND s.vec_id = x.vec_id),
+       |per AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel_found,
+       |               sum(t_e6) AS dcg_e6, min(i) AS fr
+       |        FROM terms GROUP BY 1)
+       |SELECT q.q_id, coalesce(per.n_rel_found, 0) AS n_rel_found,
+       |       round(CAST(coalesce(per.dcg_e6, 0) AS DOUBLE) / $IdcgE6, 6) AS ndcg,
+       |       round(CASE WHEN per.fr IS NULL THEN 0.0 ELSE 1.0 / per.fr END, 6) AS mrr
+       |FROM (SELECT DISTINCT vec_id AS q_id FROM e WHERE vec_id < $NQueries) q
+       |LEFT JOIN per ON q.q_id = per.q_id
+       |ORDER BY q.q_id""".stripMargin,
+  ) { (spark, dir) =>
+    val sys = ivfTrainedTopK(spark, dir)
+      .select($"q_id", $"vec_id", $"rank".as("i"))
+    val ex = exactTopK(spark, dir)
+      .select($"q_id", $"vec_id", (lit(11) - $"rank").as("rel"))
+    val per = sys.join(ex, Seq("q_id", "vec_id"))
+      .select($"q_id", $"i",
+        round($"rel" / log2($"i" + 1) * 1000000).cast("long").as("t_e6"))
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_rel_found"), sum($"t_e6").as("dcg_e6"),
+        min($"i").as("fr"))
+    vectors(spark, dir).filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id")).distinct()
+      .join(per, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_rel_found", lit(0L)).as("n_rel_found"),
+        round(coalesce($"dcg_e6", lit(0L)).cast("double") / IdcgE6, 6).as("ndcg"),
+        round(when($"fr".isNull, 0.0).otherwise(lit(1.0) / $"fr"), 6).as("mrr"))
+      .orderBy($"q_id")
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.
     * 2009 — the fusion every modern hybrid-search stack runs): for each
     * query doc, fuse the LEXICAL top-k ([[RankingOps.tfidfRankPlan]],
@@ -1334,5 +1396,5 @@ object EmbeddingOps {
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
       ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup,
       embedDedupCluster, embedStats, embedCentroid, embedQuantize,
-      pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall)
+      pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg)
 }

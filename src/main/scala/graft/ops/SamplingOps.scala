@@ -205,6 +205,48 @@ object SamplingOps {
       when(abs($"t_welch") > 1.96, "reject_h0").otherwise("fail_to_reject").as("decision"))
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis 2006,
+    * the A-ES "exponential jumps" key trick): each document draws the key
+    * u^(1/w) from its hash-uniform u and weight w, and the global top-50
+    * keys ARE a weighted sample without replacement — no rejection loop,
+    * no sequential reservoir, one `orderBy().limit()` that plans as
+    * TakeOrderedAndProject (per-partition heaps, never a global sort).
+    * The weight is the `llm_quality` score (rounded to 4 dp BEFORE the
+    * pow, so both engines exponentiate the identical double — the
+    * `llm_domain_mix` libm rule), the uniform is the seedless portable
+    * hash, and keys quantize to 1e-6 BIGINTs so ranking is integer. The
+    * quality formula keeps w > 0 for any non-empty doc, so 1/w is always
+    * finite. This is "sample better documents more often" as one
+    * deterministic, rerun-stable pass — the quality-weighted cousin of
+    * [[sampleHash]]'s uniform thinning. */
+  val weightedSample: QueryDef = QueryDef(
+    "llm_weighted_sample",
+    s"""SELECT doc_id, quality, key_e6 FROM (
+       |  SELECT doc_id, quality,
+       |         CAST(round(pow(u, 1.0 / quality) * 1000000) AS BIGINT) AS key_e6
+       |  FROM (SELECT doc_id,
+       |               round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+       |                     + (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+       |                              / len(string_split(text, ' '))) * 0.5, 4) AS quality,
+       |               ($docHashSql % 1000000 + 1) / 1000001.0 AS u
+       |        FROM documents))
+       |ORDER BY key_e6 DESC, doc_id LIMIT 50""".stripMargin,
+  ) { (spark, dir) =>
+    val stop = Seq("the", "a", "of", "and")
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ts"),
+        ((docHash % 1000000L + 1L) / lit(1000001.0)).as("u"))
+      .select($"doc_id", $"u",
+        round(least(size($"ts") / lit(50.0), lit(1.0)) * 0.5
+          + (lit(1.0) - size(filter($"ts", t => t.isInCollection(stop)))
+              .cast("double") / size($"ts")) * 0.5, 4).as("quality"))
+      .select($"doc_id", $"quality",
+        round(pow($"u", lit(1.0) / $"quality") * 1000000).cast("long").as("key_e6"))
+      .orderBy($"key_e6".desc, $"doc_id")
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(sampleHash, sampleStratified, trainSplit, abConversion, abTTest)
+    Seq(sampleHash, sampleStratified, trainSplit, abConversion, abTTest,
+      weightedSample)
 }

@@ -247,6 +247,27 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       s"ADC must recover some exact neighbors: ${rows.toSeq}")
   }
 
+  test("nDCG/MRR: bounds hold and metrics agree with recall's hit sets") {
+    val rows = EmbeddingOps.annNdcg.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 5)
+    rows.foreach { case (q, n, ndcg, mrr) =>
+      assert(n >= 0L && n <= 10L, s"q$q n_rel_found=$n")
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"q$q ndcg=$ndcg")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"q$q mrr=$mrr")
+      // a query with no relevant hits must zero both metrics; with hits,
+      // both must be positive
+      if (n == 0L) assert(ndcg == 0.0 && mrr == 0.0)
+      else assert(ndcg > 0.0 && mrr > 0.0)
+    }
+    // hit counts must equal the recall readout's n_hit per query — the two
+    // evals run the same system/baseline pair
+    val rec = EmbeddingOps.annRecallTrained.run(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    rows.foreach { case (q, n, _, _) =>
+      assert(rec(q) == n, s"q$q: ndcg found $n, recall found ${rec(q)}") }
+  }
+
   test("IVF-PQ: pruning changes the candidate set, never an ADC distance") {
     val full = EmbeddingOps.pqAdc.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap

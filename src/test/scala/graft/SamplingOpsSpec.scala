@@ -95,4 +95,24 @@ class SamplingOpsSpec extends AnyFunSuite {
     assert(r.getString(6) == "fail_to_reject",
       "null data must not reject at the 5% level")
   }
+
+  test("weighted sample: 50 rows, rerun-stable, quality-tilted vs uniform") {
+    val rows = SamplingOps.weightedSample.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.length == 50)
+    // keys are valid E-S draws and the output is sorted by them
+    assert(rows.forall { case (_, q, k) =>
+      q > 0.0 && q <= 1.0 && k >= 0L && k <= 1000000L })
+    assert(rows.map(_._3).sliding(2).forall(s => s.head >= s.last),
+      "descending key order")
+    val rerun = SamplingOps.weightedSample.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rerun.toSeq == rows.toSeq, "seedless determinism")
+    // the tilt: sampled docs should average higher quality than the corpus
+    val corpusQ = LlmTextOps.quality.run(spark, sf).collect().map(_.getDouble(3))
+    val corpusMean = corpusQ.sum / corpusQ.length
+    val sampleMean = rows.map(_._2).sum / rows.length
+    assert(sampleMean > corpusMean,
+      s"weighting must tilt the sample toward quality: $sampleMean <= $corpusMean")
+  }
 }
