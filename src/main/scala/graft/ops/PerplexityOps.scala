@@ -69,7 +69,13 @@ object PerplexityOps {
     * fixture corpus with the REAL plan. The flag marks the worst decile:
     * `mq` (the quantized mean log-prob) at or below the corpus's exact
     * 10th percentile, i.e. perplexity at or above the 90th. */
-  private[graft] def perplexityOf(docs: DataFrame): DataFrame = {
+  private[graft] def perplexityOf(docs: DataFrame): DataFrame =
+    perDocPpl(scoredBigrams(docs))
+
+  /** Quantized per-bigram log-prob stream `(doc_id, lq)` under the
+    * corpus-trained add-k LM — the scoring front both [[perplexity]] and
+    * [[curriculum]] consume. */
+  private def scoredBigrams(docs: DataFrame): DataFrame = {
     // the stream feeds training (two aggregates) AND scoring — persist so
     // the expansion runs once; released by the runner after the action
     val bi = graft.Caches.persist(bigramsOf(docs))
@@ -77,20 +83,23 @@ object PerplexityOps {
     val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("n1"))
     val v = docs.select(explode(split($"text", " ")).as("w"))
       .agg(countDistinct($"w").as("vsz"))
-    val sc = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .select($"doc_id",
         round(logpCol * 1000000).cast("long").as("lq"))
-    perDocPpl(sc)
   }
+
+  /** Per-doc quantized mean log-prob `(doc_id, n_bigrams, mq)`. */
+  private def pdOf(sc: DataFrame): DataFrame =
+    sc.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lq").as("slq"))
+      .select($"doc_id", $"n_bigrams",
+        round($"slq".cast("double") / $"n_bigrams").cast("long").as("mq"))
 
   /** Per-doc readout over a quantized log-prob stream `(doc_id, lq)` —
     * the tail both LM variants share ([[pdTailSql]]'s Spark twin). */
   private def perDocPpl(sc: DataFrame): DataFrame = {
-    val pd = sc.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"lq").as("slq"))
-      .select($"doc_id", $"n_bigrams",
-        round($"slq".cast("double") / $"n_bigrams").cast("long").as("mq"))
+    val pd = pdOf(sc)
     val th = pd.agg(percentile($"mq", lit(0.10)).as("t10"))
     pd.crossJoin(broadcast(th))
       .select($"doc_id", $"n_bigrams",
@@ -288,5 +297,68 @@ object PerplexityOps {
         round($"n_novel".cast("double") / $"n_uniq_bigrams", 6).as("novelty"))
   }
 
-  val all: Seq[QueryDef] = Seq(perplexity, perplexityXval, bigramLm, ngramNovelty)
+  private val OneThird = 1.0 / 3.0
+  private val TwoThirds = 2.0 / 3.0
+
+  /** CURRICULUM phase assignment — order the corpus easy → hard by model
+    * difficulty (curriculum learning, Bengio et al. 2009, as data
+    * pipelines apply it: difficulty proxy = LM perplexity): docs in the
+    * lowest-perplexity tercile are `easy`, the highest `hard`, the rest
+    * `medium`; docs too short to score (< 2 tokens) come out `unscored`
+    * rather than silently easy. Each row carries its phase's total token
+    * budget — the number a training scheduler needs to plan phase
+    * lengths.
+    *
+    * Terciles come from the exact interpolated percentile over the
+    * 1e-6-quantized mean log-probs (the [[perplexity]] discipline:
+    * `percentile` ≡ `quantile_cont` on identical BIGINTs, the
+    * `sketch_percentile_exact` parity), broadcast as a 1-row threshold
+    * table; the phase rollup is a 4-row broadcast join. Cost is the LM
+    * scoring pass the perplexity query already prices. */
+  val curriculum: QueryDef = QueryDef(
+    "llm_curriculum",
+    lmCtes + pdCtes +
+      s""",
+         |tc AS (SELECT quantile_cont(CAST(mq AS DOUBLE), $OneThird) AS t1,
+         |              quantile_cont(CAST(mq AS DOUBLE), $TwoThirds) AS t2 FROM pd),
+         |nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |       FROM documents),
+         |ph AS (SELECT nt.doc_id, nt.n_tokens,
+         |              CASE WHEN pd.mq IS NULL THEN 'unscored'
+         |                   WHEN CAST(pd.mq AS DOUBLE) >= tc.t2 THEN 'easy'
+         |                   WHEN CAST(pd.mq AS DOUBLE) < tc.t1 THEN 'hard'
+         |                   ELSE 'medium' END AS phase,
+         |              CASE WHEN pd.mq IS NULL THEN NULL
+         |                   ELSE round(exp(-(CAST(pd.mq AS DOUBLE) / 1000000.0)), 4) END AS ppl
+         |       FROM nt LEFT JOIN pd ON nt.doc_id = pd.doc_id, tc),
+         |pb AS (SELECT phase, sum(n_tokens) AS phase_tokens FROM ph GROUP BY 1)
+         |SELECT ph.doc_id, ph.phase, ph.ppl, ph.n_tokens, pb.phase_tokens
+         |FROM ph JOIN pb USING (phase) ORDER BY ph.doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val pd = pdOf(scoredBigrams(docs))
+    val tc = pd.agg(
+      percentile($"mq".cast("double"), array(lit(OneThird), lit(TwoThirds)))
+        .as("ts"))
+      .select(element_at($"ts", 1).as("t1"), element_at($"ts", 2).as("t2"))
+    val ph = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .join(pd.select($"doc_id", $"mq"), Seq("doc_id"), "left")
+      .crossJoin(broadcast(tc))
+      .select($"doc_id", $"n_tokens",
+        when($"mq".isNull, "unscored")
+          .when($"mq".cast("double") >= $"t2", "easy")
+          .when($"mq".cast("double") < $"t1", "hard")
+          .otherwise("medium").as("phase"),
+        when($"mq".isNull, lit(null).cast("double"))
+          .otherwise(round(exp(-($"mq".cast("double") / 1000000.0)), 4))
+          .as("ppl"))
+    val pb = ph.groupBy($"phase").agg(sum($"n_tokens").as("phase_tokens"))
+    ph.join(broadcast(pb), Seq("phase"))
+      .select($"doc_id", $"phase", $"ppl", $"n_tokens", $"phase_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(perplexity, perplexityXval, bigramLm,
+    ngramNovelty, curriculum)
 }

@@ -112,4 +112,26 @@ class PerplexityOpsSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
     assert(lm.forall(_.getDouble(4) < 0.0))
   }
+
+  test("curriculum: terciles partition the corpus, phases order by difficulty") {
+    val rows = PerplexityOps.curriculum.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 500)
+    val byPhase = rows.groupBy(_._2)
+    assert(byPhase.keySet.subsetOf(Set("easy", "medium", "hard", "unscored")))
+    // tercile balance (interpolated thresholds allow boundary slack)
+    Seq("easy", "medium", "hard").foreach { p =>
+      val n = byPhase.get(p).map(_.length).getOrElse(0)
+      assert(n >= 130 && n <= 210, s"phase $p holds $n of 500")
+    }
+    // difficulty ordering: every easy doc scores lower ppl than every hard doc
+    val maxEasy = byPhase("easy").map(_._3).max
+    val minHard = byPhase("hard").map(_._3).min
+    assert(maxEasy <= minHard, s"easy max $maxEasy vs hard min $minHard")
+    // the phase budget column is the sum of its members' tokens
+    byPhase.foreach { case (_, rs) =>
+      assert(rs.forall(_._5 == rs.map(_._4).sum)) }
+  }
 }
