@@ -160,6 +160,56 @@ object CompositionOps {
           .cast("long"))
   }
 
+  /** Redaction placeholder per PII family — typed markers (not blank)
+    * so downstream consumers can count/condition on what was removed. */
+  private val PiiMarkers: Seq[(String, String, String)] = Seq(
+    ("n_emails", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("n_urls", "https?://[^\\s]+", "<URL>"),
+    ("n_phones", "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]", "<PHONE>"),
+    ("n_ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+
+  /** PII REDACTION — the apply step after [[piiScan]]'s count: every
+    * pattern family replaced by its typed marker, in a fixed family
+    * order (emails → urls → phones → ips, so a URL containing an email
+    * is consumed by the email rule first — the order is part of the
+    * contract and the oracle replays it). Emits per-doc counts, the
+    * redacted text's digest (text itself never needs to leave the
+    * executor — the digest is the proof), and `clean_after`: a re-scan
+    * of the REDACTED text proving no pattern survived its own redaction.
+    * Map-only, codegen'd regex chain, no shuffle. */
+  val piiRedact: QueryDef = QueryDef(
+    "llm_pii_redact",
+    s"""WITH r AS (SELECT doc_id,
+       |${PiiMarkers.map { case (n, p, _) =>
+            s"       len(regexp_extract_all(text, '$p'))::BIGINT AS $n,"
+          }.mkString("\n")}
+       |       ${PiiMarkers.foldLeft("text") { case (acc, (_, p, m)) =>
+                  s"regexp_replace($acc, '$p', '$m', 'g')" }} AS red
+       |FROM documents)
+       |SELECT doc_id, ${PiiMarkers.map(_._1).mkString(", ")},
+       |       md5(red) AS redacted_digest,
+       |       CAST(CASE WHEN ${PiiMarkers.map { case (_, p, _) =>
+                s"len(regexp_extract_all(red, '$p')) = 0"
+              }.mkString(" AND ")}
+       |            THEN 1 ELSE 0 END AS BIGINT) AS clean_after
+       |FROM r ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) => piiRedactOf(Tables.documents(spark, dir)) }
+
+  /** The [[piiRedact]] plan, extracted for the planted-PII spec. */
+  private[graft] def piiRedactOf(docs: DataFrame): DataFrame = {
+    val red = PiiMarkers.foldLeft($"text") { case (acc, (_, p, m)) =>
+      regexp_replace(acc, p, m) }
+    val counts = PiiMarkers.map { case (n, p, _) =>
+      size(regexp_extract_all($"text", lit(p), lit(0))).cast("long").as(n) }
+    docs.select(($"doc_id" +: counts) :+ red.as("red"): _*)
+      .select($"doc_id" +: PiiMarkers.map(m => $"${m._1}") :+
+        md5($"red").as("redacted_digest") :+
+        PiiMarkers.map { case (_, p, _) =>
+          size(regexp_extract_all($"red", lit(p), lit(0))) === 0 }
+          .reduce(_ && _).cast("long").as("clean_after"): _*)
+      .orderBy($"doc_id")
+  }
+
   /** The corpus QUALITY GATE — the one verdict row per document a
     * pipeline acts on, fusing three independent signal families the
     * engine already computes: the bigram-LM worst-decile perplexity flag
@@ -299,6 +349,6 @@ object CompositionOps {
       .select($"doc_id", $"lang", $"boost_e6", $"n_copies")
       .orderBy($"doc_id")
 
-  val all: Seq[QueryDef] = Seq(domainMix, domainKl, piiScan, qualityGate,
-    mixResample)
+  val all: Seq[QueryDef] = Seq(domainMix, domainKl, piiScan, piiRedact,
+    qualityGate, mixResample)
 }

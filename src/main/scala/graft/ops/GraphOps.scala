@@ -652,7 +652,80 @@ object GraphOps {
     labelPropOf(cooccurEdges(Tables.lineitem(spark, dir)), LpRounds)
   }
 
+  /** MODULARITY of the [[labelProp]] partition — the number that says
+    * whether the communities MEAN anything: Q = Σ_c [e_c/m − (d_c/2m)²]
+    * (Newman 2006), per community the fraction of edges inside it minus
+    * the fraction expected under random wiring at the same degrees.
+    * Q ≈ 0 → no better than random; Q ≳ 0.3 → real structure. Emits the
+    * per-community decomposition (members, internal edges, total degree,
+    * quantized contribution) plus the headline Q on every row.
+    *
+    * All inputs are exact integers (edge counts, degree sums); each
+    * community's term is one float expression quantized to a 1e-9 BIGINT
+    * before the total, so Q is exact integer addition cross-engine. Cost
+    * on top of [[labelProp]]: two label-keyed joins of the edge list and
+    * two community-keyed aggregates — label state stays one row per
+    * node. */
+  val modularity: QueryDef = QueryDef(
+    "graph_modularity",
+    s"""${labelPropCtes(LpRounds)},
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+       |ein AS (SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+       |        FROM pairs p JOIN l$LpRounds la ON p.p1 = la.p
+       |             JOIN l$LpRounds lb ON p.p2 = lb.p
+       |        WHERE la.lbl = lb.lbl GROUP BY 1),
+       |dtot AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS d_tot,
+       |                CAST(count(DISTINCT u) AS BIGINT) AS n_members
+       |         FROM und JOIN l$LpRounds l ON und.u = l.p GROUP BY 1),
+       |terms AS (SELECT dtot.community, dtot.n_members,
+       |                 coalesce(ein.e_in, 0) AS e_in, dtot.d_tot,
+       |                 CAST(round((CAST(coalesce(ein.e_in, 0) AS DOUBLE) / mm.m
+       |                             - (CAST(dtot.d_tot AS DOUBLE) / (2 * mm.m))
+       |                               * (CAST(dtot.d_tot AS DOUBLE) / (2 * mm.m)))
+       |                            * 1000000000) AS BIGINT) AS contrib_e9
+       |          FROM dtot LEFT JOIN ein ON dtot.community = ein.community, mm),
+       |qt AS (SELECT sum(contrib_e9) AS q_e9 FROM terms)
+       |SELECT t.community, t.n_members, t.e_in, t.d_tot, t.contrib_e9,
+       |       round(CAST(qt.q_e9 AS DOUBLE) / 1000000000.0, 6) AS q
+       |FROM terms t, qt ORDER BY t.community""".stripMargin,
+  ) { (spark, dir) =>
+    modularityOf(cooccurEdges(Tables.lineitem(spark, dir)), LpRounds)
+  }
+
+  /** The modularity readout over any canonical (p1 < p2) edge list and
+    * its [[labelPropOf]] partition — extracted for the two-clique spec
+    * (near-perfect split scores high; one-blob scores ~0). */
+  private[graft] def modularityOf(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = graft.Caches.persist(edges.select($"p1", $"p2"))
+    val lbl = graft.Caches.persist(
+      labelPropOf(e, rounds).select($"node", $"community"))
+    val mm = e.agg(count(lit(1)).as("m"))
+    val ein = e
+      .join(lbl.select($"node".as("p1"), $"community".as("ca")), "p1")
+      .join(lbl.select($"node".as("p2"), $"community".as("cb")), "p2")
+      .filter($"ca" === $"cb")
+      .groupBy($"ca".as("community")).agg(count(lit(1)).as("e_in"))
+    val und = e.select($"p1".as("u")).union(e.select($"p2".as("u")))
+    val dtot = und.join(lbl.select($"node".as("u"), $"community"), "u")
+      .groupBy($"community")
+      .agg(count(lit(1)).as("d_tot"), countDistinct($"u").as("n_members"))
+    val terms = dtot.join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(mm))
+      .select($"community", $"n_members",
+        coalesce($"e_in", lit(0L)).as("e_in"), $"d_tot",
+        round((coalesce($"e_in", lit(0L)).cast("double") / $"m"
+          - ($"d_tot".cast("double") / (lit(2) * $"m"))
+            * ($"d_tot".cast("double") / (lit(2) * $"m"))) * 1000000000L)
+          .cast("long").as("contrib_e9"))
+    val qt = terms.agg(sum($"contrib_e9").as("q_e9"))
+    terms.crossJoin(broadcast(qt))
+      .select($"community", $"n_members", $"e_in", $"d_tot", $"contrib_e9",
+        round($"q_e9".cast("double") / 1000000000.0, 6).as("q"))
+      .orderBy($"community")
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, bfsLevels, adamicAdar,
-      adamicAdarCapped, clusterCoeff, components, kcore, labelProp)
+      adamicAdarCapped, clusterCoeff, components, kcore, labelProp,
+      modularity)
 }

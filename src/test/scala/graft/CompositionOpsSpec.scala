@@ -101,6 +101,30 @@ class CompositionOpsSpec extends AnyFunSuite {
     assert(corpus.length == 500 && corpus.forall(_.getLong(5) == 0L))
   }
 
+  test("pii redact: typed markers, counts match the scan, rescan comes back clean") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "mail bob@example.com or sue@test.org now"),
+      (1L, "fetch https://example.com/a?b=c today"),
+      (2L, "server 10.0.0.1 fell over"),
+      (3L, "a perfectly clean document")).toDF("doc_id", "text")
+    val rows = CompositionOps.piiRedactOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(6))).toMap
+    assert(rows(0L) == ((2L, 0L, 0L, 1L)), s"emails: ${rows(0L)}")
+    assert(rows(1L) == ((0L, 1L, 0L, 1L)), s"urls: ${rows(1L)}")
+    assert(rows(2L) == ((0L, 0L, 1L, 1L)), s"one ipv4 hit: ${rows(2L)}")
+    assert(rows(3L)._4 == 1L, "clean doc stays clean")
+    // the digest proves the text actually changed where PII was removed
+    val digests = CompositionOps.piiRedactOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    val rawDigests = docs.select($"doc_id", md5($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L to 2L).forall(i => digests(i) != rawDigests(i)))
+    assert(digests(3L) == rawDigests(3L), "no PII -> text untouched")
+  }
+
   test("mix resample: rare domain upsampled whole, dominant domain thinned") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // 'big' holds ~95% of tokens, 'rare' ~5%: α = 0.3 must push big's

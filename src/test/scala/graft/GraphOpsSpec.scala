@@ -266,6 +266,24 @@ class GraphOpsSpec extends AnyFunSuite {
       s"both communities have 4 members: $rows")
   }
 
+  test("modularity: bridged cliques score high, one blob scores zero") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val two = (k4a ++ k4b :+ ((4L, 11L))).toDF("p1", "p2")
+    val rows = GraphOps.modularityOf(two, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(rows.length == 2, s"two communities: ${rows.toSeq}")
+    assert(rows.forall(_._2 == 4L))
+    assert(rows.forall(_._3 == 6L), "each K4's 6 edges are internal")
+    assert(rows.head._4 > 0.3, s"real structure must score: ${rows.head._4}")
+    // one community holding everything: e_c/m = 1 and (d_c/2m)^2 = 1 -> Q = 0
+    val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toDF("p1", "p2")
+    val blob = GraphOps.modularityOf(k5, 4).collect()
+    assert(blob.length == 1 && blob.head.getDouble(5) == 0.0,
+      s"single-community Q must be exactly 0: ${blob.toSeq}")
+  }
+
   test("label propagation is deterministic under tie pressure") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // a 4-cycle is all ties (each node sees two equal-count labels every
