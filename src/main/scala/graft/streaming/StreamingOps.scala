@@ -321,6 +321,138 @@ object StreamingOps {
     cmsAgg(Tables.events(spark, dir)).orderBy($"i", $"j")
   }
 
+  /** Typed row for the CDC apply path. */
+  final case class CdcEvent(user_id: Long, ts_us: Long, event_id: Long,
+      value: Double)
+
+  /** CDC APPLY — materialize the LATEST value per key from a change
+    * stream (last-writer-wins by event time, ties to the higher
+    * event_id: the later sequence number is the later change). The SAME
+    * fold runs in batch (each key seen once, complete) and on a stream,
+    * where the state store carries each key's current winner across
+    * micro-batches and every batch emits the refreshed row (update-mode
+    * consumers upsert it — the standard CDC-to-serving-table shape).
+    * State is one (ts_us, event_id, value) triple per live key, and an
+    * event-time timeout would evict keys idle past the horizon on an
+    * unbounded stream. The comparison is arrival-order independent (max
+    * by a total order), so batch, stream, and the oracle's window
+    * ranking agree exactly. */
+  def cdcLatest(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val evEnc: Encoder[CdcEvent] = Encoders.product[CdcEvent]
+    implicit val stEnc: Encoder[(Long, Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val outEnc: Encoder[(Long, Long, Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaDouble)
+    events
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+      .as[CdcEvent]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[(Long, Long, Double), (Long, Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[CdcEvent], state: GroupState[(Long, Long, Double)]) =>
+          var cur = state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0.0))
+          evs.foreach { e =>
+            if (e.ts_us > cur._1 || (e.ts_us == cur._1 && e.event_id > cur._2))
+              cur = (e.ts_us, e.event_id, e.value)
+          }
+          state.update(cur)
+          (uid, cur._1, cur._2, cur._3)
+      }
+      .toDF("user_id", "last_ts_us", "last_event_id", "last_value")
+  }
+
+  /** Batch twin of [[cdcLatest]], oracle-ranked by the identical
+    * (ts DESC, event_id DESC) total order. */
+  val cdc: QueryDef = QueryDef(
+    "stream_cdc_latest",
+    """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+      |       event_id AS last_event_id, value AS last_value
+      |FROM (SELECT user_id, ts, event_id, value,
+      |             row_number() OVER (PARTITION BY user_id
+      |                    ORDER BY ts DESC, event_id DESC) AS rk
+      |      FROM events) WHERE rk = 1
+      |ORDER BY user_id""".stripMargin,
+  ) { (spark, dir) =>
+    cdcLatest(Tables.events(spark, dir)).orderBy($"user_id")
+  }
+
+  private val PsiW = 10.0 // event-value band width for the drift monitor
+
+  /** Stage 1 of the streaming drift monitor: per (1-hour window, value
+    * band) counts — the one STATEFUL operator, shared verbatim by the
+    * batch twin and the stream (state bounded by windows-in-horizon ×
+    * bands). */
+  def psiWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window($"ts", "1 hour").as("w"),
+        floor($"value" / PsiW).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** STREAMING drift monitor — PSI of each event-time hour's value
+    * distribution against the whole-corpus reference: the per-window
+    * form of `dq_psi_drift` (which compares two static cohorts), i.e.
+    * "did THIS hour's traffic shift?" — the pager alert, not the
+    * postmortem. Stage 1 ([[psiWindowAgg]]) is the only stateful piece
+    * and is spec-proven stream ≡ batch; everything after — reference
+    * proportions, Laplace smoothing over the reference band set,
+    * 1e-6-quantized contributions, the per-window rollup — is stateless
+    * arithmetic over tiny aggregates (bands × windows), exactly the
+    * work a `foreachBatch` finisher runs on each micro-batch's output.
+    * A window missing a reference band contributes its smoothed term
+    * (n = 0), so sparse hours score honestly high. */
+  val psi: QueryDef = QueryDef(
+    "stream_psi",
+    s"""WITH wb AS (SELECT date_trunc('hour', ts) AS ws,
+       |                   CAST(floor(value / $PsiW) AS BIGINT) AS bucket,
+       |                   count(*) AS n
+       |            FROM events GROUP BY 1, 2),
+       |ref AS (SELECT CAST(floor(value / $PsiW) AS BIGINT) AS bucket,
+       |               count(*) AS n_ref
+       |        FROM events GROUP BY 1),
+       |rt AS (SELECT sum(n_ref) AS tot_ref, CAST(count(*) AS BIGINT) AS k FROM ref),
+       |wt AS (SELECT ws, sum(n) AS tot_w FROM wb GROUP BY 1),
+       |gx AS (SELECT wt.ws, wt.tot_w, ref.bucket, ref.n_ref,
+       |              coalesce(wb.n, 0) AS n
+       |       FROM wt CROSS JOIN ref
+       |            LEFT JOIN wb ON wb.ws = wt.ws AND wb.bucket = ref.bucket),
+       |terms AS (SELECT ws, tot_w,
+       |                 CAST(round(((CAST(n + 1 AS DOUBLE) / (tot_w + rt.k))
+       |                             - (CAST(n_ref + 1 AS DOUBLE) / (rt.tot_ref + rt.k)))
+       |                            * ln((CAST(n + 1 AS DOUBLE) / (tot_w + rt.k))
+       |                                 / (CAST(n_ref + 1 AS DOUBLE) / (rt.tot_ref + rt.k)))
+       |                            * 1000000) AS BIGINT) AS c_e6
+       |          FROM gx, rt)
+       |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       |       CAST(max(tot_w) AS BIGINT) AS n_events,
+       |       round(CAST(sum(c_e6) AS DOUBLE) / 1000000.0, 6) AS psi
+       |FROM terms GROUP BY ws ORDER BY window_start""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val wb = psiWindowAgg(ev)
+      .select($"w.start".as("ws"), $"bucket", $"n")
+    val ref = ev.groupBy(floor($"value" / PsiW).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_ref"))
+    val rt = ref.agg(sum($"n_ref").as("tot_ref"), count(lit(1)).as("k"))
+    val wt = wb.groupBy($"ws").agg(sum($"n").as("tot_w"))
+    val gx = wt.crossJoin(broadcast(ref))
+      .join(wb, Seq("ws", "bucket"), "left")
+      .select($"ws", $"tot_w", $"n_ref", coalesce($"n", lit(0L)).as("n"))
+      .crossJoin(broadcast(rt))
+    val pw = ($"n" + 1).cast("double") / ($"tot_w" + $"k")
+    val pr = ($"n_ref" + 1).cast("double") / ($"tot_ref" + $"k")
+    gx.select($"ws", $"tot_w",
+        round((pw - pr) * log(pw / pr) * 1000000).cast("long").as("c_e6"))
+      .groupBy($"ws")
+      .agg(max($"tot_w").as("n_events"),
+        round(sum($"c_e6").cast("double") / 1000000.0, 6).as("psi"))
+      .select(date_format($"ws", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"n_events", $"psi")
+      .orderBy($"window_start")
+  }
+
   /** One (doc, band) row with the band's raw MinHash signature tuple. */
   final case class BandRow(doc_id: Long, band: Int,
       s0: Long, s1: Long, s2: Long, s3: Long)
@@ -394,5 +526,5 @@ object StreamingOps {
   }
 
   val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
-    customSession, enriched, attribution, cms, neardup)
+    customSession, enriched, attribution, cms, neardup, cdc, psi)
 }

@@ -365,6 +365,66 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(row.getLong(0) == slice.length.toLong)
   }
 
+  test("CDC latest-value state upserts across micro-batches and matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def ev(id: Long, user: Long, min: Int, v: Double) = Ev(id,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), user, "upd", v)
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.cdcLatest(stream.toDF())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(ev(1, 7, 5, 1.0), ev(2, 8, 6, 2.0))
+      q.processAllAvailable()
+      // batch 2: user 7 updated later; user 8 gets a LATE event (must lose);
+      // same-ts tie for user 9 resolves to the higher event_id
+      stream.addData(ev(3, 7, 30, 9.0), ev(4, 8, 1, 5.0),
+        ev(5, 9, 40, 3.0), ev(6, 9, 40, 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update-mode memory sink: keep each user's LAST emitted row
+    val streamed = spark.table("cdc_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.last }.values.toSeq
+      .sortBy(_._1)
+    val batch = StreamingOps.cdcLatest(
+      Seq(ev(1, 7, 5, 1.0), ev(2, 8, 6, 2.0), ev(3, 7, 30, 9.0),
+        ev(4, 8, 1, 5.0), ev(5, 9, 40, 3.0), ev(6, 9, 40, 4.0)).toDF())
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    val byUser = batch.map(r => r._1 -> r._4).toMap
+    assert(byUser(7L) == 9.0, "later event wins")
+    assert(byUser(8L) == 2.0, "late-arriving older event must not regress state")
+    assert(byUser(9L) == 4.0, "same-ts tie resolves to higher event_id")
+  }
+
+  test("streaming PSI stage: windowed band counts equal the batch stage") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val slice = boundedSlice()
+    val stream = MemoryStream[Ev]
+    stream.addData(slice)
+    val agg = StreamingOps.psiWindowAgg(
+      stream.toDF().withWatermark("ts", "2 hours"))
+    val q = agg.writeStream.format("memory").queryName("psi_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("psi_out")
+      .select($"w.start", $"bucket", $"n")
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val batch = StreamingOps.psiWindowAgg(
+      io.Tables.events(spark, sf)
+        .filter($"ts" < to_timestamp(lit("2024-01-03 00:00:00"))))
+      .select($"w.start", $"bucket", $"n")
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming LSH ingest dedup: batch-2 arrival collides with its batch-1 anchor") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
