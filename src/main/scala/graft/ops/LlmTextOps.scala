@@ -1515,13 +1515,32 @@ object LlmTextOps {
     * [[bpeEncode]] (tokenizer application), and extracted so the fixture
     * spec drives the registered queries' real loop (weighting, tiebreaks,
     * greedy merge) on hand-checkable data. */
+  /** Distinct-word symbol table `(w, syms, wc)` over any text frame —
+    * the BPE training/application state. */
+  private def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .select($"w", transform(sequence(lit(1), length($"w")),
+        i => $"w".substr(i, lit(1))).as("syms"), $"wc")
+
+  /** APPLY a learned merge sequence to a fresh word table — the
+    * tokenizer-application path for words the training corpus never saw
+    * (the [[bpeEval]] held-out side). Empty winner rounds (pair
+    * exhaustion) are skipped, the [[bpeLoop]] rule. */
+  private[graft] def bpeApply(words: DataFrame, merges: Seq[DataFrame]): DataFrame = {
+    var w = graft.Caches.localCheckpoint(words)
+    merges.foreach { m =>
+      if (!m.isEmpty)
+        w = graft.Caches.localCheckpoint(
+          w.crossJoin(broadcast(m.select($"p1".as("mp1"), $"p2".as("mp2"))))
+            .select($"w", mergePair($"syms", $"mp1", $"mp2").as("syms"), $"wc"))
+    }
+    w
+  }
+
   private[graft] def bpeLoop(docs: DataFrame, k: Int): (Seq[DataFrame], DataFrame) = {
-    var words = graft.Caches.localCheckpoint(
-      docs.select(explode(tokens).as("w"))
-        .filter(length($"w") > 0)
-        .groupBy($"w").agg(count(lit(1)).as("wc"))
-        .select($"w", transform(sequence(lit(1), length($"w")),
-          i => $"w".substr(i, lit(1))).as("syms"), $"wc"))
+    var words = graft.Caches.localCheckpoint(wordTable(docs))
     val merges = (1 to k).map { r =>
       val pairCounts = words.filter(size($"syms") >= 2)
         .select($"wc", explode(transform(sequence(lit(1), size($"syms") - 1),
@@ -1545,6 +1564,67 @@ object LlmTextOps {
     (merges, words)
   }
 
+  /** HELD-OUT tokenizer evaluation — the overfit check every trained
+    * tokenizer ships with: train the [[BpeMerges]]-round merge table on
+    * the EVEN-doc_id half only, apply it to both halves ([[bpeApply]]
+    * encodes words the training half never saw, starting from
+    * characters), and compare per-split fertility (chars per token). A
+    * merge table that only memorized its training vocabulary shows a
+    * held-out compression cliff; one that learned real subword structure
+    * compresses both splits similarly — the gap IS the readout. Scale
+    * shape: both symbol tables are vocab-sized; application is the same
+    * broadcast 1-row-per-round rewrite as training; the readout joins
+    * each split's token stream to its broadcast word table. */
+  val bpeEval: QueryDef = QueryDef(
+    "llm_bpe_eval",
+    bpeCtes(BpeMerges, " WHERE doc_id % 2 = 0") + ",\n" +
+      s"""hw0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |              FROM documents WHERE doc_id % 2 = 1)
+         |        WHERE len(w) > 0 GROUP BY w),
+         |hr0 AS (SELECT w, '#' || array_to_string([w[i] for i in range(1, len(w)+1)], '##') || '#' AS t, wc
+         |        FROM hw0),
+         |${(1 to BpeMerges).map(i =>
+              s"""hr$i AS (SELECT r.w, replace(r.t, '#' || b.p1 || '##' || b.p2 || '#',
+                 |                        '#' || b.p1 || b.p2 || '#') AS t, r.wc
+                 |         FROM hr${i - 1} r, tp$i b)""".stripMargin).mkString(",\n")},
+         |ttok AS (SELECT w, CAST(len(string_split(trim(t, '#'), '##')) AS BIGINT) AS ntok
+         |         FROM rr$BpeMerges),
+         |htok AS (SELECT w, CAST(len(string_split(trim(t, '#'), '##')) AS BIGINT) AS ntok
+         |         FROM hr$BpeMerges),
+         |tws AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |                       FROM documents WHERE doc_id % 2 = 0) WHERE len(w) > 0),
+         |hws AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |                       FROM documents WHERE doc_id % 2 = 1) WHERE len(w) > 0)
+         |SELECT * FROM (
+         |  SELECT 'heldout' AS split, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |         CAST(sum(len(w)) AS BIGINT) AS n_chars,
+         |         round(CAST(sum(len(w)) AS DOUBLE) / sum(ntok), 4) AS chars_per_token
+         |  FROM hws JOIN htok USING (w)
+         |  UNION ALL
+         |  SELECT 'train', CAST(count(*) AS BIGINT), CAST(sum(ntok) AS BIGINT),
+         |         CAST(sum(len(w)) AS BIGINT),
+         |         round(CAST(sum(len(w)) AS DOUBLE) / sum(ntok), 4)
+         |  FROM tws JOIN ttok USING (w))
+         |ORDER BY split""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(pmod($"doc_id", lit(2)) === 0)
+    val held = docs.filter(pmod($"doc_id", lit(2)) === 1)
+    val (merges, tw) = bpeLoop(train, BpeMerges)
+    val hw = bpeApply(wordTable(held), merges)
+    def readout(split: String, stream: DataFrame, wtab: DataFrame) =
+      stream.select(explode(tokens).as("w")).filter(length($"w") > 0)
+        .join(broadcast(wtab.select($"w", size($"syms").cast("long").as("ntok"))), "w")
+        .agg(count(lit(1)).as("n_words"), sum($"ntok").as("n_tokens"),
+          sum(length($"w")).cast("long").as("n_chars"))
+        .select(lit(split).as("split"), $"n_words", $"n_tokens", $"n_chars",
+          round($"n_chars".cast("double") / $"n_tokens", 4).as("chars_per_token"))
+    readout("heldout", held, hw).unionAll(readout("train", train, tw))
+      .orderBy($"split")
+  }
+
   /** See [[bpeTrain]]. */
   private[graft] def bpeTrainOf(docs: DataFrame, k: Int): DataFrame =
     bpeLoop(docs, k)._1.reduce(_ unionAll _).orderBy($"round")
@@ -1556,7 +1636,7 @@ object LlmTextOps {
     * BPE merge — sound because the corpus vocabulary is purely alphabetic
     * (asserted nothing contains '#'), so a pattern can never straddle a
     * token boundary. */
-  private def bpeCtes(k: Int): String = {
+  private def bpeCtes(k: Int, srcWhere: String = ""): String = {
     val rounds = (1 to k).map { i =>
       s"""pc$i AS (SELECT u['p1'] AS p1, u['p2'] AS p2, CAST(sum(wc) AS BIGINT) AS n
          |         FROM (SELECT string_split(trim(t, '#'), '##') AS l, wc FROM rr${i - 1}),
@@ -1568,7 +1648,7 @@ object LlmTextOps {
          |         FROM rr${i - 1} r, tp$i b)""".stripMargin
     }.mkString(",\n")
     s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
-       |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents$srcWhere)
        |            WHERE len(w) > 0 GROUP BY w),
        |rr0 AS (SELECT w, '#' || array_to_string([w[i] for i in range(1, len(w)+1)], '##') || '#' AS t, wc
        |        FROM w0),
@@ -1835,7 +1915,7 @@ object LlmTextOps {
     entropy, neardupJaccard, minhashSig, minhashLsh, minhashSweep, simhash,
     simhashPairs,
     dedupCluster, dedupClusterLs, dedupConsensus, incrementalDedup,
-    dupChunks, dupSpans, chunkSplit, bpePairs, bpeTrain, bpeEncode,
+    dupChunks, dupSpans, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
   )
 

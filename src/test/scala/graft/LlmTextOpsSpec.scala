@@ -343,6 +343,39 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(r1.getLong(3) == 10L, s"five tokens covered per run: $r1")
   }
 
+  test("bpe apply encodes unseen words from characters; eval splits are sane") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // train on a corpus where 'ab' dominates; apply to words never seen
+    val train = Seq(Tuple1("abab abab ab cd")).toDF("text")
+    val (merges, _) = LlmTextOps.bpeLoop(train, 2)
+    val held = Seq((1L, "abcd zz")).toDF("doc_id", "text")
+    val hw = LlmTextOps.bpeApply(
+      held.select(org.apache.spark.sql.functions.split($"text", " ").as("ts"))
+        .select(explode($"ts").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+        .select($"w", transform(sequence(lit(1), length($"w")),
+          i => $"w".substr(i, lit(1))).as("syms"), $"wc"),
+      merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // 'ab' merged first, so unseen 'abcd' becomes [ab, c, d] (or [ab, cd]
+    // if cd won round 2) — either way the learned merge applies to a word
+    // training never saw; 'zz' stays characters
+    assert(hw("abcd").head == "ab", s"learned merge must apply: ${hw("abcd")}")
+    assert(hw("zz") == Seq("z", "z"), s"no merge learned for zz: ${hw("zz")}")
+    // corpus-level eval: both splits share the vocabulary, so fertility
+    // must be close (no memorization cliff) and compression must be real
+    val rows = LlmTextOps.bpeEval.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(rows.keySet == Set("heldout", "train"))
+    rows.values.foreach { case (toks, chars, cpt) =>
+      assert(toks < chars, "merges must compress below 1 char/token")
+      assert(cpt > 1.0)
+    }
+    val gap = math.abs(rows("heldout")._3 - rows("train")._3)
+    assert(gap < 0.05, s"shared-vocab splits must not show a cliff: $rows")
+  }
+
   test("normalize-then-hash dedup collapses case/punct/spacing variants") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val docs = Seq(
