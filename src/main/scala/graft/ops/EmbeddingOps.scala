@@ -89,6 +89,11 @@ object EmbeddingOps {
 
   /** Brute-force top-k plan — extracted so [[cosineTopK]] and the recall
     * readout ([[annRecall]]) run the identical shipped plan. */
+  /** [[exactTopK]] for sibling ops ([[MultimodalOps.crossmodalFetch]]'s
+    * vector channel). */
+  private[graft] def exactTopKPlan(spark: SparkSession, dir: String): DataFrame =
+    exactTopK(spark, dir)
+
   private def exactTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
     val q = e.filter($"vec_id" < NQueries)

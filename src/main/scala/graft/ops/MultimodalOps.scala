@@ -294,6 +294,77 @@ object MultimodalOps {
       .orderBy($"doc_id")
   }
 
+  /** PAYLOAD-level dedup — the first stage of any multimodal ingest:
+    * byte-identical assets (the same image re-hosted on a thousand pages)
+    * collapse on their binary digest BEFORE any decode spends a cycle,
+    * and the readout prices the win: `bytes_saved` = what the asset
+    * store shrinks by keeping one copy. The digest is computed on the
+    * payload BYTES (the stub payload is utf-8 text, so the oracle
+    * digests the source string — identical bytes, identical md5); only
+    * (digest, doc_id, length) ever shuffles, never the payload. */
+  val payloadDedup: QueryDef = QueryDef(
+    "mm_payload_dedup",
+    """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+      |       count(*) AS n_copies,
+      |       CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+      |       CAST((count(*) - 1) * min(octet_length(encode(text))) AS BIGINT) AS bytes_saved
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+  ) { (spark, dir) => payloadDedupOf(mediaTable(spark, dir)) }
+
+  /** The [[payloadDedup]] plan over any (doc_id, payload) frame —
+    * extracted so the spec can plant byte-identical assets. */
+  private[graft] def payloadDedupOf(media: DataFrame): DataFrame =
+    media
+      .select($"doc_id", md5($"payload").as("digest"),
+        length($"payload").cast("long").as("nb"))
+      .groupBy($"digest")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        min($"nb").as("n_bytes"))
+      .select($"digest", $"keep_id", $"n_copies", $"n_bytes",
+        (($"n_copies" - 1) * $"n_bytes").as("bytes_saved"))
+      .orderBy($"keep_id")
+
+  /** CROSS-MODAL serving fetch — the query path a retrieval deployment
+    * actually runs: a vector search produces (query, hit) pairs, and each
+    * hit immediately fetches its asset's METADATA (type, dimensions,
+    * payload size) for the response — without ever shipping the payload.
+    * The vector channel is the exact cosine top-k (the audited baseline
+    * plan); the metadata join is doc-keyed against the payload-free
+    * projection, so the serving join moves kilobytes at any corpus
+    * size. */
+  val crossmodalFetch: QueryDef = QueryDef(
+    "mm_crossmodal_fetch",
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT vec_id, v,
+      |             sqrt(list_sum([v[i]*v[i] for i in range(1, len(v)+1)])) AS nrm
+      |      FROM e0),
+      |q AS (SELECT * FROM e WHERE vec_id < 5),
+      |s AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+      |             list_sum([q.v[i]*e.v[i] for i in range(1, len(q.v)+1)]) / (q.nrm * e.nrm) AS sim
+      |      FROM q JOIN e ON q.vec_id <> e.vec_id),
+      |r AS (SELECT q_id, vec_id, sim,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+      |      FROM s)
+      |SELECT r.q_id, CAST(r.rk AS BIGINT) AS rank, r.vec_id,
+      |       CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |       CAST(64 + (d.doc_id % 8) * 16 AS BIGINT) AS width,
+      |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+      |FROM r JOIN documents d ON r.vec_id = d.doc_id
+      |WHERE r.rk <= 10
+      |ORDER BY r.q_id, r.rk""".stripMargin,
+  ) { (spark, dir) =>
+    val meta = mediaTable(spark, dir)
+      .select($"doc_id".as("vec_id"), $"meta.media_type".as("media_type"),
+        $"meta.width".cast("long").as("width"),
+        length($"payload").cast("long").as("n_bytes"))
+    EmbeddingOps.exactTopKPlan(spark, dir)
+      .select($"q_id", $"rank", $"vec_id")
+      .join(meta, Seq("vec_id"))
+      .select($"q_id", $"rank", $"vec_id", $"media_type", $"width", $"n_bytes")
+      .orderBy($"q_id", $"rank")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(bytesStats, metaFilter, frameSample, decodeMeta, features)
+    Seq(bytesStats, metaFilter, frameSample, decodeMeta, features,
+      payloadDedup, crossmodalFetch)
 }

@@ -97,4 +97,20 @@ class MultimodalOpsSpec extends AnyFunSuite {
     // ASCII corpus: utf-8 byte length == char length
     rows.foreach(r => assert(r.getLong(1) == docs(r.getLong(0))))
   }
+
+  test("payload dedup collapses byte-identical assets and prices the saving") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions._
+    // three byte-identical 8-byte assets + one distinct → one group of 3
+    // saving 2×8 bytes, one singleton saving 0
+    val media = Seq((1L, "AAAAAAAA"), (2L, "AAAAAAAA"), (3L, "AAAAAAAA"),
+      (9L, "BBBB")).toDF("doc_id", "s")
+      .select($"doc_id", encode($"s", "UTF-8").as("payload"))
+    val rows = MultimodalOps.payloadDedupOf(media).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet == Set(1L, 9L))
+    assert(rows(1L) == ((3L, 8L, 16L)), s"triple: ${rows(1L)}")
+    assert(rows(9L) == ((1L, 4L, 0L)), s"singleton saves nothing: ${rows(9L)}")
+  }
 }
