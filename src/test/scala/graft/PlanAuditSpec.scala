@@ -27,11 +27,27 @@ class PlanAuditSpec extends AnyFunSuite {
   test("top-k queries plan as TakeOrderedAndProject, not global sorts") {
     val topK = Seq("redshift_q1", "a7_top5_customers", "a7_top5_nested",
       "a5_top10_leaderboard", "sql_top_orders", "llm_bm25_rank",
-      "graph_pagerank")
+      "graph_pagerank", "llm_weighted_sample")
     topK.foreach { n =>
       assert(plans(n).contains("TakeOrderedAndProject"),
         s"$n lost its top-k plan")
     }
+  }
+
+  test("round-10 lanes broadcast their learned/small state, never the corpus") {
+    // codebooks (PQ), boosts (mix resample), thresholds (curriculum),
+    // lookup tables (ADC), band rows of the delta (incremental dedup),
+    // query probes (crossmodal fetch) — each is a tiny learned table that
+    // must plan as a broadcast against the corpus-sized side
+    Seq("llm_pq_encode", "llm_pq_adc", "llm_pq_ivf_adc", "llm_pq_recall",
+      "llm_mix_resample", "llm_curriculum", "llm_incremental_dedup",
+      "llm_ann_ndcg", "mm_crossmodal_fetch", "stream_psi").foreach { n =>
+      assert(plans(n).contains("Broadcast"), s"$n lost its broadcast")
+    }
+    // the per-doc span merge must stay partitioned by doc_id — a global
+    // window here would serialize the whole gram stream
+    assert(!plans("llm_dup_spans").contains("SinglePartition"),
+      "llm_dup_spans degraded to a single-partition window")
   }
 
   test("dimension joins broadcast the small side") {
