@@ -53,6 +53,11 @@ object Bench {
     // — but a warm-up far above the committed clean run's on identical code
     // makes the contention diagnosable per query after the fact.
     val warmups = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // Crashing queries must be LOUD (round-9 verdict: 15 queries crashed and
+    // only showed up as -1.0 sentinels): names land in a `failed` artifact
+    // field, mirroring Verify's queries.json manifest, so a crash can never
+    // read as merely "a fast query" in the artifact.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         // warm-up: JIT + codegen + file-footer caches; intra-query persists
@@ -73,7 +78,11 @@ object Bench {
           retimed += ((name, dt, dt2))
           name -> math.min(dt, dt2)
         } else name -> dt
-      } catch { case _: Throwable => name -> -1.0 }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name
+        name -> -1.0
+      }
       finally Caches.release()
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -84,10 +93,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val elapsed = (System.nanoTime() - wall0) / 1e9
+    // Contention self-label (round-9 verdict: two driver artifacts in a row
+    // were poisoned by a busy box and read as regressions): a loadavg already
+    // above cores/8 BEFORE the first query runs means the numbers measure
+    // contention, not the engine — flag the artifact so readers prefer the
+    // committed clean baseline.
+    val contended = loadAtStart > cores / 8.0
+    val fj = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""retimed":$rt,"warmups":$wus,"sf":"$sfDir","cores":$cores,""" +
-        s""""loadavg1":$loadAtStart,"loadavg1_end":$loadavg1,"elapsed_wall":$elapsed}"""
+        s""""retimed":$rt,"warmups":$wus,"failed":$fj,"sf":"$sfDir","cores":$cores,""" +
+        s""""loadavg1":$loadAtStart,"loadavg1_end":$loadavg1,""" +
+        s""""contended":$contended,"elapsed_wall":$elapsed}"""
     println(line)
     // stdout is the driver's channel but is truncation-prone under sbt; the
     // file is the durable copy of the same line.

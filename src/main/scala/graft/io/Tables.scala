@@ -18,24 +18,36 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.Sessions]]), so
-    * the raw column arrives as nanos-since-epoch LongType; normalize it here
-    * to a microsecond TimestampType every downstream operator can treat as a
-    * plain event-time column. Integer arithmetic (not `/`, which is double
-    * and loses precision above 2^53) keeps the truncation exact, and the
-    * `pmod` adjustment makes it a true FLOOR division so pre-epoch (negative)
-    * nanos round down to the earlier microsecond rather than toward zero.
+  /** Normalizes `events.ts` to a plain `TimestampType` event-time column no
+    * matter which parquet encoding a given testdata generation used, so every
+    * downstream operator (`unix_micros`, window frames, watermarks) sees one
+    * uniform type:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]); Sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as
+    *    nanos-since-epoch LongType. Integer arithmetic (not `/`, which is
+    *    double and loses precision above 2^53) keeps the truncation exact,
+    *    and the `pmod` adjustment makes it a true FLOOR division so pre-epoch
+    *    (negative) nanos round down to the earlier microsecond.
+    *  - timestamp[us] without isAdjustedToUTC: Spark reads TIMESTAMP_NTZ.
+    *    The session timezone is pinned UTC ([[graft.Sessions]]), so casting
+    *    to TimestampType reinterprets the same wall-clock micros as the same
+    *    UTC instant — bit-identical to what DuckDB (naive-UTC) computes on
+    *    the same file, keeping the oracles aligned.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts",
-        timestamp_micros(expr("(ts - pmod(ts, 1000L)) DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000L)) DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")

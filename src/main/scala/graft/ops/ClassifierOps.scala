@@ -39,7 +39,10 @@ import graft.io.Tables
   *    argument is the identical rational in both engines; its result
   *    rounds to 6 dp immediately (the [[PerplexityOps]] convention);
   *  - per-(doc, bucket) gradient terms and per-doc log-loss terms
-  *    quantize to 1e-9 / 1e-6 BIGINTs BEFORE their shuffled sums.
+  *    quantize to 1e-9 / 1e-6 BIGINTs BEFORE their shuffled sums, via
+  *    `floor(x·scale + 0.5)` rather than `round()`: floor on a double is
+  *    the identical IEEE op in Spark and DuckDB, while their `round`s
+  *    disagree by one ulp of the quantum on exact `.5` boundaries.
   */
 object ClassifierOps {
 
@@ -130,8 +133,8 @@ object ClassifierOps {
       scores = graft.Caches.persist(scoresOf(feat, lab, w))
       curve += scores
         .select($"y",
-          round((-($"y" * log(sc) + (lit(1.0) - $"y") * log(lit(1.0) - sc)))
-            * 1000000).cast("long").as("lq"),
+          floor((-($"y" * log(sc) + (lit(1.0) - $"y") * log(lit(1.0) - sc)))
+            * 1000000 + lit(0.5)).cast("long").as("lq"),
           (($"s" >= 0.5).cast("long") === $"y").cast("long").as("ok"))
         .agg(sum($"lq").as("slq"), sum($"ok").as("n_correct"))
         .crossJoin(broadcast(nd))
@@ -142,14 +145,14 @@ object ClassifierOps {
       if (r < Rounds) {
         val g = feat.join(scores, "doc_id")
           .select($"j",
-            round(($"s" - $"y") * $"c" / $"n" * 1000000000L)
+            floor(($"s" - $"y") * $"c" / $"n" * 1000000000L + lit(0.5))
               .cast("long").as("gq"))
           .groupBy($"j").agg(sum($"gq").as("sgq"))
         w = graft.Caches.localCheckpoint(
           w.join(g, Seq("j"), "left").crossJoin(broadcast(nd))
             .select($"j",
-              ($"wq" - round(lit(Lr) * coalesce($"sgq", lit(0L))
-                / (lit(1000.0) * $"nd")).cast("long")).as("wq")))
+              ($"wq" - floor(lit(Lr) * coalesce($"sgq", lit(0L))
+                / (lit(1000.0) * $"nd") + lit(0.5)).cast("long")).as("wq")))
       }
     }
     (curve.toSeq, w, scores)
@@ -195,10 +198,10 @@ object ClassifierOps {
   private def stepCte(r: Int): String =
     s""",
        |g${r + 1} AS (SELECT f.j,
-       |              sum(CAST(round((s.s - s.y) * f.c / f.n * 1000000000.0) AS BIGINT)) AS sgq
+       |              sum(CAST(floor((s.s - s.y) * f.c / f.n * 1000000000.0 + 0.5) AS BIGINT)) AS sgq
        |       FROM feat f JOIN s$r s USING (doc_id) GROUP BY 1),
        |w${r + 1} AS (SELECT w.j,
-       |              w.wq - CAST(round($Lr * coalesce(g.sgq, 0) / (1000.0 * nd.nd)) AS BIGINT) AS wq
+       |              w.wq - CAST(floor($Lr * coalesce(g.sgq, 0) / (1000.0 * nd.nd) + 0.5) AS BIGINT) AS wq
        |       FROM w$r w LEFT JOIN g${r + 1} g USING (j), nd)""".stripMargin
 
   /** CTE chain through `s{Rounds}` (all rounds trained and scored). */
@@ -218,7 +221,7 @@ object ClassifierOps {
       (0 to Rounds).map { r =>
         s"""
            |SELECT CAST($r AS BIGINT) AS round,
-           |       round(CAST(sum(CAST(round(-(y * ln($clampSql) + (1 - y) * ln(1 - $clampSql)) * 1000000) AS BIGINT)) AS DOUBLE) / nd.nd / 1000000.0, 6) AS logloss,
+           |       round(CAST(sum(CAST(floor(-(y * ln($clampSql) + (1 - y) * ln(1 - $clampSql)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / nd.nd / 1000000.0, 6) AS logloss,
            |       sum(CASE WHEN CAST(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS BIGINT) = y THEN 1 ELSE 0 END) AS n_correct,
            |       round(CAST(sum(CASE WHEN CAST(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS BIGINT) = y THEN 1 ELSE 0 END) AS DOUBLE) / nd.nd, 6) AS accuracy
            |FROM s$r, nd GROUP BY nd.nd""".stripMargin

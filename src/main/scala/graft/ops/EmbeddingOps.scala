@@ -1237,7 +1237,10 @@ object EmbeddingOps {
     * its codes — no corpus vector is ever decoded. Per-term distances are
     * quantized to 1e-6 BIGINTs before the (q, vec)-keyed sum, so ranking
     * happens on exact integers and no accumulation order can flip a rank
-    * cross-engine.
+    * cross-engine. Quantization is `floor(x·1e6 + 0.5)` — floor on a
+    * double is the identical IEEE op in Spark and DuckDB, whereas
+    * `round()` diverges on exact `.5` boundaries (Spark rounds the
+    * decimal string half-up, DuckDB the binary double).
     *
     * Scale shape: the lookup tables are queries × M × K rows — broadcast;
     * the scan side touches only the code table (the 64× compressed form);
@@ -1248,7 +1251,7 @@ object EmbeddingOps {
     vecCte + s",\n$pqCtes" +
       s""",
          |qt AS (SELECT s.vec_id AS q_id, s.m, cb.cell,
-         |              CAST(round(${d2Sql("s.sv", "cb.cv")} * 1000000.0) AS BIGINT) AS d_e6
+         |              CAST(floor(${d2Sql("s.sv", "cb.cv")} * 1000000.0 + 0.5) AS BIGINT) AS d_e6
          |       FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < $NQueries),
          |ad AS (SELECT qt.q_id, enc.vec_id, sum(qt.d_e6) AS adc_e6
          |       FROM enc JOIN qt ON enc.m = qt.m AND enc.code = qt.cell
@@ -1269,7 +1272,7 @@ object EmbeddingOps {
       .select($"vec_id".as("q_id"), $"m".as("qm"), $"sv")
       .join(broadcast(cb.select($"m".as("qm"), $"cell", $"cv")), Seq("qm"))
       .select($"q_id", $"qm", $"cell",
-        round(d2($"sv", $"cv") * lit(1000000.0)).cast("long").as("d_e6"))
+        floor(d2($"sv", $"cv") * lit(1000000.0) + lit(0.5)).cast("long").as("d_e6"))
     codes
       .join(broadcast(qt),
         codes("m") === qt("qm") && codes("code") === qt("cell") &&
@@ -1306,7 +1309,7 @@ object EmbeddingOps {
          |cand AS (SELECT qc.q_id, iv.vec_id FROM qc JOIN iv ON qc.ivcell = iv.ivcell
          |         WHERE qc.q_id <> iv.vec_id),
          |qt AS (SELECT s.vec_id AS q_id, s.m, cb.cell,
-         |              CAST(round(${d2Sql("s.sv", "cb.cv")} * 1000000.0) AS BIGINT) AS d_e6
+         |              CAST(floor(${d2Sql("s.sv", "cb.cv")} * 1000000.0 + 0.5) AS BIGINT) AS d_e6
          |       FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < $NQueries),
          |ad AS (SELECT c.q_id, c.vec_id, sum(qt.d_e6) AS adc_e6
          |       FROM cand c JOIN enc ON enc.vec_id = c.vec_id
@@ -1334,7 +1337,7 @@ object EmbeddingOps {
       .select($"vec_id".as("tq_id"), $"m".as("qm"), $"sv")
       .join(broadcast(cb.select($"m".as("qm"), $"cell", $"cv")), Seq("qm"))
       .select($"tq_id", $"qm", $"cell",
-        round(d2($"sv", $"cv") * lit(1000000.0)).cast("long").as("d_e6"))
+        floor(d2($"sv", $"cv") * lit(1000000.0) + lit(0.5)).cast("long").as("d_e6"))
     cand.join(codes, Seq("vec_id"))
       .join(broadcast(qt),
         $"tq_id" === $"q_id" && $"qm" === $"m" && qt("cell") === $"code")
@@ -1355,7 +1358,7 @@ object EmbeddingOps {
     vecCte + s",\n$pqCtes" +
       s""",
          |qt AS (SELECT s.vec_id AS q_id, s.m, cb.cell,
-         |              CAST(round(${d2Sql("s.sv", "cb.cv")} * 1000000.0) AS BIGINT) AS d_e6
+         |              CAST(floor(${d2Sql("s.sv", "cb.cv")} * 1000000.0 + 0.5) AS BIGINT) AS d_e6
          |       FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < $NQueries),
          |ad AS (SELECT qt.q_id, enc.vec_id, sum(qt.d_e6) AS adc_e6
          |       FROM enc JOIN qt ON enc.m = qt.m AND enc.code = qt.cell

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -297,9 +298,6 @@ object PerplexityOps {
         round($"n_novel".cast("double") / $"n_uniq_bigrams", 6).as("novelty"))
   }
 
-  private val OneThird = 1.0 / 3.0
-  private val TwoThirds = 2.0 / 3.0
-
   /** CURRICULUM phase assignment — order the corpus easy → hard by model
     * difficulty (curriculum learning, Bengio et al. 2009, as data
     * pipelines apply it: difficulty proxy = LM perplexity): docs in the
@@ -309,46 +307,49 @@ object PerplexityOps {
     * budget — the number a training scheduler needs to plan phase
     * lengths.
     *
-    * Terciles come from the exact interpolated percentile over the
-    * 1e-6-quantized mean log-probs (the [[perplexity]] discipline:
-    * `percentile` ≡ `quantile_cont` on identical BIGINTs, the
-    * `sketch_percentile_exact` parity), broadcast as a 1-row threshold
-    * table; the phase rollup is a 4-row broadcast join. Cost is the LM
-    * scoring pass the perplexity query already prices. */
+    * Terciles are RANK-based — `ntile(3)` over the total order
+    * `(mq DESC, doc_id)` on the 1e-6-quantized mean log-probs — not
+    * value-thresholds from an interpolated percentile: an interpolated
+    * threshold is a float whose last ulp can differ cross-engine in the
+    * ops-order of the interpolation, and one boundary doc flipping phase
+    * drags `phase_tokens` for every row in two phases. Ranking integers
+    * with a doc_id tiebreak has no such boundary. The ranked frame is
+    * (doc_id, mq) pairs only — bytes per doc, not the corpus — so the
+    * unpartitioned window is a deliberate, bounded global sort (at
+    * extreme scale the same total order range-partitions into a
+    * rank-offset pass); the phase rollup is a 4-row broadcast join. Cost
+    * is the LM scoring pass the perplexity query already prices. */
   val curriculum: QueryDef = QueryDef(
     "llm_curriculum",
     lmCtes + pdCtes +
       s""",
-         |tc AS (SELECT quantile_cont(CAST(mq AS DOUBLE), $OneThird) AS t1,
-         |              quantile_cont(CAST(mq AS DOUBLE), $TwoThirds) AS t2 FROM pd),
+         |tc AS (SELECT doc_id, ntile(3) OVER (ORDER BY mq DESC, doc_id) AS tile FROM pd),
          |nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |       FROM documents),
          |ph AS (SELECT nt.doc_id, nt.n_tokens,
          |              CASE WHEN pd.mq IS NULL THEN 'unscored'
-         |                   WHEN CAST(pd.mq AS DOUBLE) >= tc.t2 THEN 'easy'
-         |                   WHEN CAST(pd.mq AS DOUBLE) < tc.t1 THEN 'hard'
+         |                   WHEN tc.tile = 1 THEN 'easy'
+         |                   WHEN tc.tile = 3 THEN 'hard'
          |                   ELSE 'medium' END AS phase,
          |              CASE WHEN pd.mq IS NULL THEN NULL
          |                   ELSE round(exp(-(CAST(pd.mq AS DOUBLE) / 1000000.0)), 4) END AS ppl
-         |       FROM nt LEFT JOIN pd ON nt.doc_id = pd.doc_id, tc),
+         |       FROM nt LEFT JOIN pd ON nt.doc_id = pd.doc_id
+         |                LEFT JOIN tc ON nt.doc_id = tc.doc_id),
          |pb AS (SELECT phase, sum(n_tokens) AS phase_tokens FROM ph GROUP BY 1)
          |SELECT ph.doc_id, ph.phase, ph.ppl, ph.n_tokens, pb.phase_tokens
          |FROM ph JOIN pb USING (phase) ORDER BY ph.doc_id""".stripMargin,
   ) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
     val pd = pdOf(scoredBigrams(docs))
-    val tc = pd.agg(
-      percentile($"mq".cast("double"), array(lit(OneThird), lit(TwoThirds)))
-        .as("ts"))
-      .select(element_at($"ts", 1).as("t1"), element_at($"ts", 2).as("t2"))
+    val ranked = pd.select($"doc_id", $"mq",
+      ntile(3).over(Window.orderBy($"mq".desc, $"doc_id".asc)).as("tile"))
     val ph = docs
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
-      .join(pd.select($"doc_id", $"mq"), Seq("doc_id"), "left")
-      .crossJoin(broadcast(tc))
+      .join(ranked, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
         when($"mq".isNull, "unscored")
-          .when($"mq".cast("double") >= $"t2", "easy")
-          .when($"mq".cast("double") < $"t1", "hard")
+          .when($"tile" === 1, "easy")
+          .when($"tile" === 3, "hard")
           .otherwise("medium").as("phase"),
         when($"mq".isNull, lit(null).cast("double"))
           .otherwise(round(exp(-($"mq".cast("double") / 1000000.0)), 4))
