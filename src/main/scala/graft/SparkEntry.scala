@@ -30,9 +30,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TpchOps.redshiftQ1.run(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. A duplicate
+    * name would silently shadow the earlier query in this Map (later key
+    * wins) and shrink the registry by one — fail loudly instead. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val dupes = defs.groupBy(_.name).filter(_._2.sizeIs > 1).keys
+    require(dupes.isEmpty,
+      s"duplicate registered query names: ${dupes.mkString(", ")}")
     defs.map(d => d.name -> d.run).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -42,7 +42,7 @@ import graft.io.Tables
   *
   * Cross-engine determinism: every emitted fraction is a ratio of exact
   *   counts rounded to 6 dp for display; thresholds compare INTEGER
-  *   cross-products (`top_n * 10 >= n_bigrams`), never rounded floats, so
+  *   cross-products (`top_n * 5 >= n_bigrams`), never rounded floats, so
   *   a boundary doc cannot flip its flag between engines.
   */
 object CurationOps {
@@ -112,7 +112,7 @@ object CurationOps {
 
   /** Per-doc repetition profile + flag (Gopher A1.1, word-level). */
   val repetition: QueryDef = QueryDef(
-    "llm_repetition",
+    "llm_gopher_repetition",
     s"""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |uni AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
        |               CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct_words

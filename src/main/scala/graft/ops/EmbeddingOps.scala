@@ -1399,10 +1399,87 @@ object EmbeddingOps {
       .orderBy($"q_id")
   }
 
+  /** Matryoshka truncation dims evaluated by [[annMatryoshka]]: half and
+    * quarter of [[Dim]]. */
+  private val MatDims = Seq(Dim / 2, Dim / 4)
+
+  /** Exact cosine top-k over the first `matDim` coordinates only. */
+  private def matTopK(spark: SparkSession, dir: String, matDim: Int): DataFrame = {
+    val e = vectors(spark, dir)
+      .select($"vec_id", slice($"v", 1, matDim).as("tv"))
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"tv".as("qv"))
+    rankTopK(e.join(broadcast(q), $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        call_function("cosine_sim", $"qv", $"tv").as("sim")))
+  }
+
+  /** Oracle CTEs for one truncated-dim search lane: prefix slice, cosine
+    * over the slice, per-query top-k. */
+  private def matSqlLane(d: Int): String = {
+    val tn = s"sqrt(list_sum([tv[i]*tv[i] for i in range(1, ${d + 1})]))"
+    s""",
+       |t$d AS (SELECT vec_id, v[1:$d] AS tv FROM e0),
+       |s$d AS (SELECT q.vec_id AS q_id, t.vec_id AS vec_id,
+       |               list_sum([q.tv[i]*t.tv[i] for i in range(1, ${d + 1})])
+       |               / ((${tn.replace("tv", "q.tv")}) * (${tn.replace("tv", "t.tv")})) AS sim
+       |        FROM (SELECT * FROM t$d WHERE vec_id < $NQueries) q
+       |        JOIN t$d t ON q.vec_id <> t.vec_id),
+       |r$d AS (SELECT q_id, vec_id FROM (
+       |          SELECT q_id, vec_id,
+       |                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |          FROM s$d) WHERE rk <= $TopK)""".stripMargin
+  }
+
+  /** MATRYOSHKA truncation recall (Kusupati et al. 2022: MRL-trained
+    * embeddings keep most of their ranking power in a prefix of the
+    * dimensions): recall@[[TopK]] of an exact search that reads only the
+    * first [[Dim]]/2 and [[Dim]]/4 coordinates, against the full-dim
+    * exact top-k. This is the readout that justifies the cheapest scale
+    * lever an embedding store has — halving the scanned bytes per vector
+    * without touching the index structure (composable with IVF/PQ, which
+    * prune WHICH vectors get scored; truncation shrinks EVERY score).
+    *
+    * Scale shape: identical to the brute-force baseline it measures
+    * against — broadcast query set, one linear corpus pass per dim,
+    * bounded per-query top-k windows; the truncated lanes scan strictly
+    * fewer bytes than the full lane. Determinism: slices of the same
+    * doubles, the same sequential fold in both engines. */
+  val annMatryoshka: QueryDef = QueryDef(
+    "llm_ann_matryoshka",
+    vecCte +
+      s""",
+         |xq AS (SELECT * FROM e WHERE vec_id < $NQueries),
+         |xs AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |              ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+         |       FROM xq q JOIN e ON q.vec_id <> e.vec_id),
+         |xr AS (SELECT q_id, vec_id FROM (
+         |         SELECT q_id, vec_id,
+         |                row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |         FROM xs) WHERE rk <= $TopK)""".stripMargin +
+      MatDims.map(matSqlLane).mkString +
+      s"""
+         |, hits AS (${MatDims.map(d =>
+        s"""SELECT 'mat$d' AS method, x.q_id,
+           |       CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+           |FROM xr x LEFT JOIN r$d a ON x.q_id = a.q_id AND x.vec_id = a.vec_id""".stripMargin)
+        .mkString("\nUNION ALL\n")})
+         |SELECT method, q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(sum(hit) AS BIGINT) AS n_hit,
+         |       round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall
+         |FROM hits GROUP BY method, q_id ORDER BY method, q_id""".stripMargin,
+  ) { (spark, dir) =>
+    val exact = exactTopK(spark, dir).select($"q_id", $"vec_id")
+    MatDims.map(d => recallOf(exact, matTopK(spark, dir, d), s"mat$d"))
+      .reduce(_ unionAll _)
+      .orderBy($"method", $"q_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
       ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup,
       embedDedupCluster, embedStats, embedCentroid, embedQuantize,
-      pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg)
+      pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
+      annMatryoshka)
 }

@@ -875,8 +875,10 @@ object LlmTextOps {
     * returning silently-wrong labels. The DuckDB oracle replays the same
     * fixpoint as a recursive transitive-closure CTE, so cluster assignment
     * is hash-verified end-to-end including singleton handling. */
-  val dedupCluster: QueryDef = QueryDef(
-    "llm_dedup_cluster",
+  /** Recursive transitive-closure CTE chain over the near-dup pair graph,
+    * ending in `reach (id, r)` — shared by the three cluster-consuming
+    * oracles ([[dedupCluster]], [[dedupClusterLs]], [[dedupKeepBest]]). */
+  private val clusterCtes: String =
     """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
       |sh AS (SELECT doc_id,
       |              list_distinct([array_to_string(ts[i:i+2], ' ')
@@ -891,10 +893,15 @@ object LlmTextOps {
       |  SELECT doc_id AS id, doc_id AS r FROM documents
       |  UNION
       |  SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id
-      |)
-      |SELECT id AS doc_id, min(r) AS cluster_id,
-      |       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS keep
-      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      |)""".stripMargin
+
+  val dedupCluster: QueryDef = QueryDef(
+    "llm_dedup_cluster",
+    clusterCtes +
+      """
+        |SELECT id AS doc_id, min(r) AS cluster_id,
+        |       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
   ) { (spark, dir) =>
     clusterOf(
       neardupPlan(docShingles(spark, dir)).select($"doc_a", $"doc_b"),
@@ -1071,6 +1078,64 @@ object LlmTextOps {
     clusterLsOf(
       neardupPlan(docShingles(spark, dir)).select($"doc_a", $"doc_b"),
       Tables.documents(spark, dir).select($"doc_id"))
+  }
+
+  /** CANONICAL-DOC selection: the retention policy a production dedup
+    * actually applies. [[dedupCluster]] keeps the arbitrary min-id member
+    * of each near-dup cluster; real pipelines (the CCNet/RefinedWeb
+    * convention) keep the BEST member — here the highest heuristic
+    * quality score (`llm_quality`'s exact formula), doc_id as the
+    * deterministic tiebreak. Per doc: its cluster, the cluster size, its
+    * quality, and whether it is the cluster's canonical survivor.
+    *
+    * Scale shape: cluster resolution is the already-audited O(log n)
+    * pointer-jumping engine; the quality score is a map-only pass; the
+    * argmax-per-cluster is one bounded window keyed on cluster_id (row
+    * width: three numerics). Nothing new shuffles the text. Determinism:
+    * quality is round(·, 4) of the same single expression both engines
+    * evaluate on exact ints, and the tie order (quality DESC, doc_id) is
+    * total. */
+  val dedupKeepBest: QueryDef = QueryDef(
+    "llm_dedup_keep_best",
+    clusterCtes +
+      """,
+        |q AS (SELECT doc_id,
+        |             round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+        |                   + (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |                            / len(string_split(text, ' '))) * 0.5, 4) AS quality
+        |      FROM documents),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |j AS (SELECT cl.doc_id, cl.cluster_id, q.quality,
+        |             count(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+        |             row_number() OVER (PARTITION BY cl.cluster_id
+        |                                ORDER BY q.quality DESC, cl.doc_id) AS rk
+        |      FROM cl JOIN q USING (doc_id))
+        |SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members, quality,
+        |       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) => dedupKeepBestOf(Tables.documents(spark, dir)) }
+
+  /** The [[dedupKeepBest]] plan over any (doc_id, text) frame — extracted
+    * for the planted-cluster spec. */
+  private[graft] def dedupKeepBestOf(docs: DataFrame): DataFrame = {
+    val clusters = clusterOf(
+      neardupPlan(docShinglesOf(docs)).select($"doc_a", $"doc_b"),
+      docs.select($"doc_id")).select($"doc_id", $"cluster_id")
+    val stop = Seq("the", "a", "of", "and")
+    val q = docs.select($"doc_id", tokens.as("ts"))
+      .select($"doc_id", size($"ts").as("n"),
+        size(filter($"ts", t => t.isInCollection(stop))).as("hits"))
+      .select($"doc_id",
+        round(least($"n" / lit(50.0), lit(1.0)) * 0.5
+          + (lit(1.0) - $"hits".cast("double") / $"n") * 0.5, 4).as("quality"))
+    clusters.join(q, "doc_id")
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cluster_id").orderBy($"quality".desc, $"doc_id".asc)))
+      .select($"doc_id", $"cluster_id", $"n_members", $"quality",
+        ($"rk" === 1).cast("long").as("keep"))
+      .orderBy($"doc_id")
   }
 
   /** MULTI-SIGNAL dedup consensus — the three independent near-dup miners
@@ -1914,7 +1979,7 @@ object LlmTextOps {
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
     entropy, neardupJaccard, minhashSig, minhashLsh, minhashSweep, simhash,
     simhashPairs,
-    dedupCluster, dedupClusterLs, dedupConsensus, incrementalDedup,
+    dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,
     dupChunks, dupSpans, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
   )

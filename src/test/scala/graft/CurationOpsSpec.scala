@@ -47,7 +47,7 @@ class CurationOpsSpec extends AnyFunSuite {
     val tied = rows(4L)
     assert(tied.getAs[String]("top_bigram") == "p q",
       "'p q' and 'q p' both occur twice; tie resolves lexicographically")
-    // integer-cross-product threshold: 2*10 >= 4*1 -> top flag fires
+    // integer-cross-product threshold: 2*5 >= 4*1 -> top flag fires
     assert(tied.getAs[Long]("flag_repetitive") == 1L)
   }
 
@@ -80,7 +80,7 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("registered queries run against sf0.001 with plausible shapes") {
-    val rep = SparkEntry.queries("llm_repetition")(spark, "/root/testdata/sf0.001")
+    val rep = SparkEntry.queries("llm_gopher_repetition")(spark, "/root/testdata/sf0.001")
       .collect()
     assert(rep.nonEmpty)
     rep.foreach { r =>

@@ -288,4 +288,20 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     overlap.foreach { case (q, v, d, fd) =>
       assert(d == fd, s"ADC distance drifted for ($q,$v): $d vs $fd") }
   }
+  test("matryoshka truncation recall: bounded, and wider prefixes never do worse overall") {
+    val rows = EmbeddingOps.annMatryoshka.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val methods = rows.map(_._1).distinct.sorted
+    assert(methods.toSeq == Seq("mat16", "mat32"), s"$methods")
+    rows.foreach { case (m, q, nExact, nHit, recall) =>
+      assert(nExact > 0 && nHit >= 0 && nHit <= nExact, s"$m/$q counts")
+      assert(recall >= 0.0 && recall <= 1.0, s"$m/$q recall $recall")
+    }
+    // aggregate monotonicity: the 32-dim prefix sees strictly more signal
+    // than the 16-dim prefix, so its TOTAL hit count cannot be lower
+    val hits = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(hits("mat32") >= hits("mat16"),
+      s"wider prefix lost hits: $hits")
+  }
 }

@@ -436,4 +436,27 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(decl.nonEmpty && nat == decl,
       s"native cascade diverged (${nat.size} vs ${decl.size} rows)")
   }
+  test("keep-best canonical selection: quality argmax survives, not min-id") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // Docs 0 and 1 are near-identical (Jaccard >= 0.8 on 3-shingles); doc 1
+    // is LONGER so its quality score is strictly higher than doc 0's --
+    // min-id policy would keep 0, keep-best must keep 1. Doc 5 is a
+    // singleton cluster and always keeps itself.
+    val shared = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, shared),
+      (1L, shared + " extra tail words here"),
+      (5L, "completely different vocabulary lives here today"),
+    ).toDF("doc_id", "text")
+    val out = LlmTextOps.dedupKeepBestOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out(0L)._1 == out(1L)._1 && out(0L)._1 != out(5L)._1,
+      "0 and 1 cluster together, 5 alone")
+    assert(out(0L)._2 == 2L && out(5L)._2 == 1L, "cluster sizes")
+    assert(out(1L)._3 > out(0L)._3, "doc 1 scores higher quality")
+    assert(out(1L)._4 == 1L && out(0L)._4 == 0L,
+      "keep-best retains the higher-quality member, not the min id")
+    assert(out(5L)._4 == 1L, "singletons keep themselves")
+  }
 }
