@@ -94,8 +94,11 @@ object EmbeddingOps {
   private[graft] def exactTopKPlan(spark: SparkSession, dir: String): DataFrame =
     exactTopK(spark, dir)
 
-  private def exactTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
+  private def exactTopK(spark: SparkSession, dir: String): DataFrame =
+    exactTopKOf(vectors(spark, dir))
+
+  /** [[exactTopK]] over any (vec_id, v) frame — fixture seam. */
+  private def exactTopKOf(e: DataFrame): DataFrame = {
     val q = e.filter($"vec_id" < NQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     val scored = e.join(broadcast(q), $"q_id" =!= $"vec_id")
@@ -1475,11 +1478,116 @@ object EmbeddingOps {
       .orderBy($"method", $"q_id")
   }
 
+  /** MMR greedy picks and trade-off weight (λ·relevance − (1−λ)·redundancy). */
+  private val MmrSel = 5
+  private val MmrLambda = 0.7
+
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified re-rank: greedily select [[MmrSel]] of the exact
+    * top-[[TopK]] candidates, each round taking the candidate maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — the standard
+    * serving-side answer to near-duplicate result lists (an embedding
+    * store full of near-dups returns k copies of one document without
+    * it; composes downstream of any of this file's ANN lanes).
+    *
+    * Scale shape: everything happens INSIDE a per-query candidate pool of
+    * [[TopK]] rows — the pairwise-similarity table is queries × k × (k−1)
+    * rows, every join is q_id-keyed and k-bounded, and the greedy rounds
+    * unroll to [[MmrSel]] windowed argmax passes over pool-sized frames.
+    * The corpus is touched only by the baseline top-k scan.
+    *
+    * Determinism: relevance and pairwise sims are the 6-dp-rounded
+    * cosines both engines already hash-agree on; each round's objective
+    * quantizes to a 1e-6 BIGINT via `floor(x·1e6 + 0.5)` before the
+    * argmax (ties → lower vec_id), so selection order is total. */
+  val mmrRerank: QueryDef = QueryDef(
+    "llm_mmr_rerank",
+    vecCte +
+      s""",
+         |q AS (SELECT * FROM e WHERE vec_id < $NQueries),
+         |s AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |             ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+         |      FROM q JOIN e ON q.vec_id <> e.vec_id),
+         |cand AS (SELECT q_id, vec_id, round(sim, 6) AS sim FROM (
+         |           SELECT q_id, vec_id, sim,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |           FROM s) WHERE rk <= $TopK),
+         |ps AS (SELECT a.q_id, a.vec_id AS a, b.vec_id AS b,
+         |              round(${dotSql("ea.v", "eb.v")} / (ea.nrm * eb.nrm), 6) AS s
+         |       FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+         |            JOIN e ea ON ea.vec_id = a.vec_id
+         |            JOIN e eb ON eb.vec_id = b.vec_id),
+         |sel1 AS (SELECT q_id, vec_id, mmr_e6, CAST(1 AS BIGINT) AS pick FROM (
+         |           SELECT q_id, vec_id,
+         |                  CAST(floor($MmrLambda * sim * 1000000.0 + 0.5) AS BIGINT) AS mmr_e6,
+         |                  row_number() OVER (PARTITION BY q_id
+         |                    ORDER BY floor($MmrLambda * sim * 1000000.0 + 0.5) DESC, vec_id) AS rk
+         |           FROM cand) WHERE rk = 1)""".stripMargin +
+      (2 to MmrSel).map { r =>
+        s""",
+           |m$r AS (SELECT c.q_id, c.vec_id, c.sim, max(ps.s) AS ms
+           |        FROM cand c
+           |        LEFT JOIN sel${r - 1} x ON x.q_id = c.q_id AND x.vec_id = c.vec_id
+           |        JOIN sel${r - 1} t ON t.q_id = c.q_id
+           |        JOIN ps ON ps.q_id = c.q_id AND ps.a = c.vec_id AND ps.b = t.vec_id
+           |        WHERE x.vec_id IS NULL GROUP BY 1, 2, 3),
+           |p$r AS (SELECT q_id, vec_id, mmr_e6, CAST($r AS BIGINT) AS pick FROM (
+           |          SELECT q_id, vec_id,
+           |                 CAST(floor(($MmrLambda * sim - ${1 - MmrLambda} * ms) * 1000000.0 + 0.5) AS BIGINT) AS mmr_e6,
+           |                 row_number() OVER (PARTITION BY q_id
+           |                   ORDER BY floor(($MmrLambda * sim - ${1 - MmrLambda} * ms) * 1000000.0 + 0.5) DESC, vec_id) AS rk
+           |          FROM m$r) WHERE rk = 1),
+           |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+      }.mkString +
+      s"""
+         |SELECT q_id, pick, vec_id, mmr_e6
+         |FROM sel$MmrSel ORDER BY q_id, pick""".stripMargin,
+  ) { (spark, dir) => mmrOf(vectors(spark, dir).select($"vec_id", $"v")) }
+
+  /** The [[mmrRerank]] plan over any (vec_id, v) frame — extracted for the
+    * planted-clone diversification spec. */
+  private[graft] def mmrOf(e: DataFrame): DataFrame = {
+    val cand = graft.Caches.persist(
+      exactTopKOf(e).select($"q_id", $"vec_id", $"sim"))
+    val ps = graft.Caches.persist(
+      cand.select($"q_id", $"vec_id".as("a"))
+        .join(cand.select($"q_id", $"vec_id".as("b")), Seq("q_id"))
+        .filter($"a" =!= $"b")
+        .join(e.select($"vec_id".as("a"), $"v".as("va")), Seq("a"))
+        .join(e.select($"vec_id".as("b"), $"v".as("vb")), Seq("b"))
+        .select($"q_id", $"a", $"b",
+          round(call_function("cosine_sim", $"va", $"vb"), 6).as("s")))
+    def pickOf(scored: DataFrame, r: Int): DataFrame =
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"mmr_e6".desc, $"vec_id".asc)))
+        .filter($"rk" === 1)
+        .select($"q_id", $"vec_id", $"mmr_e6", lit(r.toLong).as("pick"))
+    var sel = pickOf(cand.select($"q_id", $"vec_id",
+      floor($"sim" * lit(MmrLambda) * 1000000.0 + lit(0.5)).cast("long")
+        .as("mmr_e6")), 1)
+    for (r <- 2 to MmrSel) {
+      val rem = cand.join(sel.select($"q_id", $"vec_id"),
+          Seq("q_id", "vec_id"), "left_anti")
+        .select($"q_id", $"vec_id".as("a"), $"sim")
+      val scored = rem
+        .join(sel.select($"q_id", $"vec_id".as("b")), Seq("q_id"))
+        .join(ps, Seq("q_id", "a", "b"))
+        .groupBy($"q_id", $"a", $"sim")
+        .agg(max($"s").as("ms"))
+        .select($"q_id", $"a".as("vec_id"),
+          floor(($"sim" * lit(MmrLambda) - $"ms" * lit(1 - MmrLambda))
+            * 1000000.0 + lit(0.5)).cast("long").as("mmr_e6"))
+      sel = sel.unionAll(pickOf(scored, r))
+    }
+    sel.select($"q_id", $"pick", $"vec_id", $"mmr_e6")
+      .orderBy($"q_id", $"pick")
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
       ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup,
       embedDedupCluster, embedStats, embedCentroid, embedQuantize,
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
-      annMatryoshka)
+      annMatryoshka, mmrRerank)
 }

@@ -304,4 +304,44 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(hits("mat32") >= hits("mat16"),
       s"wider prefix lost hits: $hits")
   }
+  test("MMR re-rank: a duplicate result is deferred in favor of a diverse one") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // Query 0 sees two EXACT-duplicate results (ids 10, 11, cosine 1.0 to
+    // each other), one equally-relevant but diverse result (id 20, mutual
+    // cosine 0.75 to the clones), and one irrelevant filler (id 30). Plain
+    // similarity order is (10, 11, 20, 30) by the vec_id tiebreak; MMR
+    // must defer the second clone behind the diverse doc.
+    val s3 = math.sqrt(3.0) / 2.0
+    val docs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (10L, Seq(s3, 0.5, 0.0, 0.0)),
+      (11L, Seq(s3, 0.5, 0.0, 0.0)),
+      (20L, Seq(s3, 0.0, 0.5, 0.0)),
+      (30L, Seq(0.0, 1.0, 0.0, 0.0)),
+    ).toDF("vec_id", "v")
+    val picks = EmbeddingOps.mmrOf(docs).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(picks == Map(1L -> 10L, 2L -> 20L, 3L -> 11L, 4L -> 30L),
+      s"MMR order wrong: $picks")
+  }
+
+  test("MMR registered query: picks are distinct members of the exact top-k") {
+    val rows = EmbeddingOps.mmrRerank.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 5L), s"query $q pick ranks")
+      assert(rs.map(_._3).distinct.length == rs.length, s"query $q dup pick")
+    }
+    val topk = EmbeddingOps.exactTopKPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (q, _, v) =>
+      assert(topk((q, v)), s"pick ($q, $v) escaped the candidate pool") }
+    // pick 1 is always the exact top-1 (round one maximizes pure relevance)
+    val top1 = EmbeddingOps.exactTopKPlan(spark, sf).collect()
+      .filter(_.getLong(2) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (q, rs) =>
+      assert(rs.find(_._2 == 1L).get._3 == top1(q), s"query $q pick 1") }
+  }
 }
