@@ -1577,7 +1577,11 @@ object EmbeddingOps {
         .select($"q_id", $"a".as("vec_id"),
           floor(($"sim" * lit(MmrLambda) - $"ms" * lit(1 - MmrLambda))
             * 1000000.0 + lit(0.5)).cast("long").as("mmr_e6"))
-      sel = sel.unionAll(pickOf(scored, r))
+      // eager localCheckpoint per round (the clusterOf discipline): sel is
+      // referenced three times next round (anti-join, redundancy join,
+      // union), so without lineage truncation the plan re-executes the
+      // earlier rounds 3^r times
+      sel = graft.Caches.localCheckpoint(sel.unionAll(pickOf(scored, r)))
     }
     sel.select($"q_id", $"pick", $"vec_id", $"mmr_e6")
       .orderBy($"q_id", $"pick")
