@@ -188,5 +188,50 @@ object DqOps {
       .orderBy($"bucket")
   }
 
-  val all: Seq[QueryDef] = Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift)
+  /** k-anonymity bar for [[kAnonymity]]. */
+  private val KAnon = 10
+
+  /** K-ANONYMITY audit (Sweeney 2002) over the customer table: group by
+    * the quasi-identifier pair (nation, market segment) — the attributes
+    * an adversary can link from outside — and flag every equivalence
+    * class smaller than k = [[KAnon]]: those rows are re-identifiable and
+    * a release would have to suppress or generalize them. Per class:
+    * size, the violation flag, and the class's share of the table; the
+    * governance twin of the `llm_pii_*` lane (PII finds direct
+    * identifiers, k-anonymity measures INDIRECT identifiability).
+    *
+    * Scale shape: one (nation, segment)-keyed count — the cheapest audit
+    * in the file; the flag is an integer compare against the broadcast
+    * total. Healthy TPC-H-ish data has every class comfortably above k at
+    * sf ≥ 0.01, which the oracle pins — a loader regression that drops a
+    * segment flips hash-checked zeros. */
+  val kAnonymity: QueryDef = QueryDef(
+    "dq_k_anonymity",
+    s"""WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+       |             FROM customer GROUP BY 1, 2),
+       |tot AS (SELECT sum(n) AS t FROM cls)
+       |SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS class_size,
+       |       CAST(CASE WHEN n < $KAnon THEN 1 ELSE 0 END AS BIGINT) AS violates_k,
+       |       round(CAST(n AS DOUBLE) / tot.t, 6) AS share
+       |FROM cls, tot ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+  ) { (spark, dir) => kAnonymityOf(Tables.customer(spark, dir)) }
+
+  /** [[kAnonymity]] over any frame with the two quasi-identifier columns —
+    * fixture seam. */
+  private[graft] def kAnonymityOf(customer: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cls = customer
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val tot = cls.agg(sum($"n").as("t"))
+    cls.crossJoin(broadcast(tot))
+      .select($"c_nationkey", $"c_mktsegment",
+        $"n".cast("long").as("class_size"),
+        ($"n" < KAnon).cast("long").as("violates_k"),
+        round($"n".cast("double") / $"t", 6).as("share"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift, kAnonymity)
 }

@@ -1401,8 +1401,9 @@ object LlmTextOps {
     * anywhere: cost stays linear in corpus token count no matter how many
     * documents share a span (the pathological everyone-quotes-it snippet
     * costs its occurrence count, not occurrences²). */
-  val dupSpans: QueryDef = QueryDef(
-    "llm_dup_spans",
+  /** Oracle CTE chain ending in `spans (doc_id, span_id, s, e)` — the SQL
+    * twin of [[spanFrameOf]], shared by [[dupSpans]] and [[despanApply]]. */
+  private val spanCtes: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
       |g AS (SELECT doc_id, i,
       |             ('0x' || substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))::BIGINT AS h
@@ -1419,22 +1420,88 @@ object LlmTextOps {
       |              sum(new_span) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
       |       FROM isl),
       |spans AS (SELECT doc_id, span_id, min(i) AS s, max(i) + 4 AS e
-      |          FROM sp GROUP BY 1, 2),
-      |agg AS (SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1) AS n_dup_tokens
-      |        FROM spans GROUP BY 1)
-      |SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
-      |       coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans,
-      |       coalesce(a.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
-      |       round(coalesce(a.n_dup_tokens, 0) / len(t.ts), 6) AS dup_frac
-      |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
-      |ORDER BY t.doc_id""".stripMargin,
+      |          FROM sp GROUP BY 1, 2)""".stripMargin
+
+  val dupSpans: QueryDef = QueryDef(
+    "llm_dup_spans",
+    spanCtes +
+      """,
+        |agg AS (SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1) AS n_dup_tokens
+        |        FROM spans GROUP BY 1)
+        |SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+        |       coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+        |       coalesce(a.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+        |       round(coalesce(a.n_dup_tokens, 0) / len(t.ts), 6) AS dup_frac
+        |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
   ) { (spark, dir) => dupSpansOf(Tables.documents(spark, dir)) }
 
-  /** [[dupSpans]] over an arbitrary (doc_id, text) frame — extracted so the
-    * spec can plant a shared substring and watch its grams merge into one
-    * maximal span. */
-  private[graft] def dupSpansOf(documents: DataFrame): DataFrame = {
+  /** The ExactSubstr DELETION step — [[dupSpans]] identifies, this
+    * APPLIES (the `llm_pii_scan` → `llm_pii_redact` pairing on the
+    * substring-dedup lane): every token inside a merged duplicate span is
+    * removed and the surviving tokens are re-joined in position order.
+    * Policy: ALL occurrences of a duplicated span are dropped (the
+    * behavior of Lee et al. 2021's released dedup tool — simple, safe,
+    * and the paper reports no quality loss from the stronger form);
+    * keep-one-occurrence is a policy knob a deployment could layer on by
+    * exempting the corpus-wide minimal (doc_id, position) occurrence.
+    * The cleaned text leaves the executor only as a digest plus counts
+    * (the [[CompositionOps.piiRedact]] convention).
+    *
+    * Scale shape: span finding is the audited [[spanFrameOf]] lane; the
+    * deletion is a doc-keyed positions×spans range join (spans per doc
+    * are few and short) and one doc-keyed ordered re-assembly; nothing
+    * joins two corpus-sized sides on a non-key. */
+  val despanApply: QueryDef = QueryDef(
+    "llm_despan_apply",
+    spanCtes +
+      """,
+        |pos AS (SELECT doc_id, i, ts[i] AS w
+        |        FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)),
+        |kept AS (SELECT p.doc_id, p.i, p.w FROM pos p
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |                           WHERE s.doc_id = p.doc_id
+        |                             AND p.i BETWEEN s.s AND s.e)),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |               array_to_string(list(w ORDER BY i), ' ') AS cleaned
+        |        FROM kept GROUP BY 1)
+        |SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+        |       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+        |       (len(t.ts) - coalesce(r.n_kept, 0))::BIGINT AS n_dropped,
+        |       md5(coalesce(r.cleaned, '')) AS cleaned_digest
+        |FROM toks t LEFT JOIN reb r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+  ) { (spark, dir) => despanApplyOf(Tables.documents(spark, dir)) }
+
+  /** [[despanApply]] over any (doc_id, text) frame — fixture seam. */
+  private[graft] def despanApplyOf(documents: DataFrame): DataFrame = {
     val docs = documents.select($"doc_id", tokens.as("ts"))
+    val spans = spanFrameOf(docs)
+    val pos = docs.select($"doc_id",
+      posexplode($"ts").as(Seq("p0", "w")))
+      .select($"doc_id", ($"p0" + 1).as("i"), $"w")
+    val kept = pos.join(spans,
+        pos("doc_id") === spans("doc_id") &&
+          $"i" >= $"s" && $"i" <= $"e", "left_anti")
+    val reb = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct($"i", $"w"))), x => x.getField("w")))
+          .as("cleaned"))
+    docs.select($"doc_id", size($"ts").cast("long").as("n_tokens"))
+      .join(reb, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_dropped"),
+        md5(coalesce($"cleaned", lit(""))).as("cleaned_digest"))
+      .orderBy($"doc_id")
+  }
+
+  /** Merged maximal duplicate spans `(doc_id, span_id, s, e)` over a
+    * (doc_id, ts) token frame: 5-gram hashes → globally-duplicated gram
+    * starts → per-doc island merge. Shared by [[dupSpans]] (the readout)
+    * and [[despanApply]] (the deletion). */
+  private def spanFrameOf(docs: DataFrame): DataFrame = {
     val grams = docs.filter(size($"ts") >= 5)
       .select($"doc_id", explode(transform(sequence(lit(1), size($"ts") - 4),
         i => struct(i.as("i"),
@@ -1445,13 +1512,21 @@ object LlmTextOps {
     val wPrev = Window.partitionBy($"doc_id").orderBy($"i")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy($"doc_id").orderBy($"i")
-    val spans = dup
+    dup
       .withColumn("new_span",
         when($"i" > coalesce(max($"i" + 4).over(wPrev), lit(-1)) + 1, 1)
           .otherwise(0))
       .withColumn("span_id", sum($"new_span").over(wRun))
       .groupBy($"doc_id", $"span_id")
       .agg(min($"i").as("s"), (max($"i") + 4).as("e"))
+  }
+
+  /** [[dupSpans]] over an arbitrary (doc_id, text) frame — extracted so the
+    * spec can plant a shared substring and watch its grams merge into one
+    * maximal span. */
+  private[graft] def dupSpansOf(documents: DataFrame): DataFrame = {
+    val docs = documents.select($"doc_id", tokens.as("ts"))
+    val spans = spanFrameOf(docs)
     val agg = spans.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_dup_spans"),
         sum($"e" - $"s" + 1).cast("long").as("n_dup_tokens"))
@@ -1980,7 +2055,7 @@ object LlmTextOps {
     entropy, neardupJaccard, minhashSig, minhashLsh, minhashSweep, simhash,
     simhashPairs,
     dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,
-    dupChunks, dupSpans, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
+    dupChunks, dupSpans, despanApply, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
   )
 

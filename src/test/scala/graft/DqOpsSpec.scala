@@ -62,4 +62,20 @@ class DqOpsSpec extends AnyFunSuite {
     val psiShift = DqOps.psiOf(shifted).collect().head.getDouble(4)
     assert(psiShift > 0.25, s"planted full shift must trip the bar: $psiShift")
   }
+  test("k-anonymity: small equivalence classes are flagged, large ones pass") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // class (1, BUILDING): 12 rows (>= k=10, passes); (2, AUTO): 3 rows
+    // (violates); (3, MACHINERY): exactly 10 rows (boundary, passes)
+    val rows =
+      (1 to 12).map(i => (i.toLong, 1L, "BUILDING")) ++
+        (1 to 3).map(i => (100L + i, 2L, "AUTO")) ++
+        (1 to 10).map(i => (200L + i, 3L, "MACHINERY"))
+    val customer = rows.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val out = DqOps.kAnonymityOf(customer).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out((1L, "BUILDING")) == ((12L, 0L, 0.48)))
+    assert(out((2L, "AUTO")) == ((3L, 1L, 0.12)), "3 < k flags")
+    assert(out((3L, "MACHINERY")) == ((10L, 0L, 0.4)), "exactly k passes")
+  }
 }

@@ -459,4 +459,26 @@ class LlmTextOpsSpec extends AnyFunSuite {
       "keep-best retains the higher-quality member, not the min id")
     assert(out(5L)._4 == 1L, "singletons keep themselves")
   }
+  test("despan apply: every occurrence of a duplicated span is cut, clean docs untouched") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val docs = Seq(
+      // docs 0 and 1 share the 5-gram "a1 a2 a3 a4 a5" at different offsets
+      (0L, "a1 a2 a3 a4 a5 x y z"),
+      (1L, "b1 a1 a2 a3 a4 a5 b2"),
+      // unique doc: no duplicated gram anywhere, survives byte-identical
+      (2L, "q r s t u v w"),
+    ).toDF("doc_id", "text")
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = LlmTextOps.despanApplyOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(0L) == ((8L, 3L, 5L, md5Of("x y z"))),
+      s"doc 0 keeps only the tail: ${out(0L)}")
+    assert(out(1L) == ((7L, 2L, 5L, md5Of("b1 b2"))),
+      s"doc 1 keeps its frame words: ${out(1L)}")
+    assert(out(2L) == ((7L, 7L, 0L, md5Of("q r s t u v w"))),
+      s"clean doc must be untouched: ${out(2L)}")
+  }
 }
