@@ -24,7 +24,8 @@ object SparkEntry {
       AsofOps.all ++ RangeJoinOps.all ++ OlapOps.all ++ SamplingOps.all ++
       WindowOps.all ++ PackingOps.all ++ RankingOps.all ++ StatsOps.all ++
       GraphOps.all ++ FormatOps.all ++ DqOps.all ++ PerplexityOps.all ++
-      CompositionOps.all ++ ClassifierOps.all ++ CurationOps.all
+      CompositionOps.all ++ ClassifierOps.all ++ CurationOps.all ++
+      SelectionOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

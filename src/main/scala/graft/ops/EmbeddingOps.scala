@@ -1007,6 +1007,83 @@ object EmbeddingOps {
       .orderBy($"vec_id")
   }
 
+  /** SemDeDup similarity bar — the corpus's real-similarity band top (the
+    * [[embedNeardup]] threshold): no planted near-identical vectors exist,
+    * so the readout exercises the full pipeline on the pairs that do
+    * qualify. */
+  private val SemTau = 0.45
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means the embedding
+    * space, then prune near-duplicates WITHIN each cluster only — the
+    * published answer to all-pairs mining at web scale, where the cluster
+    * count grows with the corpus so per-cluster work stays bounded. The
+    * keep rule is the paper's: within a duplicate group, keep the member
+    * with the LOWEST cosine to its cluster centroid (the most "atypical"
+    * exemplar, preserving diversity); here expressed pairwise — a vector
+    * is pruned iff some same-cluster neighbor above [[SemTau]] has
+    * strictly lower centroid-cosine (ties to the smaller vec_id).
+    *
+    * Scale shape: clustering is the audited [[kmeansTrainOf]] loop
+    * (broadcast learned state, corpus never self-joins); the pair scan is
+    * an equi-join on the LEARNED cell id — the quadratic is confined to
+    * cluster size, which the cell count controls (the paper's k ≈ √n
+    * guidance; cf. the hamming-bucket variant [[embedNeardup]] whose
+    * bucket rule is data-independent). Centroid-cosines compare as raw
+    * IEEE doubles (bit-identical cross-engine per the dot-product
+    * convention), so the prune decision is exactly oracle-replayable on
+    * top of the already-verified training fixed point. */
+  val semDedup: QueryDef = QueryDef(
+    "llm_semdedup",
+    s"""${kmTrainCtes(KmRounds)},
+       |wc AS (SELECT a.vec_id, a.cell, a.v, a.nrm,
+       |              ${dotSql("a.v", "n.cv")} / (a.nrm * n.cnrm) AS c_sim
+       |       FROM a$KmRounds a JOIN n2$KmRounds n ON a.cell = n.cell),
+       |nb AS (SELECT x.vec_id, CAST(count(*) AS BIGINT) AS n_dups,
+       |              CAST(max(CASE WHEN y.c_sim < x.c_sim
+       |                             OR (y.c_sim = x.c_sim AND y.vec_id < x.vec_id)
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS pruned
+       |       FROM wc x JOIN wc y
+       |         ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |        AND ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) >= $SemTau
+       |       GROUP BY x.vec_id)
+       |SELECT wc.vec_id, CAST(wc.cell AS BIGINT) AS cell,
+       |       round(wc.c_sim, 6) AS c_sim,
+       |       coalesce(nb.n_dups, 0) AS n_dups,
+       |       coalesce(nb.pruned, 0) AS pruned
+       |FROM wc LEFT JOIN nb USING (vec_id) ORDER BY wc.vec_id""".stripMargin,
+  ) { (spark, dir) =>
+    val (_, nc, aFinal) = kmeansTrainOf(spark, dir, KmRounds)
+    semDedupOf(aFinal, nc)
+  }
+
+  /** [[semDedup]] readout over any assignment frame `(vec_id, v, nrm,
+    * cell)` and centroid frame `(cell, cv, cnrm)` — fixture seam for the
+    * planted-duplicate spec. */
+  private[graft] def semDedupOf(a: DataFrame, nc: DataFrame): DataFrame = {
+    val wc = graft.Caches.persist(
+      a.join(broadcast(nc.select($"cell", $"cv")), "cell")
+        .select($"vec_id", $"cell", $"v",
+          call_function("cosine_sim", $"v", $"cv").as("c_sim")))
+    val nbr = wc.select($"cell", $"vec_id", $"v", $"c_sim")
+      .join(wc.select($"cell", $"vec_id".as("o_id"), $"v".as("ov"),
+        $"c_sim".as("o_csim")), Seq("cell"))
+      .filter($"vec_id" =!= $"o_id")
+      .filter(call_function("cosine_sim", $"v", $"ov") >= SemTau)
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_dups"),
+        max(($"o_csim" < $"c_sim" ||
+          ($"o_csim" === $"c_sim" && $"o_id" < $"vec_id")).cast("long"))
+          .as("pruned"))
+    wc.select($"vec_id", $"cell", $"c_sim")
+      .join(nbr, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        round($"c_sim", 6).as("c_sim"),
+        coalesce($"n_dups", lit(0L)).as("n_dups"),
+        coalesce($"pruned", lit(0L)).as("pruned"))
+      .orderBy($"vec_id")
+  }
+
   /** Per-label corpus stats: count + mean L2 norm (array-numeric agg). */
   val embedStats: QueryDef = QueryDef(
     "llm_embed_stats",
@@ -1591,7 +1668,7 @@ object EmbeddingOps {
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
       ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup,
-      embedDedupCluster, embedStats, embedCentroid, embedQuantize,
+      embedDedupCluster, semDedup, embedStats, embedCentroid, embedQuantize,
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
       annMatryoshka, mmrRerank)
 }

@@ -344,4 +344,57 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     byQ.foreach { case (q, rs) =>
       assert(rs.find(_._2 == 1L).get._3 == top1(q), s"query $q pick 1") }
   }
+
+  test("semDedup: within-cluster dup group keeps the lowest-centroid-cosine member") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // Cluster 0 centroid = x-axis. Vectors 1 and 2 are near-identical
+    // (cosine ≈ 1 > tau); 2 sits closer to the centroid, so the paper's
+    // keep rule prunes 2 and keeps 1. Vector 3 is in the same cluster but
+    // dissimilar to both (cosine < tau) -> untouched. Vector 9 lives in
+    // cluster 1 with a clone of vector 1 — cross-cluster pairs are never
+    // compared, so both survive.
+    val a = Seq(
+      (1L, Seq(0.8, 0.6, 0.0), 0),
+      (2L, Seq(0.85, 0.55, 0.0), 0),
+      (3L, Seq(0.6, -0.8, 0.0), 0),
+      (9L, Seq(0.8, 0.6, 0.0), 1),
+    ).toDF("vec_id", "v", "cell")
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+        org.apache.spark.sql.functions.aggregate(
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.lit(0.0), (acc, x) => acc + x * x)))
+    val nc = Seq(
+      (0, Seq(1.0, 0.0, 0.0), 1.0),
+      (1, Seq(0.0, 1.0, 0.0), 1.0),
+    ).toDF("cell", "cv", "cnrm")
+    val out = EmbeddingOps.semDedupOf(a, nc).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("pruned") == 0L, "farther-from-centroid member kept")
+    assert(out(2L).getAs[Long]("pruned") == 1L, "closer-to-centroid member pruned")
+    assert(out(1L).getAs[Long]("n_dups") == 1L && out(2L).getAs[Long]("n_dups") == 1L)
+    assert(out(3L).getAs[Long]("pruned") == 0L && out(3L).getAs[Long]("n_dups") == 0L)
+    assert(out(9L).getAs[Long]("pruned") == 0L, "cross-cluster clone never compared")
+  }
+
+  test("semDedup registered query: prune set is consistent with its dup counts") {
+    val rows = EmbeddingOps.semDedup.run(spark, sf).collect()
+    assert(rows.length == 500, "every vector reports")
+    rows.foreach { r =>
+      val (nd, pr) = (r.getAs[Long]("n_dups"), r.getAs[Long]("pruned"))
+      assert(pr == 0L || nd > 0L, "pruned implies at least one qualifying neighbor")
+      val cs = r.getAs[Double]("c_sim")
+      assert(cs >= -1.0 - 1e-9 && cs <= 1.0 + 1e-9)
+    }
+    // every cell with dup pairs must keep at least one dup member: the
+    // member with the lowest raw (c_sim, vec_id) has no lower neighbor,
+    // so the prune rule can never fire on all of them (asserted on the
+    // output set — rounding of c_sim doesn't change set-level survival)
+    val byCell = rows.groupBy(_.getAs[Long]("cell"))
+    byCell.foreach { case (cell, rs) =>
+      val withDups = rs.filter(_.getAs[Long]("n_dups") > 0L)
+      if (withDups.nonEmpty)
+        assert(withDups.exists(_.getAs[Long]("pruned") == 0L),
+          s"cell $cell pruned every dup member — keep rule broken")
+    }
+  }
 }
