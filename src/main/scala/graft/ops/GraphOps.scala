@@ -724,8 +724,111 @@ object GraphOps {
       .orderBy($"community")
   }
 
+  /** HITS iterations — movement is near-fixed-point well before 8 on this
+    * graph; each round is two edge-keyed joins, so more rounds are linear
+    * cost. */
+  private val HitsIters = 8
+
+  /** HITS (Kleinberg 1999) hubs-and-authorities over the DIRECTED
+    * canonical orientation (p1 → p2) of the mined co-occurrence graph —
+    * the mutually-recursive centrality pair PageRank's single score can't
+    * express: a hub points at good authorities, an authority is pointed
+    * at by good hubs. On the p1 < p2 orientation low-id parts can only be
+    * hubs of high-id authorities, so the two rankings genuinely differ.
+    *
+    * Per round: authority mass a(i) = Σ_{j→i} h(j), then hub mass
+    * h(i) = Σ_{i→j} a(j), each renormalized to mean 1 (a(i)·n / Σa —
+    * the classical L1 normalization up to the constant n, which keeps
+    * scores O(1) at any graph size instead of underflowing toward 0).
+    *
+    * Determinism ([[pageRankOf]] architecture): per-edge contributions
+    * quantize to 1e-9 BIGINTs BEFORE the shuffled sum; the normalizer is
+    * the exact BIGINT total, broadcast as a scalar; the only float ops
+    * are one multiply and one divide per node per half-round, identical
+    * in both engines. Scale shape: two edge equi-joins + two node
+    * aggregates per round, state = one double per node; scores are
+    * referenced twice per half-round (contributions + total), so lineage
+    * truncates every round (the `clusterOf` rule). */
+  private[graft] def hitsOf(edges: DataFrame, iters: Int): DataFrame = {
+    val e = graft.Caches.persist(edges.select($"src", $"dst"))
+    val nodes = graft.Caches.persist(
+      e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct())
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    var hub = nodes.select($"id", lit(1.0).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aq = e.join(hub.select($"id".as("src"), $"h"), "src")
+        .select($"dst".as("id"), round($"h" * 1e9).cast("long").as("cq"))
+        .groupBy($"id").agg(sum($"cq").as("q"))
+      val at = aq.agg(sum($"q").as("t"))
+      auth = graft.Caches.localCheckpoint(
+        nodes.join(aq, Seq("id"), "left")
+          .crossJoin(broadcast(at)).crossJoin(broadcast(nn))
+          .select($"id",
+            (coalesce($"q", lit(0L)).cast("double") * $"nn" / $"t").as("a")))
+      val hq = e.join(auth.select($"id".as("dst"), $"a"), "dst")
+        .select($"src".as("id"), round($"a" * 1e9).cast("long").as("cq"))
+        .groupBy($"id").agg(sum($"cq").as("q"))
+      val ht = hq.agg(sum($"q").as("t"))
+      hub = graft.Caches.localCheckpoint(
+        nodes.join(hq, Seq("id"), "left")
+          .crossJoin(broadcast(ht)).crossJoin(broadcast(nn))
+          .select($"id",
+            (coalesce($"q", lit(0L)).cast("double") * $"nn" / $"t").as("h")))
+    }
+    hub.join(auth, "id")
+  }
+
+  /** The [[hitsOf]] fixed point unrolled to chained DuckDB CTEs (the
+    * [[pageRankSql]] technique): same quantized BIGINT contribution per
+    * edge, same `q·n/t` normalization expression per half-round. The
+    * normalizer t is `sum(q) OVER ()` — the identical exact BIGINT total
+    * the Spark side broadcasts — expressed as a window so every CTE in
+    * the chain is referenced exactly ONCE: DuckDB inlines repeated CTE
+    * references, and a separate total-CTE per half-round would double
+    * the expansion each level (4^iters copies of the lineitem scan —
+    * observed as an fd-exhaustion failure at 8 rounds). */
+  private def hitsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""aq$i AS (SELECT e.dst AS id, sum(CAST(round(h.h * 1e9) AS BIGINT)) AS q
+         |        FROM ded e JOIN h${i - 1} h ON h.id = e.src GROUP BY 1),
+         |a$i AS (SELECT n.id, CAST(coalesce(aq.q, 0) AS DOUBLE) * nn.nn
+         |               / sum(coalesce(aq.q, 0)) OVER () AS a
+         |        FROM nodes n LEFT JOIN aq$i aq ON n.id = aq.id, nn),
+         |hq$i AS (SELECT e.src AS id, sum(CAST(round(a.a * 1e9) AS BIGINT)) AS q
+         |        FROM ded e JOIN a$i a ON a.id = e.dst GROUP BY 1),
+         |h$i AS (SELECT n.id, CAST(coalesce(hq.q, 0) AS DOUBLE) * nn.nn
+         |               / sum(coalesce(hq.q, 0)) OVER () AS h
+         |        FROM nodes n LEFT JOIN hq$i hq ON n.id = hq.id, nn)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |ded AS (SELECT p1 AS src, p2 AS dst FROM pairs),
+       |nodes AS (SELECT src AS id FROM ded UNION SELECT dst FROM ded),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+       |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+       |$rounds
+       |SELECT h.id AS part, round(h.h, 6) AS hub, round(a.a, 6) AS auth
+       |FROM h$iters h JOIN a$iters a ON h.id = a.id
+       |ORDER BY hub DESC, part LIMIT 20""".stripMargin
+  }
+
+  /** Top-20 hubs with their authority scores ([[HitsIters]] rounds),
+    * hash-verified against the unrolled DuckDB fixed point. */
+  val hits: QueryDef = QueryDef(
+    "graph_hits",
+    hitsSql(HitsIters),
+  ) { (spark, dir) =>
+    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    hitsOf(und.select($"p1".as("src"), $"p2".as("dst")), HitsIters)
+      .select($"id".as("part"), round($"h", 6).as("hub"),
+        round($"a", 6).as("auth"))
+      .orderBy($"hub".desc, $"part")
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, bfsLevels, adamicAdar,
       adamicAdarCapped, clusterCoeff, components, kcore, labelProp,
-      modularity)
+      modularity, hits)
 }

@@ -284,6 +284,26 @@ class GraphOpsSpec extends AnyFunSuite {
       s"single-community Q must be exactly 0: ${blob.toSeq}")
   }
 
+  test("hits: star hub dominates, its targets are the authorities, reruns are bit-stable") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // node 1 points at 3 authorities; node 2 points at one of them; a
+    // disjoint edge 8->9 provides background mass. The 3-target hub must
+    // out-score the 1-target hub, and the doubly-pointed-at node 5 must
+    // be the top authority.
+    val e = Seq((1L, 5L), (1L, 6L), (1L, 7L), (2L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val out = GraphOps.hitsOf(e, 8).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 5L, 6L, 7L, 8L, 9L), "src ∪ dst ranked")
+    assert(out(1L)._1 > out(2L)._1, "3-target hub beats 1-target hub")
+    assert(out(5L)._2 > out(6L)._2, "doubly-cited authority beats singly-cited")
+    assert(out(5L)._1 == 0.0 && out(6L)._1 == 0.0, "pure sinks have no hub score")
+    assert(out(1L)._2 == 0.0, "pure source has no authority score")
+    val rerun = GraphOps.hitsOf(e, 8).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rerun == out, "quantized fixed point must be bit-stable across runs")
+  }
+
   test("label propagation is deterministic under tie pressure") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // a 4-cycle is all ties (each node sees two equal-count labels every
