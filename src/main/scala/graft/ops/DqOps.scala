@@ -232,6 +232,117 @@ object DqOps {
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
 
+  /** l-diversity bar: every quasi-identifier class must see at least this
+    * many distinct sensitive values. */
+  private val LDiv = 3
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the k-anonymity
+    * follow-up: a class can be large (k-anonymous) yet still leak if every
+    * member shares the same SENSITIVE value, so the audit counts distinct
+    * sensitive values per quasi-identifier class. Quasi-identifiers are
+    * [[kAnonymity]]'s (nation, segment); the sensitive attribute is the
+    * account-balance band (negative / low / high — fixed integer-exact
+    * boundaries, so no float can flip a band between engines).
+    * `top_share` is the largest single band's fraction — the
+    * homogeneity readout behind the stricter recursive (c,l) variant.
+    *
+    * Scale shape: one (nation, segment, band)-keyed count, then one
+    * (nation, segment) rollup — two cheap aggregates, same cost class as
+    * [[kAnonymity]]. */
+  val lDiversity: QueryDef = QueryDef(
+    "dq_l_diversity",
+    s"""WITH bnd AS (SELECT c_nationkey, c_mktsegment,
+       |                    CASE WHEN c_acctbal < 0 THEN 'negative'
+       |                         WHEN c_acctbal < 5000 THEN 'low'
+       |                         ELSE 'high' END AS band
+       |             FROM customer),
+       |bc AS (SELECT c_nationkey, c_mktsegment, band, count(*) AS n
+       |       FROM bnd GROUP BY 1, 2, 3),
+       |cls AS (SELECT c_nationkey, c_mktsegment,
+       |               CAST(sum(n) AS BIGINT) AS class_size,
+       |               CAST(count(*) AS BIGINT) AS l_distinct,
+       |               CAST(max(n) AS BIGINT) AS top_band_n
+       |        FROM bc GROUP BY 1, 2)
+       |SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+       |       round(CAST(top_band_n AS DOUBLE) / class_size, 6) AS top_share,
+       |       CAST(CASE WHEN l_distinct < $LDiv THEN 1 ELSE 0 END AS BIGINT) AS violates_l
+       |FROM cls ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+  ) { (spark, dir) => lDiversityOf(Tables.customer(spark, dir)) }
+
+  /** [[lDiversity]] over any frame with the two quasi-identifiers and
+    * `c_acctbal` — fixture seam. */
+  private[graft] def lDiversityOf(customer: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bc = customer
+      .select($"c_nationkey", $"c_mktsegment",
+        when($"c_acctbal" < 0, "negative")
+          .when($"c_acctbal" < 5000, "low")
+          .otherwise("high").as("band"))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"band")
+      .agg(count(lit(1)).as("n"))
+    bc.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(sum($"n").cast("long").as("class_size"),
+        count(lit(1)).cast("long").as("l_distinct"),
+        max($"n").cast("long").as("top_band_n"))
+      .select($"c_nationkey", $"c_mktsegment", $"class_size", $"l_distinct",
+        round($"top_band_n".cast("double") / $"class_size", 6).as("top_share"),
+        ($"l_distinct" < LDiv).cast("long").as("violates_l"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  /** Slowly-changing-dimension TYPE 2 build (Kimball): compress each
+    * user's purchase-value change log into validity intervals — one row
+    * per VERSION with `valid_from`/`valid_to` and a current flag, the
+    * materialization a warehouse keeps so point-in-time joins become
+    * `BETWEEN valid_from AND valid_to` range lookups. True SCD2
+    * semantics: consecutive events carrying the SAME value collapse into
+    * one version (no spurious row per reload); only a changed value
+    * closes the open interval and opens a new one.
+    *
+    * Scale shape: two windows over the same (user_id × time) partitioning
+    * — change detection (lag) and interval close (lead) — so the log
+    * shuffles ONCE on user_id and both passes ride that partitioning;
+    * state per user is its version chain, never the raw log. Exact
+    * double equality detects changes (values are parquet-exact in both
+    * engines). */
+  val scd2Build: QueryDef = QueryDef(
+    "dq_scd2_build",
+    """WITH log AS (SELECT user_id, ts, event_id, value FROM events
+      |             WHERE event_type = 'purchase'),
+      |chg AS (SELECT *,
+      |               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |        FROM log),
+      |ver AS (SELECT user_id, value, ts AS valid_from, event_id
+      |        FROM chg WHERE prev IS NULL OR value <> prev),
+      |iv AS (SELECT user_id, value, valid_from,
+      |              lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+      |              CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS BIGINT) AS version
+      |       FROM ver)
+      |SELECT user_id, version, value, valid_from, valid_to,
+      |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM iv ORDER BY user_id, version""".stripMargin,
+  ) { (spark, dir) => scd2BuildOf(Tables.events(spark, dir)) }
+
+  /** [[scd2Build]] over any events-shaped frame — fixture seam for the
+    * consecutive-duplicate collapse spec. */
+  private[graft] def scd2BuildOf(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val byFrom = Window.partitionBy($"user_id").orderBy($"valid_from", $"event_id")
+    events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .withColumn("prev", lag($"value", 1).over(byTime))
+      .filter($"prev".isNull || $"value" =!= $"prev")
+      .select($"user_id", $"value", $"ts".as("valid_from"), $"event_id")
+      .withColumn("valid_to", lead($"valid_from", 1).over(byFrom))
+      .withColumn("version", row_number().over(byFrom).cast("long"))
+      .select($"user_id", $"version", $"value", $"valid_from", $"valid_to",
+        $"valid_to".isNull.cast("long").as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift, kAnonymity)
+    Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift, kAnonymity,
+      lDiversity, scd2Build)
 }

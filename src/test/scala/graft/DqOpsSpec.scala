@@ -78,4 +78,59 @@ class DqOpsSpec extends AnyFunSuite {
     assert(out((2L, "AUTO")) == ((3L, 1L, 0.12)), "3 < k flags")
     assert(out((3L, "MACHINERY")) == ((10L, 0L, 0.4)), "exactly k passes")
   }
+
+  test("l-diversity: homogeneous class flags even when k-anonymous") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // class (1, BUILDING): 12 members but ALL in the 'low' band -> l=1,
+    // violates despite its size; class (2, AUTO): 6 members spread over
+    // negative/low/high -> l=3 passes; boundary values pin the exact band
+    // edges (0 -> low, 5000 -> high)
+    val rows =
+      (1 to 12).map(i => (i.toLong, 1L, "BUILDING", 100.0)) ++
+        Seq((101L, 2L, "AUTO", -5.0), (102L, 2L, "AUTO", -1.0),
+          (103L, 2L, "AUTO", 0.0), (104L, 2L, "AUTO", 4999.99),
+          (105L, 2L, "AUTO", 5000.0), (106L, 2L, "AUTO", 9000.0))
+    val customer = rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = DqOps.lDiversityOf(customer).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(out((1L, "BUILDING")) == ((12L, 1L, 1.0, 1L)),
+      "single-band class must violate l regardless of class size")
+    val auto = out((2L, "AUTO"))
+    assert(auto._2 == 3L && auto._4 == 0L, s"three bands pass: $auto")
+    assert(auto._3 == math.round(2.0 / 6.0 * 1e6) / 1e6,
+      "top band {negative: 2} ties {low: 2}... max n = 2 -> share 2/6")
+  }
+
+  test("scd2: consecutive duplicate values collapse, intervals chain, last is current") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: 10 -> 10 (collapse) -> 20 -> 10: three versions
+      (1L, t("2024-01-01 00:00:00"), 1L, "purchase", 10.0),
+      (2L, t("2024-01-02 00:00:00"), 1L, "purchase", 10.0),
+      (3L, t("2024-01-03 00:00:00"), 1L, "purchase", 20.0),
+      (4L, t("2024-01-04 00:00:00"), 1L, "purchase", 10.0),
+      // non-purchase events never enter the log
+      (5L, t("2024-01-05 00:00:00"), 1L, "click", 99.0),
+      // user 2: single event = single open version
+      (6L, t("2024-02-01 00:00:00"), 2L, "purchase", 7.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = DqOps.scd2BuildOf(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.keySet == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
+    assert(out((1L, 1L)).getAs[Double]("value") == 10.0)
+    assert(out((1L, 2L)).getAs[Double]("value") == 20.0)
+    assert(out((1L, 3L)).getAs[Double]("value") == 10.0,
+      "a value may recur in a LATER version; only consecutive dups collapse")
+    // interval chaining: each version's valid_to equals the next's valid_from
+    assert(out((1L, 1L)).getAs[java.sql.Timestamp]("valid_to") ==
+      out((1L, 2L)).getAs[java.sql.Timestamp]("valid_from"))
+    assert(out((1L, 2L)).getAs[java.sql.Timestamp]("valid_to") ==
+      out((1L, 3L)).getAs[java.sql.Timestamp]("valid_from"))
+    assert(out((1L, 3L)).getAs[Long]("is_current") == 1L &&
+      out((1L, 3L)).get(4) == null, "open interval marks the live version")
+    assert(out((1L, 1L)).getAs[Long]("is_current") == 0L)
+    assert(out((2L, 1L)).getAs[Long]("is_current") == 1L)
+  }
 }
