@@ -305,9 +305,10 @@ object DqOps {
     * state per user is its version chain, never the raw log. Exact
     * double equality detects changes (values are parquet-exact in both
     * engines). */
-  val scd2Build: QueryDef = QueryDef(
-    "dq_scd2_build",
-    """WITH log AS (SELECT user_id, ts, event_id, value FROM events
+  /** The SCD2 version-chain CTEs (`log` → `chg` → `ver` → `iv`), shared
+    * by [[scd2Build]] and the point-in-time consumer [[scd2Lookup]]. */
+  private val scd2Ctes =
+    """log AS (SELECT user_id, ts, event_id, value FROM events
       |             WHERE event_type = 'purchase'),
       |chg AS (SELECT *,
       |               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -317,7 +318,11 @@ object DqOps {
       |iv AS (SELECT user_id, value, valid_from,
       |              lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
       |              CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS BIGINT) AS version
-      |       FROM ver)
+      |       FROM ver)""".stripMargin
+
+  val scd2Build: QueryDef = QueryDef(
+    "dq_scd2_build",
+    s"""WITH $scd2Ctes
       |SELECT user_id, version, value, valid_from, valid_to,
       |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
       |FROM iv ORDER BY user_id, version""".stripMargin,
@@ -342,7 +347,55 @@ object DqOps {
       .orderBy($"user_id", $"version")
   }
 
+  /** Point-in-time lookup against the [[scd2Build]] dimension: for every
+    * click event, the purchase-value VERSION that was valid at the
+    * click's timestamp — the join SCD2 exists to serve ("what did this
+    * user's dimension look like when the fact happened"). Clicks before
+    * the user's first version carry nulls.
+    *
+    * The engine resolves it as an AS-OF join ([[AsofOps.asofJoin]] — one
+    * user-keyed shuffle, window carry, no interval table needed at all),
+    * while the oracle joins the materialized intervals with
+    * `ts >= valid_from AND (valid_to IS NULL OR ts < valid_to)` — two
+    * INDEPENDENT formulations of point-in-time semantics whose hash
+    * equality proves the version chain is gapless and non-overlapping
+    * (any gap or overlap would desync a row). Empty versions (two value
+    * changes at the same instant — interval [t, t)) are excluded on both
+    * sides: they can never be valid at any point in time. */
+  val scd2Lookup: QueryDef = QueryDef(
+    "dq_scd2_lookup",
+    s"""WITH $scd2Ctes,
+       |live AS (SELECT user_id, version, value, valid_from, valid_to FROM iv
+       |         WHERE valid_to IS NULL OR valid_from < valid_to),
+       |clk AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+       |SELECT clk.event_id, clk.user_id,
+       |       CAST(epoch_us(clk.ts) AS BIGINT) AS click_ts_us,
+       |       live.version, round(live.value, 2) AS dim_value
+       |FROM clk LEFT JOIN live
+       |  ON clk.user_id = live.user_id
+       | AND clk.ts >= live.valid_from
+       | AND (live.valid_to IS NULL OR clk.ts < live.valid_to)
+       |ORDER BY clk.event_id""".stripMargin,
+  ) { (spark, dir) => scd2LookupOf(Tables.events(spark, dir)) }
+
+  /** [[scd2Lookup]] over any events-shaped frame — fixture seam. */
+  private[graft] def scd2LookupOf(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val versions = scd2BuildOf(ev)
+      .filter($"valid_to".isNull || $"valid_from" < $"valid_to")
+      .select($"user_id", $"valid_from".as("ts"), $"version", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    AsofOps.asofJoin(clicks, versions, "user_id", "ts",
+      payload = Seq("version", "value"))
+      .select($"event_id", $"user_id",
+        unix_micros($"ts").as("click_ts_us"),
+        $"asof_version".as("version"),
+        round($"asof_value", 2).as("dim_value"))
+      .orderBy($"event_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift, kAnonymity,
-      lDiversity, scd2Build)
+      lDiversity, scd2Build, scd2Lookup)
 }

@@ -65,5 +65,102 @@ object RangeJoinOps {
       .orderBy($"error_id", $"click_id")
   }
 
-  val all: Seq[QueryDef] = Seq(errorNearClick)
+  /** Session gap (48 h — sized to this corpus's ~35 h median per-user
+    * inter-event gap, so sessions are real multi-event spans; a web-scale
+    * clickstream would use minutes) and overlap-join bucket width (7 d).
+    * The bucket width bounds per-interval fan-out (span/width + 1
+    * candidate rows) — size it near the typical interval length at
+    * deploy time. */
+  private val SessGapUs = 172800000000L
+  private val OverlapBucketUs = 604800000000L
+
+  /** Gap-based activity sessions of one event type: a new session opens
+    * when the gap from the previous same-user event exceeds `gapUs`.
+    * One user-keyed shuffle; both windows (gap detection, running session
+    * counter) ride the same partitioning. */
+  private[graft] def sessionsOf(ev: DataFrame, etype: String, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    ev.filter($"event_type" === etype)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .withColumn("new_s", ($"prev".isNull ||
+        unix_micros($"ts") - unix_micros($"prev") > gapUs).cast("long"))
+      .withColumn("sess", sum($"new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"ts").as("s_start"), max($"ts").as("s_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** INTERVAL×INTERVAL overlap join — the third range-family operator
+    * (point-asof, point-band, and now span-overlap): pair intervals of
+    * the same key that share at least one instant (closed intervals —
+    * touching endpoints count, overlap_us = 0).
+    *
+    * Scale plan: each interval emits one row per [[OverlapBucketUs]]-wide
+    * time bucket it spans; candidates equi-join on (key, bucket) — any
+    * overlapping pair shares the bucket containing the overlap instant,
+    * so recall is exact by construction; duplicate bucket matches dedup
+    * on the pair key and the exact predicate prunes same-bucket
+    * non-overlaps. Shuffle is keyed (key, bucket); fan-out per interval
+    * is span/bucket + 1 — bounded, never the per-key cartesian the naive
+    * inequality join detonates into on hot keys. */
+  private[graft] def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      key: String, bucketUs: Long): DataFrame = {
+    def buckets(df: DataFrame, pfx: String): DataFrame =
+      df.select(col(key),
+          col("sess").as(s"${pfx}_sess"),
+          col("s_start").as(s"${pfx}_start"), col("s_end").as(s"${pfx}_end"))
+        .withColumn("__b", explode(sequence(
+          floor(unix_micros(col(s"${pfx}_start")) / bucketUs),
+          floor(unix_micros(col(s"${pfx}_end")) / bucketUs))))
+    buckets(a, "a").join(buckets(b, "b"), Seq(key, "__b"))
+      .drop("__b").distinct()
+      .filter($"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+  }
+
+  /** Overlapping (click-session, view-session) pairs per user with the
+    * shared duration — "was the user browsing while clicking" co-activity
+    * analysis. Oracle is the naive inequality join over identically
+    * sessionized intervals (quadratic is fine for the oracle, never for
+    * the engine). */
+  val sessionOverlap: QueryDef = QueryDef(
+    "range_session_overlap",
+    s"""WITH ce AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+       |cg AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+       |                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessGapUs
+       |                      THEN 1 ELSE 0 END AS new_s
+       |       FROM ce WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |cs AS (SELECT user_id, sess, min(ts) AS s_start, max(ts) AS s_end
+       |       FROM (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess FROM cg)
+       |       GROUP BY 1, 2),
+       |ve AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+       |vg AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+       |                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessGapUs
+       |                      THEN 1 ELSE 0 END AS new_s
+       |       FROM ve WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |vs AS (SELECT user_id, sess, min(ts) AS s_start, max(ts) AS s_end
+       |       FROM (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess FROM vg)
+       |       GROUP BY 1, 2)
+       |SELECT cs.user_id, cs.sess AS click_sess, vs.sess AS view_sess,
+       |       CAST(least(epoch_us(cs.s_end), epoch_us(vs.s_end))
+       |            - greatest(epoch_us(cs.s_start), epoch_us(vs.s_start)) AS BIGINT) AS overlap_us
+       |FROM cs JOIN vs ON cs.user_id = vs.user_id
+       |                AND cs.s_start <= vs.s_end AND vs.s_start <= cs.s_end
+       |ORDER BY cs.user_id, click_sess, view_sess""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    intervalOverlapJoin(
+      sessionsOf(ev, "click", SessGapUs),
+      sessionsOf(ev, "view", SessGapUs),
+      key = "user_id", bucketUs = OverlapBucketUs)
+      .select($"user_id", $"a_sess".as("click_sess"), $"b_sess".as("view_sess"),
+        (least(unix_micros($"a_end"), unix_micros($"b_end"))
+          - greatest(unix_micros($"a_start"), unix_micros($"b_start")))
+          .cast("long").as("overlap_us"))
+      .orderBy($"user_id", $"click_sess", $"view_sess")
+  }
+
+  val all: Seq[QueryDef] = Seq(errorNearClick, sessionOverlap)
 }

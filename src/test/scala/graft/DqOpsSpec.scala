@@ -133,4 +133,26 @@ class DqOpsSpec extends AnyFunSuite {
     assert(out((1L, 1L)).getAs[Long]("is_current") == 0L)
     assert(out((2L, 1L)).getAs[Long]("is_current") == 1L)
   }
+
+  test("scd2 lookup: each click resolves to the version valid at its instant") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1 version chain: v1 value 10 from Jan 1, v2 value 20 from Jan 3
+      (1L, t("2024-01-01 00:00:00"), 1L, "purchase", 10.0),
+      (2L, t("2024-01-03 00:00:00"), 1L, "purchase", 20.0),
+      // clicks: before any version / inside v1 / exactly at v2 boundary / after
+      (10L, t("2023-12-31 00:00:00"), 1L, "click", 0.0),
+      (11L, t("2024-01-02 00:00:00"), 1L, "click", 0.0),
+      (12L, t("2024-01-03 00:00:00"), 1L, "click", 0.0),
+      (13L, t("2024-01-09 00:00:00"), 1L, "click", 0.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = DqOps.scd2LookupOf(events).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out(10L) == ((None, None)), "click before first version carries nulls")
+    assert(out(11L) == ((Some(1L), Some(10.0))))
+    assert(out(12L) == ((Some(2L), Some(20.0))),
+      "boundary instant belongs to the NEW version (half-open intervals)")
+    assert(out(13L) == ((Some(2L), Some(20.0))), "open interval serves the tail")
+  }
 }

@@ -38,4 +38,56 @@ class RangeJoinOpsSpec extends AnyFunSuite {
     val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("sessions: gap splits, tight run merges, bounds and counts exact") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val gap = 3600L * 1000000 // 1 hour
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "click", 0.0), // 30 min -> same
+      (3L, ts("2024-01-01 11:30:00"), 1L, "click", 0.0), // exactly 1h -> same (>gap splits)
+      (4L, ts("2024-01-01 13:30:01"), 1L, "click", 0.0), // 2h1s -> new session
+      (5L, ts("2024-01-01 10:00:00"), 2L, "click", 0.0), // other user isolated
+      (6L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),  // other type ignored
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = RangeJoinOps.sessionsOf(ev, "click", gap).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess"),
+        r.getAs[Long]("n_events")))
+    assert(rows.toSet == Set((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 1L)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("interval overlap join: bucket-spanning pairs found, disjoint same-bucket pairs rejected") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val bucket = 86400L * 1000000 // 1 day
+    def iv(user: Long, sess: Long, a: String, b: String) =
+      (user, sess, ts(a), ts(b), 1L)
+    val as = Seq(
+      iv(1L, 1L, "2024-01-01 00:00:00", "2024-01-03 12:00:00"), // spans 3 buckets
+      iv(1L, 2L, "2024-01-10 00:00:00", "2024-01-10 01:00:00"),
+      iv(2L, 1L, "2024-01-01 00:00:00", "2024-01-01 01:00:00"), // other-key twin
+    ).toDF("user_id", "sess", "s_start", "s_end", "n_events")
+    val bs = Seq(
+      iv(1L, 1L, "2024-01-03 06:00:00", "2024-01-04 00:00:00"), // overlaps a1 by 6h
+      iv(1L, 2L, "2024-01-10 01:00:00", "2024-01-10 02:00:00"), // touches a2 endpoint
+      iv(1L, 3L, "2024-01-10 02:00:01", "2024-01-10 03:00:00"), // same bucket, disjoint
+      iv(3L, 1L, "2024-01-01 00:00:00", "2024-01-05 00:00:00"), // key never matches
+    ).toDF("user_id", "sess", "s_start", "s_end", "n_events")
+    val got = RangeJoinOps.intervalOverlapJoin(as, bs, "user_id", bucket)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("a_sess"),
+        r.getAs[Long]("b_sess")))
+    assert(got.toSet == Set((1L, 1L, 1L), (1L, 2L, 2L)), s"got ${got.toSeq}")
+    assert(got.length == 2, "multi-bucket co-span must not duplicate the pair")
+  }
+
+  test("session overlap registered query: symmetric bounds hold at sf0.01") {
+    val rows = RangeJoinOps.sessionOverlap.run(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty, "48h-gap sessions must overlap at sf0.01 density")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overlap_us") >= 0L,
+        "overlap filter must exclude negative (disjoint) spans")
+    }
+  }
 }
