@@ -360,6 +360,112 @@ object PerplexityOps {
       .orderBy($"doc_id")
   }
 
+  /** Moore–Lewis selection keeps this many top-scored pool docs. */
+  private val MlSelK = 100
+
+  /** The in-domain slice both selection lanes target. */
+  private val MlTarget = "src1"
+
+  /** Moore–Lewis intelligent selection (Moore & Lewis 2010, "Intelligent
+    * Selection of Language Model Training Data") — the cross-entropy-
+    * difference criterion: score every raw-pool document by
+    * `log P_target(doc) − log P_pool(doc)` under two add-k bigram LMs,
+    * one trained on the in-domain slice (`source = 'src1'`, the same
+    * target `llm_dsir_select` uses), one on the pool itself, and keep the
+    * top scorers. The n-gram-LM twin of hashed-feature DSIR: DSIR weighs
+    * hashed unigram buckets, Moore–Lewis weighs real bigram context — the
+    * two lanes answer the same "which raw docs look in-domain" question
+    * from independent models, which is exactly what a curation pipeline
+    * cross-checks before committing compute.
+    *
+    * Pool bigrams unseen in the target LM fall to the add-k floor
+    * (n2 = 0, n1 = 0 → k/(k·V)) rather than −∞; both LMs share the
+    * corpus-wide vocabulary V so the floors are comparable.
+    *
+    * Scale shape: two vocabulary-bounded LM trainings (grouped counts),
+    * one posting-style scoring join over the pool's bigram stream, one
+    * doc-keyed BIGINT sum; selection reuses the DSIR broadcast-cut (a
+    * TakeOrderedAndProject boundary, never a global window over the
+    * corpus). Determinism: per-bigram score difference quantizes each
+    * side with the 6-dp-then-1e-6 double-round before the subtraction
+    * and the shuffled sum. */
+  val mooreLewis: QueryDef = QueryDef(
+    "llm_moore_lewis",
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       |bi AS (SELECT doc_id, source, ts[i] AS w1, ts[i+1] AS w2
+       |       FROM tok, unnest(range(1, len(ts))) AS t(i)
+       |       WHERE len(ts) >= 2),
+       |v AS (SELECT count(DISTINCT w) AS vsz
+       |      FROM (SELECT unnest(ts) AS w FROM tok)),
+       |c2t AS (SELECT w1, w2, count(*) AS n2 FROM bi WHERE source = '$MlTarget' GROUP BY 1, 2),
+       |c1t AS (SELECT w1, count(*) AS n1 FROM bi WHERE source = '$MlTarget' GROUP BY 1),
+       |c2p AS (SELECT w1, w2, count(*) AS n2 FROM bi WHERE source <> '$MlTarget' GROUP BY 1, 2),
+       |c1p AS (SELECT w1, count(*) AS n1 FROM bi WHERE source <> '$MlTarget' GROUP BY 1),
+       |sc AS (SELECT b.doc_id,
+       |              CAST(round(round(ln((coalesce(t2.n2, 0) + 0.5) / (coalesce(t1.n1, 0) + 0.5 * v.vsz)), 6) * 1000000) AS BIGINT)
+       |            - CAST(round(round(ln((p2.n2 + 0.5) / (p1.n1 + 0.5 * v.vsz)), 6) * 1000000) AS BIGINT) AS dq
+       |       FROM bi b
+       |       JOIN c2p p2 ON b.w1 = p2.w1 AND b.w2 = p2.w2
+       |       JOIN c1p p1 ON b.w1 = p1.w1
+       |       LEFT JOIN c2t t2 ON b.w1 = t2.w1 AND b.w2 = t2.w2
+       |       LEFT JOIN c1t t1 ON b.w1 = t1.w1, v
+       |       WHERE b.source <> '$MlTarget'),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |              CAST(round(CAST(sum(dq) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+       |       FROM sc GROUP BY doc_id),
+       |rk AS (SELECT doc_id, n_bigrams, mq,
+       |              row_number() OVER (ORDER BY mq DESC, doc_id) AS r
+       |       FROM pd)
+       |SELECT doc_id, n_bigrams,
+       |       round(CAST(mq AS DOUBLE) / 1000000.0, 6) AS ml_score,
+       |       CAST(CASE WHEN r <= $MlSelK THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM rk ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) => mooreLewisOf(Tables.documents(spark, dir)) }
+
+  /** [[mooreLewis]] over any (doc_id, text, source) frame — fixture
+    * seam. */
+  private[graft] def mooreLewisOf(docs: DataFrame): DataFrame = {
+    val withSrc = docs.select($"doc_id", $"source", split($"text", " ").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", $"source",
+        explode(transform(sequence(lit(1), size($"ts") - 1),
+          i => struct(element_at($"ts", i).as("w1"),
+            element_at($"ts", i + 1).as("w2")))).as("b"))
+      .select($"doc_id", $"source", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val bi = graft.Caches.persist(withSrc)
+    val tgt = bi.filter($"source" === MlTarget)
+    val pool = bi.filter($"source" =!= MlTarget)
+    val c2t = tgt.groupBy($"w1", $"w2").agg(count(lit(1)).as("n2t"))
+    val c1t = tgt.groupBy($"w1").agg(count(lit(1)).as("n1t"))
+    val c2p = pool.groupBy($"w1", $"w2").agg(count(lit(1)).as("n2p"))
+    val c1p = pool.groupBy($"w1").agg(count(lit(1)).as("n1p"))
+    val v = docs.select(explode(split($"text", " ")).as("w"))
+      .agg(countDistinct($"w").as("vsz"))
+    def lq(n2: org.apache.spark.sql.Column, n1: org.apache.spark.sql.Column) =
+      round(round(log((n2 + 0.5) / (n1 + lit(0.5) * $"vsz")), 6) * 1000000)
+        .cast("long")
+    val scored = graft.Caches.persist(
+      pool
+        .join(c2p, Seq("w1", "w2")).join(c1p, Seq("w1"))
+        .join(c2t, Seq("w1", "w2"), "left").join(c1t, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select($"doc_id",
+          (lq(coalesce($"n2t", lit(0L)), coalesce($"n1t", lit(0L)))
+            - lq($"n2p", $"n1p")).as("dq"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum($"dq").cast("double") / count(lit(1))).cast("long").as("mq")))
+    val cut = scored.orderBy($"mq".desc, $"doc_id".asc).limit(MlSelK)
+      .agg(min(struct($"mq", (-$"doc_id").as("nid"))).as("c"))
+      .select($"c.mq".as("cut_mq"), (-$"c.nid").as("cut_id"))
+    scored.crossJoin(broadcast(cut))
+      .select($"doc_id", $"n_bigrams",
+        round($"mq".cast("double") / 1000000.0, 6).as("ml_score"),
+        ($"mq" > $"cut_mq" || ($"mq" === $"cut_mq" && $"doc_id" <= $"cut_id"))
+          .cast("long").as("selected"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(perplexity, perplexityXval, bigramLm,
-    ngramNovelty, curriculum)
+    ngramNovelty, curriculum, mooreLewis)
 }

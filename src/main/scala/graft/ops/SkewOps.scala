@@ -84,5 +84,90 @@ object SkewOps {
       }.reduce(_ union _).orderBy($"key_col")
   }
 
-  val all: Seq[QueryDef] = Seq(saltedJoinQuery, keySkew)
+  /** Bloom geometry: m bits, k probe positions per key. m = 2^12 keeps
+    * the whole filter one broadcast array; k = 3 gives fpp ≈ (1-e^(-kn/m))^k
+    * — ~2% at n = 400 build keys. */
+  private val BloomBits = 4096
+  private val BloomK = 3
+
+  /** k bit positions of one key: disjoint 12-bit slices of the portable
+    * 60-bit digest (md5hash60 — DuckDB replays it exactly), extracted
+    * with integer SHIFTS (never a division through double, which would
+    * corrupt bits above 2^53), so the positions are independent uniform
+    * draws without extra hashing. */
+  private def bloomPositions(key: Column): Column = {
+    val h = call_function("md5hash60", key.cast("string"))
+    array((0 until BloomK).map(i =>
+      pmod(shiftrightunsigned(h, 12 * i), lit(BloomBits.toLong))): _*)
+  }
+
+  /** Bloom-filter semi-join readout — the RUNTIME-FILTER technique that
+    * makes big-probe/small-build joins cheap at 100 TB (Spark's own
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter` does this inside the
+    * engine; here it is expressed as an operator so the gate can measure
+    * it): the build side's key set (suppliers of one nation) compresses
+    * to a [[BloomBits]]-bit position set, broadcast to the probe side
+    * (lineitem), and only probe rows whose [[BloomK]] positions ALL hit
+    * survive to the exact join. The readout reports, per return flag,
+    * the probe count, bloom-pass count, true-match count, and the false
+    * positives the exact join then discards — the fpp the geometry
+    * formula predicts, measured.
+    *
+    * Determinism: bit positions are integer slices of the portable
+    * digest; membership is exact integer set containment — no float
+    * anywhere, so the approximate DATA STRUCTURE is still exactly
+    * hash-verifiable cross-engine. Scale shape: the filter is ≤ m
+    * distinct positions regardless of build size (collect_set bounded by
+    * [[BloomBits]]), broadcast once; the probe never shuffles until
+    * after the bloom prunes it. */
+  val bloomJoin: QueryDef = QueryDef(
+    "skew_bloom_join",
+    s"""WITH bld AS (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3),
+       |pos AS (SELECT DISTINCT
+       |          unnest([(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT >> (12 * g)) % $BloomBits
+       |                  for g in range(0, $BloomK)]) AS p
+       |        FROM bld),
+       |pr AS (SELECT l.l_suppkey, l.l_returnflag,
+       |              [(('0x' || substr(md5(CAST(l.l_suppkey AS VARCHAR)), 1, 15))::BIGINT >> (12 * g)) % $BloomBits
+       |               for g in range(0, $BloomK)] AS ps
+       |       FROM lineitem l),
+       |posl AS (SELECT list(p) AS bits FROM pos),
+       |pr2 AS (SELECT pr.l_returnflag,
+       |               CASE WHEN list_has_all(posl.bits, pr.ps) THEN 1 ELSE 0 END AS pass,
+       |               CASE WHEN pr.l_suppkey IN (SELECT s_suppkey FROM bld) THEN 1 ELSE 0 END AS hit
+       |        FROM pr, posl)
+       |SELECT l_returnflag,
+       |       CAST(count(*) AS BIGINT) AS n_probe,
+       |       CAST(sum(pass) AS BIGINT) AS n_pass,
+       |       CAST(sum(hit) AS BIGINT) AS n_true,
+       |       CAST(sum(CASE WHEN pass = 1 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       |FROM pr2 GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin,
+  ) { (spark, dir) =>
+    val build = Tables.supplier(spark, dir)
+      .filter($"s_nationkey" === 3).select($"s_suppkey")
+    // filter state: the distinct SET bits, bounded by m no matter how many
+    // build keys fold in — the broadcastable summary a bloom IS
+    val bits = build
+      .select(explode(bloomPositions($"s_suppkey")).as("p"))
+      .agg(collect_set($"p").as("bits"))
+    val probe = Tables.lineitem(spark, dir)
+      .select($"l_suppkey", $"l_returnflag",
+        bloomPositions($"l_suppkey").as("ps"))
+      .crossJoin(broadcast(bits))
+      .withColumn("pass",
+        forall($"ps", q => array_contains($"bits", q)).cast("long"))
+    val exact = probe
+      .join(broadcast(build.select($"s_suppkey".as("l_suppkey"),
+        lit(1L).as("hit"))), Seq("l_suppkey"), "left")
+    exact.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_probe"),
+        sum($"pass").as("n_pass"),
+        sum(when($"hit" === 1L, 1L).otherwise(0L)).as("n_true"),
+        sum(when($"pass" === 1L && $"hit".isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .orderBy($"l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(saltedJoinQuery, keySkew, bloomJoin)
 }

@@ -508,8 +508,72 @@ object TpchOps {
           / 100.0 / 7.0, 2).as("avg_yearly"))
   }
 
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * a warehouse runs instead of recomputing: the standing per-priority
+    * revenue aggregate over orders BEFORE the cutoff is merged with the
+    * new batch's partial aggregate (orders ON/AFTER the cutoff), and the
+    * query proves algebraically-merged state equals a full recompute by
+    * emitting both and an integer `consistent` flag.
+    *
+    * The proof only holds because money sums are CENTS (exact BIGINTs,
+    * associative addition): partial-sum + partial-sum is then bit-equal
+    * to the monolithic sum, which double addition would NOT guarantee —
+    * that discipline is precisely what makes incremental maintenance
+    * sound at 100 TB, where the delta path touches only the new batch
+    * instead of re-scanning the fact table. */
+  val incrAgg: QueryDef = QueryDef(
+    "rds_incr_agg",
+    """WITH base AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |                     sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |              FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+      |              GROUP BY 1),
+      |delta AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |          FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      |          GROUP BY 1),
+      |merged AS (SELECT coalesce(b.o_orderpriority, d.o_orderpriority) AS o_orderpriority,
+      |                  coalesce(b.n, 0) AS n_base, coalesce(d.n, 0) AS n_delta,
+      |                  coalesce(b.cents, 0) + coalesce(d.cents, 0) AS cents
+      |           FROM base b FULL OUTER JOIN delta d USING (o_orderpriority)),
+      |full_r AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |           FROM orders GROUP BY 1)
+      |SELECT m.o_orderpriority, m.n_base, m.n_delta,
+      |       m.n_base + m.n_delta AS n_total,
+      |       round(CAST(m.cents AS DOUBLE) / 100.0, 2) AS total,
+      |       CAST(CASE WHEN m.n_base + m.n_delta = f.n AND m.cents = f.cents
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS consistent
+      |FROM merged m JOIN full_r f USING (o_orderpriority)
+      |ORDER BY m.o_orderpriority""".stripMargin,
+  ) { (spark, dir) =>
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val orders = Tables.orders(spark, dir)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val base = agg(orders.filter($"o_orderdate" < cutoff))
+      .select($"o_orderpriority", $"n".as("n_b"), $"cents".as("c_b"))
+    val delta = agg(orders.filter($"o_orderdate" >= cutoff))
+      .select($"o_orderpriority", $"n".as("n_d"), $"cents".as("c_d"))
+    val merged = base.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select($"o_orderpriority",
+        coalesce($"n_b", lit(0L)).as("n_base"),
+        coalesce($"n_d", lit(0L)).as("n_delta"),
+        (coalesce($"c_b", lit(0L)) + coalesce($"c_d", lit(0L))).as("cents"))
+    val full = agg(orders)
+      .select($"o_orderpriority", $"n".as("n_f"), $"cents".as("c_f"))
+    merged.join(full, Seq("o_orderpriority"))
+      .select($"o_orderpriority", $"n_base", $"n_delta",
+        ($"n_base" + $"n_delta").as("n_total"),
+        round($"cents".cast("double") / 100.0, 2).as("total"),
+        ($"n_base" + $"n_delta" === $"n_f" && $"cents" === $"c_f")
+          .cast("long").as("consistent"))
+      .orderBy($"o_orderpriority")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q1Agg, redshiftQ1, redshiftQ2, redshiftQ3, rdsQ1, rdsQ2, rdsQ3,
       displayScan, monthlyOrders, limitPeek, decimalMoney, decimalStored,
-      upsertMerge, fullOuterHalves, tpchQ5, tpchQ17)
+      upsertMerge, fullOuterHalves, tpchQ5, tpchQ17, incrAgg)
 }

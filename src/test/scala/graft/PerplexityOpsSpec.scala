@@ -134,4 +134,42 @@ class PerplexityOpsSpec extends AnyFunSuite {
     byPhase.foreach { case (_, rs) =>
       assert(rs.forall(_._5 == rs.map(_._4).sum)) }
   }
+
+  test("moore-lewis: target-like pool doc outscores pool-typical doc") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // Target (src1) speaks bigram patterns over {wiki, cite, ref}; the
+    // pool speaks {spam, ad, click}. The pool doc reusing target bigrams
+    // must carry the top cross-entropy difference.
+    val docs = Seq(
+      (0L, "wiki cite ref wiki cite ref wiki cite", "src1"),
+      (1L, "cite ref wiki cite ref wiki cite ref", "src1"),
+      (2L, "wiki cite ref wiki cite ref wiki", "src9"), // target-like
+      (3L, "spam ad click spam ad click spam ad", "src9"),
+      (4L, "ad click spam ad click spam ad click", "src9"),
+    ).toDF("doc_id", "text", "source")
+    val out = PerplexityOps.mooreLewisOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 3L, 4L), "only pool docs are scored")
+    val s = out.view.mapValues(_.getAs[Double]("ml_score")).toMap
+    assert(s(2L) > s(3L) && s(2L) > s(4L),
+      s"target-like doc must top the cross-entropy difference: $s")
+    assert(s(2L) > 0.0, "target bigrams are likelier under the target LM")
+    assert(s(3L) < 0.0 && s(4L) < 0.0,
+      "pool-only bigrams are unseen by the target LM -> negative score")
+    assert(out.values.forall(_.getAs[Long]("selected") == 1L),
+      "SelK exceeds pool size here")
+  }
+
+  test("moore-lewis registered query: selection is a weight-threshold cut") {
+    val rows = PerplexityOps.mooreLewis.run(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val nSel = rows.count(_.getAs[Long]("selected") == 1L)
+    assert(nSel == math.min(100, rows.length), s"got $nSel of ${rows.length}")
+    val minSel = rows.filter(_.getAs[Long]("selected") == 1L)
+      .map(_.getAs[Double]("ml_score")).min
+    val maxUnsel = rows.filter(_.getAs[Long]("selected") == 0L)
+      .map(_.getAs[Double]("ml_score")).maxOption.getOrElse(Double.NegativeInfinity)
+    assert(minSel >= maxUnsel, "cut must be a score threshold")
+  }
 }

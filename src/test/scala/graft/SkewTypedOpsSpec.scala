@@ -48,4 +48,32 @@ class SkewTypedOpsSpec extends AnyFunSuite {
     assert(agg.merge(TypedOps.TopKBuf(left), TypedOps.TopKBuf(right)).items ==
       Seq((5.0, 1L), (4.0, 3L), (3.0, 2L)))
   }
+
+  test("bloom join: no false negatives, real pruning, counts reconcile") {
+    val rows = SkewOps.bloomJoin.run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (probe, pass, tru, fp) = (r.getAs[Long]("n_probe"),
+        r.getAs[Long]("n_pass"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_false_pos"))
+      assert(tru <= pass, "a bloom filter must never drop a true member")
+      assert(pass - tru == fp, "false positives = passed minus true")
+      assert(pass <= probe)
+      assert(pass * 2 < probe,
+        s"filter must actually prune the probe side: $pass of $probe")
+    }
+  }
+
+  test("incremental aggregate merge equals the full recompute on every group") {
+    val rows = TpchOps.incrAgg.run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("consistent") == 1L,
+        s"partial-sum merge diverged for ${r.getString(0)}")
+      assert(r.getAs[Long]("n_total") ==
+        r.getAs[Long]("n_base") + r.getAs[Long]("n_delta"))
+      assert(r.getAs[Long]("n_base") > 0L && r.getAs[Long]("n_delta") > 0L,
+        "cutoff must split the data or the test proves nothing")
+    }
+  }
 }
