@@ -1007,6 +1007,48 @@ object EmbeddingOps {
       .orderBy($"vec_id")
   }
 
+  /** Hard negatives returned per query. */
+  private val HardNegK = 5
+
+  /** HARD-NEGATIVE mining (the DPR / contrastive-training recipe,
+    * Karpukhin et al. 2020: negatives that are semantically CLOSE but
+    * wrong) — for each query vector, the top-[[HardNegK]] highest-cosine
+    * corpus vectors whose label differs from the query's. Random
+    * negatives are trivially separable and teach a retriever nothing;
+    * the highest-similarity wrong-label examples are where the decision
+    * boundary actually gets trained. Same broadcast-query linear-scan
+    * shape as [[cosineTopK]] (the label predicate rides the scan); a
+    * deployment at corpus scale swaps the scan for the trained-IVF probe
+    * with the label filter applied to candidates. */
+  val hardNegatives: QueryDef = QueryDef(
+    "llm_hard_negatives",
+    vecCte +
+      s"""
+         |, q AS (SELECT vec_id, label, v, nrm FROM e WHERE vec_id < $NQueries),
+         |s AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id, e.label,
+         |             ${dotSql("q.v", "e.v")} / (q.nrm * e.nrm) AS sim
+         |      FROM q JOIN e ON q.label <> e.label),
+         |r AS (SELECT q_id, vec_id, label, sim,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT q_id, vec_id, CAST(label AS BIGINT) AS label,
+         |       CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE rk <= $HardNegK ORDER BY q_id, rank""".stripMargin,
+  ) { (spark, dir) =>
+    val e = vectors(spark, dir)
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"label".as("qlabel"), $"v".as("qv"))
+    e.join(broadcast(q), $"qlabel" =!= $"label")
+      .select($"q_id", $"vec_id", $"label",
+        call_function("cosine_sim", $"qv", $"v").as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy(desc("sim"), asc("vec_id"))))
+      .filter($"rank" <= HardNegK)
+      .select($"q_id", $"vec_id", $"label".cast("long").as("label"),
+        $"rank".cast("long").as("rank"), round($"sim", 6).as("sim"))
+      .orderBy($"q_id", $"rank")
+  }
+
   /** SemDeDup similarity bar — the corpus's real-similarity band top (the
     * [[embedNeardup]] threshold): no planted near-identical vectors exist,
     * so the readout exercises the full pipeline on the pairs that do
@@ -1670,5 +1712,5 @@ object EmbeddingOps {
       ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup,
       embedDedupCluster, semDedup, embedStats, embedCentroid, embedQuantize,
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
-      annMatryoshka, mmrRerank)
+      annMatryoshka, mmrRerank, hardNegatives)
 }

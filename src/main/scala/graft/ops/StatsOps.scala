@@ -304,7 +304,76 @@ object StatsOps {
           .as("dof"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test — the distribution-drift readout
+    * beyond [[DqOps.psiDrift]]'s binned PSI: D = max |F_a(v) − F_b(v)|
+    * over the pooled empirical CDFs, sensitive to ANY distributional
+    * difference, not just mass moved across preset bin edges. Samples
+    * here are order totals split by key parity (same distribution → no
+    * drift, which the oracle pins; the spec plants a real shift).
+    *
+    * Exactness: values are cents (exact BIGINTs), the CDF gap is kept as
+    * the INTEGER cross-product |cna·Nb − cnb·Na| until the single final
+    * division — no float ever enters the max. (The cross-product bounds
+    * sample sizes to ~3·10⁹ per side before BIGINT overflow; past that
+    * the same plan runs with the double-division form.) The running CDF
+    * is a window over DISTINCT values — bounded by the value domain (cent
+    * grid), not the row count; at extreme domains the same total order
+    * range-partitions into a rank-offset pass (the `llm_curriculum`
+    * note). The drift flag compares the 6-dp-rounded statistic against
+    * the 6-dp-rounded α = 0.05 critical value, so both engines compare
+    * identical doubles. */
+  val ksTest: QueryDef = QueryDef(
+    "stats_ks_test",
+    """WITH s AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |                  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS in_a
+      |           FROM orders),
+      |g AS (SELECT v, CAST(sum(in_a) AS BIGINT) AS na,
+      |             CAST(sum(1 - in_a) AS BIGINT) AS nb
+      |      FROM s GROUP BY v),
+      |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM g),
+      |c AS (SELECT v, sum(na) OVER (ORDER BY v) AS cna,
+      |             sum(nb) OVER (ORDER BY v) AS cnb
+      |      FROM g),
+      |d AS (SELECT max(abs(cna * t.tb - cnb * t.ta)) AS dnum FROM c, t)
+      |SELECT t.ta AS n_a, t.tb AS n_b, d.dnum AS d_num,
+      |       round(CAST(d.dnum AS DOUBLE) / (t.ta * t.tb), 6) AS d_stat,
+      |       round(1.358 * sqrt(CAST(t.ta + t.tb AS DOUBLE) / (t.ta * t.tb)), 6) AS crit_005,
+      |       CAST(CASE WHEN round(CAST(d.dnum AS DOUBLE) / (t.ta * t.tb), 6)
+      |                      > round(1.358 * sqrt(CAST(t.ta + t.tb AS DOUBLE) / (t.ta * t.tb)), 6)
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS drift
+      |FROM t, d""".stripMargin,
+  ) { (spark, dir) =>
+    val s = Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("v"),
+        ($"o_orderkey" % 2 === 0).cast("long").as("in_a"))
+    ksTestOf(s)
+  }
+
+  /** [[ksTest]] over any `(v: BIGINT, in_a: 0|1)` pooled-sample frame —
+    * fixture seam for the planted-shift spec. */
+  private[graft] def ksTestOf(s: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.Caches.persist(
+      s.groupBy($"v")
+        .agg(sum($"in_a").as("na"), sum(lit(1L) - $"in_a").as("nb")))
+    val t = g.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
+    val w = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.select($"v", sum($"na").over(w).as("cna"),
+      sum($"nb").over(w).as("cnb"))
+    val d = c.crossJoin(broadcast(t))
+      .agg(max(abs($"cna" * $"tb" - $"cnb" * $"ta")).as("dnum"))
+    d.crossJoin(broadcast(t))
+      .select($"ta".as("n_a"), $"tb".as("n_b"), $"dnum".as("d_num"),
+        round($"dnum".cast("double") / ($"ta" * $"tb"), 6).as("d_stat"),
+        round(lit(1.358) * sqrt(($"ta" + $"tb").cast("double") / ($"ta" * $"tb")), 6)
+          .as("crit_005"),
+        (round($"dnum".cast("double") / ($"ta" * $"tb"), 6)
+          > round(lit(1.358) * sqrt(($"ta" + $"tb").cast("double") / ($"ta" * $"tb")), 6))
+          .cast("long").as("drift"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMoments, linreg, histogram, quantileBucket, profileOrders,
-      madOutliers, chi2)
+      madOutliers, chi2, ksTest)
 }

@@ -345,6 +345,30 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       assert(rs.find(_._2 == 1L).get._3 == top1(q), s"query $q pick 1") }
   }
 
+  test("hard negatives: wrong-label only, ordered by similarity, never the query") {
+    val rows = EmbeddingOps.hardNegatives.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // label table for the 5 query vectors
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to 5L), s"query $q ranks")
+      rs.foreach { case (_, v, lbl, _, _) =>
+        assert(v != q, "query can never be its own negative")
+        assert(lbl != labels(q), s"negative ($q,$v) shares the query label")
+        assert(lbl == labels(v), "emitted label must be the negative's own")
+      }
+      // ranks are similarity-ordered
+      val sims = rs.sortBy(_._4).map(_._5).toSeq
+      assert(sims == sims.sorted.reverse, s"query $q sims not descending")
+    }
+  }
+
   test("semDedup: within-cluster dup group keeps the lowest-centroid-cosine member") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // Cluster 0 centroid = x-axis. Vectors 1 and 2 are near-identical

@@ -63,4 +63,24 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getString(4) <= r.getString(5) ||
       r.getString(0) == "o_totalprice"), "min_s <= max_s except decimal render")
   }
+
+  test("ks test: identical samples score ~0, planted shift crosses the bar") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // same 200-value grid in both samples -> CDFs coincide, D = 0
+    val same = ((1 to 200).map(v => (v.toLong, 1L)) ++
+      (1 to 200).map(v => (v.toLong, 0L))).toDF("v", "in_a")
+    val sOut = StatsOps.ksTestOf(same).collect().head
+    assert(sOut.getAs[Long]("d_num") == 0L)
+    assert(sOut.getAs[Double]("d_stat") == 0.0)
+    assert(sOut.getAs[Long]("drift") == 0L)
+    // disjoint supports -> D = 1, far above any critical value
+    val shift = ((1 to 200).map(v => (v.toLong, 1L)) ++
+      (1 to 200).map(v => (1000L + v, 0L))).toDF("v", "in_a")
+    val dOut = StatsOps.ksTestOf(shift).collect().head
+    assert(dOut.getAs[Double]("d_stat") == 1.0, "disjoint supports max the statistic")
+    assert(dOut.getAs[Long]("drift") == 1L)
+    // D is invariant to which side is called A
+    val flipped = shift.select(col("v"), (lit(1L) - col("in_a")).as("in_a"))
+    assert(StatsOps.ksTestOf(flipped).collect().head.getAs[Double]("d_stat") == 1.0)
+  }
 }
