@@ -379,6 +379,87 @@ object StreamingOps {
     cdcLatest(Tables.events(spark, dir)).orderBy($"user_id")
   }
 
+  /** Typed rows for the streaming as-of enrichment. */
+  final case class EnrichEvent(user_id: Long, event_id: Long,
+      is_purchase: Boolean, ts_us: Long, value: Double)
+  final case class LastPurchase(ts_us: Long, value: Double)
+  final case class EnrichedClick(event_id: Long, user_id: Long,
+      click_ts_us: Long, purchase_ts_us: Option[Long],
+      purchase_value: Option[Double])
+
+  /** STREAMING point-in-time enrichment — the as-of join
+    * (`asof_purchase_click` family) as a stateful stream operator: every
+    * click is emitted with the user's latest prior-or-simultaneous
+    * purchase, carried across micro-batches as ONE (ts, value) pair per
+    * user. This is the serving form of the SCD2 lookup
+    * (`dq_scd2_lookup`): unbounded lookback with O(1) state per key,
+    * where the stream-stream interval join (`stream_stream_join`) can
+    * only afford a bounded window of retained state.
+    *
+    * Within a batch, events fold in (ts, purchase-first, event_id) order
+    * — purchases at the same instant win over clicks (the as-of ≤ rule)
+    * and the max-event_id purchase wins a same-instant tie, matching the
+    * oracle's dedup rank. Cross-batch correctness assumes event-time-
+    * ordered batches (the spec's arrangement; an out-of-order deployment
+    * adds a watermark hold-back in front). In batch each group is seen
+    * once and complete, so the fold IS the exact as-of join — that twin
+    * is the oracle-checked registered query. */
+  def asofEnrich(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val evEnc: Encoder[EnrichEvent] = Encoders.product[EnrichEvent]
+    implicit val stEnc: Encoder[LastPurchase] = Encoders.product[LastPurchase]
+    implicit val outEnc: Encoder[EnrichedClick] = Encoders.product[EnrichedClick]
+    events
+      .filter($"event_type".isin("purchase", "click"))
+      .select($"user_id", $"event_id",
+        ($"event_type" === "purchase").as("is_purchase"),
+        unix_micros($"ts").as("ts_us"), $"value")
+      .as[EnrichEvent]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[LastPurchase, EnrichedClick](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[EnrichEvent], state: GroupState[LastPurchase]) =>
+          // purchase sorts before click at an equal instant: !is_purchase
+          // is false < true; among same-instant purchases the LAST
+          // (max event_id) overwrites, matching the oracle's rank
+          val sorted = evs.toArray.sortBy(e => (e.ts_us, !e.is_purchase, e.event_id))
+          var cur = state.getOption.orNull
+          val out = Array.newBuilder[EnrichedClick]
+          sorted.foreach { e =>
+            if (e.is_purchase) cur = LastPurchase(e.ts_us, e.value)
+            else out += EnrichedClick(e.event_id, uid, e.ts_us,
+              Option(cur).map(_.ts_us), Option(cur).map(_.value))
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+      .toDF("event_id", "user_id", "click_ts_us", "purchase_ts_us", "pv_raw")
+      .select($"event_id", $"user_id", $"click_ts_us", $"purchase_ts_us",
+        round($"pv_raw", 2).as("purchase_value"))
+  }
+
+  /** Batch twin of [[asofEnrich]]; the oracle is DuckDB's native
+    * `ASOF LEFT JOIN` over max-event_id-deduped purchases — an
+    * independent implementation of the same point-in-time rule. */
+  val asofEnriched: QueryDef = QueryDef(
+    "stream_asof_enrich",
+    """WITH p0 AS (SELECT user_id, ts, value,
+      |                   row_number() OVER (PARTITION BY user_id, ts
+      |                                      ORDER BY event_id DESC) AS rn
+      |            FROM events WHERE event_type = 'purchase'),
+      |p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1),
+      |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id,
+      |       CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+      |       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+      |       round(p.value, 2) AS purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+      |ORDER BY c.event_id""".stripMargin,
+  ) { (spark, dir) =>
+    asofEnrich(Tables.events(spark, dir)).orderBy($"event_id")
+  }
+
   private val PsiW = 10.0 // event-value band width for the drift monitor
 
   /** Stage 1 of the streaming drift monitor: per (1-hour window, value
@@ -526,5 +607,6 @@ object StreamingOps {
   }
 
   val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
-    customSession, enriched, attribution, cms, neardup, cdc, psi)
+    customSession, enriched, attribution, cms, neardup, cdc, psi,
+    asofEnriched)
 }

@@ -466,4 +466,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.length >= 6,
       s"J≈0.95 near-dup should collide in most of the 8 bands: $streamed")
   }
+
+  test("streaming as-of enrichment carries the last purchase across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def ev(id: Long, u: Long, t: String, typ: String, v: Double) =
+      Ev(id, Timestamp.valueOf(t), u, typ, v)
+    val b1 = Seq(
+      ev(1, 7, "2024-01-01 10:00:00", "purchase", 5.0),
+      ev(2, 7, "2024-01-01 10:30:00", "click", 0.0),
+      ev(3, 8, "2024-01-01 11:00:00", "click", 0.0)) // no prior purchase
+    val b2 = Seq(
+      ev(4, 7, "2024-01-02 09:00:00", "click", 0.0), // served from batch-1 state
+      ev(5, 7, "2024-01-02 10:00:00", "purchase", 7.5),
+      ev(6, 7, "2024-01-02 10:00:00", "click", 0.0)) // same instant: purchase first
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.asofEnrich(stream.toDF())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4))))
+      .sortBy(_._1).toSeq
+    val streamed = shape(spark.table("asof_out").collect())
+    val batch = shape(StreamingOps.asofEnrich((b1 ++ b2).toDF()).collect())
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    val byId = batch.map(t => t._1 -> t._3).toMap
+    assert(byId(2L) == Some(5.0))
+    assert(byId(3L) == None, "click before any purchase carries null")
+    assert(byId(4L) == Some(5.0), "state must carry across micro-batches")
+    assert(byId(6L) == Some(7.5), "same-instant purchase counts (as-of <=)")
+  }
 }
