@@ -83,7 +83,13 @@ object Bench {
         failed += name
         name -> -1.0
       }
-      finally Caches.release()
+      // release + forced GC OUTSIDE any timed window: a memory-heavy
+      // query's garbage otherwise bleeds GC pauses into its alphabetical
+      // neighbor's measurement (observed: llm_semdedup's k-means
+      // checkpoints inflating llm_simhash 4x), and because the pressure
+      // slows warm-up and timed run EQUALLY the 4x retimer structurally
+      // cannot catch it.
+      finally { Caches.release(); System.gc() }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
