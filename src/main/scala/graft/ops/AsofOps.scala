@@ -107,5 +107,87 @@ object AsofOps {
       .orderBy($"event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(purchaseAsofClick)
+  /** Mirror of [[asofJoin]] looking FORWARD: attaches to each left event
+    * the EARLIEST right event of the same key with `right.ts >= left.ts`.
+    * Same union/window composition, reflected: at equal ts the left row
+    * sorts first (`__side` 0 vs 1) so a simultaneous right event is
+    * visible to the `[current, unbounded following]` frame — the ≥ tie
+    * rule, matching the backward join's ≤. One shuffle on the key, state
+    * linear in rows, same as the backward form. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(0))
+    val r = right.select((key +: ts +: payload).map(col): _*)
+      .withColumn("__side", lit(1))
+    val types = (l.schema ++ r.schema).map(f => f.name -> f.dataType).toMap
+    val allCols = (l.columns ++ r.columns).distinct.toSeq
+    def pad(df: DataFrame): DataFrame = allCols.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(types(c))))
+    val unioned = pad(l).select(allCols.map(col): _*)
+      .unionByName(pad(r).select(allCols.map(col): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned.withColumn("__asof",
+      first(when(col("__side") === 1, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
+    val projected = carried.filter(col("__side") === 0)
+      .drop("__side")
+      .drop(payload: _*)
+    payload.foldLeft(projected)((df, p) =>
+        df.withColumn(s"asof_$p", col("__asof").getField(p)))
+      .drop("__asof")
+  }
+
+  /** Conversion attribution: for each click, the user's FIRST subsequent
+    * purchase within a 7-day horizon and the time-to-convert — the
+    * forward as-of question ("what did this touch lead to?") that the
+    * backward join ("what preceded this?") cannot answer. The horizon is
+    * applied AFTER the match: an attribution window nulls out a
+    * conversion that came too late rather than attributing the next one
+    * beyond it. Purchases deduped per (user, ts) to the MIN event id so
+    * tie resolution is deterministic in both engines. */
+  val clickNextPurchase: QueryDef = QueryDef(
+    "asof_click_next_purchase",
+    """WITH c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+      |p0 AS (SELECT user_id, ts, event_id, value,
+      |              row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) AS rn
+      |       FROM events WHERE event_type = 'purchase'),
+      |p AS (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      |      FROM p0 WHERE rn = 1),
+      |j AS (SELECT c.event_id, c.user_id,
+      |             CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+      |             p.purchase_id, p.purchase_value,
+      |             CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+      |      FROM c ASOF LEFT JOIN p
+      |        ON c.user_id = p.user_id AND p.ts >= c.ts)
+      |SELECT event_id, user_id, click_ts_us,
+      |       CASE WHEN lag_us <= 604800000000 THEN purchase_id END AS purchase_id,
+      |       CASE WHEN lag_us <= 604800000000 THEN round(purchase_value, 2) END AS purchase_value,
+      |       CASE WHEN lag_us <= 604800000000 THEN lag_us END AS time_to_convert_us
+      |FROM j ORDER BY event_id""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id", $"ts").orderBy(asc("event_id"))))
+      .filter($"rn" === 1)
+      .select($"user_id", $"ts", $"event_id".as("purchase_id"),
+        $"value".as("purchase_value"), unix_micros($"ts").as("p_ts_us"))
+    val horizon = 604800000000L // 7 days in µs
+    asofJoinForward(clicks, purchases, "user_id", "ts",
+      payload = Seq("purchase_id", "purchase_value", "p_ts_us"))
+      .withColumn("lag_us", $"asof_p_ts_us" - unix_micros($"ts"))
+      .select($"event_id", $"user_id",
+        unix_micros($"ts").as("click_ts_us"),
+        when($"lag_us" <= horizon, $"asof_purchase_id").as("purchase_id"),
+        when($"lag_us" <= horizon, round($"asof_purchase_value", 2)).as("purchase_value"),
+        when($"lag_us" <= horizon, $"lag_us").as("time_to_convert_us"))
+      .orderBy($"event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(purchaseAsofClick, clickNextPurchase)
 }

@@ -349,6 +349,60 @@ object CompositionOps {
       .select($"doc_id", $"lang", $"boost_e6", $"n_copies")
       .orderBy($"doc_id")
 
+  /** Largest-remainder (Hamilton) apportionment of a fixed training-token
+    * budget across (lang, source) domains, proportional to available
+    * tokens — the integer allocation step after [[domainMix]] decides the
+    * proportions: every domain gets ⌊B·avail/total⌋, and the seats the
+    * floors left unfilled go to the largest integer REMAINDERS
+    * (B·avail mod total), so the allocations sum to exactly B with no
+    * domain off by more than one token.
+    *
+    * Shape: domain-keyed aggregate (bounded by domain count, not corpus
+    * size), scalar-total broadcast, then a window over the ~|domains| rows
+    * — the unpartitioned ROW_NUMBER runs on the already-aggregated tiny
+    * frame, never on corpus rows.
+    *
+    * Determinism: pure integer arithmetic end-to-end (DIV / mod, no
+    * floats anywhere), remainder ties broken by (lang, source). BIGINT
+    * holds B·avail up to ~9e18; past that the product needs the decimal
+    * accumulator discipline. */
+  val tokenBudget: QueryDef = QueryDef(
+    "llm_token_budget",
+    """WITH d AS (SELECT lang, source,
+      |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+      |           FROM documents GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(avail) AS BIGINT) AS total FROM d),
+      |q AS (SELECT lang, source, avail,
+      |             CAST((100000 * avail) // t.total AS BIGINT) AS base,
+      |             CAST((100000 * avail) % t.total AS BIGINT) AS rem
+      |      FROM d, t),
+      |l AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS leftover FROM q),
+      |r AS (SELECT lang, source, avail, base, rem,
+      |             row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+      |      FROM q)
+      |SELECT r.lang, r.source, r.avail,
+      |       CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+      |         AS budget_toks
+      |FROM r, l ORDER BY r.lang, r.source""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .groupBy($"lang", $"source")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("avail"))
+    val t = d.agg(sum($"avail").as("total"))
+    val q = d.crossJoin(broadcast(t))
+      .select($"lang", $"source", $"avail",
+        expr("(100000L * avail) DIV total").as("base"),
+        expr("(100000L * avail) % total").as("rem"))
+    val l = q.agg((lit(100000L) - sum($"base")).as("leftover"))
+    val r = q.withColumn("rk",
+      row_number().over(Window.orderBy($"rem".desc, $"lang", $"source")))
+    r.crossJoin(broadcast(l))
+      .select($"lang", $"source", $"avail",
+        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("budget_toks"))
+      .orderBy($"lang", $"source")
+  }
+
   val all: Seq[QueryDef] = Seq(domainMix, domainKl, piiScan, piiRedact,
-    qualityGate, mixResample)
+    qualityGate, mixResample, tokenBudget)
 }

@@ -395,7 +395,51 @@ object DqOps {
       .orderBy($"event_id")
   }
 
+  /** Benford first-digit conformance audit on order totals — the classic
+    * fabricated-data / broken-generator screen a DQ suite runs on any
+    * money-like column: the observed leading-digit distribution vs
+    * Benford's log₁₀(1+1/d), with each digit's χ² contribution so the
+    * offender digit is visible, not just the aggregate verdict.
+    *
+    * Shape: map-only digit extraction folded into a 9-group aggregate —
+    * one scan, a 9-row shuffle, cost is the scan at any scale.
+    *
+    * Determinism: the leading digit comes from the DECIMAL STRING of the
+    * exact cents integer (`regexp_extract('[1-9]')` — ×100 never changes
+    * the leading significant digit), not from `floor(log10(x))`, whose ulp
+    * error flips digits at exact powers of ten. The expected-share floats
+    * are one identical log10 expression per digit on both engines. */
+  val benford: QueryDef = QueryDef(
+    "dq_benford",
+    """WITH d AS (SELECT CAST(regexp_extract(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+      |                                      '[1-9]') AS BIGINT) AS digit
+      |           FROM orders),
+      |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+      |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o)
+      |SELECT o.digit, o.n_obs,
+      |       round(CAST(o.n_obs AS DOUBLE) / t.n, 6) AS obs_share,
+      |       round(log10(1.0 + 1.0 / o.digit), 6) AS exp_share,
+      |       round((CAST(o.n_obs AS DOUBLE) - t.n * log10(1.0 + 1.0 / o.digit))
+      |             * (CAST(o.n_obs AS DOUBLE) - t.n * log10(1.0 + 1.0 / o.digit))
+      |             / (t.n * log10(1.0 + 1.0 / o.digit)), 6) AS chi2_term
+      |FROM o, t ORDER BY o.digit""".stripMargin,
+  ) { (spark, dir) =>
+    val d = Tables.orders(spark, dir)
+      .select(regexp_extract(round($"o_totalprice" * 100).cast("long").cast("string"),
+        "[1-9]", 0).cast("long").as("digit"))
+    val o = d.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val t = o.agg(sum($"n_obs").as("n"))
+    val exp = $"n" * log10(lit(1.0) + lit(1.0) / $"digit")
+    o.crossJoin(broadcast(t))
+      .select($"digit", $"n_obs",
+        round($"n_obs".cast("double") / $"n", 6).as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / $"digit"), 6).as("exp_share"),
+        round(($"n_obs".cast("double") - exp) * ($"n_obs".cast("double") - exp) / exp, 6)
+          .as("chi2_term"))
+      .orderBy($"digit")
+  }
+
   val all: Seq[QueryDef] =
     Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift, kAnonymity,
-      lDiversity, scd2Build, scd2Lookup)
+      lDiversity, scd2Build, scd2Lookup, benford)
 }

@@ -827,8 +827,73 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Jaccard-coefficient link prediction over the mined co-occurrence
+    * graph — |N(a)∩N(c)| / |N(a)∪N(c)| for non-adjacent pairs sharing at
+    * least one neighbor, the set-overlap complement of [[adamicAdar]]'s
+    * rare-neighbor weighting (Jaccard normalizes by the pair's combined
+    * neighborhood size, so two low-degree nodes with one shared hub can
+    * outrank a celebrity pair).
+    *
+    * Shape: identical to Adamic–Adar — wedge expansion on the shared hub,
+    * anti-join against the edge set, then the intersection count per pair;
+    * the union comes from the degree table as deg(a)+deg(c)−inter, so no
+    * second neighborhood pass. Same 100 TB caveat and mitigation as
+    * [[adamicAdarCapped]] (per-hub cap bounds wedge volume).
+    *
+    * Determinism: the score is quantized by POSITIVE-integer division
+    * (inter·1e6 DIV union — floor ≡ truncate above zero, identical in
+    * both engines); ORDER/LIMIT ties break on the pair key. */
+  val jaccardLinks: QueryDef = QueryDef(
+    "graph_jaccard_links",
+    s"""WITH $edgesSql,
+       |und AS (SELECT p1 AS src, p2 AS dst FROM pairs
+       |        UNION ALL SELECT p2 AS src, p1 AS dst FROM pairs),
+       |deg AS (SELECT src AS b, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+       |w AS (SELECT x.src AS b, x.dst AS a, y.dst AS c
+       |      FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst),
+       |nonadj AS (SELECT w.a, w.c FROM w
+       |           WHERE NOT EXISTS (SELECT 1 FROM pairs p
+       |                             WHERE p.p1 = w.a AND p.p2 = w.c)),
+       |inter AS (SELECT a, c, CAST(count(*) AS BIGINT) AS n_common
+       |          FROM nonadj GROUP BY a, c),
+       |sc AS (SELECT i.a, i.c, i.n_common,
+       |              CAST(i.n_common * 1000000 // (da.deg + dc.deg - i.n_common) AS BIGINT) AS jq
+       |       FROM inter i JOIN deg da ON i.a = da.b JOIN deg dc ON i.c = dc.b)
+       |SELECT a AS part_a, c AS part_b, n_common,
+       |       round(CAST(jq AS DOUBLE) / 1000000.0, 6) AS jaccard
+       |FROM sc ORDER BY jaccard DESC, part_a, part_b LIMIT 20""".stripMargin,
+  ) { (spark, dir) =>
+    jaccardLinksOf(cooccurEdges(Tables.lineitem(spark, dir)))
+  }
+
+  /** The Jaccard link-prediction plan over any canonical (p1 < p2) edge
+    * list — extracted so the fixture spec runs the registered query's
+    * real wedge/anti-join/quantized-division pipeline. */
+  private[graft] def jaccardLinksOf(edges: DataFrame): DataFrame = {
+    val e = graft.Caches.persist(edges.select($"p1", $"p2"))
+    val und = e.select($"p1".as("src"), $"p2".as("dst"))
+      .union(e.select($"p2".as("src"), $"p1".as("dst")))
+    val deg = und.select($"src".as("b")).groupBy($"b")
+      .agg(count(lit(1)).as("deg"))
+    val w = und.as("x").join(und.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("a"), col("y.dst").as("c"))
+    val inter = w.join(e,
+        w("a") === e("p1") && w("c") === e("p2"), "left_anti")
+      .groupBy($"a", $"c").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(deg.select($"b".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"b".as("c"), $"deg".as("dc")), "c")
+      .select($"a", $"c", $"n_common",
+        expr("n_common * 1000000L DIV (da + dc - n_common)").as("jq"))
+      .select($"a".as("part_a"), $"c".as("part_b"), $"n_common",
+        round($"jq".cast("double") / 1000000.0, 6).as("jaccard"))
+      .orderBy($"jaccard".desc, $"part_a", $"part_b")
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, bfsLevels, adamicAdar,
       adamicAdarCapped, clusterCoeff, components, kcore, labelProp,
-      modularity, hits)
+      modularity, hits, jaccardLinks)
 }

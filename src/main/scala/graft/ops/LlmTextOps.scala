@@ -556,18 +556,17 @@ object LlmTextOps {
     (spark, dir) => neardupPlan(docShingles(spark, dir))
   }
 
-  private[graft] def neardupPlan(docsShRaw: DataFrame): DataFrame = {
-    // The shingle table feeds three consumers (frequency ordering, prefix
-    // generation, exact verification), and nothing in the plan lets the
-    // scans unify, so persist the two small derived tables for the duration
-    // of the query. On a persistent 100 TB deployment these would be
-    // materialized artifacts (written once, reused by every similarity op) —
-    // persist() is the single-session form of that materialization; Caches
-    // tracks each one so the runner unpersists after the consuming action.
+  /** Rarest-first shingle ordering shared by the prefix-filter family:
+    * (doc_id, shingles sorted by global frequency then string, n). The
+    * input is persisted because it feeds several scans that Catalyst can't
+    * unify; on a persistent 100 TB deployment this table would be a
+    * materialized artifact (written once, reused by every similarity op) —
+    * persist() is the single-session form of that materialization. */
+  private def rarestFirst(docsShRaw: DataFrame): DataFrame = {
     val docsSh = graft.Caches.persist(docsShRaw)
     val freq = docsSh.select(explode($"sh").as("g"))
       .groupBy($"g").agg(count(lit(1)).as("f"))
-    val ordered = graft.Caches.persist(
+    graft.Caches.persist(
       docsSh.select($"doc_id", explode($"sh").as("g"))
         .join(freq, "g")
         .groupBy($"doc_id")
@@ -575,6 +574,10 @@ object LlmTextOps {
         .select($"doc_id",
           transform($"fg", x => x.getField("g")).as("sh"),
           size($"fg").as("n")))
+  }
+
+  private[graft] def neardupPlan(docsShRaw: DataFrame): DataFrame = {
+    val ordered = rarestFirst(docsShRaw)
     // prefix length p = n - ceil(0.8n) + 1; ceil(4n/5) = floor((4n+4)/5)
     val pref = ordered
       .withColumn("p", $"n" - floor(($"n" * 4 + 4) / lit(5)).cast("int") + 1)
@@ -599,6 +602,72 @@ object LlmTextOps {
       .select($"doc_a", $"doc_b",
         $"inter".cast("long").as("n_common"), $"uni".cast("long").as("n_union"))
       .orderBy($"doc_a", $"doc_b")
+
+  /** All-pairs directional containment oracle (naive for the oracle only;
+    * small side = fewer shingles, ties by doc_id). */
+  private val containmentOracle: String =
+    shingleCte +
+      """
+        |SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+        |       len(a.s)::BIGINT AS n_small,
+        |       len(list_intersect(a.s, b.s))::BIGINT AS n_common,
+        |       round(CAST(len(list_intersect(a.s, b.s)) * 1000000 // len(a.s) AS DOUBLE)
+        |             / 1000000.0, 6) AS containment
+        |FROM sh a JOIN sh b
+        |  ON a.doc_id <> b.doc_id
+        | AND (len(a.s) < len(b.s) OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id))
+        |WHERE len(list_intersect(a.s, b.s)) * 5 >= len(a.s) * 4
+        |ORDER BY doc_small, doc_big""".stripMargin
+
+  /** Asymmetric near-dup: shingle CONTAINMENT |A∩B|/|A| ≥ 0.8 with A the
+    * smaller doc — catches an excerpt/quote embedded in a longer document,
+    * which symmetric Jaccard structurally misses (a 50-shingle doc fully
+    * inside a 500-shingle doc has J ≈ 0.1). Same exactness argument as
+    * [[neardupJaccard]]: if C(A,B) ≥ t then A shares ≥ ⌈t·nA⌉ shingles
+    * with B, so at least one of A's first nA−⌈t·nA⌉+1 rarest shingles is
+    * in B — A's PREFIX joined against the full posting index cannot miss
+    * a qualifying pair.
+    *
+    * Scale shape: the join is prefix(small side) ⋈ postings keyed on the
+    * shingle — rare-first ordering keeps bucket sizes small; the posting
+    * index is the artifact a deployment already maintains for the Jaccard
+    * lane. Candidate volume is bounded by Σ_g pref(g)·postings(g); the
+    * same per-shingle posting cap as the pair-mining family applies if a
+    * stop-shingle slips through the rarity ordering.
+    *
+    * Determinism: score is positive-integer division quantized at 1e-6
+    * (floor ≡ truncate), direction tie-broken by doc_id. */
+  val containment: QueryDef = QueryDef("llm_containment", containmentOracle) {
+    (spark, dir) => containmentPlan(docShingles(spark, dir))
+  }
+
+  private[graft] def containmentPlan(docsShRaw: DataFrame): DataFrame = {
+    val ordered = rarestFirst(docsShRaw)
+    // containment prefix bound: p = n - ceil(0.8n) + 1 (identical algebra
+    // to the Jaccard prefix — both need one of the first n-⌈t·n⌉+1 keys)
+    val pref = ordered
+      .withColumn("p", $"n" - floor(($"n" * 4 + 4) / lit(5)).cast("int") + 1)
+      .select($"doc_id", $"n", explode(slice($"sh", lit(1), $"p")).as("g"))
+    val postings = ordered.select($"doc_id", $"n", explode($"sh").as("g"))
+    val candidates = pref.as("a")
+      .join(postings.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id")
+          && (col("a.n") < col("b.n")
+              || (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"))
+      .distinct()
+    candidates
+      .join(ordered.select($"doc_id".as("doc_small"), $"sh".as("sha"), $"n".as("n_small")),
+        "doc_small")
+      .join(ordered.select($"doc_id".as("doc_big"), $"sh".as("shb")), "doc_big")
+      .withColumn("inter", size(array_intersect($"sha", $"shb")))
+      .filter($"inter" * 5 >= $"n_small" * 4)
+      .select($"doc_small", $"doc_big", $"n_small".cast("long").as("n_small"),
+        $"inter".cast("long").as("n_common"),
+        round(expr("CAST(inter * 1000000L DIV n_small AS DOUBLE)") / 1000000.0, 6)
+          .as("containment"))
+      .orderBy($"doc_small", $"doc_big")
+  }
 
   /** MinHash permutation family: ONE md5 base hash per shingle (the
     * expensive part), then h_i(x) = (a_i·x + b_i) mod p with p = 2^31-1 —
@@ -2052,8 +2121,8 @@ object LlmTextOps {
     exactDedup, normDedup, fingerprint, winnow, winnowPairs, winnowNative,
     textStats,
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
-    entropy, neardupJaccard, minhashSig, minhashLsh, minhashSweep, simhash,
-    simhashPairs,
+    entropy, neardupJaccard, containment, minhashSig, minhashLsh, minhashSweep,
+    simhash, simhashPairs,
     dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,
     dupChunks, dupSpans, despanApply, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,

@@ -364,7 +364,51 @@ object MultimodalOps {
       .orderBy($"q_id", $"rank")
   }
 
+  /** WebDataset-style shard assignment: pack each source's assets, in
+    * doc_id order, into ~2 KiB byte-budgeted shards (shard boundary =
+    * cumulative payload bytes crossing the budget), then report one row
+    * per shard — the manifest a media training loader reads to fetch
+    * whole shards sequentially instead of seeking per asset.
+    *
+    * Shape: the cumulative sum is PARTITIONED per source (one hash
+    * exchange + per-partition sort), never a global single-partition
+    * window — shards are per-source prefixes by design, which is also
+    * what a production layout wants (a source's shards colocate). The
+    * payload column itself never shuffles: the window runs on
+    * (source, doc_id, n_bytes) only. Pure integer arithmetic. */
+  val shardAssign: QueryDef = QueryDef(
+    "mm_shard_assign",
+    """WITH m AS (SELECT doc_id, source,
+      |                  CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |           FROM documents),
+      |c AS (SELECT source, doc_id, nb,
+      |             sum(nb) OVER (PARTITION BY source ORDER BY doc_id
+      |                           ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM m),
+      |a AS (SELECT source, doc_id, nb,
+      |             CAST((cum - nb) // 2048 AS BIGINT) AS shard_seq FROM c)
+      |SELECT source, shard_seq,
+      |       CAST(count(*) AS BIGINT) AS n_assets,
+      |       CAST(sum(nb) AS BIGINT) AS shard_bytes,
+      |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS last_doc
+      |FROM a GROUP BY source, shard_seq
+      |ORDER BY source, shard_seq""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", length(encode($"text", "UTF-8")).cast("long").as("nb"))
+      .withColumn("cum", sum($"nb").over(w))
+      .select($"source", $"doc_id", $"nb", expr("(cum - nb) DIV 2048").as("shard_seq"))
+      .groupBy($"source", $"shard_seq")
+      .agg(count(lit(1)).as("n_assets"), sum($"nb").as("shard_bytes"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"shard_seq")
+  }
+
   val all: Seq[QueryDef] =
     Seq(bytesStats, metaFilter, frameSample, decodeMeta, features,
-      payloadDedup, crossmodalFetch)
+      payloadDedup, crossmodalFetch, shardAssign)
 }

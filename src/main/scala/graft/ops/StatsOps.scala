@@ -373,7 +373,128 @@ object StatsOps {
           .cast("long").as("drift"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test on the same pooled
+    * A/B frame as [[ksTest]] — the rank-based location test that backs the
+    * KS shape test: KS asks "same distribution?", U asks "is one sample
+    * stochastically larger?". Identical scale shape to KS: group-by-value
+    * compaction first (the window then runs over DISTINCT cents values, not
+    * rows), one ordered cumulative sum, then closed-form moments.
+    *
+    * Determinism: tied ranks enter through the midrank identity
+    * 2·avgrank(v) = 2·cum_below(v) + na + nb + 1 — an INTEGER — so the rank
+    * sum is carried exactly as 2·R₁ in a decimal accumulator (order-proof;
+    * BIGINT would hold ~1e9 rows, decimal holds any scale), and the
+    * tie-corrected normal approximation is one identically-parenthesized
+    * float expression over those exact sums on both engines. */
+  val mannWhitney: QueryDef = QueryDef(
+    "stats_mannwhitney",
+    """WITH s AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |                  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS in_a
+      |           FROM orders),
+      |g AS (SELECT v, CAST(sum(in_a) AS BIGINT) AS na,
+      |             CAST(sum(1 - in_a) AS BIGINT) AS nb
+      |      FROM s GROUP BY v),
+      |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb,
+      |             CAST(sum((na + nb) * (na + nb) * (na + nb) - (na + nb)) AS BIGINT) AS tie3
+      |      FROM g),
+      |c AS (SELECT v, na, nb, sum(na + nb) OVER (ORDER BY v) AS cum FROM g),
+      |r AS (SELECT CAST(sum(na * (2 * (cum - na - nb) + na + nb + 1)) AS BIGINT) AS r2
+      |      FROM c)
+      |SELECT t.ta AS n_a, t.tb AS n_b,
+      |       CAST(r.r2 - t.ta * (t.ta + 1) AS BIGINT) AS u2_a,
+      |       round(CAST(r.r2 - t.ta * (t.ta + 1) AS DOUBLE) / 2.0
+      |             / (CAST(t.ta AS DOUBLE) * t.tb), 6) AS auc_a,
+      |       round((CAST(r.r2 - t.ta * (t.ta + 1) AS DOUBLE) - CAST(t.ta AS DOUBLE) * t.tb)
+      |             / (2.0 * sqrt(CAST(t.ta AS DOUBLE) * t.tb
+      |                 * ((t.ta + t.tb + 1.0)
+      |                    - CAST(t.tie3 AS DOUBLE) / ((t.ta + t.tb) * (t.ta + t.tb - 1.0)))
+      |                 / 12.0)), 6) AS z,
+      |       CAST(CASE WHEN abs(round((CAST(r.r2 - t.ta * (t.ta + 1) AS DOUBLE) - CAST(t.ta AS DOUBLE) * t.tb)
+      |             / (2.0 * sqrt(CAST(t.ta AS DOUBLE) * t.tb
+      |                 * ((t.ta + t.tb + 1.0)
+      |                    - CAST(t.tie3 AS DOUBLE) / ((t.ta + t.tb) * (t.ta + t.tb - 1.0)))
+      |                 / 12.0)), 6)) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS shifted
+      |FROM t, r""".stripMargin,
+  ) { (spark, dir) =>
+    val s = Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("v"),
+        ($"o_orderkey" % 2 === 0).cast("long").as("in_a"))
+    mannWhitneyOf(s)
+  }
+
+  /** [[mannWhitney]] over any `(v: BIGINT, in_a: 0|1)` pooled frame —
+    * fixture seam for the planted-shift spec (same contract as
+    * [[ksTestOf]]). */
+  private[graft] def mannWhitneyOf(s: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.Caches.persist(
+      s.groupBy($"v")
+        .agg(sum($"in_a").as("na"), sum(lit(1L) - $"in_a").as("nb")))
+    val t = g.agg(sum($"na").as("ta"), sum($"nb").as("tb"),
+      sum(($"na" + $"nb") * ($"na" + $"nb") * ($"na" + $"nb") - ($"na" + $"nb"))
+        .as("tie3"))
+    val w = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.select($"v", $"na", $"nb", sum($"na" + $"nb").over(w).as("cum"))
+    val r = c.agg(
+      sum(($"na" * (lit(2) * ($"cum" - $"na" - $"nb") + $"na" + $"nb" + 1))
+        .cast("decimal(38,0)")).cast("long").as("r2"))
+    val u2 = ($"r2" - $"ta" * ($"ta" + 1)).cast("double")
+    val sg = sqrt($"ta".cast("double") * $"tb"
+      * (($"ta" + $"tb" + lit(1.0))
+         - $"tie3".cast("double") / (($"ta" + $"tb") * ($"ta" + $"tb" - lit(1.0))))
+      / 12.0)
+    val z = round((u2 - $"ta".cast("double") * $"tb") / (lit(2.0) * sg), 6)
+    r.crossJoin(broadcast(t))
+      .select($"ta".as("n_a"), $"tb".as("n_b"),
+        ($"r2" - $"ta" * ($"ta" + 1)).cast("long").as("u2_a"),
+        round(u2 / 2.0 / ($"ta".cast("double") * $"tb"), 6).as("auc_a"),
+        z.as("z"),
+        (abs(z) > 1.96).cast("long").as("shifted"))
+  }
+
+  /** Leave-one-out target encoding of `c_mktsegment` against account
+    * balance — the leakage-safe categorical encoder a feature pipeline
+    * derives before training (each row's code excludes its own target:
+    * (Σ_seg − own)/(n_seg − 1)). Shape: one tiny per-segment aggregate
+    * (5 groups) broadcast back onto the scan — a map-side join, no
+    * customer-keyed shuffle at any scale.
+    *
+    * Determinism: segment sums are exact cents in a decimal accumulator;
+    * the per-row quotient can be negative (acctbal is), so instead of
+    * integer division (floor vs truncate diverges below zero) both engines
+    * quantize the IDENTICAL double with `floor(x·1e4 + 0.5)` — the
+    * half-up-on-a-shared-double pattern from the PQ/classifier lanes. */
+  val targetEncode: QueryDef = QueryDef(
+    "feat_target_encode",
+    """WITH seg AS (SELECT c_mktsegment,
+      |                    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS seg_cents,
+      |                    CAST(count(*) AS BIGINT) AS n_seg
+      |             FROM customer GROUP BY c_mktsegment)
+      |SELECT c.c_custkey, c.c_mktsegment, seg.n_seg,
+      |       CAST(floor((CAST(seg.seg_cents - CAST(round(c.c_acctbal * 100) AS BIGINT) AS DOUBLE)
+      |                   / (seg.n_seg - 1)) * 100.0 + 0.5) AS BIGINT) AS enc_q,
+      |       round(CAST(floor((CAST(seg.seg_cents - CAST(round(c.c_acctbal * 100) AS BIGINT) AS DOUBLE)
+      |                   / (seg.n_seg - 1)) * 100.0 + 0.5) AS BIGINT) / 10000.0, 4) AS loo_avg_bal
+      |FROM customer c JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+      |ORDER BY c.c_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment",
+        round($"c_acctbal" * 100).cast("long").as("cents"))
+    val seg = cust.groupBy($"c_mktsegment")
+      .agg(sum($"cents".cast("decimal(38,0)")).cast("long").as("seg_cents"),
+        count(lit(1)).as("n_seg"))
+    val encQ = floor(
+      (($"seg_cents" - $"cents").cast("double") / ($"n_seg" - 1)) * 100.0 + 0.5)
+      .cast("long")
+    cust.join(broadcast(seg), "c_mktsegment")
+      .select($"c_custkey", $"c_mktsegment", $"n_seg", encQ.as("enc_q"),
+        round(encQ / 10000.0, 4).as("loo_avg_bal"))
+      .orderBy($"c_custkey")
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMoments, linreg, histogram, quantileBucket, profileOrders,
-      madOutliers, chi2, ksTest)
+      madOutliers, chi2, ksTest, mannWhitney, targetEncode)
 }

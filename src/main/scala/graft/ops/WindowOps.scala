@@ -271,7 +271,74 @@ object WindowOps {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Exponentially-weighted moving average (decay 0.6) of `value` over each
+    * user's trailing 10 events — the smoothing step a monitoring/feature
+    * pipeline runs after [[movingAvg]]'s uniform window. The finite-horizon
+    * truncation (10 terms ≈ decay¹⁰ < 1.1% residual mass, renormalized over
+    * the weights actually present) makes EWMA a plain windowed expression
+    * instead of a sequential recurrence — the form that parallelizes: ONE
+    * user-keyed exchange + sort shared by all ten `lag`s, no cross-row
+    * dependency chain, so the plan scales exactly like any other window op.
+    *
+    * Determinism: the decay weights are pre-rounded 1e-6 INTEGER literals
+    * (`round(0.6^k·1e6)`), values are exact cents, so numerator/denominator
+    * are exact BIGINTs on both engines and the quantized quotient is a
+    * single positive-integer division (floor ≡ truncate) — no float enters
+    * until the final display scaling. */
+  /** Pre-rounded 1e-6 integer decay weights `round(0.6^k · 1e6)`,
+    * k = 0..9 — shared by the SQL oracle and the Spark plan so the two
+    * can never drift. */
+  private[graft] val EwmaWts = Seq(1000000L, 600000L, 360000L, 216000L,
+    129600L, 77760L, 46656L, 27994L, 16796L, 10078L)
+
+  val ewma: QueryDef = {
+    val wts = EwmaWts
+    val lagSql = (1 to 9).map(k => s"lag(vc, $k) OVER w AS v$k").mkString(",\n      |         ")
+    val numSql = ("vc * 1000000" +: (1 to 9).map(k => s"coalesce(v$k, 0) * ${wts(k)}")).mkString(" + ")
+    val denSql = ("1000000" +: (1 to 9).map(k =>
+      s"CASE WHEN v$k IS NULL THEN 0 ELSE ${wts(k)} END")).mkString(" + ")
+    QueryDef(
+      "a4_ewma",
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+         |                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |l AS (SELECT user_id, event_id, vc,
+         |         $lagSql
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |q AS (SELECT user_id, event_id,
+         |             CAST(($numSql) * 100 AS BIGINT) // CAST($denSql AS BIGINT) AS ewma_q
+         |      FROM l)
+         |SELECT user_id, event_id, ewma_q,
+         |       round(CAST(ewma_q AS DOUBLE) / 10000.0, 4) AS ewma
+         |FROM q ORDER BY user_id, event_id""".stripMargin,
+    ) { (spark, dir) =>
+      ewmaOf(Tables.events(spark, dir)
+        .select($"user_id", $"event_id", $"value", unix_micros($"ts").as("tus")))
+    }
+  }
+
+  /** The EWMA plan over (user_id, event_id, value, tus) rows — split out so
+    * the spec can pin the weight renormalization on an inline fixture. */
+  private[graft] def ewmaOf(e: org.apache.spark.sql.DataFrame) = {
+    val wts = EwmaWts
+    val w = userWindow
+    val vc = round($"value" * 100).cast("long").as("vc")
+    val lags = (1 to 9).map(k => lag($"vc", k).over(w).as(s"v$k"))
+    val l = e.select($"user_id", $"event_id", $"tus", vc)
+      .select($"user_id" +: $"event_id" +: $"vc" +: lags: _*)
+    val num = (1 to 9).foldLeft($"vc" * 1000000L) { (acc, k) =>
+      acc + coalesce(col(s"v$k"), lit(0L)) * wts(k)
+    }
+    val den = (1 to 9).foldLeft(lit(1000000L).cast("long")) { (acc, k) =>
+      acc + when(col(s"v$k").isNull, 0L).otherwise(wts(k))
+    }
+    l.select($"user_id", $"event_id", (num * 100).as("num"), den.as("den"))
+      .select($"user_id", $"event_id", expr("num DIV den").as("ewma_q"))
+      .select($"user_id", $"event_id", $"ewma_q",
+        round($"ewma_q".cast("double") / 10000.0, 4).as("ewma"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(lagLead, movingAvg, sessionize, ntileQuartiles, percentRank,
-      rangeFrame, positional, sessionWindow)
+      rangeFrame, positional, sessionWindow, ewma)
 }

@@ -65,4 +65,39 @@ class AsofOpsSpec extends AnyFunSuite {
     assert(out.count() == purchases)
     assert(out.select($"event_id").distinct().count() == purchases)
   }
+
+  test("forward asofJoin picks the earliest simultaneous-or-later right event") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val purchases = Seq( // (key, ts, pid)
+      (1L, ts("2024-01-01 10:05:00"), 700L),
+      (1L, ts("2024-01-01 10:10:00"), 701L),
+      (2L, ts("2024-01-01 09:00:00"), 702L),
+    ).toDF("k", "t", "pid")
+    val clicks = Seq( // (key, ts, click_id)
+      (1L, ts("2024-01-01 10:05:00"), 800L), // equal ts → match 700 (≥)
+      (1L, ts("2024-01-01 10:06:00"), 801L), // between → next is 701
+      (1L, ts("2024-01-01 10:30:00"), 802L), // after all → null
+      (2L, ts("2024-01-01 10:00:00"), 803L), // purchase already past → null
+      (3L, ts("2024-01-01 10:00:00"), 804L), // key never purchases → null
+    ).toDF("k", "t", "click_id")
+    val out = AsofOps.asofJoinForward(clicks, purchases, "k", "t", Seq("pid"))
+      .collect().map(r => r.getAs[Long]("click_id") ->
+        Option(r.getAs[java.lang.Long]("asof_pid")).map(_.toLong)).toMap
+    assert(out == Map(800L -> Some(700L), 801L -> Some(701L), 802L -> None,
+      803L -> None, 804L -> None))
+  }
+
+  test("attribution horizon nulls late conversions instead of skipping to none") {
+    val rows = AsofOps.clickNextPurchase
+      .run(spark, "/root/testdata/sf0.001").collect()
+    val horizon = 604800000000L
+    rows.foreach { r =>
+      val pid = Option(r.getAs[java.lang.Long]("purchase_id"))
+      val lag = Option(r.getAs[java.lang.Long]("time_to_convert_us"))
+      assert(pid.isDefined == lag.isDefined, "id and lag null together")
+      lag.foreach(l => assert(l >= 0 && l <= horizon,
+        s"converted lag $l outside [0, horizon]"))
+    }
+    assert(rows.exists(r => r.get(3) != null), "some click converts")
+  }
 }

@@ -149,4 +149,17 @@ class CompositionOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(3))).toSeq ==
       rows.map(r => (r._1, r._4)).toSeq)
   }
+
+  test("token budget: sums exactly to B, every domain within one of its quota") {
+    val rows = CompositionOps.tokenBudget
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("avail"), r.getAs[Long]("budget_toks")))
+    val total = rows.map(_._1).sum
+    assert(rows.map(_._2).sum == 100000L,
+      "largest-remainder apportionment conserves the budget exactly")
+    rows.foreach { case (avail, b) =>
+      val fl = 100000L * avail / total
+      assert(b == fl || b == fl + 1, s"domain avail=$avail got $b, quota floor $fl")
+    }
+  }
 }

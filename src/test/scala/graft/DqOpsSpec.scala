@@ -155,4 +155,20 @@ class DqOpsSpec extends AnyFunSuite {
       "boundary instant belongs to the NEW version (half-open intervals)")
     assert(out(13L) == ((Some(2L), Some(20.0))), "open interval serves the tail")
   }
+
+  test("benford: digit accounting closes and expectations are the log law") {
+    val rows = DqOps.benford.run(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L), "all nine leading digits")
+    val nOrders = graft.io.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nOrders, "every order contributes a digit")
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val expShare = r.getAs[Double]("exp_share")
+      assert(math.abs(expShare - math.log10(1.0 + 1.0 / d)) < 1e-6, s"digit $d law")
+      assert(r.getAs[Double]("chi2_term") >= 0.0)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("obs_share")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("exp_share")).sum - 1.0) < 1e-4,
+      "Benford shares are a distribution")
+  }
 }

@@ -315,4 +315,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(a == b, "fixed-round synchronous LPA must be deterministic")
     assert(a.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
   }
+
+  test("jaccard links: overlap over union, adjacency excluded, degrees normalize") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // path 1-2-3: only candidate (1,3) through hub 2; both endpoints have
+    // degree 1 -> union = 1+1-1 = 1 -> jaccard exactly 1.0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("p1", "p2")
+    val p = GraphOpsJaccardFixture.run(path)
+    assert(p.keySet == Set((1L, 3L)))
+    assert(p((1L, 3L)) == ((1L, 1.0)))
+    // triangle 1-2-3 with pendant 4 on node 3: candidates (1,4) and (2,4)
+    // share only hub 3; deg(1)=deg(2)=2, deg(4)=1 -> 1/(2+1-1) = 0.5.
+    // (1,2),(1,3),(2,3) are edges -> excluded even though they share hubs.
+    val g2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("p1", "p2")
+    val m = GraphOpsJaccardFixture.run(g2)
+    assert(m.keySet == Set((1L, 4L), (2L, 4L)), s"adjacent pairs leak: ${m.keySet}")
+    assert(m((1L, 4L)) == ((1L, 0.5)) && m((2L, 4L)) == ((1L, 0.5)))
+  }
+}
+
+/** Collects jaccardLinksOf output as (a,b) -> (n_common, jaccard). */
+private object GraphOpsJaccardFixture {
+  def run(edges: org.apache.spark.sql.DataFrame): Map[(Long, Long), (Long, Double)] =
+    GraphOps.jaccardLinksOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("jaccard")))).toMap
 }

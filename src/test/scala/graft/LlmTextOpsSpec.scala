@@ -56,6 +56,28 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(r.getLong(2).toDouble / r.getLong(3) > 0.9)
   }
 
+  test("containment finds an embedded excerpt that symmetric Jaccard misses") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // doc 2 = a 12-token excerpt of doc 1's 60 tokens: every excerpt shingle
+    // is in the host -> containment 1.0, while Jaccard ~ 10/116 << 0.8
+    val host = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (20 to 31).map(i => s"w$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, host), (2L, excerpt), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val sh = LlmTextOps.docShinglesOf(docs)
+    val pairs = LlmTextOps.containmentPlan(sh).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)),
+      "the excerpt is the small side, the host the big side")
+    assert(pairs.head.getAs[Double]("containment") == 1.0)
+    // and the symmetric lane rightly does NOT pair them
+    assert(LlmTextOps.neardupPlan(sh).collect().isEmpty)
+    // direction tie at equal sizes falls back to doc_id order
+    val twins = Seq((5L, host), (4L, host)).toDF("doc_id", "text")
+    val t = LlmTextOps.containmentPlan(LlmTextOps.docShinglesOf(twins)).collect()
+    assert(t.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 5L)))
+  }
+
   test("simhash pairs all satisfy the hamming bound and include near-dups") {
     val rows = LlmTextOps.simhashPairs.run(spark, sf).collect()
     assert(rows.forall(_.getLong(2) <= 3))

@@ -113,4 +113,33 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(rows(1L) == ((3L, 8L, 16L)), s"triple: ${rows(1L)}")
     assert(rows(9L) == ((1L, 4L, 0L)), s"singleton saves nothing: ${rows(9L)}")
   }
+
+  test("shard assignment: per-source prefixes respect the byte budget exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = MultimodalOps.shardAssign.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val srcBytes = graft.io.Tables.documents(spark, sf)
+      .select($"source",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.encode($"text", "UTF-8")).cast("long").as("nb"))
+      .groupBy($"source").sum("nb").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nDocs, _) = (rows.map(_._3).sum,
+      graft.io.Tables.documents(spark, sf).count())
+    assert(nDocs == graft.io.Tables.documents(spark, sf).count(),
+      "every asset lands in exactly one shard")
+    rows.groupBy(_._1).foreach { case (src, shards) =>
+      val ordered = shards.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == ordered.indices.map(_.toLong),
+        s"$src: shard_seq is contiguous from 0")
+      assert(ordered.map(_._4).sum == srcBytes(src), s"$src: bytes conserved")
+      // the defining invariant: a shard's first asset starts at cumulative
+      // offset `running`, and its shard id is exactly running DIV budget
+      var running = 0L
+      ordered.foreach { case (_, seq, _, bytes) =>
+        assert(running / 2048 == seq, s"$src shard $seq starts at $running")
+        running += bytes
+      }
+    }
+  }
 }

@@ -83,4 +83,46 @@ class StatsOpsSpec extends AnyFunSuite {
     val flipped = shift.select(col("v"), (lit(1L) - col("in_a")).as("in_a"))
     assert(StatsOps.ksTestOf(flipped).collect().head.getAs[Double]("d_stat") == 1.0)
   }
+
+  test("mann-whitney: shift zeroes U, midranks split ties, U_A+U_B = n·m") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // every B value beats every A value -> U_A = 0, AUC = 0
+    val shift = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L), (5L, 0L), (6L, 0L))
+      .toDF("v", "in_a")
+    val s = StatsOps.mannWhitneyOf(shift).collect().head
+    assert(s.getAs[Long]("u2_a") == 0L)
+    assert(s.getAs[Double]("auc_a") == 0.0)
+    // A={1,2}, B={2,3}: the 2-2 tie gives half credit -> U_A = 0.5 (u2 = 1)
+    val ties = Seq((1L, 1L), (2L, 1L), (2L, 0L), (3L, 0L)).toDF("v", "in_a")
+    val t2 = StatsOps.mannWhitneyOf(ties).collect().head
+    assert(t2.getAs[Long]("u2_a") == 1L, "midrank tie = half a win")
+    // complement identity: U_A + U_B = n_a * n_b whatever the ties
+    val t3 = StatsOps.mannWhitneyOf(
+      ties.select(col("v"), (lit(1L) - col("in_a")).as("in_a"))).collect().head
+    assert(t2.getAs[Long]("u2_a") + t3.getAs[Long]("u2_a") == 2L * 2 * 2)
+    // a planted disjoint shift at n=200 is loudly significant
+    val big = ((1 to 200).map(v => (v.toLong, 1L)) ++
+      (1 to 200).map(v => (1000L + v, 0L))).toDF("v", "in_a")
+    val b = StatsOps.mannWhitneyOf(big).collect().head
+    assert(b.getAs[Long]("shifted") == 1L)
+    assert(b.getAs[Double]("z") < -10.0, "A far below B drives z strongly negative")
+  }
+
+  test("target encoding excludes each row's own balance from its segment mean") {
+    val cust = graft.io.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val segSum = cust.groupBy(_._2).view.mapValues(cs =>
+      (cs.map(_._3).sum, cs.length.toLong)).toMap
+    val out = StatsOps.targetEncode.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("enc_q")).toMap
+    assert(out.size == cust.length)
+    cust.foreach { case (key, seg, cents) =>
+      val (sum, n) = segSum(seg)
+      val expected = math.floor((sum - cents).toDouble / (n - 1) * 100.0 + 0.5).toLong
+      assert(out(key) == expected, s"customer $key")
+    }
+  }
 }

@@ -91,4 +91,35 @@ class WindowOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(manual == builtin)
   }
+
+  test("ewma: seed row passes through, decay weights blend, horizon truncates") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // user 1: two events — first is its own EWMA; second blends 0.6-decayed
+    //   (2·1.0 + 1·0.6)/1.6 = 1.625
+    // user 2: twelve identical values — the 10-term horizon renormalizes to
+    //   exactly the constant
+    val e = (Seq((1L, 101L, 1.00, 1000L), (1L, 102L, 2.00, 2000L)) ++
+      (1 to 12).map(i => (2L, 200L + i, 5.00, i.toLong * 1000)))
+      .toDF("user_id", "event_id", "value", "tus")
+    val out = WindowOps.ewmaOf(e).collect()
+      .map(r => r.getLong(1) -> r.getAs[Double]("ewma")).toMap
+    assert(out(101L) == 1.0, "no history: EWMA is the value itself")
+    assert(out(102L) == 1.625, s"decay blend: ${out(102L)}")
+    assert((1 to 12).forall(i => out(200L + i) == 5.0),
+      "constant series is a fixed point at any history depth")
+    // weight table is the 1e-6-rounded geometric sequence it claims to be
+    WindowOps.EwmaWts.zipWithIndex.foreach { case (w, k) =>
+      assert(w == math.round(math.pow(0.6, k) * 1e6), s"weight $k")
+    }
+    // real data: monotone-bounded between each user's running min/max
+    val rows = WindowOps.ewma.run(spark, sf).collect()
+    val vals = graft.io.Tables.events(spark, sf)
+      .select($"event_id", $"value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lo: Double = vals.values.min
+    val hi: Double = vals.values.max
+    assert(rows.forall { r =>
+      val x = r.getAs[Double]("ewma"); x >= lo - 0.01 && x <= hi + 0.01
+    }, "EWMA is a convex combination: stays inside the global value range")
+  }
 }
