@@ -395,6 +395,85 @@ object DqOps {
       .orderBy($"event_id")
   }
 
+  /** t-closeness bar: maximum allowed distance between a class's
+    * sensitive-value distribution and the table-wide one. */
+  private val TClose = 0.2
+
+  /** t-closeness audit (Li et al. 2007) — the third rung of the privacy
+    * ladder after [[kAnonymity]] (classes big enough) and [[lDiversity]]
+    * (classes varied enough): a class can be large AND varied yet still
+    * leak if its sensitive-value MIX differs sharply from the table's
+    * (e.g. a class that is 90% 'negative' when the table is 10% reveals
+    * membership signal). Distance is total variation — the
+    * equal-ground-distance specialization of the paper's EMD, ½·Σ|p−q|
+    * over the same acctbal bands as the l-diversity audit.
+    *
+    * Scale shape: band×class counts (one keyed aggregate), the 3-row
+    * global band table broadcast, absent bands re-introduced by the
+    * broadcast cross join so their |0−q| mass counts. Determinism: each
+    * term is the INTEGER |n_cb·T − N_b·cs| (cross-multiplied, no
+    * division) summed in a decimal accumulator; one float division at
+    * the end. */
+  val tCloseness: QueryDef = QueryDef(
+    "dq_t_closeness",
+    s"""WITH bnd AS (SELECT c_nationkey, c_mktsegment,
+       |                    CASE WHEN c_acctbal < 0 THEN 'negative'
+       |                         WHEN c_acctbal < 5000 THEN 'low'
+       |                         ELSE 'high' END AS band
+       |             FROM customer),
+       |bc AS (SELECT c_nationkey, c_mktsegment, band, count(*) AS n
+       |       FROM bnd GROUP BY 1, 2, 3),
+       |gb AS (SELECT band, CAST(sum(n) AS BIGINT) AS nb FROM bc GROUP BY 1),
+       |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS t FROM gb),
+       |cls AS (SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS cs
+       |        FROM bc GROUP BY 1, 2),
+       |terms AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.cs, tot.t,
+       |                 abs(COALESCE(bc.n, 0) * tot.t - gb.nb * cls.cs) AS term
+       |          FROM cls CROSS JOIN gb CROSS JOIN tot
+       |          LEFT JOIN bc ON bc.c_nationkey = cls.c_nationkey
+       |                      AND bc.c_mktsegment = cls.c_mktsegment
+       |                      AND bc.band = gb.band),
+       |agg AS (SELECT c_nationkey, c_mktsegment, cs, t,
+       |               CAST(sum(term) AS BIGINT) AS num
+       |        FROM terms GROUP BY 1, 2, 3, 4)
+       |SELECT c_nationkey, c_mktsegment, cs AS class_size,
+       |       round(CAST(num AS DOUBLE) / (2.0 * cs * t), 6) AS t_distance,
+       |       CAST(CASE WHEN round(CAST(num AS DOUBLE) / (2.0 * cs * t), 6) > $TClose
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS violates_t
+       |FROM agg ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+  ) { (spark, dir) => tClosenessOf(Tables.customer(spark, dir)) }
+
+  /** [[tCloseness]] over any frame with the two quasi-identifiers and
+    * `c_acctbal` — fixture seam. */
+  private[graft] def tClosenessOf(customer: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bc = customer
+      .select($"c_nationkey", $"c_mktsegment",
+        when($"c_acctbal" < 0, "negative")
+          .when($"c_acctbal" < 5000, "low")
+          .otherwise("high").as("band"))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"band")
+      .agg(count(lit(1)).as("n"))
+    val gb = bc.groupBy($"band").agg(sum($"n").cast("long").as("nb"))
+    val tot = gb.agg(sum($"nb").cast("long").as("t"))
+    val cls = bc.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(sum($"n").cast("long").as("cs"))
+    val terms = cls.crossJoin(broadcast(gb)).crossJoin(broadcast(tot))
+      .join(bc.select($"c_nationkey".as("bn"), $"c_mktsegment".as("bs"),
+          $"band".as("bb"), $"n"),
+        $"bn" === $"c_nationkey" && $"bs" === $"c_mktsegment" && $"bb" === $"band",
+        "left")
+      .select($"c_nationkey", $"c_mktsegment", $"cs", $"t",
+        abs(coalesce($"n", lit(0L)) * $"t" - $"nb" * $"cs").as("term"))
+    val agg = terms.groupBy($"c_nationkey", $"c_mktsegment", $"cs", $"t")
+      .agg(sum($"term".cast("decimal(38,0)")).cast("long").as("num"))
+    val td = round($"num".cast("double") / (lit(2.0) * $"cs" * $"t"), 6)
+    agg.select($"c_nationkey", $"c_mktsegment", $"cs".as("class_size"),
+        td.as("t_distance"),
+        (td > TClose).cast("long").as("violates_t"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
   /** Benford first-digit conformance audit on order totals — the classic
     * fabricated-data / broken-generator screen a DQ suite runs on any
     * money-like column: the observed leading-digit distribution vs
@@ -441,5 +520,5 @@ object DqOps {
 
   val all: Seq[QueryDef] =
     Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift, kAnonymity,
-      lDiversity, scd2Build, scd2Lookup, benford)
+      lDiversity, tCloseness, scd2Build, scd2Lookup, benford)
 }

@@ -231,6 +231,68 @@ object PerplexityOps {
     perplexityOf(Tables.documents(spark, dir)).orderBy($"doc_id")
   }
 
+  /** Per-doc perplexity under an interpolated KNESER–NEY bigram LM
+    * (Kneser & Ney 1995; the smoothing that won the n-gram era and the
+    * one KenLM — the CCNet scorer — implements): absolute discount
+    * D = 0.75 off every observed bigram, the freed mass backing off to
+    * the CONTINUATION probability N1+(·,w₂)/N1+(··) — "how many contexts
+    * does w₂ follow" rather than "how often does w₂ occur", which
+    * correctly deflates high-count-single-context words. Third opinion
+    * next to add-k ([[perplexity]]) and held-out JM ([[perplexityXval]]);
+    * a doc the smoothers disagree on is exactly the doc worth auditing.
+    *
+    * Scale shape: identical to the add-k lane — two (and a half) count
+    * aggregates bounded by the bigram vocabulary (c₂, c₁ with its
+    * distinct-continuation fanout, the per-word context counts), posting
+    * equi-joins to score, one doc-keyed BIGINT sum. Corpus-trained, so
+    * every scored bigram is observed and n₂ − D ≥ 0.25 > 0 — the log is
+    * always finite without a backoff-to-unseen branch.
+    *
+    * Determinism: the probability is one identically-parenthesized float
+    * expression over exact integer counts, ln-rounded at 6 dp and
+    * quantized to a 1e-6 BIGINT BEFORE the per-doc sum — the house LM
+    * architecture. */
+  val perplexityKn: QueryDef = QueryDef(
+    "llm_perplexity_kn",
+    biCtes +
+      """,
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY 1, 2),
+        |c1k AS (SELECT w1, count(*) AS n1, count(DISTINCT w2) AS fanout
+        |        FROM bi GROUP BY 1),
+        |ctx AS (SELECT w2, count(DISTINCT w1) AS n_ctx FROM bi GROUP BY 1),
+        |tt AS (SELECT count(*) AS n_types FROM c2),
+        |sc AS (SELECT bi.doc_id,
+        |              CAST(round(round(ln((c2.n2 - 0.75) / c1k.n1
+        |                + 0.75 * c1k.fanout / c1k.n1
+        |                  * (CAST(ctx.n_ctx AS DOUBLE) / tt.n_types)), 6)
+        |                * 1000000) AS BIGINT) AS lq
+        |       FROM bi JOIN c2 USING (w1, w2) JOIN c1k USING (w1)
+        |                JOIN ctx USING (w2), tt)""".stripMargin +
+      pdTailSql,
+  ) { (spark, dir) =>
+    knPerplexityOf(Tables.documents(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** The KN scoring plan over any (doc_id, text) frame — extracted for
+    * the continuation-probability fixture spec. */
+  private[graft] def knPerplexityOf(docs: DataFrame): DataFrame = {
+    val bi = graft.Caches.persist(bigramsOf(docs))
+    val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n2"))
+    val c1k = bi.groupBy($"w1").agg(count(lit(1)).as("n1"),
+      countDistinct($"w2").as("fanout"))
+    val ctx = bi.groupBy($"w2").agg(countDistinct($"w1").as("n_ctx"))
+    val tt = c2.agg(count(lit(1)).as("n_types"))
+    val sc = bi.join(c2, Seq("w1", "w2")).join(c1k, Seq("w1"))
+      .join(ctx, Seq("w2"))
+      .crossJoin(broadcast(tt))
+      .select($"doc_id",
+        round(round(log(($"n2" - lit(0.75)) / $"n1"
+          + lit(0.75) * $"fanout" / $"n1"
+            * ($"n_ctx".cast("double") / $"n_types")), 6) * 1000000)
+          .cast("long").as("lq"))
+    perDocPpl(sc)
+  }
+
   /** The LM head itself: top-50 bigrams by corpus count with their
     * smoothed log-probs — the readout a pipeline inspects to sanity-check
     * what the model learned (and the shape a distillation/export step
@@ -466,6 +528,6 @@ object PerplexityOps {
       .orderBy($"doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(perplexity, perplexityXval, bigramLm,
-    ngramNovelty, curriculum, mooreLewis)
+  val all: Seq[QueryDef] = Seq(perplexity, perplexityXval, perplexityKn,
+    bigramLm, ngramNovelty, curriculum, mooreLewis)
 }

@@ -606,7 +606,69 @@ object StreamingOps {
       .orderBy($"doc_id")
   }
 
+  /** Typed rows for the streaming EWMA. */
+  final case class EwmaEvent(user_id: Long, event_id: Long, tus: Long, vc: Long)
+  final case class EwmaOut(user_id: Long, event_id: Long, ewma_q: Long,
+      ewma: Double)
+
+  /** STREAMING EWMA — the batch `a4_ewma` (10-term truncated,
+    * renormalized, decay 0.6) as a stateful stream operator: state per
+    * user is the deque of its last ≤ 9 cent values, so every arriving
+    * event emits its smoothed value with O(1) bounded state and no
+    * shuffle-per-window. The truncation that made the batch form a
+    * parallel window expression is exactly what makes the streaming
+    * state BOUNDED — the untruncated recurrence would also be O(1) but
+    * could never agree with a finite-window oracle.
+    *
+    * Within a batch, events fold in (event-time, event_id) order — the
+    * batch window's sort key — so when each group is seen complete (the
+    * registered batch twin) the fold IS `a4_ewma` and shares its DuckDB
+    * oracle verbatim. Cross-batch correctness assumes event-time-ordered
+    * batches, the same arrangement as [[asofEnrich]]; the spec proves a
+    * two-batch split carries the deque across the boundary. All
+    * arithmetic is the identical integer path (shared weight literals,
+    * positive DIV), so stream ≡ batch ≡ oracle bit-for-bit. */
+  def ewmaStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val evEnc: Encoder[EwmaEvent] = Encoders.product[EwmaEvent]
+    implicit val stEnc: Encoder[List[Long]] = Encoders.kryo[List[Long]]
+    implicit val outEnc: Encoder[EwmaOut] = Encoders.product[EwmaOut]
+    val wts = graft.ops.WindowOps.EwmaWts
+    events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
+        round($"value" * 100).cast("long").as("vc"))
+      .as[EwmaEvent]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[List[Long], EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[EwmaEvent], state: GroupState[List[Long]]) =>
+          var hist = state.getOption.getOrElse(Nil) // most recent first, ≤ 9
+          val out = evs.toSeq.sortBy(e => (e.tus, e.event_id)).map { e =>
+            val window = (e.vc :: hist).take(10)
+            val num = window.lazyZip(wts).map(_ * _).sum
+            val den = wts.take(window.size).sum
+            val q = num * 100 / den
+            hist = window.take(9)
+            EwmaOut(uid, e.event_id, q,
+              BigDecimal(q).bigDecimal.movePointLeft(4).doubleValue)
+          }
+          state.update(hist)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "ewma_q", "ewma")
+  }
+
+  /** Batch twin of [[ewmaStream]] — every group complete, so the fold
+    * reproduces `a4_ewma` exactly and reuses its oracle SQL verbatim. */
+  val ewmaStreamed: QueryDef = QueryDef(
+    "stream_ewma",
+    graft.ops.WindowOps.ewma.oracle.get,
+  ) { (spark, dir) =>
+    ewmaStream(Tables.events(spark, dir)).orderBy($"user_id", $"event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
     customSession, enriched, attribution, cms, neardup, cdc, psi,
-    asofEnriched)
+    asofEnriched, ewmaStreamed)
 }

@@ -156,6 +156,30 @@ class DqOpsSpec extends AnyFunSuite {
     assert(out(13L) == ((Some(2L), Some(20.0))), "open interval serves the tail")
   }
 
+  test("t-closeness: class matching the global mix scores 0, skewed classes flag") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // global mix = 6 low / 6 high = (0.5, 0.5); nation 1 mirrors it exactly,
+    // nations 2 and 3 are each pure one-band -> TV distance 0.5 > 0.2
+    val rows =
+      (Seq.fill(2)((1, "A", 100.0)) ++ Seq.fill(2)((1, "A", 6000.0)) ++
+        Seq.fill(4)((2, "A", 6000.0)) ++ Seq.fill(4)((3, "A", 100.0)))
+        .map { case (n, s, b) => (n, s, b) }
+        .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = DqOps.tClosenessOf(rows).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Double]("t_distance"),
+        r.getAs[Long]("violates_t"))).toMap
+    assert(out(1) == ((0.0, 0L)), s"mirror class: ${out(1)}")
+    assert(out(2) == ((0.5, 1L)), s"all-high class: ${out(2)}")
+    assert(out(3) == ((0.5, 1L)), s"all-low class: ${out(3)}")
+    // real data: distances are valid TV distances and the flag is the bar
+    val real = DqOps.tCloseness.run(spark, sf).collect()
+    real.foreach { r =>
+      val d = r.getAs[Double]("t_distance")
+      assert(d >= 0.0 && d <= 1.0)
+      assert((d > 0.2) == (r.getAs[Long]("violates_t") == 1L))
+    }
+  }
+
   test("benford: digit accounting closes and expectations are the log law") {
     val rows = DqOps.benford.run(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 9L), "all nine leading digits")

@@ -172,4 +172,28 @@ class PerplexityOpsSpec extends AnyFunSuite {
       .map(_.getAs[Double]("ml_score")).maxOption.getOrElse(Double.NegativeInfinity)
     assert(minSel >= maxUnsel, "cut must be a score threshold")
   }
+
+  test("kneser-ney: continuation probability rewards context diversity") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // bigrams (q z) and (q m) have IDENTICAL n2=1, n1(q)=2, fanout(q)=2 —
+    // only the continuation differs: z follows one context, m follows two.
+    // KN must score the diverse-continuation doc as MORE probable; add-k
+    // (which only sees n2/n1) is blind to the difference by construction.
+    val docs = Seq((1L, "q z"), (2L, "q m"), (3L, "r m")).toDF("doc_id", "text")
+    val out = PerplexityOps.knPerplexityOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("ppl")).toMap
+    // lq(q,z) = ln(0.25/2 + 0.75·(2/2)·(1/3)) = ln(0.375)
+    // lq(q,m) = ln(0.25/2 + 0.75·(2/2)·(2/3)) = ln(0.625)
+    assert(math.abs(out(1L) - 1.0 / 0.375) < 0.01, s"z-doc ppl ${out(1L)}")
+    assert(math.abs(out(2L) - 1.0 / 0.625) < 0.01, s"m-doc ppl ${out(2L)}")
+    assert(out(1L) > out(2L),
+      "single-context continuation must score as LESS fluent")
+    // and on real data every ppl is finite and positive
+    val real = PerplexityOps.perplexityKn
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(real.nonEmpty)
+    assert(real.forall { r =>
+      val p = r.getAs[Double]("ppl"); p > 0.0 && !p.isInfinite && !p.isNaN
+    })
+  }
 }

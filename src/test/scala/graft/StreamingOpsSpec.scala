@@ -500,4 +500,37 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(byId(4L) == Some(5.0), "state must carry across micro-batches")
     assert(byId(6L) == Some(7.5), "same-instant purchase counts (as-of <=)")
   }
+
+  test("streaming EWMA carries the value deque across batches, stream = batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def ev(id: Long, u: Long, t: String, v: Double) =
+      Ev(id, Timestamp.valueOf(t), u, "metric", v)
+    // user 7: values 1, 2 in batch 1; 3 in batch 2 → its EWMA must blend
+    // batch-1 history: (3·1e6 + 2·6e5 + 1·3.6e5)·100 DIV 1.96e6 = 2.3265…
+    val b1 = Seq(ev(1, 7, "2024-01-01 10:00:00", 1.0),
+      ev(2, 7, "2024-01-01 10:01:00", 2.0),
+      ev(3, 8, "2024-01-01 10:00:00", 9.0))
+    val b2 = Seq(ev(4, 7, "2024-01-01 10:02:00", 3.0))
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.ewmaStream(stream.toDF())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val streamed = shape(spark.table("ewma_out").collect())
+    val batch = shape(StreamingOps.ewmaStream((b1 ++ b2).toDF()).collect())
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    val byId = streamed.toMap
+    assert(byId(1L) == 10000L, "seed event is its own EWMA (1.0)")
+    assert(byId(2L) == (200L * 1000000 + 100L * 600000) * 100 / 1600000)
+    assert(byId(4L) ==
+      (300L * 1000000 + 200L * 600000 + 100L * 360000) * 100 / 1960000,
+      "batch-2 event must see batch-1 history through the carried deque")
+    assert(byId(3L) == 90000L, "keys are independent")
+  }
 }
