@@ -199,6 +199,94 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on the seed set
+    * (here the 3 smallest node ids — deterministic) instead of uniformly,
+    * so ranks measure proximity TO THE SEEDS — the recommendation /
+    * expansion primitive ("parts relevant to this basket") global
+    * [[pageRank]] can't express. Same fixed-iteration, quantize-before-sum
+    * architecture: per-edge contributions become 1e-9 BIGINTs before the
+    * per-node sum, so the fixed point is bit-reproducible and DuckDB
+    * replays it exactly. Seed membership is resolved once into a 0/1
+    * indicator column on the node frame (broadcast join against the 3-row
+    * seed table), so each round is still ONE join against the previous
+    * ranks; non-dangling input keeps the checkpoint cadence of the global
+    * variant. */
+  private[graft] def personalizedPageRankOf(
+      edges: DataFrame, iters: Int, nSeeds: Int): DataFrame = {
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val e = graft.Caches.persist(edges.select($"src", $"dst").join(deg, "src"))
+    val seedIds = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct()
+      .orderBy($"id").limit(nSeeds)
+    val nodes = graft.Caches.persist(
+      edges.select($"src".as("id"))
+        .union(edges.select($"dst".as("id"))).distinct()
+        .join(broadcast(seedIds.select($"id", lit(1.0).as("seed_w"))),
+          Seq("id"), "left")
+        .select($"id", coalesce($"seed_w", lit(0.0)).as("seed")))
+    var ranks = nodes.select($"id", $"seed".as("rank"))
+    for (iter <- 1 to iters) {
+      val contribs = e
+        .join(ranks.select($"id".as("src"), $"rank"), "src")
+        .select($"dst".as("id"),
+          round($"rank" / $"deg" * 1e9).cast("long").as("cq"))
+      val summed = contribs.groupBy($"id").agg(sum($"cq").as("sq"))
+      val next = nodes.join(summed, Seq("id"), "left")
+        .select($"id", $"seed",
+          (lit(0.15) * $"seed" +
+            lit(0.85) * (coalesce($"sq", lit(0L)) / 1e9)).as("rank"))
+      ranks = if (iter % 5 == 0 || iter == iters)
+        graft.Caches.localCheckpoint(next)
+      else next
+    }
+    ranks.select($"id", $"rank")
+  }
+
+  private val PprSeeds = 3
+
+  /** The oracle unrolls the identical fixed point, with the seed indicator
+    * resolved by the same smallest-3 rule ([[pageRankSql]] pattern). */
+  private def pprSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.id, 0.15 * n.seed + 0.85 * (CAST(coalesce(s.sq, 0) AS DOUBLE) / 1e9) AS rank
+         |        FROM nodes n LEFT JOIN (
+         |          SELECT e.dst AS id, sum(CAST(round(r.rank / e.deg * 1e9) AS BIGINT)) AS sq
+         |          FROM ed e JOIN r${i - 1} r ON r.id = e.src GROUP BY 1) s ON n.id = s.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |und AS (SELECT p1 AS src, p2 AS dst FROM pairs
+       |        UNION ALL SELECT p2 AS src, p1 AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+       |ed AS (SELECT u.src, u.dst, d.deg FROM und u JOIN deg d ON u.src = d.src),
+       |ids AS (SELECT src AS id FROM und UNION SELECT dst FROM und),
+       |seeds AS (SELECT id FROM ids ORDER BY id LIMIT $PprSeeds),
+       |nodes AS (SELECT i.id, CASE WHEN s.id IS NULL THEN 0.0 ELSE 1.0 END AS seed
+       |          FROM ids i LEFT JOIN seeds s ON i.id = s.id),
+       |r0 AS (SELECT id, seed AS rank FROM nodes),
+       |$rounds
+       |SELECT id AS part, round(rank, 6) AS rank FROM r$iters
+       |WHERE rank > 0 ORDER BY rank DESC, part LIMIT 20""".stripMargin
+  }
+
+  /** Top-20 parts by personalized PageRank from the 3 smallest part ids of
+    * the co-occurrence graph — "expand this seed basket", value-checked
+    * against the DuckDB fixed-point twin. Zero-rank nodes (unreached in
+    * [[PrIters]] hops) are excluded so the tail is well-ordered. */
+  val personalizedPageRank: QueryDef = QueryDef(
+    "graph_ppr",
+    pprSql(PrIters),
+  ) { (spark, dir) =>
+    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val edges = und.select($"p1".as("src"), $"p2".as("dst"))
+      .union(und.select($"p2".as("src"), $"p1".as("dst")))
+    personalizedPageRankOf(edges, PrIters, PprSeeds)
+      .filter($"rank" > 0)
+      .select($"id".as("part"), round($"rank", 6).as("rank"))
+      .orderBy($"rank".desc, $"part")
+      .limit(20)
+  }
+
   /** BFS levels from a source over a directed edge list: round h joins the
     * frontier to the edges, dedups, anti-joins the visited set, and tags
     * survivors with level h — one edge-keyed equi-join + one anti-join per
@@ -893,7 +981,7 @@ object GraphOps {
   }
 
   val all: Seq[QueryDef] =
-    Seq(triangles, degreeDist, pageRank, bfsLevels, adamicAdar,
-      adamicAdarCapped, clusterCoeff, components, kcore, labelProp,
-      modularity, hits, jaccardLinks)
+    Seq(triangles, degreeDist, pageRank, personalizedPageRank, bfsLevels,
+      adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore,
+      labelProp, modularity, hits, jaccardLinks)
 }

@@ -170,6 +170,115 @@ object OlapOps {
       .orderBy($"p_partkey")
   }
 
+  /** RFM segmentation — the classic customer-value cut: per customer,
+    * Recency (days since last order, against the corpus max date so the
+    * result is reproducible), Frequency (order count) and Monetary (exact
+    * lifetime cents), each quartiled by `ntile(4)` with the customer key as
+    * tiebreak so bucket edges are deterministic in both engines. Quartile 1
+    * is best on every axis (most recent / most orders / most spend);
+    * `segment` concatenates the three digits.
+    *
+    * Scale: the metrics are one orders-keyed aggregate; the three ntiles
+    * are rank-only windows over the AGGREGATED per-customer frame (one row
+    * per customer, no payload), which a cluster serves via range
+    * partitioning — at extreme customer counts the quartile edges would
+    * come from approximate quantiles instead, trading this oracle's
+    * exactness for parallelism. */
+  val rfmSegments: QueryDef = QueryDef(
+    "olap_rfm",
+    """WITH m AS (SELECT o_custkey,
+      |                  date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS rec_days,
+      |                  CAST(count(*) AS BIGINT) AS freq,
+      |                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mon_cents
+      |           FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, CAST(rec_days AS BIGINT) AS rec_days, freq, mon_cents,
+      |       CAST(ntile(4) OVER (ORDER BY rec_days, o_custkey) AS BIGINT) AS r_q,
+      |       CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_q,
+      |       CAST(ntile(4) OVER (ORDER BY mon_cents DESC, o_custkey) AS BIGINT) AS m_q,
+      |       CAST(ntile(4) OVER (ORDER BY rec_days, o_custkey) AS VARCHAR)
+      |         || CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS VARCHAR)
+      |         || CAST(ntile(4) OVER (ORDER BY mon_cents DESC, o_custkey) AS VARCHAR) AS segment
+      |FROM m ORDER BY o_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, dir)
+    val maxDate = orders.agg(max($"o_orderdate").as("gmax"))
+    val m = orders
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_date"),
+        count(lit(1)).as("freq"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long")
+          .cast("decimal(38,0)")).cast("long").as("mon_cents"))
+      .crossJoin(broadcast(maxDate))
+      .select($"o_custkey",
+        datediff($"gmax", $"last_date").cast("long").as("rec_days"),
+        $"freq", $"mon_cents")
+    val rq = ntile(4).over(Window.orderBy($"rec_days", $"o_custkey")).cast("long")
+    val fq = ntile(4).over(Window.orderBy($"freq".desc, $"o_custkey")).cast("long")
+    val mq = ntile(4).over(Window.orderBy($"mon_cents".desc, $"o_custkey")).cast("long")
+    m.select($"o_custkey", $"rec_days", $"freq", $"mon_cents",
+        rq.as("r_q"), fq.as("f_q"), mq.as("m_q"),
+        concat(rq.cast("string"), fq.cast("string"), mq.cast("string"))
+          .as("segment"))
+      .orderBy($"o_custkey")
+  }
+
+  /** ABC / Pareto analysis of customer revenue: customers ranked by exact
+    * lifetime cents (key tiebreak), classified A while the RUNNING revenue
+    * share is within 80% of total, B within 95%, else C — "which fifth of
+    * the customers carries four-fifths of the revenue". The class boundary
+    * compares `100·cum ≤ threshold·total` in pure integers, so no float
+    * share ever decides a row. Output is the 3-row class summary (count,
+    * revenue, exact basis-point share floor-quantized).
+    *
+    * Scale: per-customer aggregate, then a rank-only running sum over the
+    * aggregated frame — same shape (and same caveat) as [[rfmSegments]]. */
+  val abcPareto: QueryDef = QueryDef(
+    "olap_abc_pareto",
+    """WITH m AS (SELECT o_custkey,
+      |                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |           FROM orders GROUP BY o_custkey),
+      |c AS (SELECT o_custkey, cents,
+      |             CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+      |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |             CAST(sum(cents) OVER () AS BIGINT) AS total
+      |      FROM m),
+      |k AS (SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+      |                  WHEN cum * 100 <= total * 95 THEN 'B'
+      |                  ELSE 'C' END AS abc_class,
+      |             cents, total
+      |      FROM c)
+      |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |       CAST(sum(cents) * 10000 // max(total) AS BIGINT) AS share_bps
+      |FROM k GROUP BY abc_class ORDER BY abc_class""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")
+        .cast("decimal(38,0)")).cast("long").as("cents"))
+    val run = Window.orderBy($"cents".desc, $"o_custkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = m.select($"o_custkey", $"cents",
+      sum($"cents".cast("decimal(38,0)")).over(run).cast("long").as("cum"),
+      sum($"cents".cast("decimal(38,0)"))
+        .over(Window.partitionBy()).cast("long").as("total"))
+    c.select(
+        when($"cum" * 100 <= $"total" * 80, "A")
+          .when($"cum" * 100 <= $"total" * 95, "B")
+          .otherwise("C").as("abc_class"),
+        $"cents", $"total")
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents".cast("decimal(38,0)")).cast("long").as("revenue_cents"),
+        max($"total").as("total"))
+      .select($"abc_class", $"n_customers", $"revenue_cents",
+        expr("CAST(revenue_cents * 10000 DIV total AS BIGINT)").as("share_bps"))
+      .orderBy($"abc_class")
+  }
+
   val all: Seq[QueryDef] = Seq(rollupOrders, cubeCustomers, pivotPriorities,
-    groupingSetsOrders, unpivotMeasures, intersectParts, exceptParts)
+    groupingSetsOrders, unpivotMeasures, intersectParts, exceptParts,
+    rfmSegments, abcPareto)
 }

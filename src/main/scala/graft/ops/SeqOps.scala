@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** Behavioral sequence analytics over the events stream — the "what do
+  * users do, in what order, and which touches drive outcomes" family a
+  * product warehouse asks right after the windowed basics (`a4_*`) are in
+  * place. The reference's closest analog is the recommender's co-occurrence
+  * mining (ipynb:1476-1530), which ignores order; these operators are the
+  * ORDER-aware counterparts: Markov transitions, frequent sub-sequences,
+  * and touch attribution (last-touch and linear/multi-touch).
+  *
+  * Scale shape shared by all four: one shuffle on `user_id`, a per-user
+  * time-ordered window (state linear in the user's events, no self-join),
+  * then a tiny aggregate over event-type keys (≤5 distinct types, ≤125
+  * trigrams). Nothing here re-expands the events table; the per-user sort
+  * is the same partitioning every `a4_*` window op already pays, so on a
+  * cluster these pipeline over the identical exchange.
+  *
+  * Determinism: sequence order is (`ts`, `event_id`) — a total order, so
+  * lead/lag picks are engine-independent; all money/value math is quantized
+  * to exact integers (`floor(x*100 + 0.5)` cents, floor-division
+  * allocation) BEFORE any shuffled sum, the repo-wide oracle discipline.
+  */
+object SeqOps {
+
+  private val SevenDaysUs = 604800000000L // 7 days in µs
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: for each (current, next) pair the transition count and the
+    * per-row-exact probability in parts-per-million (integer floor
+    * division — no float ever crosses an engine boundary). */
+  val transitionProbs: QueryDef = QueryDef(
+    "seq_transition_probs",
+    """WITH s AS (SELECT event_type AS cur,
+      |                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |           FROM events),
+      |t AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_trans
+      |      FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+      |SELECT cur, nxt, n_trans,
+      |       CAST(n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY cur) AS BIGINT) AS prob_ppm
+      |FROM t ORDER BY cur, nxt""".stripMargin,
+  ) { (spark, dir) =>
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val t = Tables.events(spark, dir)
+      .select($"event_type".as("cur"),
+        lead($"event_type", 1).over(seq).as("nxt"))
+      .filter($"nxt".isNotNull)
+      .groupBy($"cur", $"nxt").agg(count(lit(1)).as("n_trans"))
+    t.withColumn("prob_ppm",
+        expr("n_trans * 1000000 DIV sum(n_trans) OVER (PARTITION BY cur)"))
+      .orderBy($"cur", $"nxt")
+  }
+
+  /** Top-20 most frequent event-type trigrams (ordered sub-sequences of
+    * length 3 within a user's stream) — the sequential-pattern head a
+    * next-action model trains on. Two leads over the same per-user window
+    * (one sort), then a ≤125-key aggregate. */
+  val trigramTopk: QueryDef = QueryDef(
+    "seq_trigram_topk",
+    """WITH s AS (SELECT event_type AS t1,
+      |                  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+      |                  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      |           FROM events)
+      |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      |FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      |GROUP BY t1, t2, t3
+      |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+  ) { (spark, dir) =>
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_type".as("t1"),
+        lead($"event_type", 1).over(seq).as("t2"),
+        lead($"event_type", 2).over(seq).as("t3"))
+      .filter($"t2".isNotNull && $"t3".isNotNull)
+      .groupBy($"t1", $"t2", $"t3").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"t1", $"t2", $"t3")
+      .limit(20)
+  }
+
+  /** Last-touch attribution summary: each purchase credits its user's most
+    * recent prior (or simultaneous) marketing touch — click or view —
+    * within a 7-day lookback; revenue rolls up per winning channel, with
+    * an explicit `(none)` row for unattributed purchases.
+    *
+    * Composes [[AsofOps.asofJoin]] (purchases = left, touches = right
+    * carrying their channel) — the backward as-of is exactly "latest prior
+    * touch", so this is operator reuse, not a new join. The horizon is
+    * applied AFTER the match (a too-old touch nulls the attribution rather
+    * than yielding the next-older one), matching `asof_click_next_purchase`'s
+    * attribution-window convention. */
+  val lastTouch: QueryDef = QueryDef(
+    "attr_last_touch",
+    """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+      |t0 AS (SELECT user_id, ts, event_id, event_type,
+      |              row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |       FROM events WHERE event_type IN ('click', 'view')),
+      |t AS (SELECT user_id, ts, event_type AS channel FROM t0 WHERE rn = 1),
+      |j AS (SELECT p.event_id, p.value,
+      |             CASE WHEN epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000
+      |                  THEN t.channel END AS channel
+      |      FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND t.ts <= p.ts)
+      |SELECT coalesce(channel, '(none)') AS channel,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM j GROUP BY 1 ORDER BY channel""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    // one touch per (user, ts): max event id wins, same rule both engines
+    val touches = ev.filter($"event_type".isin("click", "view"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id", $"ts").orderBy(desc("event_id"))))
+      .filter($"rn" === 1)
+      .select($"user_id", $"ts", $"event_type".as("channel"),
+        unix_micros($"ts").as("t_us"))
+    AsofOps.asofJoin(purchases, touches, "user_id", "ts",
+      payload = Seq("channel", "t_us"))
+      .select($"event_id", $"value",
+        when(unix_micros($"ts") - $"asof_t_us" <= SevenDaysUs,
+          $"asof_channel").as("channel"))
+      .groupBy(coalesce($"channel", lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(floor($"value" * 100 + 0.5).cast("long")).as("revenue_cents"))
+      .orderBy($"channel")
+  }
+
+  /** Linear (multi-touch) attribution: each purchase's value is split
+    * EQUALLY across every click/view the user made in the preceding 7
+    * days, and the shares roll up per channel — the fractional-credit
+    * model next to [[lastTouch]]'s winner-takes-all.
+    *
+    * No purchase×touch join materializes: touches and purchases union into
+    * one per-user stream and two conditional counts over a RANGE frame
+    * (7 days preceding → current row, on the µs axis) give each purchase
+    * its per-channel touch counts in a single sort — the same
+    * one-shuffle-per-user shape as every window op here, immune to the
+    * quadratic blowup an interval join would risk on a heavy user.
+    * Allocation is exact integer floor division of cents (remainder cents
+    * are dropped deterministically, recorded via the total), so the final
+    * per-channel sums are engine-exact. */
+  val linearAttribution: QueryDef = QueryDef(
+    "attr_linear",
+    """WITH u AS (SELECT user_id, ts, event_id, event_type, value,
+      |                  CAST(epoch_us(ts) AS BIGINT) AS us,
+      |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_c,
+      |                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v
+      |           FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+      |w AS (SELECT user_id, event_id, event_type, value,
+      |             sum(is_c) OVER (PARTITION BY user_id ORDER BY us
+      |                             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS n_c,
+      |             sum(is_v) OVER (PARTITION BY user_id ORDER BY us
+      |                             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS n_v
+      |      FROM u),
+      |p AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, n_c, n_v
+      |      FROM w WHERE event_type = 'purchase'),
+      |alloc AS (
+      |  SELECT 'click' AS channel,
+      |         CASE WHEN n_c > 0 THEN cents * n_c // (n_c + n_v) ELSE 0 END AS a,
+      |         CASE WHEN n_c > 0 THEN 1 ELSE 0 END AS touched
+      |  FROM p
+      |  UNION ALL
+      |  SELECT 'view' AS channel,
+      |         CASE WHEN n_v > 0 THEN cents * n_v // (n_c + n_v) ELSE 0 END AS a,
+      |         CASE WHEN n_v > 0 THEN 1 ELSE 0 END AS touched
+      |  FROM p)
+      |SELECT channel, CAST(sum(touched) AS BIGINT) AS n_purchases_touched,
+      |       CAST(sum(a) AS BIGINT) AS attributed_cents
+      |FROM alloc GROUP BY channel ORDER BY channel""".stripMargin,
+  ) { (spark, dir) =>
+    val u = Tables.events(spark, dir)
+      .filter($"event_type".isin("purchase", "click", "view"))
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("us"),
+        when($"event_type" === "click", 1L).otherwise(0L).as("is_c"),
+        when($"event_type" === "view", 1L).otherwise(0L).as("is_v"))
+    val frame = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-SevenDaysUs, 0)
+    val p = u
+      .select($"event_type", $"value",
+        sum($"is_c").over(frame).as("n_c"),
+        sum($"is_v").over(frame).as("n_v"))
+      .filter($"event_type" === "purchase")
+      .select(floor($"value" * 100 + 0.5).cast("long").as("cents"),
+        $"n_c", $"n_v")
+    val click = p.select(lit("click").as("channel"),
+      when($"n_c" > 0, expr("cents * n_c DIV (n_c + n_v)")).otherwise(0L).as("a"),
+      when($"n_c" > 0, 1L).otherwise(0L).as("touched"))
+    val view = p.select(lit("view").as("channel"),
+      when($"n_v" > 0, expr("cents * n_v DIV (n_c + n_v)")).otherwise(0L).as("a"),
+      when($"n_v" > 0, 1L).otherwise(0L).as("touched"))
+    click.unionAll(view)
+      .groupBy($"channel")
+      .agg(sum($"touched").as("n_purchases_touched"),
+        sum($"a").as("attributed_cents"))
+      .orderBy($"channel")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(transitionProbs, trigramTopk, lastTouch, linearAttribution)
+}

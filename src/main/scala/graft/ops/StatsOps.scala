@@ -494,7 +494,114 @@ object StatsOps {
       .orderBy($"c_custkey")
   }
 
+  /** Exact weighted median of extended price, weighted by quantity, per
+    * return flag — the order statistic where half the QUANTITY mass sits at
+    * or below the price, robust where the plain mean is skew-dominated.
+    *
+    * One pass: cumulative weight over a per-flag total order (price, then
+    * the (orderkey, linenumber) PK so ties are deterministic), then the
+    * smallest value whose doubled cumulative weight reaches the group
+    * total. All weights are exact cent-integers summed in a decimal
+    * accumulator — the shuffled prefix sums can't drift — and the median
+    * itself is selected, never interpolated, so no float crosses engines.
+    * Scale: the same per-group sort any percentile computation pays; group
+    * count (3 flags) keeps the final aggregate tiny. */
+  val weightedMedian: QueryDef = QueryDef(
+    "stats_weighted_median",
+    """WITH s AS (SELECT l_returnflag,
+      |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |                  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS w,
+      |                  l_orderkey, l_linenumber
+      |           FROM lineitem),
+      |c AS (SELECT l_returnflag, v, w,
+      |             CAST(sum(w) OVER (PARTITION BY l_returnflag
+      |                               ORDER BY v, l_orderkey, l_linenumber
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+      |             CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      |      FROM s)
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(max(tw) AS BIGINT) AS total_weight,
+      |       CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT) AS wmedian_cents
+      |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        floor($"l_extendedprice" * 100 + 0.5).cast("long").as("v"),
+        floor($"l_quantity" * 100 + 0.5).cast("long").as("w"),
+        $"l_orderkey", $"l_linenumber")
+    val run = Window.partitionBy($"l_returnflag")
+      .orderBy($"v", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"l_returnflag")
+    val c = s.select($"l_returnflag", $"v",
+      sum($"w".cast("decimal(38,0)")).over(run).cast("long").as("cw"),
+      sum($"w".cast("decimal(38,0)")).over(tot).cast("long").as("tw"))
+    c.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        max($"tw").as("total_weight"),
+        min(when(lit(2) * $"cw" >= $"tw", $"v")).as("wmedian_cents"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Rank-based winsorization: per return flag, prices are capped at the
+    * exact order statistics of rank ⌈n/100⌉ from each end (the p1/p99
+    * VALUES, selected not interpolated — the `llm_curriculum` lesson: an
+    * interpolated percentile is a float boundary two engines can disagree
+    * on by one ulp; a rank is not). Emits the caps and the winsorized mean
+    * from an exact clamped-cents sum.
+    *
+    * Two passes over lineitem (rank pass → tiny 3-row cap table broadcast
+    * back for the clamp), which is how it stays shaped at scale: the cap
+    * table never grows with data, so the second pass is map-side. */
+  val winsorize: QueryDef = QueryDef(
+    "stats_winsorize",
+    """WITH s AS (SELECT l_returnflag,
+      |                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |                  l_orderkey, l_linenumber
+      |           FROM lineitem),
+      |r AS (SELECT l_returnflag, v,
+      |             row_number() OVER (PARTITION BY l_returnflag
+      |                                ORDER BY v, l_orderkey, l_linenumber) AS rk,
+      |             count(*) OVER (PARTITION BY l_returnflag) AS n
+      |      FROM s),
+      |caps AS (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+      |                CAST(max(CASE WHEN rk <= (n + 99) // 100 THEN v END) AS BIGINT) AS lo_cents,
+      |                CAST(min(CASE WHEN rk >= n - (n + 99) // 100 + 1 THEN v END) AS BIGINT) AS hi_cents
+      |         FROM r GROUP BY l_returnflag)
+      |SELECT s.l_returnflag, caps.n, caps.lo_cents, caps.hi_cents,
+      |       CAST(sum(least(greatest(s.v, caps.lo_cents), caps.hi_cents)) AS BIGINT) AS wsum_cents,
+      |       CAST(sum(least(greatest(s.v, caps.lo_cents), caps.hi_cents)) // caps.n AS BIGINT) AS wmean_cents
+      |FROM s JOIN caps ON s.l_returnflag = caps.l_returnflag
+      |GROUP BY s.l_returnflag, caps.n, caps.lo_cents, caps.hi_cents
+      |ORDER BY s.l_returnflag""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        floor($"l_extendedprice" * 100 + 0.5).cast("long").as("v"),
+        $"l_orderkey", $"l_linenumber")
+    val byFlag = Window.partitionBy($"l_returnflag")
+    val r = s.select($"l_returnflag", $"v",
+      row_number().over(byFlag.orderBy($"v", $"l_orderkey", $"l_linenumber"))
+        .cast("long").as("rk"),
+      count(lit(1)).over(byFlag).as("n"))
+    val k = expr("(n + 99) DIV 100") // ⌈n/100⌉ in exact integer arithmetic
+    val caps = r.groupBy($"l_returnflag")
+      .agg(max($"n").as("n"),
+        max(when($"rk" <= k, $"v")).as("lo_cents"),
+        min(when($"rk" >= $"n" - k + 1, $"v")).as("hi_cents"))
+    val clamped = least(greatest($"v", $"lo_cents"), $"hi_cents")
+    s.join(broadcast(caps), "l_returnflag")
+      .groupBy($"l_returnflag", $"n", $"lo_cents", $"hi_cents")
+      .agg(sum(clamped.cast("decimal(38,0)")).cast("long").as("wsum_cents"))
+      .select($"l_returnflag", $"n", $"lo_cents", $"hi_cents", $"wsum_cents",
+        expr("wsum_cents DIV n").as("wmean_cents"))
+      .orderBy($"l_returnflag")
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMoments, linreg, histogram, quantileBucket, profileOrders,
-      madOutliers, chi2, ksTest, mannWhitney, targetEncode)
+      madOutliers, chi2, ksTest, mannWhitney, targetEncode,
+      weightedMedian, winsorize)
 }

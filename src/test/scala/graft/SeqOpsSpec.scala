@@ -1,0 +1,159 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class SeqOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("transition probabilities sum to ~1e6 ppm per current type") {
+    val rows = SeqOps.transitionProbs.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCur = rows.groupBy(_.getString(0))
+    for ((cur, rs) <- byCur) {
+      val ppm = rs.map(_.getLong(3)).sum
+      // floor division loses at most (n_branches - 1) ppm per row group
+      assert(ppm <= 1000000L && ppm > 1000000L - rs.length,
+        s"$cur transition mass $ppm")
+      // counts are consistent with probabilities: ppm ordering == count ordering
+      val byCount = rs.sortBy(_.getLong(2))
+      assert(byCount.map(_.getLong(3)).sorted.sameElements(byCount.map(_.getLong(3))))
+    }
+  }
+
+  test("trigram top-k is count-descending and within the type alphabet") {
+    val events = graft.io.Tables.events(spark, sf)
+    val types = events.select($"event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    val rows = SeqOps.trigramTopk.run(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.flatMap(r => Seq(r.getString(0), r.getString(1), r.getString(2)))
+      .forall(types.contains))
+    val counts = rows.map(_.getLong(3))
+    assert(counts.sorted.reverse.sameElements(counts), "sorted by count desc")
+  }
+
+  test("last-touch attribution conserves purchases and revenue") {
+    val events = graft.io.Tables.events(spark, sf)
+    val purchases = events.filter($"event_type" === "purchase")
+    val nPurchases = purchases.count()
+    val revenue = purchases
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long"))).collect().head.getLong(0)
+    val rows = SeqOps.lastTouch.run(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == nPurchases, "every purchase lands in a bucket")
+    assert(rows.map(_.getLong(2)).sum == revenue, "revenue is conserved")
+    val channels = rows.map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("click", "view", "(none)")))
+  }
+
+  test("linear attribution never allocates more than total purchase value") {
+    val events = graft.io.Tables.events(spark, sf)
+    val revenue = events.filter($"event_type" === "purchase")
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long"))).collect().head.getLong(0)
+    val rows = SeqOps.linearAttribution.run(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted == Seq("click", "view"))
+    val allocated = rows.map(_.getLong(2)).sum
+    assert(allocated <= revenue, s"allocated $allocated > revenue $revenue")
+    assert(allocated > 0, "some purchases have preceding touches")
+  }
+
+  test("linear attribution splits a hand-built window exactly") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // user 1: click@t1, view@t2, purchase(9.99)@t3 → 999 cents split 1:1
+    // → click 499, view 499 (floor drops the odd cent); user 2's purchase
+    // has no touches → nothing allocated.
+    val base = 1700000000000000L
+    def ts(us: Long) = new Timestamp(us / 1000)
+    val df = Seq(
+      (1L, ts(base), 10L, "click", 0.0),
+      (1L, ts(base + 1000000), 11L, "view", 0.0),
+      (1L, ts(base + 2000000), 12L, "purchase", 9.99),
+      (2L, ts(base), 20L, "purchase", 5.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    df.createOrReplaceTempView("seq_fixture")
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-604800000000L, 0)
+    val u = df.select($"event_type", $"value", unix_micros($"ts").as("us"),
+      $"user_id",
+      when($"event_type" === "click", 1L).otherwise(0L).as("is_c"),
+      when($"event_type" === "view", 1L).otherwise(0L).as("is_v"))
+    val p = u.select($"event_type", $"value",
+        sum($"is_c").over(frame).as("n_c"), sum($"is_v").over(frame).as("n_v"))
+      .filter($"event_type" === "purchase")
+      .select(floor($"value" * 100 + 0.5).cast("long").as("cents"), $"n_c", $"n_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(p == Set((999L, 1L, 1L), (500L, 0L, 0L)))
+  }
+
+  test("weighted median splits the quantity mass per flag") {
+    val rows = StatsOps.weightedMedian.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.io.Tables.lineitem(spark, sf)
+    for (r <- rows) {
+      val (flag, med) = (r.getString(0), r.getLong(3))
+      val below = li.filter($"l_returnflag" === flag)
+        .filter(floor($"l_extendedprice" * 100 + 0.5).cast("long") <= med)
+        .agg(sum(floor($"l_quantity" * 100 + 0.5).cast("long")))
+        .collect().head.getLong(0)
+      val total = r.getLong(2)
+      assert(2 * below >= total, s"$flag: mass at/below median is >= half")
+    }
+  }
+
+  test("winsorized caps are real order statistics and bound the mean") {
+    val rows = StatsOps.winsorize.run(spark, sf).collect()
+    val li = graft.io.Tables.lineitem(spark, sf)
+    for (r <- rows) {
+      val (flag, n, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val mean = r.getLong(5)
+      assert(lo < hi && mean >= lo && mean <= hi)
+      val k = (n + 99) / 100
+      val countBelowOrAtLo = li.filter($"l_returnflag" === flag)
+        .filter(floor($"l_extendedprice" * 100 + 0.5).cast("long") <= lo).count()
+      assert(countBelowOrAtLo >= k, "lo sits at or above the ⌈n/100⌉th value")
+    }
+  }
+
+  test("RFM quartiles are balanced and the segment echoes the digits") {
+    val rows = OlapOps.rfmSegments.run(spark, sf).collect()
+    val n = rows.length
+    for (col <- Seq(4, 5, 6)) {
+      val sizes = rows.groupBy(_.getLong(col)).view.mapValues(_.size)
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L))
+      assert(sizes.values.max - sizes.values.min <= 1, s"ntile balance: $sizes")
+    }
+    assert(rows.forall(r =>
+      r.getString(7) == s"${r.getLong(4)}${r.getLong(5)}${r.getLong(6)}"))
+    assert(n == graft.io.Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count())
+  }
+
+  test("ABC classes cover all revenue and A-share is at most 80% + one customer") {
+    val rows = OlapOps.abcPareto.run(spark, sf).collect()
+    val classes = rows.map(_.getString(0)).toSeq
+    assert(classes == classes.sorted && classes.toSet.subsetOf(Set("A", "B", "C")))
+    val shares = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    // every class share in basis points; floor-quantized sum within 3 bps
+    assert(shares.values.sum <= 10000 && shares.values.sum > 10000 - 3)
+    // the A boundary rule: running share <= 80% ⇒ class-A total <= 8000 bps
+    assert(shares.getOrElse("A", 0L) <= 8000)
+  }
+
+  test("personalized PageRank concentrates rank on and around the seeds") {
+    val rows = GraphOps.personalizedPageRank.run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ranks = rows.map(_.getDouble(1))
+    assert(ranks.sorted.reverse.sameElements(ranks), "rank-descending")
+    assert(ranks.forall(_ > 0))
+    // deterministic: a second run yields the identical head
+    val again = GraphOps.personalizedPageRank.run(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+}
