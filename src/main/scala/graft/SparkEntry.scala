@@ -25,7 +25,7 @@ object SparkEntry {
       WindowOps.all ++ PackingOps.all ++ RankingOps.all ++ StatsOps.all ++
       GraphOps.all ++ FormatOps.all ++ DqOps.all ++ PerplexityOps.all ++
       CompositionOps.all ++ ClassifierOps.all ++ CurationOps.all ++
-      SelectionOps.all ++ SeqOps.all
+      SelectionOps.all ++ SeqOps.all ++ GeoOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.io.Tables
+
+/** Spatial operators — point k-NN, a grid-bucketed radius self-join, and
+  * spatial connected clusters. The reference's only geo surface is the
+  * RediSearch latitude range filter (`redis_client.py:336`, covered by
+  * `a5_search_tag_range`); these add the JOIN-shaped spatial questions a
+  * warehouse asks of coordinates ("which points are near each other"),
+  * which no range filter can express.
+  *
+  * The testdata carries no real coordinates, so each customer gets a
+  * deterministic synthetic position from the cross-engine md5 hash of its
+  * key (the `portableHash` convention) — micro-degree INTEGERS on a shifted
+  * non-negative axis, so every distance is an exact BIGINT and truncating
+  * `DIV` (Spark) equals floor `//` (DuckDB); no trig or float geometry
+  * crosses an engine boundary anywhere in the lane (a haversine refine
+  * would bolt onto the same candidate pipeline; sin/cos are only
+  * 1-ulp-reproducible across libm implementations, which this repo's
+  * hash-compare gate can't tolerate, so the planar metric is the oracled
+  * one).
+  *
+  * Scale shape: k-NN is a map-only scan + TakeOrdered; the radius join is
+  * the spatial analog of the LSH band join — each point lands in ONE home
+  * cell sized to the radius, probes its 3×3 neighborhood via a 9-way
+  * shift-explode, and exact distance runs on grid-candidates only. A pair
+  * at most one cell apart matches in exactly one (shift, home) combination
+  * per orientation, so `id1 < id2` alone dedups — no DISTINCT pass. The
+  * cluster op feeds those pairs to the shared pointer-jumping CC
+  * ([[LlmTextOps.clusterOf]]) — O(log diameter) rounds, the same machinery
+  * the dedup lane ships.
+  */
+object GeoOps {
+
+  /** 2° in micro-degrees: the radius AND the grid cell edge (cell = radius
+    * ⇒ 3×3 neighborhood suffices). */
+  private val RadiusU = 2000000L
+  private val Radius2 = RadiusU * RadiusU
+
+  private def portableHash(c: Column): Column = call_function("md5hash60", c)
+
+  /** Deterministic synthetic positions: shifted-non-negative micro-degrees
+    * `ux ∈ [0, 360e6)`, `uy ∈ [0, 180e6)` hashed from the customer key. */
+  private def points(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select($"c_custkey".as("id"),
+      (portableHash(concat(lit("lon|"), $"c_custkey".cast("string")))
+        % 360000000L).as("ux"),
+      (portableHash(concat(lit("lat|"), $"c_custkey".cast("string")))
+        % 180000000L).as("uy"))
+
+  private val pointsSql =
+    """pts AS (SELECT c_custkey AS id,
+      |               ('0x' || substr(md5('lon|' || c_custkey), 1, 15))::BIGINT % 360000000 AS ux,
+      |               ('0x' || substr(md5('lat|' || c_custkey), 1, 15))::BIGINT % 180000000 AS uy
+      |        FROM customer)""".stripMargin
+
+  /** 10 nearest customers to the origin (lat 0, lon 0 — shifted center):
+    * brute-force exact-integer distances + TakeOrderedAndProject. The
+    * honest k-NN baseline every indexed variant (the IVF/LSH lanes on the
+    * embedding side) is measured against, at 2-D instead of 8-D. */
+  val knn: QueryDef = QueryDef(
+    "geo_knn",
+    s"""WITH $pointsSql
+       |SELECT id AS c_custkey, ux - 180000000 AS lon_u, uy - 90000000 AS lat_u,
+       |       (ux - 180000000) * (ux - 180000000)
+       |       + (uy - 90000000) * (uy - 90000000) AS d2
+       |FROM pts ORDER BY d2, c_custkey LIMIT 10""".stripMargin,
+  ) { (spark, dir) =>
+    points(spark, dir)
+      .select($"id".as("c_custkey"),
+        ($"ux" - 180000000L).as("lon_u"), ($"uy" - 90000000L).as("lat_u"))
+      .withColumn("d2", $"lon_u" * $"lon_u" + $"lat_u" * $"lat_u")
+      .orderBy($"d2", $"c_custkey")
+      .limit(10)
+  }
+
+  /** Grid-bucketed candidate pairs within the radius — shared by
+    * [[gridPairs]] and [[cluster]]. One side explodes into its 3×3
+    * neighbor cells; the equi-join on (cell, cell) is the only wide
+    * operation, and the exact planar predicate prunes candidates. */
+  private[graft] def pairsOf(pts: DataFrame): DataFrame = {
+    val shifts = for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    val g = pts.select($"id", $"ux", $"uy",
+      expr(s"ux DIV $RadiusU").as("cx"), expr(s"uy DIV $RadiusU").as("cy"))
+    val probe = g
+      .select($"id".as("id_a"), $"ux".as("xa"), $"uy".as("ya"),
+        explode(array(shifts: _*)).as("s"), $"cx", $"cy")
+      .select($"id_a", $"xa", $"ya",
+        ($"cx" + $"s.dx").as("cx"), ($"cy" + $"s.dy").as("cy"))
+    probe.join(g, Seq("cx", "cy"))
+      .filter($"id_a" < $"id")
+      .withColumn("d2",
+        ($"xa" - $"ux") * ($"xa" - $"ux") + ($"ya" - $"uy") * ($"ya" - $"uy"))
+      .filter($"d2" <= Radius2)
+      .select($"id_a".as("k1"), $"id".as("k2"), $"d2")
+  }
+
+  /** All customer pairs within 2° planar distance, with the exact squared
+    * distance and a milli-degree readout (sqrt of an exact integer — the
+    * same double in both engines, floor-quantized). The oracle replays the
+    * predicate as the naive quadratic self-join: same rows, independent
+    * plan — which is exactly the point: the grid join must lose NO pair
+    * the quadratic join finds. */
+  val gridPairs: QueryDef = QueryDef(
+    "geo_grid_pairs",
+    s"""WITH $pointsSql
+       |SELECT a.id AS k1, b.id AS k2,
+       |       (a.ux - b.ux) * (a.ux - b.ux) + (a.uy - b.uy) * (a.uy - b.uy) AS d2,
+       |       CAST(floor(sqrt(CAST((a.ux - b.ux) * (a.ux - b.ux)
+       |            + (a.uy - b.uy) * (a.uy - b.uy) AS DOUBLE)) / 1000) AS BIGINT) AS dist_mdeg
+       |FROM pts a JOIN pts b ON a.id < b.id
+       |WHERE (a.ux - b.ux) * (a.ux - b.ux) + (a.uy - b.uy) * (a.uy - b.uy) <= $Radius2
+       |ORDER BY k1, k2""".stripMargin,
+  ) { (spark, dir) =>
+    pairsOf(points(spark, dir))
+      .withColumn("dist_mdeg",
+        floor(sqrt($"d2".cast("double")) / 1000).cast("long"))
+      .orderBy($"k1", $"k2")
+  }
+
+  /** Spatial connected clusters: customers chained by ≤2° hops share a
+    * cluster (single-linkage — the transitive closure a pairwise radius
+    * query can't see, same argument as the dedup clusters). Pairs come
+    * from the grid join; labels from the shared pointer-jumping CC. The
+    * oracle replays the closure as a recursive CTE over the quadratic
+    * pair predicate. */
+  val cluster: QueryDef = QueryDef(
+    "geo_cluster",
+    s"""WITH RECURSIVE $pointsSql,
+       |p AS (SELECT a.id AS da, b.id AS db
+       |      FROM pts a JOIN pts b ON a.id < b.id
+       |      WHERE (a.ux - b.ux) * (a.ux - b.ux)
+       |            + (a.uy - b.uy) * (a.uy - b.uy) <= $Radius2),
+       |e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db AS a, da AS b FROM p),
+       |reach AS (
+       |  SELECT id, id AS r FROM pts
+       |  UNION
+       |  SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id
+       |)
+       |SELECT id AS c_custkey, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    val pts = graft.Caches.persist(points(spark, dir))
+    LlmTextOps.clusterOf(
+      pairsOf(pts).select($"k1".as("doc_a"), $"k2".as("doc_b")),
+      pts.select($"id".as("doc_id")))
+      .select($"doc_id".as("c_custkey"), $"cluster_id")
+      .orderBy($"c_custkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(knn, gridPairs, cluster)
+}

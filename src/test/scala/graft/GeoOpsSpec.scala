@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class GeoOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("knn returns 10 ascending exact-integer distances") {
+    val rows = GeoOps.knn.run(spark, sf).collect()
+    assert(rows.length == 10)
+    val d2 = rows.map(_.getLong(3))
+    assert(d2.sorted.sameElements(d2), "distance-ascending")
+    assert(rows.forall(r =>
+      r.getLong(3) == r.getLong(1) * r.getLong(1) + r.getLong(2) * r.getLong(2)),
+      "d2 is exactly lon² + lat²")
+  }
+
+  test("grid-bucketed pairs equal the naive quadratic radius join") {
+    val pts = graft.io.Tables.customer(spark, sf)
+      .select($"c_custkey".as("id"),
+        (call_function("md5hash60",
+          concat(lit("lon|"), $"c_custkey".cast("string"))) % 360000000L).as("ux"),
+        (call_function("md5hash60",
+          concat(lit("lat|"), $"c_custkey".cast("string"))) % 180000000L).as("uy"))
+    val naive = pts.as("a").join(pts.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("k1"), col("b.id").as("k2"),
+        ((col("a.ux") - col("b.ux")) * (col("a.ux") - col("b.ux"))
+          + (col("a.uy") - col("b.uy")) * (col("a.uy") - col("b.uy"))).as("d2"))
+      .filter($"d2" <= 2000000L * 2000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val grid = GeoOps.gridPairs.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(grid == naive, s"grid join must lose no pair: ${grid.size} vs ${naive.size}")
+    assert(naive.nonEmpty, "fixture scale produces at least one pair")
+  }
+
+  test("spatial clusters are single-linkage components labeled by their minimum") {
+    val labels = GeoOps.cluster.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = GeoOps.gridPairs.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every linked pair shares a label
+    assert(pairs.forall { case (a, b) => labels(a) == labels(b) })
+    // each label is the minimum member of its cluster
+    val members = labels.groupBy(_._2).view.mapValues(_.keys.min)
+    assert(members.forall { case (cid, minId) => cid == minId })
+    // vertex set is complete: one label per customer
+    val n = graft.io.Tables.customer(spark, sf).count()
+    assert(labels.size == n)
+  }
+}
