@@ -980,8 +980,69 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Hierarchical subtree rollup (org-chart / bill-of-materials explosion):
+    * for every node of a forest, the size and total balance of its entire
+    * subtree. The forest is the synthetic binary heap `parent(k) = k DIV 2`
+    * over customer keys (root 1; key 0 is an isolated self-node), value =
+    * exact account-balance cents — but the implementation never uses that
+    * closed form: it sees only a generic `(child, parent)` edge table, so
+    * the same code rolls up any adjacency-list hierarchy.
+    *
+    * Algorithm: ancestor-closure by POINTER DOUBLING — after round k the
+    * closure holds every (descendant, ancestor) pair at distance < 2^k and
+    * the jump table maps each node to its 2^k-th ancestor, so a depth-d
+    * hierarchy closes in ⌈log₂ d⌉ keyed joins instead of the d rounds of
+    * the naive parent-at-a-time walk (the BOM-explosion classic; same
+    * O(log) discipline as `llm_dedup_cluster`'s pointer jumping). Distances
+    * are unique per (des, anc) pair, so no round produces duplicates and no
+    * DISTINCT is needed. Closure size is n·depth rows — for a balanced
+    * hierarchy n·log n, the irreducible cost of reporting EVERY node's
+    * subtree; the rollup itself is one anc-keyed count/sum. Loop state is
+    * localCheckpointed per round (≤ ⌈log₂ depth⌉ ≈ 5 rounds here). */
+  val treeRollup: QueryDef = QueryDef(
+    "graph_tree_rollup",
+    """WITH RECURSIVE pairs AS (
+      |  SELECT c_custkey AS anc, c_custkey AS des FROM customer
+      |  UNION ALL
+      |  SELECT anc // 2 AS anc, des FROM pairs WHERE anc > 1)
+      |SELECT p.anc AS node, CAST(count(*) AS BIGINT) AS subtree_size,
+      |       CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS subtree_cents
+      |FROM pairs p JOIN customer c ON c.c_custkey = p.des
+      |WHERE p.anc <= 40
+      |GROUP BY p.anc ORDER BY node""".stripMargin,
+  ) { (spark, dir) =>
+    val nodes = graft.Caches.persist(
+      Tables.customer(spark, dir)
+        .select($"c_custkey".as("des"),
+          floor($"c_acctbal" * 100 + 0.5).cast("long").as("cents")))
+    // generic (v, u) = "u is the 2^k-th ancestor of v"; k = 0 to start
+    val parentEdges = nodes
+      .select($"des".as("v"), expr("des DIV 2").as("u"))
+      .filter($"u" >= 1 && $"v" > 1)
+    var jump = graft.Caches.localCheckpoint(parentEdges)
+    // closure after round 0: distances 0 (self) and 1 (parent)
+    var reach = graft.Caches.localCheckpoint(
+      nodes.select($"des", $"des".as("anc"))
+        .unionAll(parentEdges.select($"v".as("des"), $"u".as("anc"))))
+    while (!jump.isEmpty) {
+      val j2 = jump.as("a")
+        .join(jump.as("b"), $"a.u" === $"b.v")
+        .select($"a.v".as("v"), $"b.u".as("u")) // 2^k ∘ 2^k = 2^(k+1)
+      jump = graft.Caches.localCheckpoint(j2)
+      reach = graft.Caches.localCheckpoint(
+        reach.unionAll(
+          reach.as("r").join(jump.as("j"), $"r.anc" === $"j.v")
+            .select($"r.des".as("des"), $"j.u".as("anc"))))
+    }
+    reach.filter($"anc" <= 40)
+      .join(nodes, "des")
+      .groupBy($"anc".as("node"))
+      .agg(count(lit(1)).as("subtree_size"), sum($"cents").as("subtree_cents"))
+      .orderBy($"node")
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, personalizedPageRank, bfsLevels,
       adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore,
-      labelProp, modularity, hits, jaccardLinks)
+      labelProp, modularity, hits, jaccardLinks, treeRollup)
 }

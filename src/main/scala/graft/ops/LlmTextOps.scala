@@ -466,6 +466,60 @@ object LlmTextOps {
       .limit(50)
   }
 
+  /** PMI collocation mining over adjacent-token bigrams — the classic
+    * lexical-association statistic (Church & Hanks 1990) behind phrase
+    * detection in tokenizer/vocab pipelines (word2vec's phrase pass uses
+    * exactly this count ratio). Instead of the float `log₂(p_xy/(p_x·p_y))`
+    * we emit the monotone integer core `⌊10⁶·n_xy·N/(c_x·c_y)⌋` (the PMI is
+    * its log, so ranking is identical) plus the Dice coefficient in ppm —
+    * no transcendental crosses the engine boundary.
+    *
+    * Scale shape: one doc-keyed window (lead over token position — the
+    * tokenize exchange every lexical op shares), then bigram- and
+    * unigram-keyed count shuffles, both map-side combinable; unigram counts
+    * and the 1-row total re-enter by broadcast (vocab-sized — at web scale
+    * still ~10⁶ rows, far under broadcast limits). Top-20 is a TakeOrdered,
+    * never a full sort. Long-range: `n·N·10⁶` caps at ~10¹⁷ for N≈10⁸
+    * bigrams; beyond that, drop the ppm scale first. */
+  val pmiColloc: QueryDef = QueryDef(
+    "llm_pmi_colloc",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |bg AS (SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM toks),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+      |       FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+      |nn AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM bc)
+      |SELECT bc.w1, bc.w2, bc.n, u1.c AS c1, u2.c AS c2,
+      |       CAST(bc.n * nn.total * 1000000 // (u1.c * u2.c) AS BIGINT) AS pmi_ratio_ppm,
+      |       CAST(2 * bc.n * 1000000 // (u1.c + u2.c) AS BIGINT) AS dice_ppm
+      |FROM bc CROSS JOIN nn
+      |JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+      |WHERE bc.n >= 5
+      |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 20""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(tokens).as(Seq("i", "w")))
+    val bc = toks
+      .select($"w".as("w1"),
+        lead($"w", 1).over(Window.partitionBy($"doc_id").orderBy($"i")).as("w2"))
+      .filter($"w2".isNotNull)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+    val uc = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    val total = bc.agg(sum($"n").as("total"))
+    bc.filter($"n" >= 5)
+      .crossJoin(broadcast(total))
+      .join(broadcast(uc.select($"w".as("w1"), $"c".as("c1"))), "w1")
+      .join(broadcast(uc.select($"w".as("w2"), $"c".as("c2"))), "w2")
+      .select($"w1", $"w2", $"n", $"c1", $"c2",
+        expr("n * total * 1000000 DIV (c1 * c2)").as("pmi_ratio_ppm"),
+        expr("2 * n * 1000000 DIV (c1 + c2)").as("dice_ppm"))
+      .orderBy($"pmi_ratio_ppm".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction of
     * the document that is its single most frequent token, and fraction of
     * duplicated 3-grams — the two cheapest filters for the
@@ -843,11 +897,11 @@ object LlmTextOps {
 
   // ------------------------------------------------------------ SimHash
 
-  private def simhashSumsSql: String =
+  private[ops] def simhashSumsSql: String =
     (0 until 32).map(j =>
       s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
 
-  private def simhashBitsSql: String =
+  private[ops] def simhashBitsSql: String =
     (0 until 32).map(j =>
       s"CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END").mkString(" + ")
 
@@ -2120,7 +2174,7 @@ object LlmTextOps {
   val all: Seq[QueryDef] = Seq(
     exactDedup, normDedup, fingerprint, winnow, winnowPairs, winnowNative,
     textStats,
-    tokenCount, quality, langId, langIdEval, vocabTopK, idf, repetition,
+    tokenCount, quality, langId, langIdEval, vocabTopK, idf, pmiColloc, repetition,
     entropy, neardupJaccard, containment, minhashSig, minhashLsh, minhashSweep,
     simhash, simhashPairs,
     dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,

@@ -408,7 +408,77 @@ object MultimodalOps {
       .orderBy($"source", $"shard_seq")
   }
 
+  /** Byte-level SimHash near-dup pairs over BINARY payloads — what
+    * [[payloadDedup]]'s exact digest can't see: assets that differ by a few
+    * bytes (re-encoded header, trailing metadata) but share almost all
+    * content. 32-bit SimHash over overlapping 4-byte windows of the raw
+    * payload (no tokenization — this is the binary-asset analog of
+    * `llm_simhash`, which needs text), pairs at hamming ≤ 1 mined by two
+    * 16-bit band equi-joins — EXACT by pigeonhole (1 differing bit can't
+    * touch both bands), so the all-pairs oracle must agree.
+    *
+    * Oracle note: the synthetic payload IS `encode(text,'UTF-8')` over an
+    * ASCII corpus, so byte windows ≡ character windows and DuckDB replays
+    * them with `substr(text, …)`; on real blobs the same SQL runs against
+    * BLOB `substr`/`md5`. Scale: gram explode is linear in payload bytes,
+    * the fingerprint is one hash-agg, candidates shuffle on (band, v)
+    * buckets — the payload column itself never crosses a shuffle. */
+  val simhashPayload: QueryDef = QueryDef(
+    "mm_simhash_payload",
+    """WITH g AS (SELECT doc_id, substr(text, i, 4) AS g
+      |           FROM documents, unnest(range(1, length(text) - 2)) AS t(i)
+      |           WHERE length(text) >= 4),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM g),
+      |""".stripMargin +
+      s"s AS (SELECT doc_id, ${LlmTextOps.simhashSumsSql} FROM h GROUP BY doc_id),\n" +
+      s"f AS (SELECT doc_id, (${LlmTextOps.simhashBitsSql}) AS simhash FROM s)\n" +
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  ) { (spark, dir) =>
+    simhashPayloadOf(mediaTable(spark, dir))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[simhashPayload]]'s mining body over any `(doc_id, payload)` frame
+    * (unordered) — extracted so the spec can feed planted fixtures. */
+  private[graft] def simhashPayloadOf(media: DataFrame): DataFrame = {
+    val grams = media
+      .select($"doc_id", $"payload")
+      .filter(length($"payload") >= 4)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), length($"payload") - 3),
+          i => $"payload".substr(i, lit(4)))).as("g"))
+    val sums = (0 until 32).map(j =>
+      sum(when(shiftright($"hv", j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val bits = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val f = grams
+      .select($"doc_id", call_function("md5hash60", $"g").as("hv"))
+      .groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+      .select($"doc_id", bits.as("simhash"))
+    val bands = f.select($"doc_id", $"simhash",
+      explode(array((0 until 2).map(b => struct(
+        lit(b).as("band"),
+        shiftright($"simhash", 16 * b).bitwiseAND(lit(65535L)).as("v"))): _*)).as("bv"))
+      .select($"doc_id", $"simhash", $"bv.band".as("band"), $"bv.v".as("v"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
+      .filter($"hamming" <= 1)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
+
   val all: Seq[QueryDef] =
     Seq(bytesStats, metaFilter, frameSample, decodeMeta, features,
-      payloadDedup, crossmodalFetch, shardAssign)
+      payloadDedup, crossmodalFetch, shardAssign, simhashPayload)
 }

@@ -278,7 +278,101 @@ object OlapOps {
       .orderBy($"abc_class")
   }
 
+  /** 2-D skyline (Pareto frontier) over customers: the set not dominated
+    * on (order count, account balance) — dominance = at-least-as-good on
+    * both axes and strictly better on one, the standard maximal-vector
+    * definition (Börzsönyi et al., ICDE 2001). Identical points are all
+    * kept (neither dominates the other).
+    *
+    * Distributed shape — NOT the textbook sort-filter-scan, which needs a
+    * global total order: first a per-x reduction (`max(bal) per n_orders`,
+    * map-side combinable) collapses the frame to ≤|distinct n_orders| rows;
+    * the monotone-staircase filter then runs as a window over THAT tiny
+    * frame (the only unpartitioned window here, bounded by the x-domain,
+    * not the row count); membership re-joins the staircase back by exact
+    * (x, y) — a broadcast hash join. At 100 TB the full table is touched
+    * only by the two keyed aggregates. */
+  val skyline: QueryDef = QueryDef(
+    "olap_skyline",
+    """WITH m AS (SELECT c.c_custkey,
+      |                  CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+      |                  CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+      |           FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |           GROUP BY 1, 2),
+      |po AS (SELECT n_orders, max(bal_cents) AS bal_cents FROM m GROUP BY 1),
+      |f AS (SELECT n_orders, bal_cents,
+      |             max(bal_cents) OVER (ORDER BY n_orders DESC
+      |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+      |      FROM po)
+      |SELECT m.c_custkey, m.n_orders, m.bal_cents
+      |FROM m JOIN (SELECT n_orders, bal_cents FROM f
+      |             WHERE best IS NULL OR bal_cents > best) fr
+      |  USING (n_orders, bal_cents)
+      |ORDER BY n_orders DESC, bal_cents DESC, c_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.customer(spark, dir)
+      .select($"c_custkey", floor($"c_acctbal" * 100 + 0.5).cast("long").as("bal_cents"))
+      .join(Tables.orders(spark, dir).select($"o_custkey", $"o_orderkey"),
+        $"o_custkey" === $"c_custkey", "left")
+      .groupBy($"c_custkey", $"bal_cents")
+      .agg(count($"o_orderkey").as("n_orders"))
+    val perO = m.groupBy($"n_orders").agg(max($"bal_cents").as("bal_cents"))
+    val stair = Window.orderBy($"n_orders".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perO
+      .withColumn("best", max($"bal_cents").over(stair))
+      .filter($"best".isNull || $"bal_cents" > $"best")
+      .select($"n_orders", $"bal_cents")
+    m.join(broadcast(frontier), Seq("n_orders", "bal_cents"))
+      .select($"c_custkey", $"n_orders", $"bal_cents")
+      .orderBy($"n_orders".desc, $"bal_cents".desc, $"c_custkey")
+  }
+
+  /** Month-over-month market-share trend: revenue per (month, segment),
+    * each segment's share of its month in exact basis points, and the
+    * month-over-month share delta — the "who is gaining share" question a
+    * revenue rollup alone can't answer.
+    *
+    * Scale shape: one custkey-keyed join (orders ⋈ customer), then the
+    * frame collapses to |months|×|segments| rows; both windows (per-month
+    * total, per-segment lag) run over that tiny aggregate, never the fact
+    * table. Cents sum as DECIMAL(38,0) (order-insensitive), shares are
+    * integer floor bps, and the delta is a difference of already-exact
+    * integers — nothing floats. First month's delta is NULL by design
+    * (lag has no predecessor; both engines emit NULL). */
+  val momShare: QueryDef = QueryDef(
+    "olap_mom_share",
+    """WITH m AS (SELECT strftime(o.o_orderdate, '%Y-%m') AS month, c.c_mktsegment AS segment,
+      |                  CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |           GROUP BY 1, 2),
+      |t AS (SELECT month, segment, revenue_cents,
+      |             CAST(sum(revenue_cents) OVER (PARTITION BY month) AS BIGINT) AS month_total FROM m),
+      |s AS (SELECT month, segment, revenue_cents,
+      |             CAST(revenue_cents * 10000 // month_total AS BIGINT) AS share_bps FROM t)
+      |SELECT month, segment, revenue_cents, share_bps,
+      |       CAST(share_bps - lag(share_bps) OVER (PARTITION BY segment ORDER BY month) AS BIGINT) AS mom_delta_bps
+      |FROM s ORDER BY month, segment""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"),
+        $"c_mktsegment".as("segment"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("decimal(38,0)"))
+        .cast("long").as("revenue_cents"))
+    m.withColumn("month_total",
+        sum($"revenue_cents").over(Window.partitionBy($"month")))
+      .withColumn("share_bps", expr("revenue_cents * 10000 DIV month_total"))
+      .withColumn("mom_delta_bps",
+        $"share_bps" - lag($"share_bps", 1)
+          .over(Window.partitionBy($"segment").orderBy($"month")))
+      .select($"month", $"segment", $"revenue_cents", $"share_bps", $"mom_delta_bps")
+      .orderBy($"month", $"segment")
+  }
+
   val all: Seq[QueryDef] = Seq(rollupOrders, cubeCustomers, pivotPriorities,
     groupingSetsOrders, unpivotMeasures, intersectParts, exceptParts,
-    rfmSegments, abcPareto)
+    rfmSegments, abcPareto, skyline, momShare)
 }

@@ -201,6 +201,120 @@ object SeqOps {
       .orderBy($"channel")
   }
 
+  /** Gaps-and-islands: per-user runs of CONSECUTIVE active days (an
+    * "island" = a maximal streak with no gap), summarized as active days,
+    * number of streaks, and the longest streak with its start date — the
+    * classic engagement-streak question a sessionize can't answer because
+    * it reasons in timestamps, not calendar days.
+    *
+    * The island key is the textbook `day_number − row_number()` trick: the
+    * difference is constant exactly within a consecutive run, so islands
+    * fall out of one per-user window sort plus a (user, island) aggregate —
+    * no self-join, no recursion. Both shuffles are user-keyed (the same
+    * exchange every other per-user window op here pays), and state per user
+    * is one row per DISTINCT active day — bounded by the calendar, not the
+    * event volume, so a 100 TB replay shrinks to |users|×|days| rows at the
+    * first DISTINCT. The per-user winner is picked by an explicit
+    * `(len DESC, start)` row_number on both engines — no arg_max tie
+    * ambiguity crosses the oracle boundary. */
+  val gapsIslands: QueryDef = QueryDef(
+    "seq_gaps_islands",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |d AS (SELECT user_id, day, datediff('day', DATE '1970-01-01', day) AS dn FROM a),
+      |g AS (SELECT user_id, day, dn,
+      |             dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+      |      FROM d),
+      |i AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+      |             min(dn) AS start_dn, min(day) AS start_day
+      |      FROM g GROUP BY 1, 2),
+      |r AS (SELECT user_id, len, start_day,
+      |             row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_dn) AS rk,
+      |             CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT) AS active_days,
+      |             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks
+      |      FROM i)
+      |SELECT user_id, active_days, n_streaks, len AS longest_streak,
+      |       CAST(start_day AS VARCHAR) AS longest_start
+      |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+  ) { (spark, dir) =>
+    val days = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .withColumn("dn", datediff($"day", lit("1970-01-01").cast("date")))
+    val islands = days
+      .withColumn("grp",
+        $"dn" - row_number().over(Window.partitionBy($"user_id").orderBy($"dn")))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), min($"dn").as("start_dn"),
+        min($"day").as("start_day"))
+    val perUser = Window.partitionBy($"user_id")
+    islands
+      .select($"user_id", $"len", $"start_day",
+        row_number().over(perUser.orderBy($"len".desc, $"start_dn")).as("rk"),
+        sum($"len").over(perUser).as("active_days"),
+        count(lit(1)).over(perUser).as("n_streaks"))
+      .filter($"rk" === 1)
+      .select($"user_id", $"active_days", $"n_streaks",
+        $"len".as("longest_streak"),
+        date_format($"start_day", "yyyy-MM-dd").as("longest_start"))
+      .orderBy($"user_id")
+  }
+
+  /** Association rules over daily per-user "baskets" (the set of event
+    * types a user produced on one calendar day): for every ordered pair
+    * A→B the support, confidence, and lift, each as exact integer
+    * parts-per-million — market-basket mining's co-occurrence heart,
+    * order-free where [[transitionProbs]] is order-aware.
+    *
+    * Scale shape: the first DISTINCT collapses the event stream to
+    * ≤ |users|·|days|·|types| basket-item rows; the pair generator is a
+    * self-join keyed on the FULL basket id (user, day), so fan-out per
+    * basket is |basket|² ≤ 25 — the same bounded-candidate discipline as
+    * the LSH band joins, never a cross join. Item counts (≤5 rows) and the
+    * basket total (1 row) re-enter by broadcast. All three metrics are
+    * integer floor divisions; `pair_n · n_baskets · 10⁶` stays far under
+    * Long range here (documented: at extreme basket counts the lift
+    * numerator is the first thing to re-scale). */
+  val assocRules: QueryDef = QueryDef(
+    "seq_assoc_rules",
+    """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+      |       FROM (SELECT DISTINCT user_id, day FROM b)),
+      |i AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+      |p AS (SELECT x.event_type AS ante, y.event_type AS cons, CAST(count(*) AS BIGINT) AS pair_n
+      |      FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+      |                        AND x.event_type <> y.event_type
+      |      GROUP BY 1, 2)
+      |SELECT p.ante, p.cons, p.pair_n,
+      |       CAST(p.pair_n * 1000000 // nb.n_baskets AS BIGINT) AS supp_ppm,
+      |       CAST(p.pair_n * 1000000 // ia.c AS BIGINT) AS conf_ppm,
+      |       CAST(p.pair_n * nb.n_baskets * 1000000 // (ia.c * ic.c) AS BIGINT) AS lift_ppm
+      |FROM p CROSS JOIN nb
+      |JOIN i ia ON p.ante = ia.event_type
+      |JOIN i ic ON p.cons = ic.event_type
+      |ORDER BY ante, cons""".stripMargin,
+  ) { (spark, dir) =>
+    val b = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"), $"event_type").distinct()
+    val nBaskets = b.select($"user_id", $"day").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val items = b.groupBy($"event_type").agg(count(lit(1)).as("c"))
+    val pairs = b.as("x")
+      .join(b.as("y"),
+        $"x.user_id" === $"y.user_id" && $"x.day" === $"y.day" &&
+          $"x.event_type" =!= $"y.event_type")
+      .groupBy($"x.event_type".as("ante"), $"y.event_type".as("cons"))
+      .agg(count(lit(1)).as("pair_n"))
+    pairs
+      .crossJoin(broadcast(nBaskets))
+      .join(broadcast(items.select($"event_type".as("ante"), $"c".as("c_a"))), "ante")
+      .join(broadcast(items.select($"event_type".as("cons"), $"c".as("c_c"))), "cons")
+      .select($"ante", $"cons", $"pair_n",
+        expr("pair_n * 1000000 DIV n_baskets").as("supp_ppm"),
+        expr("pair_n * 1000000 DIV c_a").as("conf_ppm"),
+        expr("pair_n * n_baskets * 1000000 DIV (c_a * c_c)").as("lift_ppm"))
+      .orderBy($"ante", $"cons")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(transitionProbs, trigramTopk, lastTouch, linearAttribution)
+    Seq(transitionProbs, trigramTopk, lastTouch, linearAttribution,
+      gapsIslands, assocRules)
 }

@@ -600,8 +600,166 @@ object StatsOps {
       .orderBy($"l_returnflag")
   }
 
+  /** CUSUM changepoint detection over each event type's daily-count
+    * series: the day where the cumulative deviation from the series mean
+    * peaks — the standard single-changepoint estimator (Page 1954's CUSUM
+    * statistic at its extremum), next to the distribution-drift tests
+    * (`stats_ks_test`, `dq_psi_drift`) which say THAT a series changed but
+    * not WHEN.
+    *
+    * Exactness: the running statistic is scaled through by `n_days` so the
+    * mean never becomes a float — `S'_k = Σ_{i≤k} (n·c_i − total)` is
+    * integer-identical to `n · Σ(c_i − mean)` and every term is a BIGINT.
+    * Scale shape: the daily pre-aggregate collapses the event stream to
+    * |types|×|days| rows (calendar-bounded, like [[graft.ops.SeqOps]]'s
+    * islands), the per-type totals (≤5 rows) broadcast back, and the
+    * running sum is one tiny per-type window — at 100 TB the only full
+    * scan is the first map-side-combinable count. */
+  val cusumChange: QueryDef = QueryDef(
+    "stats_cusum_change",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(c) AS BIGINT) AS total
+      |      FROM d GROUP BY 1),
+      |s AS (SELECT d.event_type, d.day, t.n_days, t.total,
+      |             CAST(sum(d.c * t.n_days - t.total)
+      |                  OVER (PARTITION BY d.event_type ORDER BY d.day
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_run
+      |      FROM d JOIN t USING (event_type)),
+      |r AS (SELECT event_type, day, n_days, total, abs(s_run) AS cusum_peak,
+      |             row_number() OVER (PARTITION BY event_type
+      |                                ORDER BY abs(s_run) DESC, day) AS rk
+      |      FROM s)
+      |SELECT event_type, CAST(day AS VARCHAR) AS change_day, cusum_peak, n_days, total
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val t = d.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"c").as("total"))
+    val run = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(t), "event_type")
+      .select($"event_type", $"day", $"n_days", $"total",
+        sum($"c" * $"n_days" - $"total").over(run).as("s_run"))
+      .select($"event_type", $"day", $"n_days", $"total",
+        abs($"s_run").as("cusum_peak"),
+        row_number().over(Window.partitionBy($"event_type")
+          .orderBy(abs($"s_run").desc, $"day")).as("rk"))
+      .filter($"rk" === 1)
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("change_day"),
+        $"cusum_peak", $"n_days", $"total")
+      .orderBy($"event_type")
+  }
+
+  /** Lag-1/2/3 autocorrelation of each event type's daily-count series —
+    * the seasonality probe (a weekly cycle shows as positive r₇, noise as
+    * r_k ≈ 0) run before fitting any forecast. Same exact-moments
+    * discipline as [[corrMoments]]: the (x_t, x_{t+k}) pairs come from
+    * three leads over ONE per-type window sort, their integer sums are
+    * shuffled exactly, and the Pearson formula is a single
+    * identically-parenthesized float expression at the very end.
+    * Scale: the window and all sums run over the |types|×|days|
+    * calendar-bounded aggregate, never the event stream. */
+  val autocorr: QueryDef = QueryDef(
+    "stats_autocorr",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, c AS x,
+      |             lead(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+      |             lead(c, 2) OVER (PARTITION BY event_type ORDER BY day) AS y2,
+      |             lead(c, 3) OVER (PARTITION BY event_type ORDER BY day) AS y3
+      |      FROM d),
+      |p AS (SELECT event_type, 1 AS lag_k, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+      |      UNION ALL SELECT event_type, 2, x, y2 FROM l WHERE y2 IS NOT NULL
+      |      UNION ALL SELECT event_type, 3, x, y3 FROM l WHERE y3 IS NOT NULL),
+      |m AS (SELECT event_type, lag_k, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(count(*) AS DOUBLE) AS nd,
+      |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |             CAST(sum(x * y) AS DOUBLE) AS sxy,
+      |             CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy
+      |      FROM p GROUP BY 1, 2)
+      |SELECT event_type, lag_k, n,
+      |       round((nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS autocorr
+      |FROM m ORDER BY event_type, lag_k""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy($"event_type").orderBy($"day")
+    val l = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select($"event_type", $"c".as("x"),
+        lead($"c", 1).over(seq).as("y1"),
+        lead($"c", 2).over(seq).as("y2"),
+        lead($"c", 3).over(seq).as("y3"))
+    val p = (1 to 3).map { k =>
+      l.filter(col(s"y$k").isNotNull)
+        .select($"event_type", lit(k).as("lag_k"), $"x", col(s"y$k").as("y"))
+    }.reduce(_ unionAll _)
+    p.groupBy($"event_type", $"lag_k")
+      .agg(count(lit(1)).as("n"), sum($"x").as("lsx"), sum($"y").as("lsy"),
+        sum($"x" * $"y").as("lsxy"), sum($"x" * $"x").as("lsxx"),
+        sum($"y" * $"y").as("lsyy"))
+      .select($"event_type", $"lag_k", $"n",
+        expr("""round((CAST(n AS DOUBLE) * CAST(lsxy AS DOUBLE)
+                - CAST(lsx AS DOUBLE) * CAST(lsy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(lsxx AS DOUBLE)
+                       - CAST(lsx AS DOUBLE) * CAST(lsx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(lsyy AS DOUBLE)
+                         - CAST(lsy AS DOUBLE) * CAST(lsy AS DOUBLE))), 6)""")
+          .as("autocorr"))
+      .orderBy($"event_type", $"lag_k")
+  }
+
+  /** Theil–Sen robust trend slope per event type: the median of all
+    * pairwise day-to-day slopes over the daily-count series — the
+    * outlier-immune alternative to [[linreg]]'s least squares (one wild
+    * day moves OLS, not the median of C(n,2) slopes). Slopes are exact
+    * integer ppm (truncating division, identical for negatives in both
+    * engines), the median is the LOWER median selected by rank — a real
+    * order statistic, never interpolated (the `llm_curriculum` lesson),
+    * with a (slope, d1, d2) total order so ties break identically.
+    * Scale: pairs are calendar² per type — bounded by days, not events;
+    * the event stream is touched only by the first keyed count. */
+  val theilSen: QueryDef = QueryDef(
+    "stats_theil_sen",
+    """WITH d AS (SELECT event_type, datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+      |                  CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type, (b.c - a.c) * 1000000 // (b.dn - a.dn) AS slope_ppm,
+      |             a.dn AS d1, b.dn AS d2
+      |      FROM d a JOIN d b ON a.event_type = b.event_type AND a.dn < b.dn),
+      |r AS (SELECT event_type, slope_ppm,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY slope_ppm, d1, d2) AS rk,
+      |             count(*) OVER (PARTITION BY event_type) AS n FROM p)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_pairs, slope_ppm AS theil_sen_slope_ppm
+      |FROM r WHERE rk = (n + 1) // 2 ORDER BY event_type""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date")).as("dn"))
+      .agg(count(lit(1)).as("c"))
+    val p = d.as("a")
+      .join(d.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.dn" < $"b.dn")
+      .select($"a.event_type".as("event_type"),
+        expr("(b.c - a.c) * 1000000 DIV (b.dn - a.dn)").as("slope_ppm"),
+        $"a.dn".as("d1"), $"b.dn".as("d2"))
+    p.select($"event_type", $"slope_ppm",
+        row_number().over(Window.partitionBy($"event_type")
+          .orderBy($"slope_ppm", $"d1", $"d2")).as("rk"),
+        count(lit(1)).over(Window.partitionBy($"event_type")).as("n"))
+      .filter($"rk" === expr("(n + 1) DIV 2"))
+      .select($"event_type", $"n".as("n_pairs"),
+        $"slope_ppm".as("theil_sen_slope_ppm"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMoments, linreg, histogram, quantileBucket, profileOrders,
       madOutliers, chi2, ksTest, mannWhitney, targetEncode,
-      weightedMedian, winsorize)
+      weightedMedian, winsorize, cusumChange, autocorr, theilSen)
 }

@@ -668,7 +668,64 @@ object StreamingOps {
     ewmaStream(Tables.events(spark, dir)).orderBy($"user_id", $"event_id")
   }
 
+  /** Typed rows for the streaming every-nth sampler. */
+  final case class NthEvent(user_id: Long, event_id: Long, tus: Long)
+  final case class NthOut(user_id: Long, event_id: Long, seq_n: Long)
+
+  /** STREAMING RATE-LIMIT SAMPLER — deterministic every-5th-event-per-key
+    * throttling, the ingestion primitive for high-volume telemetry where a
+    * random sample would be non-replayable: state per user is ONE long (its
+    * lifetime event count), each arriving event increments it, and exactly
+    * the 1st, 6th, 11th, … emit. Unlike `rand()`-based sampling the kept
+    * set is a pure function of the event-time order, so a batch backfill
+    * and the live stream select IDENTICAL events — which is what makes the
+    * batch twin below oracle-checkable at all.
+    *
+    * Same arrival contract as [[ewmaStream]]/[[asofEnrich]]: within a
+    * micro-batch events fold in (event-time, event_id) order and batches
+    * arrive in event-time order; the spec proves the counter carries across
+    * a two-batch split. O(1) state per key, no shuffle beyond the
+    * `groupByKey` exchange every stateful op pays. */
+  def sampleNthStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val evEnc: Encoder[NthEvent] = Encoders.product[NthEvent]
+    implicit val stEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[NthOut] = Encoders.product[NthOut]
+    events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"))
+      .as[NthEvent]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Long, NthOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[NthEvent], state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = evs.toSeq.sortBy(e => (e.tus, e.event_id)).flatMap { e =>
+            seen += 1
+            if ((seen - 1) % 5 == 0) Some(NthOut(uid, e.event_id, seen))
+            else None
+          }
+          state.update(seen)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "seq_n")
+  }
+
+  /** Batch twin of [[sampleNthStream]] — each group seen complete, so the
+    * counter is the per-user row_number and the kept set is rn ≡ 1 (mod 5),
+    * which is exactly what the oracle replays. */
+  val sampleNth: QueryDef = QueryDef(
+    "stream_sample_nth",
+    """WITH s AS (SELECT user_id, event_id,
+      |                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |           FROM events)
+      |SELECT user_id, event_id, CAST(rn AS BIGINT) AS seq_n FROM s
+      |WHERE (rn - 1) % 5 = 0 ORDER BY user_id, seq_n""".stripMargin,
+  ) { (spark, dir) =>
+    sampleNthStream(Tables.events(spark, dir)).orderBy($"user_id", $"seq_n")
+  }
+
   val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
     customSession, enriched, attribution, cms, neardup, cdc, psi,
-    asofEnriched, ewmaStreamed)
+    asofEnriched, ewmaStreamed, sampleNth)
 }

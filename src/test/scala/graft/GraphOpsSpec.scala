@@ -332,6 +332,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(m.keySet == Set((1L, 4L), (2L, 4L)), s"adjacent pairs leak: ${m.keySet}")
     assert(m((1L, 4L)) == ((1L, 0.5)) && m((2L, 4L)) == ((1L, 0.5)))
   }
+
+  test("tree rollup matches a brute-force ancestor walk over the heap forest") {
+    import org.apache.spark.sql.functions._
+    val rows = GraphOps.treeRollup.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.nonEmpty && rows.keySet.forall(_ <= 40))
+    val cust = graft.io.Tables.customer(spark, sf)
+      .select($"c_custkey", floor($"c_acctbal" * 100 + 0.5).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // driver-side: walk each key up via k -> k/2, stopping after 1 (or at 0)
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for ((k, cents) <- cust) {
+      var a = k
+      var continue = true
+      while (continue) {
+        if (a <= 40) {
+          val (s, c) = acc.getOrElse(a, (0L, 0L))
+          acc(a) = (s + 1, c + cents)
+        }
+        if (a > 1) a = a / 2 else continue = false
+      }
+    }
+    assert(rows == acc.toMap, "pointer-doubling closure == brute-force walk")
+    // root 1 covers every node except the isolated key 0
+    assert(rows(1L)._1 == cust.length - (if (rows.contains(0L)) 1 else 0))
+  }
 }
 
 /** Collects jaccardLinksOf output as (a,b) -> (n_common, jaccard). */

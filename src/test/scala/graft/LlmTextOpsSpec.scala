@@ -481,6 +481,29 @@ class LlmTextOpsSpec extends AnyFunSuite {
       "keep-best retains the higher-quality member, not the min id")
     assert(out(5L)._4 == 1L, "singletons keep themselves")
   }
+  test("PMI collocations match driver-side counts and rank monotonically") {
+    import org.apache.spark.sql.functions._
+    val rows = LlmTextOps.pmiColloc.run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // recompute unigram/bigram counts driver-side from the raw corpus
+    val texts = graft.io.Tables.documents(spark, sf)
+      .select($"text").collect().map(_.getString(0).split(' ').toSeq)
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = texts.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totalBigrams = big.values.sum
+    for (r <- rows) {
+      val (w1, w2, n, c1, c2) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= 5, "min-count filter")
+      assert(n == big((w1, w2)) && c1 == uni(w1) && c2 == uni(w2))
+      assert(r.getLong(5) == n * totalBigrams * 1000000L / (c1 * c2), "pmi ratio")
+      assert(r.getLong(6) == 2L * n * 1000000L / (c1 + c2), "dice")
+    }
+    val ratios = rows.map(_.getLong(5))
+    assert(ratios.sorted.reverse.sameElements(ratios), "ranked by ratio desc")
+  }
+
   test("despan apply: every occurrence of a duplicated span is cut, clean docs untouched") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val docs = Seq(

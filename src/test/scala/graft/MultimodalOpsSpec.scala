@@ -142,4 +142,40 @@ class MultimodalOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("payload simhash: identical blobs pair at hamming 0, band join loses nothing") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val texts = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // byte-identical
+      (2L, "zz 9 completely unrelated payload bytes qq xw"),
+      (3L, "mm"), // < 4 bytes: no grams, must not crash or appear
+    )
+    val media = texts.toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val got = MultimodalOps.simhashPayloadOf(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver-side brute force with the same md5-60 gram hash
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
+        ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+        ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >> 4)
+    }
+    def simhash(t: String): Long = {
+      val votes = Array.fill(32)(0)
+      for (i <- 0 to t.length - 4; j <- 0 until 32)
+        votes(j) += (if (((hash60(t.substring(i, i + 4)) >> j) & 1L) == 1L) 1 else -1)
+      (0 until 32).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    }
+    val fps = texts.filter(_._2.length >= 4).map { case (id, t) => id -> simhash(t) }
+    val want = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 1
+    } yield (a, b, h.toLong)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(got.contains((0L, 1L, 0L)), "identical payloads must pair at hamming 0")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "sub-gram doc excluded")
+  }
 }

@@ -91,6 +91,77 @@ class SeqOpsSpec extends AnyFunSuite {
     assert(p == Set((999L, 1L, 1L), (500L, 0L, 0L)))
   }
 
+  test("gaps-and-islands streaks tile each user's distinct active days") {
+    val rows = SeqOps.gapsIslands.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val days = graft.io.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toLocalDate)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.toEpochDay)).toMap
+    assert(rows.map(_.getLong(0)).toSet == days.keySet, "one row per user")
+    for (r <- rows) {
+      val (user, active, nStreaks, longest) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val ds = days(user)
+      assert(active == ds.length, s"user $user active days")
+      // recompute islands driver-side from the sorted distinct days
+      val runs = ds.foldLeft(List.empty[(Long, Long)]) { // (startEpochDay, len)
+        case (acc, d) =>
+          val e = d.toEpochDay
+          acc match {
+            case (s, len) :: rest if s + len == e => (s, len + 1) :: rest
+            case _                                => (e, 1L) :: acc
+          }
+      }
+      assert(nStreaks == runs.length, s"user $user streak count")
+      assert(longest == runs.map(_._2).max, s"user $user longest streak")
+      val wantStart = runs.filter(_._2 == longest).map(_._1).min
+      assert(r.getString(4) == java.time.LocalDate.ofEpochDay(wantStart).toString,
+        s"user $user longest-streak start (earliest on tie)")
+    }
+  }
+
+  test("association rules: symmetric counts, conf >= supp, lift symmetric") {
+    val rows = SeqOps.assocRules.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for (((a, c), (n, supp, conf, lift)) <- byPair) {
+      assert(a != c)
+      assert(supp <= 1000000L && conf <= 1000000L)
+      assert(conf >= supp, "antecedent count <= basket count")
+      val (rn, _, _, rlift) = byPair((c, a))
+      assert(rn == n, "pair counts are symmetric")
+      assert(rlift == lift, "lift is symmetric in exact integer math")
+    }
+  }
+
+  test("CUSUM finds a seeded level shift at the last pre-shift day") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // 5 days at 2 events/day then 5 days at 6/day for one type: CUSUM
+    // peaks on the last low day (2024-01-05). A flat control type must
+    // report a calendar day inside its own range with a small peak.
+    val dayUs = 86400000000L
+    val base = 1704067200000000L // 2024-01-01T00:00Z
+    def ts(us: Long) = new Timestamp(us / 1000)
+    val shifted = for {
+      d <- 0 until 10
+      k <- 0 until (if (d < 5) 2 else 6)
+    } yield (d * 10L + k, ts(base + d * dayUs + k * 1000000L), 1L, "shifted", 0.0, "{}")
+    val flat = for (d <- 0 until 10)
+      yield (1000L + d, ts(base + d * dayUs), 2L, "flat", 0.0, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    (shifted ++ flat)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StatsOps.cusumChange.run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    // shifted: n=10, total=40; low days contribute 2*10-40=-20 each →
+    // running sum bottoms at -100 on day 5, then climbs by +20/day.
+    assert(out("shifted") == (("2024-01-05", 100L)))
+    assert(out("flat")._2 == 0L, "flat series has zero cumulative deviation")
+  }
+
   test("weighted median splits the quantity mass per flag") {
     val rows = StatsOps.weightedMedian.run(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -118,6 +189,25 @@ class SeqOpsSpec extends AnyFunSuite {
         .filter(floor($"l_extendedprice" * 100 + 0.5).cast("long") <= lo).count()
       assert(countBelowOrAtLo >= k, "lo sits at or above the ⌈n/100⌉th value")
     }
+  }
+
+  test("skyline is exactly the non-dominated set under (orders, balance)") {
+    val rows = OlapOps.skyline.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // brute-force oracle at sf0.001: all customer points, quadratic check
+    val cust = graft.io.Tables.customer(spark, sf)
+      .select($"c_custkey", floor($"c_acctbal" * 100 + 0.5).cast("long").as("bal"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ordersPer = graft.io.Tables.orders(spark, sf)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pts = cust.map { case (k, b) => (k, ordersPer.getOrElse(k, 0L), b) }.toSeq
+    def dominated(p: (Long, Long, Long)) = pts.exists(q =>
+      q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+    val want = pts.filterNot(dominated)
+      .sortBy(p => (-p._2, -p._3, p._1))
+    assert(rows.toSeq == want, s"got ${rows.toSeq}\nwant $want")
   }
 
   test("RFM quartiles are balanced and the segment echoes the digits") {

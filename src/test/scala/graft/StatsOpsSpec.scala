@@ -125,4 +125,67 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(out(key) == expected, s"customer $key")
     }
   }
+
+  test("autocorr matches a driver-side Pearson over the lagged series") {
+    val rows = StatsOps.autocorr.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3.toDouble).toArray).toMap
+    for (r <- rows) {
+      val (t, k, n, got) = (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      val s = daily(t)
+      val xs = s.dropRight(k); val ys = s.drop(k)
+      assert(n == xs.length)
+      val nd = n.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+      val want = (nd * sxy - sx * sy) /
+        math.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+      assert(math.abs(got - want) < 1e-6, s"$t lag $k: $got vs $want")
+      assert(got >= -1.0 && got <= 1.0)
+    }
+  }
+
+  test("Theil-Sen slope is the lower median of all pairwise slopes") {
+    val rows = StatsOps.theilSen.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3))).toMap
+    for (r <- rows) {
+      val (t, nPairs, got) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val pts = daily(t)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2) * 1000000L / (pts(j)._1 - pts(i)._1)).sorted
+      assert(nPairs == slopes.length)
+      assert(got == slopes(((slopes.length + 1) / 2 - 1).toInt),
+        s"$t: lower median of ${slopes.length} slopes")
+    }
+  }
+
+  test("month-over-month shares sum to ~10000 bps and deltas telescope") {
+    val rows = OlapOps.momShare.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byMonth = rows.groupBy(_.getString(0))
+    for ((m, rs) <- byMonth) {
+      val bps = rs.map(_.getLong(3)).sum
+      assert(bps <= 10000L && bps > 10000L - rs.length, s"$m share mass $bps")
+    }
+    // deltas: share(month) - share(prev month) per segment, null first month
+    val bySeg = rows.groupBy(_.getString(1)).view.mapValues(_.sortBy(_.getString(0)))
+    for ((seg, rs) <- bySeg) {
+      assert(rs.head.isNullAt(4), s"$seg first month delta must be NULL")
+      for (Array(a, b) <- rs.sliding(2).map(_.toArray) if !b.isNullAt(4))
+        assert(b.getLong(4) == b.getLong(3) - a.getLong(3), s"$seg ${b.getString(0)}")
+    }
+  }
 }

@@ -533,4 +533,34 @@ class StreamingOpsSpec extends AnyFunSuite {
       "batch-2 event must see batch-1 history through the carried deque")
     assert(byId(3L) == 90000L, "keys are independent")
   }
+
+  test("every-nth sampler carries its counter across batches, stream = batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def ev(id: Long, u: Long, t: String) =
+      Ev(id, Timestamp.valueOf(t), u, "metric", 0.0)
+    // user 7 gets 7 events split 3 + 4 across batches: events #1 and #6
+    // must emit, and #6 lands in batch 2 — provable only if the batch-1
+    // count (3) carried. user 8's single event emits as its #1.
+    val b1 = Seq(ev(1, 7, "2024-01-01 10:00:00"),
+      ev(2, 7, "2024-01-01 10:01:00"),
+      ev(3, 7, "2024-01-01 10:02:00"),
+      ev(10, 8, "2024-01-01 10:00:00"))
+    val b2 = (4 to 7).map(i => ev(i.toLong, 7, s"2024-01-01 10:0$i:00")).toSeq
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.sampleNthStream(stream.toDF())
+      .writeStream.format("memory").queryName("nth_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val streamed = shape(spark.table("nth_out").collect())
+    val batch = shape(StreamingOps.sampleNthStream((b1 ++ b2).toDF()).collect())
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Seq((7L, 1L, 1L), (7L, 6L, 6L), (8L, 10L, 1L)),
+      s"kept set must be events #1 and #6 for user 7, #1 for user 8: $streamed")
+  }
 }
