@@ -158,8 +158,44 @@ object BigQueryOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Cumulative distribution + nth lowest per group — the two §2.5 window
+    * shapes not yet covered: CUME_DIST expressed as an exact integer
+    * (`count ≤ current value` over a RANGE frame, ×10⁶ DIV group size — the
+    * builtin returns a division whose float form needn't match across
+    * engines) and NTH_VALUE(2) over the full partition with a (cents, key)
+    * total order so ties can't flip the pick. One partition-keyed window
+    * sort serves all three analytic columns. */
+  val cumeDistNth: QueryDef = QueryDef(
+    "a2_cume_dist_nth",
+    """WITH p AS (SELECT p_partkey, p_brand, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents FROM part),
+      |w AS (SELECT p_partkey, p_brand, cents,
+      |             CAST(count(*) OVER (PARTITION BY p_brand ORDER BY cents
+      |                                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_le,
+      |             CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n,
+      |             nth_value(cents, 2) OVER (PARTITION BY p_brand ORDER BY cents, p_partkey
+      |                                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_lowest
+      |      FROM p)
+      |SELECT p_partkey, p_brand, cents, CAST(n_le * 1000000 // n AS BIGINT) AS cume_ppm, second_lowest
+      |FROM w ORDER BY p_brand, cents, p_partkey""".stripMargin,
+  ) { (spark, dir) =>
+    val p = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_brand",
+        floor($"p_retailprice" * 100 + 0.5).cast("long").as("cents"))
+    val brand = Window.partitionBy($"p_brand")
+    p.select($"p_partkey", $"p_brand", $"cents",
+        count(lit(1)).over(brand.orderBy($"cents")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)).as("n_le"),
+        count(lit(1)).over(brand).as("n"),
+        nth_value($"cents", 2).over(brand.orderBy($"cents", $"p_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("second_lowest"))
+      .select($"p_partkey", $"p_brand", $"cents",
+        expr("n_le * 1000000 DIV n").as("cume_ppm"), $"second_lowest")
+      .orderBy($"p_brand", $"cents", $"p_partkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     substrUpper, caseWhenPct, rankTopPerGroup, pairsLeastGreatest,
-    countDistinctSupp, havingSum, castBigint, goldenCount,
+    countDistinctSupp, havingSum, castBigint, goldenCount, cumeDistNth,
   )
 }

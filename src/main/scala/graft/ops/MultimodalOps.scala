@@ -478,7 +478,47 @@ object MultimodalOps {
       .select($"doc_a", $"doc_b", $"hamming")
   }
 
+  /** Frame-level containment between binary assets: pairs of payloads
+    * sharing ≥ 3 identical aligned frames ([[frames]]' 32-byte slices) —
+    * the video-dedup primitive ("these two files contain the same scenes")
+    * sitting between [[payloadDedup]] (whole-file exact) and
+    * [[simhashPayload]] (whole-file fuzzy). Frames compare by md5 digest,
+    * so the pair join shuffles 16-byte digests, never frame bytes; the
+    * per-doc DISTINCT bounds a repeated frame's contribution to 1.
+    * Digest-keyed candidate fan-out is |docs sharing a frame|² — the exact
+    * analog of the LSH band joins, with the boilerplate-frame hazard
+    * bounded here (max 6 docs/digest at sf0.01) and handled at corpus
+    * scale the same way `llm_dup_chunks` documents: drop digests above a
+    * stop-list frequency before pairing. */
+  val sharedFrames: QueryDef = QueryDef(
+    "mm_shared_frames",
+    """WITH fr AS (SELECT doc_id, md5(substr(text, 1 + 32 * k, 32)) AS d
+      |            FROM documents, unnest(range(0, CAST(ceil(length(text) / 32.0) AS INT))) AS t(k)),
+      |fd AS (SELECT DISTINCT doc_id, d FROM fr),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared_frames
+      |      FROM fd a JOIN fd b ON a.d = b.d AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared_frames FROM p
+      |WHERE n_shared_frames >= 3 ORDER BY doc_a, doc_b""".stripMargin,
+  ) { (spark, dir) =>
+    sharedFramesOf(mediaTable(spark, dir)).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[sharedFrames]]' mining body over any `(doc_id, payload)` frame
+    * (unordered) — extracted for fixture specs. */
+  private[graft] def sharedFramesOf(media: DataFrame): DataFrame = {
+    val fd = media
+      .select($"doc_id", explode(frames($"payload")).as("f"))
+      .select($"doc_id", md5($"f").as("d")).distinct()
+    fd.as("a")
+      .join(fd.as("b"), $"a.d" === $"b.d" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter($"n_shared_frames" >= 3)
+  }
+
   val all: Seq[QueryDef] =
     Seq(bytesStats, metaFilter, frameSample, decodeMeta, features,
-      payloadDedup, crossmodalFetch, shardAssign, simhashPayload)
+      payloadDedup, crossmodalFetch, shardAssign, simhashPayload,
+      sharedFrames)
 }

@@ -338,7 +338,55 @@ object WindowOps {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Daily bounce rate — fraction of sessions with exactly one event, the
+    * product-analytics staple derived one step past [[sessionize]]: same
+    * gap-30-min session assembly (one user-keyed window sort, shared
+    * exchange with the whole `a4_*` family), then sessions roll up to a
+    * calendar-bounded |days| frame keyed by session START day. Rate is
+    * exact integer ppm; a session spanning midnight counts once, on its
+    * start day (pinned by the fixture spec). */
+  val bounceRate: QueryDef = QueryDef(
+    "a4_bounce_rate",
+    """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |           FROM events),
+      |f AS (SELECT user_id, event_id, tus,
+      |             CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM x),
+      |s AS (SELECT user_id, tus,
+      |             sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |      FROM f),
+      |g AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, min(tus) AS start_us
+      |      FROM s GROUP BY 1, 2),
+      |d AS (SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+      |             CAST(count(*) AS BIGINT) AS n_sessions,
+      |             CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+      |      FROM g GROUP BY 1)
+      |SELECT CAST(day AS VARCHAR) AS day, n_sessions, n_bounces,
+      |       CAST(n_bounces * 1000000 // n_sessions AS BIGINT) AS bounce_ppm
+      |FROM d ORDER BY day""".stripMargin,
+  ) { (spark, dir) => bounceRateOf(userEvents(spark, dir)) }
+
+  /** Bounce-rate assembly over (user_id, event_id, tus) rows — split out
+    * so the spec can pin the midnight-spanning and single-event cases. */
+  private[graft] def bounceRateOf(e: org.apache.spark.sql.DataFrame) = {
+    val wo = userWindow
+    e.withColumn("prev", lag($"tus", 1).over(wo))
+      .withColumn("brk",
+        when($"prev".isNull || $"tus" - $"prev" > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum($"brk").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), min($"tus").as("start_us"))
+      .groupBy(to_date(timestamp_micros($"start_us")).as("d"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when($"n_events" === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(date_format($"d", "yyyy-MM-dd").as("day"),
+        $"n_sessions", $"n_bounces",
+        expr("n_bounces * 1000000 DIV n_sessions").as("bounce_ppm"))
+      .orderBy($"day")
+  }
+
   val all: Seq[QueryDef] =
     Seq(lagLead, movingAvg, sessionize, ntileQuartiles, percentRank,
-      rangeFrame, positional, sessionWindow, ewma)
+      rangeFrame, positional, sessionWindow, ewma, bounceRate)
 }

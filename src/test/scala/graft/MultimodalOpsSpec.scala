@@ -178,4 +178,24 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(got.contains((0L, 1L, 0L)), "identical payloads must pair at hamming 0")
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "sub-gram doc excluded")
   }
+
+  test("shared frames: aligned 32-byte slices count once each, threshold holds") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val block = "0123456789abcdef0123456789abcdef" // exactly 32 bytes
+    def blk(s: String): String = (s * 32).take(32)
+    // docs 0/1 share their first THREE aligned frames, then diverge;
+    // doc 2 shares only two frames with doc 0 (below threshold);
+    // doc 3 repeats one shared frame four times — per-doc DISTINCT must
+    // keep its overlap with doc 0 at 1, far below threshold.
+    val media = Seq(
+      (0L, block + blk("a") + blk("b") + blk("c")),
+      (1L, block + blk("a") + blk("b") + blk("z")),
+      (2L, block + blk("a") + blk("q") + blk("r")),
+      (3L, block * 4),
+    ).toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val got = MultimodalOps.sharedFramesOf(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 1L, 3L)), s"got $got")
+  }
 }

@@ -122,4 +122,44 @@ class WindowOpsSpec extends AnyFunSuite {
       val x = r.getAs[Double]("ewma"); x >= lo - 0.01 && x <= hi + 0.01
     }, "EWMA is a convex combination: stays inside the global value range")
   }
+
+  test("bounce rate: singleton sessions bounce, midnight spans count on start day") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val us = 1000000L
+    def t(day: Int, h: Int, m: Int): Long = // 2024-01-(day) h:m UTC in µs
+      (1704067200L + (day - 1) * 86400L + h * 3600L + m * 60L) * us
+    val e = Seq(
+      // user 1: two events 10 min apart = ONE 2-event session on day 1
+      (1L, 1L, 0.0, t(1, 10, 0)), (1L, 2L, 0.0, t(1, 10, 10)),
+      // user 1 again 2h later: singleton session -> bounce on day 1
+      (1L, 3L, 0.0, t(1, 12, 30)),
+      // user 2: session STARTS 23:50 day 1, continues 00:10 day 2 (20-min
+      // gap, same session) -> counts once, on day 1, not a bounce
+      (2L, 4L, 0.0, t(1, 23, 50)), (2L, 5L, 0.0, t(2, 0, 10)),
+      // user 3: singleton on day 2 -> bounce
+      (3L, 6L, 0.0, t(2, 9, 0)),
+    ).toDF("user_id", "event_id", "value", "tus")
+    val rows = WindowOps.bounceRateOf(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == Map(
+      "2024-01-01" -> ((3L, 1L, 333333L)),
+      "2024-01-02" -> ((1L, 1L, 1000000L))), s"got $rows")
+  }
+
+  test("cume_dist/nth_value: exact ppm matches a driver-side recompute") {
+    val rows = BigQueryOps.cumeDistNth.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((brand, grp) <- rows.groupBy(_._2)) {
+      val cents = grp.map(_._3).sorted
+      val n = cents.length.toLong
+      val secondLowest = grp.sortBy(p => (p._3, p._1)).apply(1)._3
+      for ((pk, _, c, cume, second) <- grp) {
+        assert(cume == cents.count(_ <= c) * 1000000L / n, s"$brand part $pk")
+        assert(second == secondLowest, s"$brand nth_value(2)")
+      }
+      assert(grp.map(_._4).max == 1000000L, s"$brand max cume is exactly 1e6")
+    }
+  }
 }
