@@ -758,8 +758,132 @@ object StatsOps {
       .orderBy($"event_type")
   }
 
+  /** Poisson(1) CDF steps k = 0..6, scaled to 2⁶⁰ and floored to exact
+    * integer literals — the resample weights draw by comparing a 60-bit
+    * hash against these, so NO float ever enters the randomization path
+    * and both engines draw bit-identical weights. P(w > 6) ≈ 8·10⁻⁵
+    * truncates to w = 7 (the standard bounded-tail cap). */
+  private[graft] val PoissonCdf60: IndexedSeq[Long] = Vector(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
+    1152825534095764608L)
+
+  /** Percentile-bootstrap 95% CI for the mean order value per priority via
+    * the POISSON BOOTSTRAP (Chamandy et al., Google 2012) — the bootstrap
+    * that scales: instead of materializing B resamples, every row draws B
+    * independent Poisson(1) weights, so one pass computes all B resample
+    * means and no resample ever needs the full dataset co-located.
+    * Determinism: the "random" weight is the row's 60-bit md5 hash of
+    * (orderkey | replicate) compared against integer CDF thresholds
+    * ([[PoissonCdf60]]) — replayable, engine-exact, and still a faithful
+    * Poisson(1) draw. CI bounds are REAL order statistics of the 50
+    * resample means (ranks 2 and 49 ≈ 2.5/97.5%), never interpolated.
+    * Scale: the explode is ×B on the priority-keyed aggregate path (all
+    * sums map-side combinable); B bounds memory, not the data. */
+  val bootstrapCi: QueryDef = QueryDef(
+    "stats_bootstrap_ci", {
+      val case60 = "CASE " + PoissonCdf60.zipWithIndex
+        .map { case (t, k) => s"WHEN hv < $t THEN $k" }.mkString(" ") + " ELSE 7 END"
+      s"""WITH base AS (SELECT o_orderpriority AS priority, o_orderkey,
+         |                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |              FROM orders),
+         |rep AS (SELECT priority, cents, b,
+         |               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |        FROM base, unnest(range(0, 50)) AS t(b)),
+         |w AS (SELECT priority, b, $case60 AS w, cents FROM rep),
+         |m AS (SELECT priority, b, CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_cents
+         |      FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+         |r AS (SELECT priority, mean_cents,
+         |             row_number() OVER (PARTITION BY priority ORDER BY mean_cents, b) AS rk
+         |      FROM m),
+         |pt AS (SELECT priority, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+         |       FROM base GROUP BY 1)
+         |SELECT pt.priority AS priority, pt.n AS n, pt.mean_cents AS mean_cents,
+         |       max(CASE WHEN r.rk = 2 THEN r.mean_cents END) AS ci_lo_cents,
+         |       max(CASE WHEN r.rk = 49 THEN r.mean_cents END) AS ci_hi_cents
+         |FROM pt JOIN r ON pt.priority = r.priority
+         |GROUP BY 1, 2, 3 ORDER BY priority""".stripMargin
+    },
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("priority"), $"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    var wc: Column = when($"hv" < PoissonCdf60(0), 0L)
+    for (k <- 1 until 7) wc = wc.when($"hv" < PoissonCdf60(k), k.toLong)
+    val m = base
+      .withColumn("b", explode(sequence(lit(0), lit(49))))
+      .withColumn("hv", call_function("md5hash60",
+        concat($"o_orderkey".cast("string"), lit("|"), $"b".cast("string"))))
+      .select($"priority", $"b", wc.otherwise(7L).as("w"), $"cents")
+      .groupBy($"priority", $"b")
+      .agg(sum($"w" * $"cents").as("swx"), sum($"w").as("sw"))
+      .filter($"sw" > 0)
+      .select($"priority", $"b", expr("swx DIV sw").as("mean_cents"))
+    val r = m.select($"priority", $"mean_cents",
+      row_number().over(
+        Window.partitionBy($"priority").orderBy($"mean_cents", $"b")).as("rk"))
+    base.groupBy($"priority")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sc"))
+      .select($"priority", $"n", expr("sc DIV n").as("mean_cents"))
+      .join(broadcast(r.filter($"rk" === 2)
+        .select($"priority", $"mean_cents".as("ci_lo_cents"))), "priority")
+      .join(broadcast(r.filter($"rk" === 49)
+        .select($"priority", $"mean_cents".as("ci_hi_cents"))), "priority")
+      .orderBy($"priority")
+  }
+
+  /** One-way ANOVA effect size (η², ppm) of WEEKDAY on each event type's
+    * daily counts — "is there a weekly cycle" asked as variance explained,
+    * the grouped complement of [[autocorr]]'s lag view. The weekday labels
+    * differ across engines (Spark 1–7, DuckDB 0–6) but only the PARTITION
+    * they induce matters, and that is identical. η² = (n·Σsg²/ng − s²) /
+    * (n·Σc² − s²): every sum is an exact integer; the per-group
+    * `sg²·n DIV ng` term floors deterministically (identical in both
+    * engines, error < k counts per sum), and the final ratio is one
+    * integer floor division. Scale: runs entirely on the |types|×|days|
+    * calendar aggregate. */
+  val weekdayAnova: QueryDef = QueryDef(
+    "stats_weekday_anova",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |dw AS (SELECT event_type, dayofweek(day) AS wd, c FROM d),
+      |g AS (SELECT event_type, wd, CAST(count(*) AS BIGINT) AS ng, CAST(sum(c) AS BIGINT) AS sg
+      |      FROM dw GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+      |             CAST(sum(c * c) AS BIGINT) AS ss
+      |      FROM dw GROUP BY 1),
+      |b AS (SELECT g.event_type AS event_type,
+      |             CAST(sum(g.sg * g.sg * t.n // g.ng) AS BIGINT) AS between_scaled,
+      |             CAST(count(*) AS BIGINT) AS k
+      |      FROM g JOIN t ON g.event_type = t.event_type GROUP BY 1)
+      |SELECT t.event_type AS event_type, t.n AS n_days, b.k AS k_groups,
+      |       CAST((b.between_scaled - t.s * t.s) * 1000000 // (t.n * t.ss - t.s * t.s) AS BIGINT) AS eta2_ppm
+      |FROM t JOIN b ON t.event_type = b.event_type
+      |ORDER BY event_type""".stripMargin,
+  ) { (spark, dir) =>
+    val dw = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select($"event_type", dayofweek($"day").as("wd"), $"c")
+    val g = dw.groupBy($"event_type", $"wd")
+      .agg(count(lit(1)).as("ng"), sum($"c").as("sg"))
+    val t = dw.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"), sum($"c" * $"c").as("ss"))
+    val b = g.join(broadcast(t), "event_type")
+      .groupBy($"event_type")
+      .agg(sum(expr("sg * sg * n DIV ng")).as("between_scaled"),
+        count(lit(1)).as("k"))
+    t.join(broadcast(b), "event_type")
+      .select($"event_type", $"n".as("n_days"), $"k".as("k_groups"),
+        expr("(between_scaled - s * s) * 1000000 DIV (n * ss - s * s)").as("eta2_ppm"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMoments, linreg, histogram, quantileBucket, profileOrders,
       madOutliers, chi2, ksTest, mannWhitney, targetEncode,
-      weightedMedian, winsorize, cusumChange, autocorr, theilSen)
+      weightedMedian, winsorize, cusumChange, autocorr, theilSen,
+      bootstrapCi, weekdayAnova)
 }

@@ -172,6 +172,54 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Poisson bootstrap: replicate means replay exactly from the hash draw") {
+    val rows = StatsOps.bootstrapCi.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (mean, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo < hi && lo <= mean && mean <= hi,
+        s"${r.getString(0)}: CI [$lo,$hi] must bracket the point mean $mean")
+    }
+    // full driver-side replay for one priority with the same hash + CDF
+    val pr = rows.head.getString(0)
+    val base = graft.io.Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === pr)
+      .select($"o_orderkey", floor($"o_totalprice" * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def weight(key: Long, b: Int): Long = {
+      val hv = graft.functions.Md5Hash60.hash60(s"$key|$b".getBytes("UTF-8"))
+      val k = StatsOps.PoissonCdf60.indexWhere(hv < _)
+      if (k < 0) 7L else k.toLong
+    }
+    val means = (0 until 50).flatMap { b =>
+      val (swx, sw) = base.foldLeft((0L, 0L)) { case ((x, w), (key, cents)) =>
+        val wt = weight(key, b); (x + wt * cents, w + wt)
+      }
+      if (sw > 0) Some((swx / sw, b)) else None
+    }.sorted
+    assert(rows.head.getLong(3) == means(1)._1, s"$pr rank-2 lower bound")
+    assert(rows.head.getLong(4) == means(48)._1, s"$pr rank-49 upper bound")
+  }
+
+  test("weekday ANOVA eta2 stays in [0, 1e6] and replays driver-side") {
+    val rows = StatsOps.weekdayAnova.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L))
+    val t0 = rows.head.getString(0)
+    val daily = graft.io.Tables.events(spark, sf)
+      .filter($"event_type" === t0)
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("c"))
+      .select($"day", dayofweek($"day").as("wd"), $"c")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    val n = daily.length.toLong
+    val s = daily.map(_._2).sum
+    val ss = daily.map(x => x._2 * x._2).sum
+    val between = daily.groupBy(_._1).values
+      .map { g => val sg = g.map(_._2).sum; sg * sg * n / g.length }.sum
+    val want = (between - s * s) * 1000000L / (n * ss - s * s)
+    assert(rows.head.getLong(3) == want, s"$t0 eta2 exact replay")
+  }
+
   test("month-over-month shares sum to ~10000 bps and deltas telescope") {
     val rows = OlapOps.momShare.run(spark, sf).collect()
     assert(rows.nonEmpty)
