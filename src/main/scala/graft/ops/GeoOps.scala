@@ -153,5 +153,65 @@ object GeoOps {
       .orderBy($"c_custkey")
   }
 
-  val all: Seq[QueryDef] = Seq(knn, gridPairs, cluster)
+  /** Minimum spanning forest of the ≤2° proximity graph (weights = exact
+    * d²) by BORŮVKA'S algorithm — the parallel-native MST: every round
+    * each component picks its minimum incident edge under the (w, a, b)
+    * total order (ties broken identically everywhere, which makes the
+    * forest UNIQUE — the classic lexicographic-perturbation argument, so
+    * the spec's driver-side Kruskal must produce the identical edge set),
+    * all picked edges join the forest at once, and touching components
+    * contract via the shared pointer-jumping CC. Components at least
+    * halve per round → ⌈log₂ n⌉ rounds of small keyed joins; nothing in
+    * the loop is ever quadratic — candidate edges come from the same grid
+    * join as `geo_grid_pairs`.
+    *
+    * Registered rows-only: an MST is an algorithm, not a SQL view —
+    * DuckDB can't replay it; GeoOpsSpec pins the full edge set against
+    * driver-side Kruskal and the forest-size invariant |V| − |components|.
+    */
+  val msf: QueryDef = QueryDef.rowsOnly("geo_msf") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pts = points(spark, dir)
+    val edges = graft.Caches.persist(
+      pairsOf(pts).select($"k1".as("a"), $"k2".as("b"), $"d2".as("w")))
+    var comp = graft.Caches.localCheckpoint(
+      pts.select($"id", $"id".as("c")))
+    var forest: DataFrame = null
+    var done = false
+    var round = 0
+    while (!done && round < 20) { // ⌈log₂ n⌉ suffices; hard stop for safety
+      val e2 = edges
+        .join(comp.select($"id".as("a"), $"c".as("ca")), "a")
+        .join(comp.select($"id".as("b"), $"c".as("cb")), "b")
+        .filter($"ca" =!= $"cb")
+      if (e2.isEmpty) done = true
+      else {
+        val cand = e2.select($"ca".as("comp"), $"w", $"a", $"b")
+          .unionAll(e2.select($"cb".as("comp"), $"w", $"a", $"b"))
+        val picked = graft.Caches.localCheckpoint(
+          cand.withColumn("rk", row_number().over(
+              Window.partitionBy($"comp").orderBy($"w", $"a", $"b")))
+            .filter($"rk" === 1)
+            .select($"a", $"b", $"w").distinct())
+        forest =
+          if (forest == null) picked
+          else graft.Caches.localCheckpoint(forest.unionAll(picked))
+        // contract the component graph and relabel every point
+        val compEdges = picked
+          .join(comp.select($"id".as("a"), $"c".as("ca")), "a")
+          .join(comp.select($"id".as("b"), $"c".as("cb")), "b")
+          .select($"ca".as("doc_a"), $"cb".as("doc_b"))
+        val labels = LlmTextOps.clusterOf(
+          compEdges, comp.select($"c".as("doc_id")).distinct())
+        comp = graft.Caches.localCheckpoint(
+          comp.join(labels.select($"doc_id".as("c"), $"cluster_id"), "c")
+            .select($"id", $"cluster_id".as("c")))
+      }
+      round += 1
+    }
+    (if (forest == null) edges.limit(0) else forest)
+      .select($"a", $"b", $"w").orderBy($"a", $"b")
+  }
+
+  val all: Seq[QueryDef] = Seq(knn, gridPairs, cluster, msf)
 }

@@ -314,7 +314,60 @@ object SeqOps {
       .orderBy($"ante", $"cons")
   }
 
+  /** Time-to-convert distribution: for each purchase, the lag to its
+    * user's most recent prior view (backward as-of — operator reuse, like
+    * [[lastTouch]]), summarized per purchase day as nearest-rank p25/p50/
+    * p75 in whole seconds. Order statistics are REAL ranks over a
+    * (lag, event_id) total order — never interpolated — so the quartiles
+    * are engine-exact integers. Unmatched purchases (no prior view) drop,
+    * mirroring the oracle's inner ASOF JOIN. Scale: the as-of is the
+    * one-sort merge every as-of op here pays; ranks run per |days| group. */
+  val timeToConvert: QueryDef = QueryDef(
+    "seq_time_to_convert",
+    """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+      |v0 AS (SELECT user_id, ts, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |       FROM events WHERE event_type = 'view'),
+      |v AS (SELECT user_id, ts FROM v0 WHERE rn = 1),
+      |j AS (SELECT p.event_id, CAST(p.ts AS DATE) AS day,
+      |             (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_s
+      |      FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts),
+      |r AS (SELECT day, event_id, lag_s,
+      |             row_number() OVER (PARTITION BY day ORDER BY lag_s, event_id) AS rk,
+      |             count(*) OVER (PARTITION BY day) AS n
+      |      FROM j)
+      |SELECT CAST(day AS VARCHAR) AS day, CAST(max(n) AS BIGINT) AS n_conversions,
+      |       max(CASE WHEN rk = (25 * n + 99) // 100 THEN lag_s END) AS p25_s,
+      |       max(CASE WHEN rk = (50 * n + 99) // 100 THEN lag_s END) AS p50_s,
+      |       max(CASE WHEN rk = (75 * n + 99) // 100 THEN lag_s END) AS p75_s
+      |FROM r GROUP BY day ORDER BY day""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val views = ev.filter($"event_type" === "view")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id", $"ts").orderBy(desc("event_id"))))
+      .filter($"rn" === 1)
+      .select($"user_id", $"ts", unix_micros($"ts").as("t_us"))
+    val j = AsofOps.asofJoin(purchases, views, "user_id", "ts", payload = Seq("t_us"))
+      .filter($"asof_t_us".isNotNull)
+      .select($"event_id", to_date($"ts").as("day"),
+        expr("(unix_micros(ts) - asof_t_us) DIV 1000000").as("lag_s"))
+    val day = Window.partitionBy($"day")
+    j.select($"day", $"lag_s",
+        row_number().over(day.orderBy($"lag_s", $"event_id")).as("rk"),
+        count(lit(1)).over(day).as("n"))
+      .groupBy($"day")
+      .agg(max($"n").as("n_conversions"),
+        max(when($"rk" === expr("(25 * n + 99) DIV 100"), $"lag_s")).as("p25_s"),
+        max(when($"rk" === expr("(50 * n + 99) DIV 100"), $"lag_s")).as("p50_s"),
+        max(when($"rk" === expr("(75 * n + 99) DIV 100"), $"lag_s")).as("p75_s"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_conversions", $"p25_s", $"p50_s", $"p75_s")
+      .orderBy($"day")
+  }
+
   val all: Seq[QueryDef] =
     Seq(transitionProbs, trigramTopk, lastTouch, linearAttribution,
-      gapsIslands, assocRules)
+      gapsIslands, assocRules, timeToConvert)
 }

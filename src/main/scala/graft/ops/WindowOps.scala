@@ -386,7 +386,48 @@ object WindowOps {
       .orderBy($"day")
   }
 
+  /** Interval-union coverage: each event projects a 5-minute activity
+    * interval `[ts, ts+300 s)`; per user, the total length of the UNION of
+    * those intervals (overlaps merged, not double-counted) and the number
+    * of merged intervals — the "how much wall-clock was this key active"
+    * question sessionization's gap rule approximates but never measures.
+    * The sweep is the classic sort + running-max-end: an interval's new
+    * contribution is `max(0, end − max(prev_max_end, start))`, a break
+    * opens when the running max can't reach the next start. One user-keyed
+    * window (the shared a4 exchange), all math integer µs. */
+  val coverageUnion: QueryDef = QueryDef(
+    "a4_coverage_union",
+    """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS fin FROM events),
+      |w AS (SELECT user_id, s, fin,
+      |             max(fin) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |      FROM iv),
+      |c AS (SELECT user_id,
+      |             CASE WHEN pmax IS NULL OR pmax <= s THEN 1 ELSE 0 END AS brk,
+      |             greatest(0, fin - greatest(coalesce(pmax, s), s)) AS contrib
+      |      FROM w)
+      |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_intervals,
+      |       CAST(sum(contrib) AS BIGINT) AS covered_us
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+  ) { (spark, dir) => coverageUnionOf(userEvents(spark, dir)) }
+
+  /** Coverage sweep over (user_id, event_id, tus) rows, 5-min intervals —
+    * split out for fixture specs (overlap, nesting, exact-touch cases). */
+  private[graft] def coverageUnionOf(e: org.apache.spark.sql.DataFrame) = {
+    e.select($"user_id", $"event_id", $"tus".as("s"),
+        ($"tus" + 300000000L).as("fin"))
+      .withColumn("pmax", max($"fin").over(
+        Window.partitionBy($"user_id").orderBy($"s", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select($"user_id",
+        when($"pmax".isNull || $"pmax" <= $"s", 1L).otherwise(0L).as("brk"),
+        greatest(lit(0L), $"fin" - greatest(coalesce($"pmax", $"s"), $"s")).as("contrib"))
+      .groupBy($"user_id")
+      .agg(sum($"brk").as("n_intervals"), sum($"contrib").as("covered_us"))
+      .orderBy($"user_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(lagLead, movingAvg, sessionize, ntileQuartiles, percentRank,
-      rangeFrame, positional, sessionWindow, ewma, bounceRate)
+      rangeFrame, positional, sessionWindow, ewma, bounceRate, coverageUnion)
 }

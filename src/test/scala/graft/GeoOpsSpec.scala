@@ -52,4 +52,29 @@ class GeoOpsSpec extends AnyFunSuite {
     val n = graft.io.Tables.customer(spark, sf).count()
     assert(labels.size == n)
   }
+
+  test("Boruvka forest equals driver-side Kruskal under the same total order") {
+    val got = GeoOps.msf.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // same candidate edges the operator consumed, via the oracled pair op
+    val edges = GeoOps.gridPairs.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (k1, k2, d2)
+      .sortBy(e => (e._3, e._1, e._2)) // the (w, a, b) total order
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+    def find(v: Long): Long = { // path-halving union-find
+      var x = v
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    val want = edges.filter { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) false else { parent(ra) = rb; true }
+    }.toSet
+    assert(got.toSet == want, "unique MSF under lexicographic perturbation")
+    val nComponents = nodes.map(find).distinct.length
+    assert(got.length == nodes.length - nComponents, "|V| - |components| edges")
+    // forest weight can never exceed the candidate set's: spot sanity
+    assert(got.map(_._3).sum <= edges.map(_._3).sum)
+  }
 }

@@ -191,6 +191,32 @@ class SeqOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("time-to-convert quartiles replay from a driver-side as-of walk") {
+    val rows = SeqOps.timeToConvert.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.io.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val viewsByUser = ev.filter(_._2 == "view")
+      .groupBy(_._1).view.mapValues(_.map(_._4).distinct.sorted).toMap
+    val lags = ev.filter(_._2 == "purchase").flatMap { case (u, _, id, us) =>
+      viewsByUser.getOrElse(u, Array.empty[Long])
+        .takeWhile(_ <= us).lastOption
+        .map(v => (us / 86400000000L, (us - v) / 1000000L, id))
+    }
+    val want = lags.groupBy(_._1).map { case (day, g) =>
+      val sorted = g.sortBy(t => (t._2, t._3)).map(_._2)
+      val n = sorted.length
+      def q(p: Int) = sorted((p * n + 99) / 100 - 1)
+      (day, (n.toLong, q(25), q(50), q(75)))
+    }
+    val got = rows.map { r =>
+      val day = java.time.LocalDate.parse(r.getString(0)).toEpochDay
+      day -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got == want.toMap, s"got $got\nwant $want")
+  }
+
   test("skyline is exactly the non-dominated set under (orders, balance)") {
     val rows = OlapOps.skyline.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -146,6 +146,24 @@ class WindowOpsSpec extends AnyFunSuite {
       "2024-01-02" -> ((1L, 1L, 1000000L))), s"got $rows")
   }
 
+  test("coverage union: overlap merges, duplicates add nothing, touch splits") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val M = 1000000L
+    val e = Seq(
+      (1L, 1L, 0L), (1L, 2L, 0L),        // duplicate instant: second adds 0
+      (1L, 3L, 100L * M),                // overlaps -> extends by 100s
+      (1L, 4L, 400L * M),                // touches [0,400) exactly -> NEW interval
+      (1L, 5L, 2000L * M),               // far away -> new interval
+      (2L, 6L, 0L),                      // isolated singleton user
+    ).map { case (u, id, t) => (u, id, 0.0, t) }
+      .toDF("user_id", "event_id", "value", "tus")
+    val got = WindowOps.coverageUnionOf(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 1000L * M)), // [0,400)+[400,700)+[2000,2300) = 1000 s
+      2L -> ((1L, 300L * M))), s"got $got")
+  }
+
   test("cume_dist/nth_value: exact ppm matches a driver-side recompute") {
     val rows = BigQueryOps.cumeDistNth.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
