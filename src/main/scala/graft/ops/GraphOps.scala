@@ -1041,8 +1041,54 @@ object GraphOps {
       .orderBy($"node")
   }
 
+  /** DeepWalk-style random-walk corpus over the co-occurrence graph: one
+    * 5-node walk per seed node, next hop drawn UNIFORMLY from the sorted
+    * neighbor list by the 60-bit md5 hash of (seed | step | node) — the
+    * graph-embedding training-data generator (Perozzi et al. 2014), made
+    * deterministic the same way the bootstrap draws its weights: hash-mod
+    * instead of rand(), so the corpus is replayable and the DuckDB
+    * recursive CTE reproduces every walk bit-for-bit.
+    *
+    * Scale shape: the adjacency table (node → sorted neighbor array) is
+    * built once and persisted — the per-node analog of a posting index;
+    * each of the 4 steps is ONE join keyed on the current node (the
+    * frontier is |seeds| rows, never edges × steps), so walk length bounds
+    * the rounds and walk count bounds the rows. At 100 TB you shard seeds
+    * and stream walks out per shard; nothing here is quadratic. */
+  val randomWalks: QueryDef = QueryDef(
+    "graph_random_walks",
+    s"""WITH RECURSIVE $edgesSql,
+       |und AS (SELECT p1 AS v, p2 AS u FROM pairs UNION ALL SELECT p2 AS v, p1 AS u FROM pairs),
+       |adj AS (SELECT v, list_sort(list(u)) AS nbrs FROM und GROUP BY v),
+       |walk(seed, step, node) AS (
+       |  SELECT v, 0, v FROM adj
+       |  UNION ALL
+       |  SELECT w.seed, w.step + 1,
+       |         a.nbrs[1 + CAST(('0x' || substr(md5(w.seed || '|' || (w.step + 1) || '|' || w.node), 1, 15))::BIGINT % len(a.nbrs) AS INT)]
+       |  FROM walk w JOIN adj a ON a.v = w.node
+       |  WHERE w.step < 4)
+       |SELECT seed, step, node FROM walk ORDER BY seed, step""".stripMargin,
+  ) { (spark, dir) =>
+    val edges = cooccurEdges(Tables.lineitem(spark, dir))
+    val adj = graft.Caches.persist(
+      edges.select($"p1".as("v"), $"p2".as("u"))
+        .unionAll(edges.select($"p2".as("v"), $"p1".as("u")))
+        .groupBy($"v").agg(sort_array(collect_list($"u")).as("nbrs")))
+    var walk = adj.select($"v".as("seed"), lit(0).as("step"), $"v".as("node"))
+    var acc = walk
+    for (t <- 1 to 4) {
+      walk = walk.join(adj, $"node" === $"v")
+        .withColumn("hv", call_function("md5hash60",
+          concat($"seed".cast("string"), lit(s"|$t|"), $"node".cast("string"))))
+        .select($"seed", lit(t).as("step"),
+          element_at($"nbrs", (pmod($"hv", size($"nbrs")) + 1).cast("int")).as("node"))
+      acc = acc.unionAll(walk)
+    }
+    acc.orderBy($"seed", $"step")
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, personalizedPageRank, bfsLevels,
       adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore,
-      labelProp, modularity, hits, jaccardLinks, treeRollup)
+      labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks)
 }

@@ -372,7 +372,47 @@ object OlapOps {
       .orderBy($"month", $"segment")
   }
 
+  /** Ratio-to-parent rollup (the MDX "percent of parent" staple): revenue
+    * per nation as exact-bps share of its region, and each region's share
+    * of the grand total — two hierarchy levels in one pass. The dimension
+    * chain (customer→nation→region) folds in as broadcast joins; the
+    * shares are windows over the 25-row nation aggregate, with the only
+    * unpartitioned window running over that same tiny frame. */
+  val pctOfParent: QueryDef = QueryDef(
+    "olap_pct_of_parent",
+    """WITH rev AS (SELECT r.r_name AS region, n.n_name AS nation,
+      |                    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |                  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |             GROUP BY 1, 2),
+      |w AS (SELECT region, nation, cents,
+      |             CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT) AS region_total,
+      |             CAST(sum(cents) OVER () AS BIGINT) AS grand_total
+      |      FROM rev)
+      |SELECT region, nation, cents AS revenue_cents,
+      |       CAST(cents * 10000 // region_total AS BIGINT) AS share_of_region_bps,
+      |       CAST(region_total * 10000 // grand_total AS BIGINT) AS region_share_bps
+      |FROM w ORDER BY region, nation""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name".as("region"), $"n_name".as("nation"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("decimal(38,0)"))
+        .cast("long").as("cents"))
+    rev
+      .withColumn("region_total", sum($"cents").over(Window.partitionBy($"region")))
+      .withColumn("grand_total", sum($"cents").over(Window.partitionBy()))
+      .select($"region", $"nation", $"cents".as("revenue_cents"),
+        expr("cents * 10000 DIV region_total").as("share_of_region_bps"),
+        expr("region_total * 10000 DIV grand_total").as("region_share_bps"))
+      .orderBy($"region", $"nation")
+  }
+
   val all: Seq[QueryDef] = Seq(rollupOrders, cubeCustomers, pivotPriorities,
     groupingSetsOrders, unpivotMeasures, intersectParts, exceptParts,
-    rfmSegments, abcPareto, skyline, momShare)
+    rfmSegments, abcPareto, skyline, momShare, pctOfParent)
 }

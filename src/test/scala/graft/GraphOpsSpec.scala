@@ -333,6 +333,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(m((1L, 4L)) == ((1L, 0.5)) && m((2L, 4L)) == ((1L, 0.5)))
   }
 
+  test("random walks: every hop follows an edge and replays from the hash") {
+    import org.apache.spark.sql.functions._
+    val rows = GraphOps.randomWalks.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byScan = rows.groupBy(_._1)
+    assert(byScan.values.forall(_.length == 5), "each seed yields a 5-node walk")
+    val edges = GraphOps.cooccurEdges(graft.io.Tables.lineitem(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted).toMap
+    for ((seed, walk) <- byScan) {
+      val path = walk.sortBy(_._2).map(_._3)
+      assert(path.head == seed, "walks start at their seed")
+      for (t <- 1 until path.length) {
+        val nbrs = adj(path(t - 1))
+        assert(nbrs.contains(path(t)), s"seed $seed step $t must follow an edge")
+        val hv = graft.functions.Md5Hash60.hash60(
+          s"$seed|$t|${path(t - 1)}".getBytes("UTF-8"))
+        assert(path(t) == nbrs((hv % nbrs.length).toInt),
+          s"seed $seed step $t must be the hash-selected neighbor")
+      }
+    }
+  }
+
   test("tree rollup matches a brute-force ancestor walk over the heap forest") {
     import org.apache.spark.sql.functions._
     val rows = GraphOps.treeRollup.run(spark, sf).collect()

@@ -236,6 +236,23 @@ class SeqOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == want, s"got ${rows.toSeq}\nwant $want")
   }
 
+  test("percent-of-parent shares sum to ~10000 bps at both hierarchy levels") {
+    val rows = OlapOps.pctOfParent.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for ((region, rs) <- rows.groupBy(_.getString(0))) {
+      val bps = rs.map(_.getLong(3)).sum
+      assert(bps <= 10000L && bps > 10000L - rs.length, s"$region nation shares: $bps")
+    }
+    val regionShares = rows.groupBy(_.getString(0)).map(_._2.head.getLong(4))
+    val total = regionShares.sum
+    assert(total <= 10000L && total > 10000L - regionShares.size,
+      s"region shares: $total")
+    val revenue = graft.io.Tables.orders(spark, sf)
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == revenue, "revenue conserved across leaves")
+  }
+
   test("RFM quartiles are balanced and the segment echoes the digits") {
     val rows = OlapOps.rfmSegments.run(spark, sf).collect()
     val n = rows.length
