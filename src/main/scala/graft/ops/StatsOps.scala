@@ -881,9 +881,294 @@ object StatsOps {
       .orderBy($"event_type")
   }
 
+  /** Kendall's τ-b between every PAIR of event types' daily-count series —
+    * the rank-concordance complement to [[corrMoments]]'s linear view and
+    * [[spearman]]'s rank-linear one. Concordant/discordant/tied pair counts
+    * are exact integers from a day-pair self-join (calendar-bounded like
+    * [[theilSen]]: days² pairs per type-pair, never events²); τ-b itself is
+    * the one identically-parenthesized float at the end. */
+  val kendallTau: QueryDef = QueryDef(
+    "stats_kendall_tau",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |s AS (SELECT a.event_type AS ta, b.event_type AS tb, a.day AS day, a.c AS x, b.c AS y
+      |      FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type),
+      |p AS (SELECT s1.ta AS ta, s1.tb AS tb,
+      |             CASE WHEN (s1.x - s2.x) * (s1.y - s2.y) > 0 THEN 1 ELSE 0 END AS conc,
+      |             CASE WHEN (s1.x - s2.x) * (s1.y - s2.y) < 0 THEN 1 ELSE 0 END AS disc,
+      |             CASE WHEN s1.x = s2.x THEN 1 ELSE 0 END AS tiex,
+      |             CASE WHEN s1.y = s2.y THEN 1 ELSE 0 END AS tiey
+      |      FROM s s1 JOIN s s2 ON s1.ta = s2.ta AND s1.tb = s2.tb AND s1.day < s2.day),
+      |m AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n0,
+      |             CAST(sum(conc) AS BIGINT) AS nc, CAST(sum(disc) AS BIGINT) AS nd,
+      |             CAST(sum(tiex) AS BIGINT) AS n1, CAST(sum(tiey) AS BIGINT) AS n2
+      |      FROM p GROUP BY 1, 2)
+      |SELECT ta, tb, n0 AS n_pairs, nc AS concordant, nd AS discordant,
+      |       round((CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+      |             / sqrt((CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE)) * (CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE))), 6) AS tau_b
+      |FROM m ORDER BY ta, tb""".stripMargin,
+  ) { (spark, dir) =>
+    val d = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val s = d.as("a")
+      .join(d.as("b"), $"a.day" === $"b.day" && $"a.event_type" < $"b.event_type")
+      .select($"a.event_type".as("ta"), $"b.event_type".as("tb"),
+        $"a.day".as("day"), $"a.c".as("x"), $"b.c".as("y"))
+    val p = s.as("s1")
+      .join(s.as("s2"),
+        $"s1.ta" === $"s2.ta" && $"s1.tb" === $"s2.tb" && $"s1.day" < $"s2.day")
+      .select($"s1.ta".as("ta"), $"s1.tb".as("tb"),
+        when(($"s1.x" - $"s2.x") * ($"s1.y" - $"s2.y") > 0, 1).otherwise(0).as("conc"),
+        when(($"s1.x" - $"s2.x") * ($"s1.y" - $"s2.y") < 0, 1).otherwise(0).as("disc"),
+        when($"s1.x" === $"s2.x", 1).otherwise(0).as("tiex"),
+        when($"s1.y" === $"s2.y", 1).otherwise(0).as("tiey"))
+    p.groupBy($"ta", $"tb")
+      .agg(count(lit(1)).as("n0"), sum($"conc").as("nc"), sum($"disc").as("nd"),
+        sum($"tiex").as("n1"), sum($"tiey").as("n2"))
+      .select($"ta", $"tb", $"n0".as("n_pairs"),
+        $"nc".as("concordant"), $"nd".as("discordant"),
+        expr("""round((CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+               / sqrt((CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE)) * (CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE))), 6)""")
+          .as("tau_b"))
+      .orderBy($"ta", $"tb")
+  }
+
+  /** Spearman rank correlation for the same type-pair daily series — ranks
+    * are `row_number` under the (value, day) TOTAL order (a deterministic
+    * permutation rank both engines replay bit-for-bit; average-rank tie
+    * handling would put a float in the shuffle), so ρ = 1 − 6Σd²/(n(n²−1))
+    * is exact integer arithmetic all the way to the ppm emit. */
+  val spearman: QueryDef = QueryDef(
+    "stats_spearman",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |s AS (SELECT a.event_type AS ta, b.event_type AS tb, a.day AS day, a.c AS x, b.c AS y
+      |      FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type),
+      |r AS (SELECT ta, tb,
+      |             row_number() OVER (PARTITION BY ta, tb ORDER BY x, day) AS rx,
+      |             row_number() OVER (PARTITION BY ta, tb ORDER BY y, day) AS ry
+      |      FROM s),
+      |m AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+      |      FROM r GROUP BY 1, 2)
+      |SELECT ta, tb, n AS n_days, sum_d2,
+      |       (n * (n * n - 1) - 6 * sum_d2) * 1000000 // (n * (n * n - 1)) AS rho_ppm
+      |FROM m ORDER BY ta, tb""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val s = d.as("a")
+      .join(d.as("b"), $"a.day" === $"b.day" && $"a.event_type" < $"b.event_type")
+      .select($"a.event_type".as("ta"), $"b.event_type".as("tb"),
+        $"a.day".as("day"), $"a.c".as("x"), $"b.c".as("y"))
+    val byPair = Window.partitionBy($"ta", $"tb")
+    val r = s.select($"ta", $"tb",
+      row_number().over(byPair.orderBy($"x", $"day")).as("rx"),
+      row_number().over(byPair.orderBy($"y", $"day")).as("ry"))
+    r.groupBy($"ta", $"tb")
+      .agg(count(lit(1)).as("n"),
+        sum(($"rx" - $"ry") * ($"rx" - $"ry")).as("sum_d2"))
+      .select($"ta", $"tb", $"n".as("n_days"), $"sum_d2",
+        expr("(n * (n * n - 1) - 6 * sum_d2) * 1000000 DIV (n * (n * n - 1))")
+          .as("rho_ppm"))
+      .orderBy($"ta", $"tb")
+  }
+
+  /** Wald–Wolfowitz runs test per event type: is the daily series random
+    * around its median, or trending/cyclic? The LOWER median (a real order
+    * statistic under the (count, day) total order, same discipline as
+    * [[theilSen]]'s pair-slope median) splits days into above/below;
+    * equal-to-median days drop (the textbook rule); runs/n1/n2 are exact
+    * integers off one per-type lag window, and the normal-approximation z
+    * is the single float emit. */
+  val runsTest: QueryDef = QueryDef(
+    "stats_runs_test",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, day, c,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rk,
+      |             count(*) OVER (PARTITION BY event_type) AS cnt
+      |      FROM d),
+      |med AS (SELECT event_type, c AS m FROM r WHERE rk = (cnt + 1) // 2),
+      |s AS (SELECT d.event_type AS event_type, d.day AS day,
+      |             CASE WHEN d.c > med.m THEN 1 ELSE 0 END AS sgn
+      |      FROM d JOIN med ON d.event_type = med.event_type WHERE d.c <> med.m),
+      |q AS (SELECT event_type, sgn,
+      |             lag(sgn) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |      FROM s),
+      |m2 AS (SELECT event_type,
+      |              CAST(sum(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+      |              CAST(sum(sgn) AS BIGINT) AS n1, CAST(sum(1 - sgn) AS BIGINT) AS n2
+      |       FROM q GROUP BY 1)
+      |SELECT event_type, n1 AS n_above, n2 AS n_below, runs,
+      |       round((CAST(runs AS DOUBLE) - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+      |             / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+      |                    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))), 6) AS z_score
+      |FROM m2 WHERE n1 > 0 AND n2 > 0 ORDER BY event_type""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy($"event_type")
+    val d = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val r = d.select($"event_type", $"day", $"c",
+      row_number().over(byType.orderBy($"c", $"day")).as("rk"),
+      count(lit(1)).over(byType).as("cnt"))
+    val med = r.filter($"rk" === expr("(cnt + 1) DIV 2"))
+      .select($"event_type", $"c".as("m"))
+    val s = d.join(broadcast(med), "event_type")
+      .filter($"c" =!= $"m")
+      .select($"event_type", $"day", when($"c" > $"m", 1).otherwise(0).as("sgn"))
+    val q = s.select($"event_type", $"sgn",
+      lag($"sgn", 1).over(byType.orderBy($"day")).as("prev"))
+    q.groupBy($"event_type")
+      .agg(sum(when($"prev".isNull || $"sgn" =!= $"prev", 1).otherwise(0)).as("runs"),
+        sum($"sgn").as("n1"), sum(lit(1) - $"sgn").as("n2"))
+      .filter($"n1" > 0 && $"n2" > 0)
+      .select($"event_type", $"n1".as("n_above"), $"n2".as("n_below"), $"runs",
+        expr("""round((CAST(runs AS DOUBLE) - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+               / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))), 6)""")
+          .as("z_score"))
+      .orderBy($"event_type")
+  }
+
+  /** Gini coefficient of customer-spend concentration per market segment —
+    * the inequality metric every revenue dashboard wants next to ABC/Pareto
+    * ([[OlapOps]]). Sorted-rank form G = Σ(2i−n−1)xᵢ/(nΣx) with i a
+    * `row_number` under the (cents, custkey) total order: equal-spend
+    * blocks contribute order-independently (the coefficient sums telescope
+    * within a tie block), so the permutation rank is tie-safe, and every
+    * shuffled sum is exact (Spark DECIMAL(38,0) / DuckDB's native HUGEINT
+    * sum). Scale: per-customer agg keyed o_custkey, one customer-keyed
+    * join, then per-segment rank windows — the sort is range-partitionable
+    * by (segment, cents) on a cluster, never a global single sort. */
+  val giniSegment: QueryDef = QueryDef(
+    "stats_gini",
+    """WITH x AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      |           FROM orders GROUP BY 1),
+      |j AS (SELECT c.c_mktsegment AS segment, x.cents, x.o_custkey
+      |      FROM x JOIN customer c ON x.o_custkey = c.c_custkey),
+      |r AS (SELECT segment, cents,
+      |             row_number() OVER (PARTITION BY segment ORDER BY cents, o_custkey) AS i,
+      |             count(*) OVER (PARTITION BY segment) AS n
+      |      FROM j),
+      |m AS (SELECT segment, CAST(max(n) AS BIGINT) AS n_cust,
+      |             CAST(sum(cents) AS HUGEINT) AS total,
+      |             CAST(sum(CAST(2 * i - n - 1 AS HUGEINT) * cents) AS HUGEINT) AS gnum
+      |      FROM r GROUP BY 1)
+      |SELECT segment, n_cust, CAST(total AS BIGINT) AS total_cents,
+      |       CAST(gnum * 1000000 // (n_cust * total) AS BIGINT) AS gini_ppm
+      |FROM m ORDER BY segment""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val x = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val j = x.join(Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"), $"cents", $"o_custkey")
+    val bySeg = Window.partitionBy($"segment")
+    val r = j.select($"segment", $"cents",
+      row_number().over(bySeg.orderBy($"cents", $"o_custkey")).as("i"),
+      count(lit(1)).over(bySeg).as("n"))
+    r.groupBy($"segment")
+      .agg(max($"n").as("n_cust"),
+        sum($"cents".cast(dec)).as("total"),
+        sum((lit(2) * $"i" - $"n" - 1).cast(dec) * $"cents").as("gnum"))
+      .select($"segment", $"n_cust", $"total".cast("long").as("total_cents"),
+        expr("CAST(gnum * 1000000 DIV (n_cust * total) AS BIGINT)").as("gini_ppm"))
+      .orderBy($"segment")
+  }
+
+  /** Ljung–Box portmanteau statistic per event type — "are the first three
+    * autocorrelations JOINTLY significant", the hypothesis-test summary of
+    * [[autocorr]]'s per-lag view. Each lag's r is the same exact-moment
+    * Pearson expression [[autocorr]] emits (documented convention: r over
+    * the n−k aligned pairs); the three lags then pivot into COLUMNS so
+    * Q = n(n+2)·Σ rₖ²/(n−k) evaluates in one fixed left-to-right float
+    * expression — a float SUM aggregate across lags would let partial-agg
+    * order flip the last bit. */
+  val ljungBox: QueryDef = QueryDef(
+    "stats_ljung_box",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |len AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |l AS (SELECT event_type, c AS x,
+      |             lead(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+      |             lead(c, 2) OVER (PARTITION BY event_type ORDER BY day) AS y2,
+      |             lead(c, 3) OVER (PARTITION BY event_type ORDER BY day) AS y3
+      |      FROM d),
+      |p AS (SELECT event_type, 1 AS lag_k, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+      |      UNION ALL SELECT event_type, 2, x, y2 FROM l WHERE y2 IS NOT NULL
+      |      UNION ALL SELECT event_type, 3, x, y3 FROM l WHERE y3 IS NOT NULL),
+      |m AS (SELECT event_type, lag_k, CAST(count(*) AS BIGINT) AS np,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+      |      FROM p GROUP BY 1, 2),
+      |rr AS (SELECT event_type, lag_k,
+      |              (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |              / sqrt((CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                     * (CAST(np AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+      |       FROM m),
+      |w AS (SELECT event_type,
+      |             max(CASE WHEN lag_k = 1 THEN r END) AS r1,
+      |             max(CASE WHEN lag_k = 2 THEN r END) AS r2,
+      |             max(CASE WHEN lag_k = 3 THEN r END) AS r3
+      |      FROM rr GROUP BY 1)
+      |SELECT w.event_type AS event_type, len.n AS n_days,
+      |       round(CAST(len.n AS DOUBLE) * (CAST(len.n AS DOUBLE) + 2.0)
+      |             * (r1 * r1 / (CAST(len.n AS DOUBLE) - 1.0)
+      |                + r2 * r2 / (CAST(len.n AS DOUBLE) - 2.0)
+      |                + r3 * r3 / (CAST(len.n AS DOUBLE) - 3.0)), 6) AS q_stat
+      |FROM w JOIN len ON w.event_type = len.event_type
+      |ORDER BY event_type""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy($"event_type").orderBy($"day")
+    val d = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val len = d.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val l = d.select($"event_type", $"day", $"c".as("x"),
+      lead($"c", 1).over(seq).as("y1"),
+      lead($"c", 2).over(seq).as("y2"),
+      lead($"c", 3).over(seq).as("y3"))
+    val p = (1 to 3).map { k =>
+      l.filter(col(s"y$k").isNotNull)
+        .select($"event_type", lit(k).as("lag_k"), $"x", col(s"y$k").as("y"))
+    }.reduce(_ unionAll _)
+    val m = p.groupBy($"event_type", $"lag_k")
+      .agg(count(lit(1)).as("np"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+    val rr = m.select($"event_type", $"lag_k",
+      expr("""(CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(np AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""")
+        .as("r"))
+    val w = rr.groupBy($"event_type")
+      .agg(max(when($"lag_k" === 1, $"r")).as("r1"),
+        max(when($"lag_k" === 2, $"r")).as("r2"),
+        max(when($"lag_k" === 3, $"r")).as("r3"))
+    w.join(broadcast(len), "event_type")
+      .select($"event_type", $"n".as("n_days"),
+        expr("""round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+               * (r1 * r1 / (CAST(n AS DOUBLE) - 1.0)
+                  + r2 * r2 / (CAST(n AS DOUBLE) - 2.0)
+                  + r3 * r3 / (CAST(n AS DOUBLE) - 3.0)), 6)""").as("q_stat"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMoments, linreg, histogram, quantileBucket, profileOrders,
       madOutliers, chi2, ksTest, mannWhitney, targetEncode,
       weightedMedian, winsorize, cusumChange, autocorr, theilSen,
-      bootstrapCi, weekdayAnova)
+      bootstrapCi, weekdayAnova, kendallTau, spearman, runsTest,
+      giniSegment, ljungBox)
 }

@@ -236,4 +236,114 @@ class StatsOpsSpec extends AnyFunSuite {
         assert(b.getLong(4) == b.getLong(3) - a.getLong(3), s"$seg ${b.getString(0)}")
     }
   }
+
+  /** Day-aligned (x, y) daily-count series for every event-type pair. */
+  private def pairSeries: Map[(String, String), Array[(Long, Long, Long)]] = {
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    val types = daily.map(_._1).distinct.sorted
+    (for {
+      ta <- types; tb <- types if ta < tb
+      am = daily.filter(_._1 == ta).map(r => r._2 -> r._3).toMap
+      bm = daily.filter(_._1 == tb).map(r => r._2 -> r._3).toMap
+      days = am.keySet.intersect(bm.keySet).toArray.sorted
+    } yield (ta, tb) -> days.map(d => (d, am(d), bm(d)))).toMap
+  }
+
+  test("kendall tau-b replays driver-side from concordant/discordant pairs") {
+    val rows = StatsOps.kendallTau.run(spark, sf).collect()
+    assert(rows.length == pairSeries.size)
+    for (r <- rows) {
+      val s = pairSeries((r.getString(0), r.getString(1)))
+      val pairs = for (i <- s.indices; j <- i + 1 until s.length)
+        yield (s(i)._2 - s(j)._2, s(i)._3 - s(j)._3)
+      val conc = pairs.count { case (dx, dy) => dx * dy > 0 }
+      val disc = pairs.count { case (dx, dy) => dx * dy < 0 }
+      val (n1, n2) = (pairs.count(_._1 == 0), pairs.count(_._2 == 0))
+      assert(r.getLong(2) == pairs.length && r.getLong(3) == conc && r.getLong(4) == disc)
+      val want = (conc - disc).toDouble /
+        math.sqrt((pairs.length - n1).toDouble * (pairs.length - n2))
+      assert(math.abs(r.getDouble(5) - want) < 1e-6, s"${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
+  test("spearman rho matches the permutation-rank formula driver-side") {
+    val rows = StatsOps.spearman.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val s = pairSeries((r.getString(0), r.getString(1)))
+      // rank under the (value, day) total order — same tie rule as the op
+      def ranks(vd: Array[(Long, Long)]): Map[Long, Int] =
+        vd.sortBy(identity).zipWithIndex.map { case ((_, day), i) => day -> (i + 1) }.toMap
+      val rx = ranks(s.map(t => (t._2, t._1)))
+      val ry = ranks(s.map(t => (t._3, t._1)))
+      val n = s.length.toLong
+      val sd2 = s.map(t => { val d = rx(t._1) - ry(t._1); d.toLong * d }).sum
+      assert(r.getLong(3) == sd2, "sum of squared rank differences")
+      assert(r.getLong(4) == (n * (n * n - 1) - 6 * sd2) * 1000000L / (n * (n * n - 1)))
+    }
+  }
+
+  test("runs test counts sign runs around the lower median") {
+    val rows = StatsOps.runsTest.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+      .groupBy(_._1)
+    for (r <- rows) {
+      val series = daily(r.getString(0)).sortBy(_._2).map(_._3)
+      val med = series.map(x => x).sorted.apply((series.length + 1) / 2 - 1)
+      val signs = series.filter(_ != med).map(_ > med)
+      val runs = 1 + signs.sliding(2).count(w => w.length == 2 && w(0) != w(1))
+      assert(r.getLong(1) == signs.count(identity), "n_above")
+      assert(r.getLong(2) == signs.count(!_), "n_below")
+      assert(r.getLong(3) == runs, s"${r.getString(0)} runs")
+    }
+  }
+
+  test("gini is 0 on equal spend, ppm-exact on a known tilt, in-range on data") {
+    // analytic fixture: spends 1,2,3 -> G = Sigma(2i-n-1)x_i/(n*Sigma x) = 2/9
+    val i1 = (2 * 1 - 3 - 1).toLong * 100 + (2 * 2 - 3 - 1).toLong * 200 +
+      (2 * 3 - 3 - 1).toLong * 300
+    assert(i1 * 1000000L / (3L * 600) == 222222L)
+    val rows = StatsOps.giniSegment.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(3) >= 0L && r.getLong(3) < 1000000L, s"${r.getString(0)} in range")
+    }
+    // replay one segment exactly
+    val seg = rows.head.getString(0)
+    val cents = graft.io.Tables.orders(spark, sf)
+      .join(graft.io.Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .filter($"c_mktsegment" === seg)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted
+    val n = cents.length.toLong
+    val tot = cents.map(_._1).sum
+    val num = cents.zipWithIndex.map { case ((x, _), i0) =>
+      BigInt(2L * (i0 + 1) - n - 1) * x }.sum
+    assert(BigInt(rows.head.getLong(3)) == num * 1000000 / (BigInt(n) * tot), s"$seg replay")
+  }
+
+  test("ljung-box Q is the weighted sum of squared lag correlations") {
+    val q = StatsOps.ljungBox.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ac = StatsOps.autocorr.run(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getDouble(3))).toMap
+    assert(q.nonEmpty)
+    for ((t, (n, got)) <- q) {
+      val nd = n.toDouble
+      // autocorr's emitted r is rounded to 6dp; Q uses the unrounded r, so
+      // compare within the rounding slack propagated through the formula
+      val approx = nd * (nd + 2.0) * (1 to 3).map { k =>
+        val r = ac((t, k)); r * r / (nd - k) }.sum
+      assert(got >= 0.0, s"$t Q nonneg")
+      assert(math.abs(got - approx) < nd * nd * 1e-4, s"$t Q ~ $approx vs $got")
+    }
+  }
 }
