@@ -412,7 +412,57 @@ object OlapOps {
       .orderBy($"region", $"nation")
   }
 
+  /** Cohort LTV triangle: customers cohorted by FIRST-order month, revenue
+    * accumulated by months-since-cohort — the retention-economics classic
+    * next to [[momShare]]'s share view and `a4_retention`'s count view.
+    * Month arithmetic stays on the linear index y·12+m (exact integers;
+    * no date truncation crosses engines), the cumulative sum runs over the
+    * tiny |cohorts|×|ages| aggregate, and per-customer LTV is one floor
+    * division of cents. Scale: one custkey-keyed agg for first orders, one
+    * custkey join to tag orders, then calendar-bounded state only. */
+  val cohortLtv: QueryDef = QueryDef(
+    "olap_cohort_ltv",
+    """WITH o AS (SELECT o_custkey, o_orderdate,
+      |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |                  year(o_orderdate) * 12 + month(o_orderdate) AS m12
+      |           FROM orders),
+      |c AS (SELECT o_custkey, CAST(min(m12) AS BIGINT) AS cm FROM o GROUP BY 1),
+      |sz AS (SELECT cm, CAST(count(*) AS BIGINT) AS n_cust FROM c GROUP BY 1),
+      |g AS (SELECT c.cm AS cm, CAST(o.m12 - c.cm AS BIGINT) AS age_months,
+      |             CAST(sum(o.cents) AS BIGINT) AS rev
+      |      FROM o JOIN c ON o.o_custkey = c.o_custkey GROUP BY 1, 2),
+      |w AS (SELECT cm, age_months,
+      |             CAST(sum(rev) OVER (PARTITION BY cm ORDER BY age_months) AS BIGINT) AS cum_rev
+      |      FROM g)
+      |SELECT CAST((w.cm - 1) // 12 * 100 + ((w.cm - 1) % 12 + 1) AS BIGINT) AS cohort_ym,
+      |       w.age_months AS age_months, sz.n_cust AS n_cust,
+      |       w.cum_rev AS cum_rev_cents,
+      |       w.cum_rev // sz.n_cust AS ltv_cents
+      |FROM w JOIN sz ON w.cm = sz.cm
+      |ORDER BY cohort_ym, age_months""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select($"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m12"))
+    val c = o.groupBy($"o_custkey").agg(min($"m12").cast("long").as("cm"))
+    val sz = c.groupBy($"cm").agg(count(lit(1)).as("n_cust"))
+    val g = o.join(c, "o_custkey")
+      .groupBy($"cm", ($"m12" - $"cm").cast("long").as("age_months"))
+      .agg(sum($"cents").as("rev"))
+    val w = g.select($"cm", $"age_months",
+      sum($"rev").over(Window.partitionBy($"cm").orderBy($"age_months"))
+        .as("cum_rev"))
+    w.join(broadcast(sz), "cm")
+      .select(expr("CAST((cm - 1) DIV 12 * 100 + ((cm - 1) % 12 + 1) AS BIGINT)")
+          .as("cohort_ym"),
+        $"age_months", $"n_cust", $"cum_rev".as("cum_rev_cents"),
+        expr("cum_rev DIV n_cust").as("ltv_cents"))
+      .orderBy($"cohort_ym", $"age_months")
+  }
+
   val all: Seq[QueryDef] = Seq(rollupOrders, cubeCustomers, pivotPriorities,
     groupingSetsOrders, unpivotMeasures, intersectParts, exceptParts,
-    rfmSegments, abcPareto, skyline, momShare, pctOfParent)
+    rfmSegments, abcPareto, skyline, momShare, pctOfParent, cohortLtv)
 }

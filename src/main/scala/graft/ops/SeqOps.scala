@@ -367,7 +367,120 @@ object SeqOps {
       .orderBy($"day")
   }
 
+  private val DayUs = 86400000000L // 24h in µs
+
+  /** Time-decay (multi-touch) attribution: each purchase's value splits
+    * across its user's prior-week clicks/views weighted by 2^(−⌊Δ/day⌋) —
+    * recency-weighted credit between [[lastTouch]]'s winner-takes-all and
+    * [[linearAttribution]]'s equal split.
+    *
+    * Same no-join architecture as [[linearAttribution]], one step further:
+    * the decay kernel DECOMPOSES into whole-day buckets (⌊Δ/day⌋ = d ⇔
+    * Δ ∈ [d·day, (d+1)·day)), so each bucket is one RANGE frame
+    * [(d+1)·day−1 PRECEDING, d·day PRECEDING] over the SAME per-user sort
+    * — 7 buckets × 2 channels = 14 window aggregates, one exchange, and
+    * the weight sum Σ 2^(6−d)·count_d is exact integer arithmetic (the
+    * powers of two never leave ℤ). Horizon is the half-open Δ < 7 days
+    * (vs [[linearAttribution]]'s inclusive ≤ — the bucket decomposition's
+    * natural boundary, documented divergence). Allocation is the same
+    * exact floor division of cents. */
+  val timeDecayAttribution: QueryDef = {
+    def frameSql(pfx: String, d: Int): String =
+      s"""sum(is_$pfx) OVER (PARTITION BY user_id ORDER BY us
+         |  RANGE BETWEEN ${(d + 1) * DayUs - 1} PRECEDING AND ${d * DayUs} PRECEDING) AS ${pfx}$d""".stripMargin
+    val frames = (0 to 6).flatMap(d => Seq(frameSql("c", d), frameSql("v", d)))
+      .mkString(",\n             ")
+    def wSum(pfx: String): String =
+      (0 to 6).map(d => s"${1L << (6 - d)} * coalesce($pfx$d, 0)").mkString(" + ")
+    QueryDef(
+      "attr_time_decay",
+      s"""WITH u AS (SELECT user_id, ts, event_id, event_type, value,
+         |                  CAST(epoch_us(ts) AS BIGINT) AS us,
+         |                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_c,
+         |                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v
+         |           FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+         |w AS (SELECT user_id, event_id, event_type, value,
+         |             $frames
+         |      FROM u),
+         |p AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         |             ${wSum("c")} AS wc,
+         |             ${wSum("v")} AS wv
+         |      FROM w WHERE event_type = 'purchase'),
+         |alloc AS (
+         |  SELECT 'click' AS channel,
+         |         CASE WHEN wc > 0 THEN cents * wc // (wc + wv) ELSE 0 END AS a,
+         |         CASE WHEN wc > 0 THEN 1 ELSE 0 END AS touched
+         |  FROM p
+         |  UNION ALL
+         |  SELECT 'view' AS channel,
+         |         CASE WHEN wv > 0 THEN cents * wv // (wc + wv) ELSE 0 END AS a,
+         |         CASE WHEN wv > 0 THEN 1 ELSE 0 END AS touched
+         |  FROM p)
+         |SELECT channel, CAST(sum(touched) AS BIGINT) AS n_purchases_touched,
+         |       CAST(sum(a) AS BIGINT) AS attributed_cents
+         |FROM alloc GROUP BY channel ORDER BY channel""".stripMargin,
+    ) { (spark, dir) =>
+      val byUser = Window.partitionBy($"user_id").orderBy($"us")
+      val u = Tables.events(spark, dir)
+        .filter($"event_type".isin("purchase", "click", "view"))
+        .select($"user_id", $"event_id", $"event_type", $"value",
+          unix_micros($"ts").as("us"),
+          when($"event_type" === "click", 1L).otherwise(0L).as("is_c"),
+          when($"event_type" === "view", 1L).otherwise(0L).as("is_v"))
+      val w = (0 to 6).foldLeft(u) { (df, d) =>
+        val frame = byUser.rangeBetween(-((d + 1) * DayUs - 1), -(d.toLong * DayUs))
+        df.withColumn(s"c$d", sum($"is_c").over(frame))
+          .withColumn(s"v$d", sum($"is_v").over(frame))
+      }
+      def wSumCol(pfx: String) = (0 to 6)
+        .map(d => lit(1L << (6 - d)) * coalesce(col(s"$pfx$d"), lit(0L)))
+        .reduce(_ + _)
+      val p = w.filter($"event_type" === "purchase")
+        .select(floor($"value" * 100 + 0.5).cast("long").as("cents"),
+          wSumCol("c").as("wc"), wSumCol("v").as("wv"))
+      val alloc = p.select(lit("click").as("channel"),
+          when($"wc" > 0, expr("cents * wc DIV (wc + wv)")).otherwise(0L).as("a"),
+          when($"wc" > 0, 1L).otherwise(0L).as("touched"))
+        .unionAll(p.select(lit("view").as("channel"),
+          when($"wv" > 0, expr("cents * wv DIV (wc + wv)")).otherwise(0L).as("a"),
+          when($"wv" > 0, 1L).otherwise(0L).as("touched")))
+      alloc.groupBy($"channel")
+        .agg(sum($"touched").as("n_purchases_touched"),
+          sum($"a").as("attributed_cents"))
+        .orderBy($"channel")
+    }
+  }
+
+  /** Top-10 three-step paths to conversion: the exact event-type sequence
+    * immediately PRECEDING each purchase (oldest step first) — the
+    * conversion-conditioned counterpart of [[trigramTopk]]'s unconditioned
+    * pattern head. Three lags over the one per-user sort every sequence op
+    * here shares, then a ≤|types|³-key aggregate and a top-k head. */
+  val pathTopk: QueryDef = QueryDef(
+    "seq_path_topk",
+    """WITH s AS (SELECT event_type,
+      |                  lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p3,
+      |                  lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2,
+      |                  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1
+      |           FROM events)
+      |SELECT concat_ws('>', p3, p2, p1) AS path, CAST(count(*) AS BIGINT) AS n_conversions
+      |FROM s WHERE event_type = 'purchase' AND p3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n_conversions DESC, path LIMIT 10""".stripMargin,
+  ) { (spark, dir) =>
+    val seq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_type",
+        lag($"event_type", 3).over(seq).as("p3"),
+        lag($"event_type", 2).over(seq).as("p2"),
+        lag($"event_type", 1).over(seq).as("p1"))
+      .filter($"event_type" === "purchase" && $"p3".isNotNull)
+      .groupBy(concat_ws(">", $"p3", $"p2", $"p1").as("path"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy($"n_conversions".desc, $"path")
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] =
     Seq(transitionProbs, trigramTopk, lastTouch, linearAttribution,
-      gapsIslands, assocRules, timeToConvert)
+      gapsIslands, assocRules, timeToConvert, timeDecayAttribution, pathTopk)
 }

@@ -427,7 +427,54 @@ object WindowOps {
       .orderBy($"user_id")
   }
 
+  /** 7-day ROLLING MEDIAN of each type's daily counts — the robust
+    * smoother next to `a4_moving_avg`'s mean (one outlier day drags a mean
+    * for a week; the median shrugs). No engine exposes a median window
+    * frame, so the op materializes each day's trailing week explicitly: a
+    * day-range self-join on the |types|×|days| CALENDAR aggregate (≤7
+    * rows per output row — calendar-bounded state, never events²), then
+    * the LOWER median as a real order statistic under the (count, day)
+    * total order — the same rank-filter discipline as `stats_theil_sen`.
+    * Warm-up days (fewer than 7 in window) emit with their actual window
+    * size rather than dropping — n_in_window says which is which. */
+  val rollingMedian: QueryDef = QueryDef(
+    "a4_rolling_median",
+    """WITH d AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |                  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+      |                  CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2, 3),
+      |j AS (SELECT a.event_type AS event_type, a.day AS day, a.dn AS dn,
+      |             b.c AS c, b.dn AS bdn
+      |      FROM d a JOIN d b ON a.event_type = b.event_type
+      |                       AND b.dn BETWEEN a.dn - 6 AND a.dn),
+      |r AS (SELECT event_type, day, c,
+      |             row_number() OVER (PARTITION BY event_type, dn ORDER BY c, bdn) AS rk,
+      |             count(*) OVER (PARTITION BY event_type, dn) AS cnt
+      |      FROM j)
+      |SELECT event_type, day, CAST(cnt AS BIGINT) AS n_in_window, c AS rolling_median
+      |FROM r WHERE rk = (cnt + 1) // 2 ORDER BY event_type, day""".stripMargin,
+  ) { (spark, dir) =>
+    val d = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").cast("string").as("day"),
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date")).as("dn"))
+      .agg(count(lit(1)).as("c"))
+    val j = d.as("a")
+      .join(d.as("b"), $"a.event_type" === $"b.event_type" &&
+        $"b.dn".between($"a.dn" - 6, $"a.dn"))
+      .select($"a.event_type".as("event_type"), $"a.day".as("day"),
+        $"a.dn".as("dn"), $"b.c".as("c"), $"b.dn".as("bdn"))
+    val byDay = Window.partitionBy($"event_type", $"dn")
+    j.select($"event_type", $"day", $"c",
+        row_number().over(byDay.orderBy($"c", $"bdn")).as("rk"),
+        count(lit(1)).over(byDay).as("cnt"))
+      .filter($"rk" === expr("(cnt + 1) DIV 2"))
+      .select($"event_type", $"day", $"cnt".as("n_in_window"),
+        $"c".as("rolling_median"))
+      .orderBy($"event_type", $"day")
+  }
+
   val all: Seq[QueryDef] =
     Seq(lagLead, movingAvg, sessionize, ntileQuartiles, percentRank,
-      rangeFrame, positional, sessionWindow, ewma, bounceRate, coverageUnion)
+      rangeFrame, positional, sessionWindow, ewma, bounceRate, coverageUnion,
+      rollingMedian)
 }

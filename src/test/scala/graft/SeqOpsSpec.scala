@@ -289,4 +289,78 @@ class SeqOpsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
       again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
+
+  test("time-decay attribution replays the bucketed 2^-day kernel driver-side") {
+    val ev = graft.io.Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val dayUs = 86400000000L
+    val byUser = ev.groupBy(_._1)
+    var (wantClick, wantView) = (0L, 0L)
+    var (nClick, nView) = (0L, 0L)
+    for ((_, es) <- byUser; (_, t, v, pus) <- es if t == "purchase") {
+      def wsum(ch: String) = es.iterator
+        .filter(e => e._2 == ch && e._4 <= pus && pus - e._4 < 7 * dayUs)
+        .map(e => 1L << (6 - ((pus - e._4) / dayUs)).toInt).sum
+      val (wc, wv) = (wsum("click"), wsum("view"))
+      val cents = math.floor(v * 100 + 0.5).toLong
+      if (wc > 0) { wantClick += cents * wc / (wc + wv); nClick += 1 }
+      if (wv > 0) { wantView += cents * wv / (wc + wv); nView += 1 }
+    }
+    val out = SeqOps.timeDecayAttribution.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("click") == ((nClick, wantClick)), "click channel replay")
+    assert(out("view") == ((nView, wantView)), "view channel replay")
+  }
+
+  test("paths to conversion are the lag-3 sequences ending in purchase") {
+    val rows = SeqOps.pathTopk.run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // counts descend, ties alphabetical
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sortBy(p => (-p._1, p._2)).sameElements(pairs))
+    // driver replay: total conversions with >=3 predecessors
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._3, e._4)).map(_._2)
+      s.sliding(4).filter(w => w.length == 4 && w.last == "purchase")
+        .map(w => w.init.mkString(">"))
+    }.toSeq
+    val top = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy(p => (-p._2, p._1)).take(10)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == top)
+  }
+
+  test("cohort LTV: age-0 means first-month revenue, cumulative is monotone") {
+    val rows = OlapOps.cohortLtv.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((ym, grp0) <- rows.groupBy(_._1)) {
+      val grp = grp0.sortBy(_._2)
+      assert(grp.head._2 == 0L, s"cohort $ym starts at age 0")
+      // cumulative revenue never decreases and ltv = cum DIV n_cust
+      for (Array(a, b) <- grp.sliding(2).map(_.toArray) if b != null)
+        assert(b._4 >= a._4, s"cohort $ym cumulative monotone")
+      grp.foreach(r => assert(r._5 == r._4 / r._3, s"cohort $ym ltv division"))
+    }
+    // replay one cohort's age-0 revenue driver-side
+    val orders = graft.io.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m12"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val firstM = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val (ym0, age0, n0, rev0, _) = rows.minBy(r => (r._1, r._2))
+    val cm0 = orders.map(o => firstM(o._1)).min
+    assert(ym0 == (cm0 - 1) / 12 * 100 + ((cm0 - 1) % 12 + 1) && age0 == 0L)
+    val cohortCust = firstM.filter(_._2 == cm0).keySet
+    assert(n0 == cohortCust.size.toLong)
+    assert(rev0 == orders.filter(o => cohortCust(o._1) && o._2 == cm0).map(_._3).sum)
+  }
 }

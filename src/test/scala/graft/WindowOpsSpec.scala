@@ -180,4 +180,26 @@ class WindowOpsSpec extends AnyFunSuite {
       assert(grp.map(_._4).max == 1000000L, s"$brand max cume is exactly 1e6")
     }
   }
+
+  test("rolling median is the lower median of each trailing 7-day window") {
+    import org.apache.spark.sql.functions.{col, count, lit, to_date}
+    val rows = WindowOps.rollingMedian.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1)
+    for ((t, day, n, med) <- rows) {
+      val d = java.time.LocalDate.parse(day)
+      val window = daily(t)
+        .filter(e => !e._2.isAfter(d) && !e._2.isBefore(d.minusDays(6)))
+        .sortBy(e => (e._3, e._2.toEpochDay))
+      assert(n == window.length.toLong, s"$t $day window size")
+      assert(med == window((window.length + 1) / 2 - 1)._3, s"$t $day median")
+    }
+    // exactly one row per (type, day)
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
 }
