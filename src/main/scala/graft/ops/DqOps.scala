@@ -518,7 +518,52 @@ object DqOps {
       .orderBy($"digit")
   }
 
+  /** Record-linkage blocking: customer-name pairs within edit distance 1,
+    * found by the SYMSPELL deletion neighborhood (Garbe 2012) rather than a
+    * quadratic compare — every name emits its ≤len 1-deletion variants plus
+    * itself; any ED≤1 pair MUST collide on a variant (substitution: delete
+    * the differing position from both; insert/delete: the shorter string IS
+    * the longer's deletion), so the candidate set is an equi-join on the
+    * variant key and `levenshtein` verifies candidates only. The entity-
+    * resolution primer a customer-dedup pipeline starts from.
+    *
+    * Scale shape: linear ×(len+1) explode, variant-keyed shuffle, exact
+    * verify on candidates — the same blocking-join architecture as the
+    * MinHash band join, with the deletion variant as the band. DISTINCT
+    * before verify because an ED≤2 pair can share a variant too. */
+  val typoPairs: QueryDef = QueryDef(
+    "dq_typo_pairs",
+    """WITH v AS (SELECT c_custkey AS id, c_name AS w FROM customer),
+      |del AS (SELECT id, w,
+      |               CASE WHEN i = 0 THEN w
+      |                    ELSE concat(substr(w, 1, i - 1), substr(w, i + 1, 100)) END AS variant
+      |        FROM v JOIN (SELECT unnest(range(0, 31)) AS i) n ON n.i <= len(w)),
+      |cand AS (SELECT DISTINCT a.id AS id1, a.w AS w1, b.id AS id2, b.w AS w2
+      |         FROM del a JOIN del b ON a.variant = b.variant AND a.id < b.id)
+      |SELECT id1, id2, w1, w2
+      |FROM cand WHERE levenshtein(w1, w2) <= 1
+      |ORDER BY id1, id2""".stripMargin,
+  ) { (spark, dir) =>
+    val v = Tables.customer(spark, dir)
+      .select($"c_custkey".as("id"), $"c_name".as("w"))
+    val del = v
+      .select($"id", $"w", explode(sequence(lit(0), lit(30))).as("i"))
+      .filter($"i" <= length($"w"))
+      .select($"id", $"w",
+        expr("""CASE WHEN i = 0 THEN w
+               ELSE concat(substring(w, 1, i - 1), substring(w, i + 1, 100)) END""")
+          .as("variant"))
+    del.as("a")
+      .join(del.as("b"), $"a.variant" === $"b.variant" && $"a.id" < $"b.id")
+      .select($"a.id".as("id1"), $"a.w".as("w1"),
+        $"b.id".as("id2"), $"b.w".as("w2"))
+      .distinct()
+      .filter(levenshtein($"w1", $"w2") <= 1)
+      .select($"id1", $"id2", $"w1", $"w2")
+      .orderBy($"id1", $"id2")
+  }
+
   val all: Seq[QueryDef] =
     Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift, kAnonymity,
-      lDiversity, tCloseness, scd2Build, scd2Lookup, benford)
+      lDiversity, tCloseness, scd2Build, scd2Lookup, benford, typoPairs)
 }

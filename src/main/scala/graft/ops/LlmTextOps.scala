@@ -2171,6 +2171,116 @@ object LlmTextOps {
         $"qs"(0).as("p50_tokens"), $"qs"(1).as("p95_tokens"))
   }
 
+  /** Positional-index PHRASE query — the inverted-index primitive behind
+    * exact-phrase retrieval: posting lists (doc, position) for each term,
+    * intersected with the adjacency constraint `pos₂ = pos₁ + 1`. Self-
+    * contained: the queried phrase is the corpus's own top bigram (computed
+    * in-query under the [[pmiColloc]] tie rule), so the op needs no
+    * parameter channel. Positions are engine-local ordinals (1- vs 0-based
+    * never crosses engines — only the intra-engine adjacency matters).
+    *
+    * Scale shape: the postings for the two phrase terms equi-join on
+    * doc_id — exactly how a distributed inverted index executes phrases;
+    * the 1-row phrase pick re-enters by broadcast; top-20 is a
+    * TakeOrdered. */
+  val phraseSearch: QueryDef = QueryDef(
+    "llm_phrase_search",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |bg AS (SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM toks),
+      |top1 AS (SELECT w1, w2 FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2
+      |         ORDER BY count(*) DESC, w1, w2 LIMIT 1),
+      |p1 AS (SELECT t.doc_id, t.i FROM toks t JOIN top1 ON t.w = top1.w1),
+      |p2 AS (SELECT t.doc_id, t.i FROM toks t JOIN top1 ON t.w = top1.w2),
+      |hits AS (SELECT p1.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_occ
+      |         FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+      |         GROUP BY 1)
+      |SELECT doc_id, n_occ FROM hits ORDER BY n_occ DESC, doc_id LIMIT 20""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(tokens).as(Seq("i", "w")))
+    val top1 = toks
+      .select($"w".as("w1"),
+        lead($"w", 1).over(Window.partitionBy($"doc_id").orderBy($"i")).as("w2"))
+      .filter($"w2".isNotNull)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w1", $"w2").limit(1)
+      .select($"w1", $"w2")
+    val p1 = toks.join(broadcast(top1), $"w" === $"w1")
+      .select($"doc_id", $"i")
+    val p2 = toks.join(broadcast(top1), $"w" === $"w2")
+      .select($"doc_id".as("doc_id2"), $"i".as("i2"))
+    p1.join(p2, $"doc_id" === $"doc_id2" && $"i2" === $"i" + 1)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_occ"))
+      .orderBy($"n_occ".desc, $"doc_id").limit(20)
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
+    * maximal stopword-free token runs (islands via the pos − row_number
+    * trick, capped at 4 tokens — the classic RAKE cap); each word scores
+    * deg/freq where deg sums the lengths of the phrases it appears in, and
+    * a phrase scores the sum of its members' scores. Both ratios stay
+    * integer ppm (deg·10⁶ DIV freq), and identical phrase TEXT implies an
+    * identical member multiset, so per-occurrence sums collapse by `max`
+    * without a float ever crossing engines.
+    *
+    * Scale shape: tokenize explode → one per-doc window sort (shared with
+    * every lexical op), phrase assembly is a (doc, island) aggregate, word
+    * stats are vocab-sized and re-enter by broadcast; top-10 is a
+    * TakeOrdered. */
+  val rakeKeywords: QueryDef = QueryDef(
+    "llm_rake_keywords",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |ns AS (SELECT doc_id, w, i,
+      |              i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+      |       FROM toks WHERE w NOT IN ('a', 'the')),
+      |ph AS (SELECT doc_id, island, string_agg(w, ' ' ORDER BY i) AS phrase,
+      |              CAST(count(*) AS BIGINT) AS plen
+      |       FROM ns GROUP BY 1, 2 HAVING count(*) <= 4),
+      |member AS (SELECT ns.doc_id, ns.island, ns.w, ph.plen
+      |           FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.island = ph.island),
+      |ws AS (SELECT w, CAST(sum(plen) AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS freq
+      |       FROM member GROUP BY 1),
+      |occ AS (SELECT m.doc_id, m.island,
+      |               CAST(sum(ws.deg * 1000000 // ws.freq) AS BIGINT) AS psum
+      |        FROM member m JOIN ws ON m.w = ws.w GROUP BY 1, 2),
+      |agg AS (SELECT ph.phrase AS phrase, CAST(count(*) AS BIGINT) AS n_occ,
+      |               CAST(max(occ.psum) AS BIGINT) AS score_ppm
+      |        FROM ph JOIN occ ON ph.doc_id = occ.doc_id AND ph.island = occ.island
+      |        GROUP BY 1)
+      |SELECT phrase, n_occ, score_ppm
+      |FROM agg ORDER BY score_ppm DESC, phrase LIMIT 10""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(tokens).as(Seq("i", "w")))
+    val ns = toks.filter(!$"w".isin("a", "the"))
+      .select($"doc_id", $"w", $"i",
+        ($"i" - row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"i"))).as("island"))
+    val ph = ns.groupBy($"doc_id", $"island")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct($"i", $"w"))), x => x.getField("w")), " ")
+          .as("phrase"),
+        count(lit(1)).as("plen"))
+      .filter($"plen" <= 4)
+    val member = ns.join(ph.select($"doc_id", $"island", $"plen"),
+      Seq("doc_id", "island"))
+    val wstats = member.groupBy($"w")
+      .agg(sum($"plen").as("deg"), count(lit(1)).as("freq"))
+    val occ = member.join(broadcast(wstats), "w")
+      .groupBy($"doc_id", $"island")
+      .agg(sum(expr("deg * 1000000 DIV freq")).as("psum"))
+    ph.join(occ, Seq("doc_id", "island"))
+      .groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occ"), max($"psum").as("score_ppm"))
+      .orderBy($"score_ppm".desc, $"phrase").limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, normDedup, fingerprint, winnow, winnowPairs, winnowNative,
     textStats,
@@ -2180,6 +2290,7 @@ object LlmTextOps {
     dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,
     dupChunks, dupSpans, despanApply, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
+    phraseSearch, rakeKeywords,
   )
 
 }

@@ -195,4 +195,28 @@ class DqOpsSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getAs[Double]("exp_share")).sum - 1.0) < 1e-4,
       "Benford shares are a distribution")
   }
+
+  test("typo pairs: deletion-neighborhood join finds exactly the ED<=1 pairs") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.io.Tables.customer(spark, sf)
+      .select(org.apache.spark.sql.functions.col("c_custkey"),
+        org.apache.spark.sql.functions.col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // quadratic ground truth at sf0.001 (150 names)
+    val want = (for {
+      (i1, w1) <- names; (i2, w2) <- names
+      if i1 < i2 && lev(w1, w2) <= 1
+    } yield (i1, i2)).toSet
+    val got = DqOps.typoPairs.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "sequentially-numbered names must yield ED=1 pairs")
+  }
 }

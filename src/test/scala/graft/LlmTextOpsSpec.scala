@@ -526,4 +526,41 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((7L, 7L, 0L, md5Of("q r s t u v w"))),
       s"clean doc must be untouched: ${out(2L)}")
   }
+
+  test("phrase search counts adjacent occurrences of the corpus top bigram") {
+    val rows = LlmTextOps.phraseSearch.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty && rows.length <= 20)
+    // replay: find the top bigram and count adjacency per doc driver-side
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val bigrams = docs.flatMap(_._2.sliding(2).filter(_.length == 2).map(w => (w(0), w(1))))
+    val grouped = bigrams.groupBy(identity).view.mapValues(_.size).toSeq
+    val (bw1, bw2) = grouped.sortBy(p => (-p._2, p._1._1, p._1._2)).head._1
+    val want = docs.map { case (id, ws) =>
+      id -> ws.sliding(2).count(w => w.length == 2 && w(0) == bw1 && w(1) == bw2).toLong
+    }.filter(_._2 > 0).sortBy(p => (-p._2, p._1)).take(20)
+    assert(rows.toSeq == want.toSeq, s"phrase ($bw1 $bw2)")
+  }
+
+  test("rake keywords: stopword-free islands, deg/freq ppm scores, cap at 4") {
+    val rows = LlmTextOps.rakeKeywords.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    for ((phrase, n, score) <- rows) {
+      val ws = phrase.split(" ")
+      assert(ws.length <= 4, s"'$phrase' within the RAKE cap")
+      assert(!ws.contains("a") && !ws.contains("the"), s"'$phrase' stopword-free")
+      assert(n >= 1 && score > 0)
+    }
+    // scores descend under the (score desc, phrase) tie rule
+    val keys = rows.map(r => (-r._3, r._1)).toSeq
+    assert(keys == keys.sorted, "deterministic ranking order")
+    // single-word phrase sanity: score = deg*1e6/freq >= 1e6 (deg >= freq)
+    rows.filter(_._1.indexOf(' ') < 0).foreach { case (p, _, s) =>
+      assert(s >= 1000000L, s"'$p' degree at least its frequency")
+    }
+  }
 }
