@@ -563,7 +563,54 @@ object DqOps {
       .orderBy($"id1", $"id2")
   }
 
+  /** Approximate FUNCTIONAL-DEPENDENCY mining over a fixed candidate set —
+    * schema profiling's "which columns determine which": for each A→B the
+    * g₃ error (Kivinen & Mannila 1995: minimum rows to delete so the FD
+    * holds exactly = n − Σ_A max_B count) and its confidence in ppm. The
+    * o_orderkey→o_orderpriority candidate is a REAL key dependency, so its
+    * zero-violation row pins the math; the rest measure how far each
+    * plausible dependency is from holding.
+    *
+    * Scale shape per candidate: one (A,B) count aggregate then an A-keyed
+    * max — two map-side-combinable shuffles of two narrow columns; the six
+    * candidates union into one frame. At 100 TB you'd run the same plan
+    * per candidate pair; nothing is quadratic in rows. */
+  val fdMine: QueryDef = {
+    val cands = Seq(
+      ("orders", "o_orderkey", "o_orderpriority"),
+      ("orders", "o_custkey", "o_orderpriority"),
+      ("customer", "c_nationkey", "c_mktsegment"),
+      ("lineitem", "l_orderkey", "l_returnflag"),
+      ("lineitem", "l_partkey", "l_suppkey"),
+      ("part", "p_brand", "p_type"))
+    val sql = cands.map { case (t, a, b) =>
+      s"""SELECT '$t' AS tbl, '$a' AS det, '$b' AS dep,
+         |       CAST(sum(tot) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_groups,
+         |       CAST(sum(tot - keep) AS BIGINT) AS g3_violations,
+         |       CAST(sum(keep) * 1000000 // sum(tot) AS BIGINT) AS confidence_ppm
+         |FROM (SELECT a, sum(n) AS tot, max(n) AS keep
+         |      FROM (SELECT $a AS a, $b AS b, CAST(count(*) AS BIGINT) AS n
+         |            FROM $t GROUP BY 1, 2) c
+         |      GROUP BY a) g""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY tbl, det, dep"
+    QueryDef("dq_fd_mine", sql) { (spark, dir) =>
+      cands.map { case (t, a, b) =>
+        val c = Tables.load(spark, dir, t)
+          .groupBy(col(a).as("a"), col(b).as("b"))
+          .agg(count(lit(1)).as("n"))
+        c.groupBy($"a").agg(sum($"n").as("tot"), max($"n").as("keep"))
+          .agg(sum($"tot").as("sum_tot"), count(lit(1)).as("n_groups"),
+            sum($"tot" - $"keep").as("g3"), sum($"keep").as("sum_keep"))
+          .select(lit(t).as("tbl"), lit(a).as("det"), lit(b).as("dep"),
+            $"sum_tot".as("n_rows"), $"n_groups",
+            $"g3".as("g3_violations"),
+            expr("sum_keep * 1000000 DIV sum_tot").as("confidence_ppm"))
+      }.reduce(_ unionAll _).orderBy($"tbl", $"det", $"dep")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift, kAnonymity,
-      lDiversity, tCloseness, scd2Build, scd2Lookup, benford, typoPairs)
+      lDiversity, tCloseness, scd2Build, scd2Lookup, benford, typoPairs,
+      fdMine)
 }

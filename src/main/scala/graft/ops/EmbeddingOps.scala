@@ -1706,11 +1706,82 @@ object EmbeddingOps {
       .orderBy($"q_id", $"pick")
   }
 
+  /** Greedy k-CENTER coreset (Gonzalez 1985 2-approximation): pick the
+    * lowest-id vector, then 7× "the point farthest from the chosen set" —
+    * the maximin diversity-selection primitive behind coreset sampling for
+    * training-data curation (cover the embedding space with k exemplars;
+    * every point is within the reported radius of one). Row 9 is that
+    * final covering radius (`vec_id = -1` sentinel).
+    *
+    * Determinism: coordinates quantize ONCE to 1e-6 integers
+    * (`floor(x·10⁶ + 0.5)` — the engine-safe quantizer), so every squared
+    * L2 distance is an EXACT BIGINT (≤64·(4·10¹²) ≪ 2⁶³) and argmax ties
+    * break on vec_id — no float ever crosses engines, so even the greedy
+    * trajectory is hash-verifiable (the DuckDB oracle unrolls the 8
+    * stages).
+    *
+    * Scale shape: k corpus passes, each "broadcast 1 new center, update a
+    * running min, TakeOrdered(1)" — the textbook distributed Gonzalez;
+    * state per row is ONE long (`mind`), checkpointed per round like every
+    * iterative lane here. Never a corpus×corpus product. */
+  val kcenterCoreset: QueryDef = {
+    val K = 8
+    def d2Sql(a: String, b: String): String =
+      s"list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in range(1, len($a)+1)])"
+    val head =
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) for x in embedding::DOUBLE[]] AS q
+        |           FROM embeddings),
+        |c1 AS (SELECT vec_id, q AS c FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+        |m1 AS (SELECT e.vec_id, e.q, """.stripMargin +
+        d2Sql("e.q", "c.c") + " AS mind FROM e, c1 c)"
+    val stages = (2 to K).map { k =>
+      s""",
+         |c$k AS (SELECT vec_id, q AS c, mind FROM m${k - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+         |m$k AS (SELECT m.vec_id, m.q, least(m.mind, ${d2Sql("m.q", "c.c")}) AS mind
+         |        FROM m${k - 1} m, c$k c)""".stripMargin
+    }.mkString
+    val tail = "\nSELECT 1 AS step, vec_id, CAST(0 AS BIGINT) AS d2_at_pick FROM c1" +
+      (2 to K).map(k =>
+        s"\nUNION ALL SELECT $k, vec_id, mind FROM c$k").mkString +
+      s"\nUNION ALL SELECT ${K + 1}, CAST(-1 AS BIGINT), CAST(max(mind) AS BIGINT) FROM m$K" +
+      "\nORDER BY step"
+    QueryDef("llm_kcenter_coreset", head + stages + tail) { (spark, dir) =>
+      def d2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+      val e = Tables.embeddings(spark, dir)
+        .select($"vec_id",
+          transform($"embedding", x => floor(x.cast("double") * 1000000.0 + 0.5)
+            .cast("long")).as("q"))
+      val c1 = graft.Caches.localCheckpoint(e.orderBy($"vec_id").limit(1))
+      var m = graft.Caches.localCheckpoint(
+        e.crossJoin(broadcast(c1.select($"q".as("c"))))
+          .select($"vec_id", $"q", d2($"q", $"c").as("mind")))
+      var out = c1.select(lit(1).as("step"), $"vec_id",
+        lit(0L).as("d2_at_pick"))
+      for (k <- 2 to K) {
+        val ck = graft.Caches.localCheckpoint(
+          m.orderBy($"mind".desc, $"vec_id").limit(1))
+        out = out.unionAll(ck.select(lit(k).as("step"), $"vec_id",
+          $"mind".as("d2_at_pick")))
+        m = graft.Caches.localCheckpoint(
+          m.crossJoin(broadcast(ck.select($"q".as("c"))))
+            .select($"vec_id", $"q",
+              least($"mind", d2($"q", $"c")).as("mind")))
+      }
+      out.unionAll(m.agg(max($"mind").as("r"))
+          .select(lit(K + 1).as("step"), lit(-1L).as("vec_id"),
+            $"r".as("d2_at_pick")))
+        .orderBy($"step")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
       ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup,
       embedDedupCluster, semDedup, embedStats, embedCentroid, embedQuantize,
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
-      annMatryoshka, mmrRerank, hardNegatives)
+      annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset)
 }

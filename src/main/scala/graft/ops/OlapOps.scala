@@ -462,7 +462,44 @@ object OlapOps {
       .orderBy($"cohort_ym", $"age_months")
   }
 
+  /** INTERSECT ALL — bag semantics: a part id appears min(countA, countB)
+    * times, so MULTIPLICITY survives (the distinct variant above erases
+    * it). Sides are lineitem event streams, where duplicates are the
+    * signal: "bulk-shipped AND discounted, as many times as both
+    * happened". Spark plans `intersectAll` as one partkey-keyed aggregate
+    * join — no distinct pre-pass. */
+  val intersectAllShip: QueryDef = QueryDef(
+    "setop_intersect_all",
+    """SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity >= 40
+      |INTERSECT ALL
+      |SELECT l_partkey AS p_partkey FROM lineitem WHERE l_discount >= 0.05
+      |ORDER BY p_partkey""".stripMargin,
+  ) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    li.filter($"l_quantity" >= 40).select($"l_partkey".as("p_partkey"))
+      .intersectAll(li.filter($"l_discount" >= 0.05)
+        .select($"l_partkey".as("p_partkey")))
+      .orderBy($"p_partkey")
+  }
+
+  /** EXCEPT ALL — bag difference: each id keeps countA − countB copies
+    * (clamped at zero), the multiset complement of [[intersectAllShip]]. */
+  val exceptAllShip: QueryDef = QueryDef(
+    "setop_except_all",
+    """SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity >= 40
+      |EXCEPT ALL
+      |SELECT l_partkey AS p_partkey FROM lineitem WHERE l_discount >= 0.05
+      |ORDER BY p_partkey""".stripMargin,
+  ) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    li.filter($"l_quantity" >= 40).select($"l_partkey".as("p_partkey"))
+      .exceptAll(li.filter($"l_discount" >= 0.05)
+        .select($"l_partkey".as("p_partkey")))
+      .orderBy($"p_partkey")
+  }
+
   val all: Seq[QueryDef] = Seq(rollupOrders, cubeCustomers, pivotPriorities,
     groupingSetsOrders, unpivotMeasures, intersectParts, exceptParts,
-    rfmSegments, abcPareto, skyline, momShare, pctOfParent, cohortLtv)
+    rfmSegments, abcPareto, skyline, momShare, pctOfParent, cohortLtv,
+    intersectAllShip, exceptAllShip)
 }

@@ -219,4 +219,28 @@ class DqOpsSpec extends AnyFunSuite {
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
     assert(want.nonEmpty, "sequentially-numbered names must yield ED=1 pairs")
   }
+
+  test("FD mining: key dependency scores zero g3, accounting closes") {
+    val rows = DqOps.fdMine.run(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(rows.size == 6)
+    // o_orderkey is a real key: the FD holds exactly
+    val (n, g, v, c) = rows(("orders", "o_orderkey", "o_orderpriority"))
+    assert(v == 0L && c == 1000000L && n == g,
+      "key determinant: zero violations, full confidence, one row per group")
+    // replay the weakest candidate driver-side (g3 = n - sum of majorities)
+    val cust = graft.io.Tables.customer(spark, sf)
+      .select(org.apache.spark.sql.functions.col("c_nationkey"),
+        org.apache.spark.sql.functions.col("c_mktsegment")).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val keep = cust.groupBy(_._1).values
+      .map(g2 => g2.groupBy(_._2).values.map(_.size).max).sum
+    val (n2, g2c, v2, c2) = rows(("customer", "c_nationkey", "c_mktsegment"))
+    assert(n2 == cust.length.toLong, "row accounting")
+    assert(g2c == cust.map(_._1).distinct.length.toLong, "group count")
+    assert(v2 == cust.length - keep, "g3 is rows minus majority mass")
+    assert(c2 == keep.toLong * 1000000L / cust.length, "confidence ppm")
+  }
 }

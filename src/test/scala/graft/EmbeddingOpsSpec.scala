@@ -421,4 +421,32 @@ class EmbeddingOpsSpec extends AnyFunSuite {
           s"cell $cell pruned every dup member — keep rule broken")
     }
   }
+
+  test("k-center coreset replays the exact greedy maximin trajectory") {
+    val rows = EmbeddingOps.kcenterCoreset.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 9, "8 picks plus the radius row")
+    // driver replay on quantized integer coordinates
+    val vecs = graft.io.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = List(vecs.keys.min)
+    var mind = vecs.view.mapValues(q => d2(q, vecs(chosen.head))).toMap
+    var want = List((1, chosen.head, 0L))
+    for (step <- 2 to 8) {
+      val (nid, nd) = mind.toSeq.maxBy { case (id, d) => (d, -id) }
+      want ::= ((step, nid, nd))
+      chosen ::= nid
+      mind = mind.map { case (id, d) => id -> math.min(d, d2(vecs(id), vecs(nid))) }
+    }
+    want ::= ((9, -1L, mind.values.max))
+    assert(rows.toList == want.reverse, "greedy trajectory is engine-exact")
+    // the covering radius never exceeds any pick's distance-at-selection
+    assert(rows.last._3 <= rows(7)._3, "radius shrinks monotonically")
+  }
 }

@@ -337,6 +337,24 @@ class SeqOpsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == top)
   }
 
+  test("bag set ops: multiplicities follow min/difference, distinct variants agree") {
+    val li = graft.io.Tables.lineitem(spark, sf)
+    val a = li.filter(col("l_quantity") >= 40).select(col("l_partkey")).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    val b = li.filter(col("l_discount") >= 0.05).select(col("l_partkey")).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    val inter = OlapOps.intersectAllShip.run(spark, sf).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    val diff = OlapOps.exceptAllShip.run(spark, sf).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    for (k <- (a.keySet ++ b.keySet)) {
+      val (ca, cb) = (a.getOrElse(k, 0), b.getOrElse(k, 0))
+      assert(inter.getOrElse(k, 0) == math.min(ca, cb), s"intersect-all key $k")
+      assert(diff.getOrElse(k, 0) == math.max(ca - cb, 0), s"except-all key $k")
+    }
+    assert(inter.values.exists(_ > 1), "multiplicity > 1 actually exercised")
+  }
+
   test("cohort LTV: age-0 means first-month revenue, cumulative is monotone") {
     val rows = OlapOps.cohortLtv.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
