@@ -725,7 +725,45 @@ object StreamingOps {
     sampleNthStream(Tables.events(spark, dir)).orderBy($"user_id", $"seq_n")
   }
 
+  /** Stage 1 of the windowed TOP-K: per-(1h window, type) counts — the
+    * incremental stateful stage, same state bound as [[tumblingAgg]]
+    * (windows in the lateness horizon × types). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n_events")
+
+  /** Stage 2: per-window rank → top 3 (ties break on type). Ranking is not
+    * row-incremental, so in streaming it runs at SERVE time on the tiny
+    * agg output (the production-leaderboard split: stateful count upstream,
+    * rank on read); the registered batch twin fuses both stages. */
+  def topkFinish(counts: DataFrame): DataFrame =
+    counts
+      .select($"window_start", $"event_type", $"n_events",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"window_start")
+          .orderBy($"n_events".desc, $"event_type")).cast("long").as("rk"))
+      .filter($"rk" <= 3)
+
+  val topk: QueryDef = QueryDef(
+    "stream_topk",
+    """WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |                  event_type, CAST(count(*) AS BIGINT) AS n_events
+      |           FROM events GROUP BY 1, 2)
+      |SELECT window_start, event_type, n_events, rk FROM (
+      |  SELECT window_start, event_type, n_events,
+      |         row_number() OVER (PARTITION BY window_start ORDER BY n_events DESC, event_type) AS rk
+      |  FROM c) r WHERE rk <= 3
+      |ORDER BY window_start, rk""".stripMargin,
+  ) { (spark, dir) =>
+    topkFinish(windowedCounts(Tables.events(spark, dir)))
+      .orderBy($"window_start", $"rk")
+  }
+
   val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
     customSession, enriched, attribution, cms, neardup, cdc, psi,
-    asofEnriched, ewmaStreamed, sampleNth)
+    asofEnriched, ewmaStreamed, sampleNth, topk)
 }

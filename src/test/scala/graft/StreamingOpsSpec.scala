@@ -563,4 +563,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == Seq((7L, 1L, 1L), (7L, 6L, 6L), (8L, 10L, 1L)),
       s"kept set must be events #1 and #6 for user 7, #1 for user 8: $streamed")
   }
+
+  test("windowed top-k: streamed counts + serve-time rank equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val slice = boundedSlice()
+    val stream = MemoryStream[Ev]
+    // two deliveries: the stateful count stage must merge across batches
+    val (b1, b2) = slice.splitAt(slice.length / 2)
+    val agg = StreamingOps.windowedCounts(
+      stream.toDF().withWatermark("ts", "2 hours"))
+    val q = agg.writeStream
+      .format("memory").queryName("topk_counts").outputMode("complete")
+      .start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = StreamingOps.topkFinish(spark.table("topk_counts"))
+      .orderBy($"window_start", $"rk").collect().toSeq
+    val batch = StreamingOps.topkFinish(StreamingOps.windowedCounts(
+        io.Tables.events(spark, sf)
+          .filter($"ts" < to_timestamp(lit("2024-01-03 00:00:00")))))
+      .orderBy($"window_start", $"rk").collect().toSeq
+    assert(streamed == batch, "serve-time rank over streamed state = batch twin")
+    // every window emits at most 3 rows, ranked 1..k with descending counts
+    streamed.groupBy(_.getString(0)).foreach { case (w, rs) =>
+      assert(rs.length <= 3, s"$w top-k bound")
+      assert(rs.map(_.getLong(3)).toSeq == (1L to rs.length), s"$w dense ranks")
+      val ns = rs.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, s"$w count order")
+    }
+  }
 }
