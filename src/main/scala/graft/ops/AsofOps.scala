@@ -189,5 +189,75 @@ object AsofOps {
       .orderBy($"event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(purchaseAsofClick, clickNextPurchase)
+  /** NEAREST-in-time join: for each error event, the user's closest click
+    * in EITHER direction within a 1-hour horizon — completing the as-of
+    * family (backward [[purchaseAsofClick]], forward [[clickNextPurchase]],
+    * nearest here) by COMPOSING the two directional joins and picking the
+    * smaller absolute gap (tie → the earlier, backward click; the
+    * matched-event convention for log correlation: "which click explains
+    * this error"). The emitted delta is SIGNED (negative = click before
+    * the error), so the direction survives into the output.
+    *
+    * Scale: two union-window as-of passes over the same user-keyed
+    * exchange plus a per-row CASE — still no range join, state linear. */
+  val nearestClick: QueryDef = QueryDef(
+    "asof_nearest_click",
+    """WITH e AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+      |c0 AS (SELECT user_id, ts, event_id,
+      |              row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |       FROM events WHERE event_type = 'click'),
+      |c AS (SELECT user_id, ts, event_id AS click_id FROM c0 WHERE rn = 1),
+      |b AS (SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS e_us,
+      |             c.click_id AS b_id, CAST(epoch_us(c.ts) AS BIGINT) AS b_us
+      |      FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND c.ts <= e.ts),
+      |f AS (SELECT e.event_id, c.click_id AS f_id, CAST(epoch_us(c.ts) AS BIGINT) AS f_us
+      |      FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND c.ts >= e.ts),
+      |j AS (SELECT b.event_id, b.user_id, b.e_us,
+      |             CASE WHEN b.e_us - b.b_us <= 3600000000 THEN b.b_id END AS b_id,
+      |             CASE WHEN b.e_us - b.b_us <= 3600000000 THEN b.e_us - b.b_us END AS db,
+      |             CASE WHEN f.f_us - b.e_us <= 3600000000 THEN f.f_id END AS f_id,
+      |             CASE WHEN f.f_us - b.e_us <= 3600000000 THEN f.f_us - b.e_us END AS df
+      |      FROM b JOIN f ON b.event_id = f.event_id)
+      |SELECT event_id, user_id, e_us AS error_ts_us,
+      |       CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df) THEN b_id
+      |            ELSE f_id END AS near_click_id,
+      |       CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df) THEN -db
+      |            ELSE df END AS signed_delta_us
+      |FROM j ORDER BY event_id""".stripMargin,
+  ) { (spark, dir) =>
+    val horizon = 3600000000L // 1 hour in µs
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id", $"ts").orderBy(desc("event_id"))))
+      .filter($"rn" === 1)
+      .select($"user_id", $"ts", $"event_id".as("click_id"),
+        unix_micros($"ts").as("c_us"))
+    val back = asofJoin(errors, clicks, "user_id", "ts",
+      payload = Seq("click_id", "c_us"))
+      .select($"user_id", $"ts", $"event_id",
+        $"asof_click_id".as("b_id0"), $"asof_c_us".as("b_us"))
+    val both = asofJoinForward(back, clicks, "user_id", "ts",
+      payload = Seq("click_id", "c_us"))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("e_us"),
+        $"b_id0", $"b_us",
+        $"asof_click_id".as("f_id0"), $"asof_c_us".as("f_us"))
+    both
+      .select($"event_id", $"user_id", $"e_us",
+        when($"e_us" - $"b_us" <= horizon, $"b_id0").as("b_id"),
+        when($"e_us" - $"b_us" <= horizon, $"e_us" - $"b_us").as("db"),
+        when($"f_us" - $"e_us" <= horizon, $"f_id0").as("f_id"),
+        when($"f_us" - $"e_us" <= horizon, $"f_us" - $"e_us").as("df"))
+      .select($"event_id", $"user_id", $"e_us".as("error_ts_us"),
+        when($"db".isNotNull && ($"df".isNull || $"db" <= $"df"), $"b_id")
+          .otherwise($"f_id").as("near_click_id"),
+        when($"db".isNotNull && ($"df".isNull || $"db" <= $"df"), -$"db")
+          .otherwise($"df").as("signed_delta_us"))
+      .orderBy($"event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(purchaseAsofClick, clickNextPurchase,
+    nearestClick)
 }

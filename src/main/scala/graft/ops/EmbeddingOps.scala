@@ -1777,11 +1777,87 @@ object EmbeddingOps {
     }
   }
 
+  /** Top PRINCIPAL COMPONENT by power iteration — the dimensionality-
+    * reduction primitive (whitening, drift axes, matryoshka validation)
+    * next to the quantizers. Three determinism moves make the whole
+    * TRAJECTORY hash-verifiable, not just the fixpoint:
+    *
+    *  1. the covariance is the n-SCALED scatter C = n·Sxx − Sx·Sxᵀ over
+    *     1e-6-quantized integer coordinates — scaling by n clears the
+    *     mean division, so C is an exact integer matrix (DECIMAL(38,0) /
+    *     HUGEINT) with the same eigenvectors as the covariance;
+    *  2. each iterate renormalizes by MAX-ABS (u·10⁶ DIV max|u|), an
+    *     integer floor division, instead of the float L2 norm;
+    *  3. v₀ = e₁, and 5 fixed rounds (the oracle unrolls them).
+    *
+    * Scale shape: the scatter is ONE corpus pass shuffling (i,j)-keyed
+    * partial products (d² = 4096 keys, map-side combinable — at 100 TB
+    * this is the standard per-partition Gram accumulate); each iteration
+    * is a d²-row join against a broadcast d-row vector. The corpus never
+    * re-enters after the scatter. */
+  val pcaPower: QueryDef = {
+    val T = 5
+    val head =
+      """WITH ex AS (SELECT vec_id, unnest(q) AS xq, generate_subscripts(q, 1) AS i
+        |            FROM (SELECT vec_id,
+        |                         [CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) for x in embedding::DOUBLE[]] AS q
+        |                  FROM embeddings)),
+        |n AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM ex),
+        |sx AS (SELECT i, CAST(sum(xq) AS HUGEINT) AS s FROM ex GROUP BY 1),
+        |sxx AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.xq * b.xq) AS HUGEINT) AS s
+        |        FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |c AS (SELECT sxx.i, sxx.j, n.n * sxx.s - sa.s * sb.s AS cij
+        |      FROM sxx CROSS JOIN n
+        |      JOIN sx sa ON sxx.i = sa.i JOIN sx sb ON sxx.j = sb.i),
+        |v0 AS (SELECT i AS j, CAST(CASE WHEN i = 1 THEN 1000000 ELSE 0 END AS HUGEINT) AS v
+        |       FROM sx)""".stripMargin
+    val rounds = (1 to T).map { t =>
+      s""",
+         |u$t AS (SELECT c.i, CAST(sum(c.cij * v.v) AS HUGEINT) AS u
+         |        FROM c JOIN v${t - 1} v ON c.j = v.j GROUP BY 1),
+         |m$t AS (SELECT max(abs(u)) AS m FROM u$t),
+         |v$t AS (SELECT i AS j, u * 1000000 // m AS v FROM u$t, m$t)""".stripMargin
+    }.mkString
+    val tail = s"\nSELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_ppm" +
+      s"\nFROM v$T ORDER BY dim"
+    QueryDef("llm_pca_power", head + rounds + tail) { (spark, dir) =>
+      val dec = "decimal(38,0)"
+      val ex = Tables.embeddings(spark, dir)
+        .select($"vec_id", posexplode(
+          transform($"embedding", x => floor(x.cast("double") * 1000000.0 + 0.5)
+            .cast("long"))).as(Seq("i0", "xq")))
+        .select($"vec_id", ($"i0" + 1).as("i"), $"xq")
+      val n = ex.agg(countDistinct($"vec_id").cast(dec).as("n"))
+      val sx = ex.groupBy($"i").agg(sum($"xq").cast(dec).as("s"))
+      val sxx = ex.as("a")
+        .join(ex.as("b"), $"a.vec_id" === $"b.vec_id")
+        .select($"a.i".as("i"), $"b.i".as("j"), ($"a.xq" * $"b.xq").as("p"))
+        .groupBy($"i", $"j").agg(sum($"p".cast(dec)).as("s"))
+      val c = graft.Caches.localCheckpoint(sxx
+        .crossJoin(broadcast(n))
+        .join(broadcast(sx.select($"i", $"s".as("sa"))), "i")
+        .join(broadcast(sx.select($"i".as("j"), $"s".as("sb"))), "j")
+        .select($"i", $"j", ($"n" * $"s" - $"sa" * $"sb").as("cij")))
+      var v = sx.select($"i".as("j"),
+        when($"i" === 1, lit(1000000L)).otherwise(lit(0L)).cast(dec).as("v"))
+      for (_ <- 1 to T) {
+        val u = c.join(broadcast(v), "j")
+          .groupBy($"i").agg(sum($"cij" * $"v").as("u"))
+        val m = u.agg(max(abs($"u")).as("m"))
+        v = graft.Caches.localCheckpoint(
+          u.crossJoin(broadcast(m))
+            .select($"i".as("j"), expr("u * 1000000 DIV m").cast(dec).as("v")))
+      }
+      v.select($"j".cast("long").as("dim"), $"v".cast("long").as("v_ppm"))
+        .orderBy($"dim")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
       ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup,
       embedDedupCluster, semDedup, embedStats, embedCentroid, embedQuantize,
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
-      annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset)
+      annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower)
 }

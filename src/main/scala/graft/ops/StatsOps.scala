@@ -1165,10 +1165,65 @@ object StatsOps {
       .orderBy($"event_type")
   }
 
+  /** One-day-ahead forecast per event type by BROWN'S double exponential
+    * smoothing (α = ½) — the trend-aware forecaster one step past
+    * `a4_ewma`'s level-only smoother, with its error measured against the
+    * realized next day. The α=½ kernel TRUNCATES to 8 taps so both
+    * smoothing stages are exact integer dot products with power-of-two
+    * weights (S1 = Σ yₜ₋ᵢ·2⁷⁻ⁱ/255, S2 the same over S1): the recurrence
+    * that normally forces sequential state becomes two 8-lag window
+    * expressions over ONE per-type sort, and the forecast
+    * F = 3S1 − 2S2 = (3·s1num·255 − 2·s2num)/255² ships as exact
+    * milli-units via integer floor division. Warm-up rows (fewer than 15
+    * prior days) drop via lag-null propagation. */
+  val desForecast: QueryDef = {
+    def taps(c: String): String = (0 to 7)
+      .map(i => s"lag($c, $i) OVER (PARTITION BY event_type ORDER BY day) * ${1 << (7 - i)}")
+      .mkString(" + ")
+    QueryDef(
+      "stats_des_forecast",
+      s"""WITH d AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         |                  CAST(count(*) AS BIGINT) AS c
+         |           FROM events GROUP BY 1, 2),
+         |w1 AS (SELECT event_type, day, c, ${taps("c")} AS s1num FROM d),
+         |w2 AS (SELECT event_type, day, c, s1num, ${taps("s1num")} AS s2num,
+         |              lead(day) OVER (PARTITION BY event_type ORDER BY day) AS target_day,
+         |              lead(c) OVER (PARTITION BY event_type ORDER BY day) AS actual
+         |       FROM w1)
+         |SELECT event_type, target_day,
+         |       (3 * s1num * 255 - 2 * s2num) * 1000 // 65025 AS forecast_milli,
+         |       actual,
+         |       abs((3 * s1num * 255 - 2 * s2num) * 1000 // 65025 - actual * 1000) AS abs_err_milli
+         |FROM w2 WHERE s2num IS NOT NULL AND actual IS NOT NULL
+         |ORDER BY event_type, target_day""".stripMargin,
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val seq = Window.partitionBy($"event_type").orderBy($"day")
+      val d = Tables.events(spark, dir)
+        .groupBy($"event_type", to_date($"ts").cast("string").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w1 = d.select($"event_type", $"day", $"c",
+        (0 to 7).map(i => lag($"c", i).over(seq) * lit(1L << (7 - i)))
+          .reduce(_ + _).as("s1num"))
+      val w2 = w1.select($"event_type", $"day", $"c", $"s1num",
+        (0 to 7).map(i => lag($"s1num", i).over(seq) * lit(1L << (7 - i)))
+          .reduce(_ + _).as("s2num"),
+        lead($"day", 1).over(seq).as("target_day"),
+        lead($"c", 1).over(seq).as("actual"))
+      w2.filter($"s2num".isNotNull && $"actual".isNotNull)
+        .select($"event_type", $"target_day",
+          expr("(3 * s1num * 255 - 2 * s2num) * 1000 DIV 65025").as("forecast_milli"),
+          $"actual",
+          expr("abs((3 * s1num * 255 - 2 * s2num) * 1000 DIV 65025 - actual * 1000)")
+            .as("abs_err_milli"))
+        .orderBy($"event_type", $"target_day")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMoments, linreg, histogram, quantileBucket, profileOrders,
       madOutliers, chi2, ksTest, mannWhitney, targetEncode,
       weightedMedian, winsorize, cusumChange, autocorr, theilSen,
       bootstrapCi, weekdayAnova, kendallTau, spearman, runsTest,
-      giniSegment, ljungBox)
+      giniSegment, ljungBox, desForecast)
 }

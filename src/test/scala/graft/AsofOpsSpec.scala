@@ -100,4 +100,45 @@ class AsofOpsSpec extends AnyFunSuite {
     }
     assert(rows.exists(r => r.get(3) != null), "some click converts")
   }
+
+  test("nearest click picks the smaller absolute gap, backward on ties") {
+    import org.apache.spark.sql.functions.{col, desc, row_number, unix_micros}
+    val sf = "/root/testdata/sf0.001"
+    val horizon = 3600000000L
+    val ev = graft.io.Tables.events(spark, sf)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // replicate the op's (user, ts) click dedup: max event_id wins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts")).orderBy(desc("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val out = AsofOps.nearestClick.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.getAs[java.lang.Long]("near_click_id")),
+        Option(r.getAs[java.lang.Long]("signed_delta_us")))).toMap
+    assert(out.size == errors.length)
+    var matched = 0
+    for ((eid, uid, eus) <- errors) {
+      val cs = clicks.getOrElse(uid, Array.empty)
+      val back = cs.filter(c => c._3 <= eus && eus - c._3 <= horizon)
+        .sortBy(c => (eus - c._3, -c._2)).headOption
+      val fwd = cs.filter(c => c._3 >= eus && c._3 - eus <= horizon)
+        .sortBy(c => (c._3 - eus, -c._2)).headOption
+      val want = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (eus - b._3 <= f._3 - eus) Some((b._2, -(eus - b._3)))
+          else Some((f._2, f._3 - eus))
+        case (Some(b), None) => Some((b._2, -(eus - b._3)))
+        case (None, Some(f)) => Some((f._2, f._3 - eus))
+        case _ => None
+      }
+      assert(out(eid) == ((want.map(_._1), want.map(_._2))), s"error $eid")
+      if (want.isDefined) matched += 1
+    }
+    assert(matched > 0, "some error has a click within the hour")
+  }
 }

@@ -422,6 +422,30 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pca power iteration replays the integer trajectory and finds the top axis") {
+    val out = EmbeddingOps.pcaPower.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 64 && out.values.map(math.abs).max == 1000000L,
+      "max-abs normalized to exactly 1e6")
+    // exact driver replay with BigInt arithmetic
+    val vecs = graft.io.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+    val d = vecs.head.length
+    val n = BigInt(vecs.length)
+    val sx = Array.tabulate(d)(i => BigInt(vecs.map(_(i)).sum))
+    val c = Array.tabulate(d, d)((i, j) =>
+      n * vecs.map(v => BigInt(v(i)) * v(j)).sum - sx(i) * sx(j))
+    var v = Array.tabulate(d)(i => if (i == 0) BigInt(1000000) else BigInt(0))
+    for (_ <- 1 to 5) {
+      val u = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val m = u.map(_.abs).max
+      v = u.map(x => x * 1000000 / m)
+    }
+    for (i <- 0 until d)
+      assert(BigInt(out(i + 1L)) == v(i), s"dim ${i + 1}")
+  }
+
   test("k-center coreset replays the exact greedy maximin trajectory") {
     val rows = EmbeddingOps.kcenterCoreset.run(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

@@ -330,6 +330,30 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(BigInt(rows.head.getLong(3)) == num * 1000000 / (BigInt(n) * tot), s"$seg replay")
   }
 
+  test("DES forecast replays Brown's truncated power-of-two kernel") {
+    val rows = StatsOps.desForecast.run(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.nonEmpty)
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").cast("string").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    var checked = 0
+    for ((t, series) <- daily; idx <- series.indices.drop(14).dropRight(1)) {
+      def s1(k: Int): Long =
+        (0 to 7).map(i => series(k - i)._3 * (1L << (7 - i))).sum
+      val s2 = (0 to 7).map(i => s1(idx - i) * (1L << (7 - i))).sum
+      val f = (3 * s1(idx) * 255 - 2 * s2) * 1000 / 65025
+      val (day1, actual) = (series(idx + 1)._2, series(idx + 1)._3)
+      val got = rows((t, day1))
+      assert(got == ((f, actual, math.abs(f - actual * 1000))), s"$t -> $day1")
+      checked += 1
+    }
+    assert(checked == rows.size, "every emitted forecast was replayed")
+  }
+
   test("ljung-box Q is the weighted sum of squared lag correlations") {
     val q = StatsOps.ljungBox.run(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
