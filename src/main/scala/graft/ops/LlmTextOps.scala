@@ -2281,6 +2281,60 @@ object LlmTextOps {
       .orderBy($"score_ppm".desc, $"phrase").limit(10)
   }
 
+  /** GREEDY DECODING from the corpus bigram LM: start at the most frequent
+    * word, repeatedly take the argmax next word (count desc, word asc —
+    * both exact integers, so the decoded sequence is hash-verifiable; the
+    * DuckDB oracle unrolls the 8 steps). The deterministic text-generation
+    * twin of `graph_random_walks`' hash-driven sampling: same
+    * frontier-step shape, argmax transition instead of a hash draw — and
+    * the standard sanity probe of an n-gram LM ("what does it say?").
+    * A cycle in the argmax graph just repeats — expected, deterministic.
+    *
+    * Scale shape: the bigram table is vocab²-bounded state; each step
+    * joins the 1-row frontier against it by broadcast and takes a
+    * TakeOrdered(1) — never touches the corpus after the count pass. */
+  val lmGreedyGen: QueryDef = {
+    val Steps = 8
+    val head =
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |bg AS (SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM toks),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        |       FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        |g0 AS (SELECT w AS cur FROM uc ORDER BY c DESC, w LIMIT 1)""".stripMargin
+    val steps = (1 to Steps).map { k =>
+      s""",
+         |g$k AS (SELECT bc.w2 AS cur FROM bc, g${k - 1}
+         |        WHERE bc.w1 = g${k - 1}.cur ORDER BY bc.n DESC, bc.w2 LIMIT 1)""".stripMargin
+    }.mkString
+    val tail = "\nSELECT 0 AS step, cur AS word FROM g0" +
+      (1 to Steps).map(k => s"\nUNION ALL SELECT $k, cur FROM g$k").mkString +
+      "\nORDER BY step"
+    QueryDef("llm_lm_greedy_gen", head + steps + tail) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", posexplode(tokens).as(Seq("i", "w")))
+      val bc = graft.Caches.localCheckpoint(toks
+        .select($"w".as("w1"),
+          lead($"w", 1).over(Window.partitionBy($"doc_id").orderBy($"i")).as("w2"))
+        .filter($"w2".isNotNull)
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("n")))
+      var cur = graft.Caches.localCheckpoint(
+        toks.groupBy($"w").agg(count(lit(1)).as("c"))
+          .orderBy($"c".desc, $"w").limit(1).select($"w".as("cur")))
+      var out = cur.select(lit(0).as("step"), $"cur".as("word"))
+      for (k <- 1 to Steps) {
+        cur = graft.Caches.localCheckpoint(
+          bc.join(broadcast(cur), $"w1" === $"cur")
+            .orderBy($"n".desc, $"w2").limit(1).select($"w2".as("cur")))
+        out = out.unionAll(cur.select(lit(k).as("step"), $"cur".as("word")))
+      }
+      out.orderBy($"step")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, normDedup, fingerprint, winnow, winnowPairs, winnowNative,
     textStats,
@@ -2290,7 +2344,7 @@ object LlmTextOps {
     dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,
     dupChunks, dupSpans, despanApply, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
-    phraseSearch, rakeKeywords,
+    phraseSearch, rakeKeywords, lmGreedyGen,
   )
 
 }

@@ -162,5 +162,49 @@ object RangeJoinOps {
       .orderBy($"user_id", $"click_sess", $"view_sess")
   }
 
-  val all: Seq[QueryDef] = Seq(errorNearClick, sessionOverlap)
+  /** BAND join on a VALUE domain (|a.x − b.x| ≤ δ with no equi-key at
+    * all) — the third classic join Spark lacks, completing the family:
+    * [[rangeJoin]] bands time within a key, `asof_*` picks one row, this
+    * bands a measure across two tables. Customer×supplier account
+    * balances within $1: the same bucket-and-probe plan as [[rangeJoin]]
+    * but the BUCKET IS THE ONLY JOIN KEY (floor(cents/δ), probe 3
+    * buckets), so what would be a full cartesian product becomes a
+    * bucket-keyed equi-join whose candidate sets are bounded by the value
+    * density per δ-band — on a cluster the shuffle partitions by value
+    * band, the distributed sort-merge band join. Exact |Δ| filter on
+    * candidates; cents arithmetic end-to-end. */
+  val bandBalance: QueryDef = QueryDef(
+    "range_band_join",
+    """WITH c AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS c_cents
+      |           FROM customer),
+      |s AS (SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS s_cents,
+      |             CAST(floor(CAST(round(s_acctbal * 100) AS BIGINT) / 100.0) AS BIGINT) AS b
+      |      FROM supplier),
+      |cb AS (SELECT c_custkey, c_cents,
+      |              CAST(floor(c_cents / 100.0) AS BIGINT) + o.off AS b
+      |       FROM c CROSS JOIN (VALUES (-1), (0), (1)) o(off))
+      |SELECT cb.c_custkey, s.s_suppkey, cb.c_cents, s.s_cents,
+      |       s.s_cents - cb.c_cents AS diff_cents
+      |FROM cb JOIN s ON cb.b = s.b
+      |WHERE abs(s.s_cents - cb.c_cents) <= 100
+      |ORDER BY c_custkey, s_suppkey""".stripMargin,
+  ) { (spark, dir) =>
+    val delta = 100L // $1 band in cents
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey", round($"c_acctbal" * 100).cast("long").as("c_cents"))
+    val s = Tables.supplier(spark, dir)
+      .select($"s_suppkey", round($"s_acctbal" * 100).cast("long").as("s_cents"))
+      .withColumn("b", floor($"s_cents" / (delta * 1.0)).cast("long"))
+    val cb = c
+      .withColumn("b0", floor($"c_cents" / (delta * 1.0)).cast("long"))
+      .withColumn("b", explode(array($"b0" - 1, $"b0", $"b0" + 1)))
+      .drop("b0")
+    cb.join(s, "b")
+      .filter(abs($"s_cents" - $"c_cents") <= delta)
+      .select($"c_custkey", $"s_suppkey", $"c_cents", $"s_cents",
+        ($"s_cents" - $"c_cents").as("diff_cents"))
+      .orderBy($"c_custkey", $"s_suppkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(errorNearClick, sessionOverlap, bandBalance)
 }

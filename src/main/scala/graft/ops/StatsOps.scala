@@ -1220,10 +1220,68 @@ object StatsOps {
     }
   }
 
+  /** STL-lite SEASONAL DECOMPOSITION per event type: trend (centered 7-day
+    * moving total — the classical decomposition's MA, kept as the ×7 SUM
+    * so it stays integer), weekly seasonal (mean detrended value per
+    * weekday, in exact milli), residual = the rest. Ties [[weekdayAnova]]
+    * ("how much variance is weekly") to an actual per-day additive model
+    * (`c ≈ trend7/7 + seasonal/7000 + residual/7000`). Weekday LABELS
+    * differ across engines but are never emitted — only the partition they
+    * induce is used, the weekdayAnova rule. Edge days (incomplete centered
+    * window) drop by the cnt7 = 7 filter. */
+  val seasonalDecompose: QueryDef = QueryDef(
+    "stats_seasonal_decompose",
+    """WITH d AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |                  dayofweek(CAST(ts AS DATE)) AS wd,
+      |                  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+      |                  CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2, 3, 4),
+      |t AS (SELECT event_type, day, wd, c,
+      |             sum(c) OVER (PARTITION BY event_type ORDER BY dn
+      |                          RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend7,
+      |             count(*) OVER (PARTITION BY event_type ORDER BY dn
+      |                            RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+      |      FROM d),
+      |f AS (SELECT event_type, day, wd, c, CAST(trend7 AS BIGINT) AS trend7,
+      |             7 * c - trend7 AS det_x7
+      |      FROM t WHERE cnt7 = 7),
+      |sea AS (SELECT event_type, wd,
+      |               CAST(sum(det_x7) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS seasonal_x7_milli
+      |        FROM f GROUP BY 1, 2)
+      |SELECT f.event_type AS event_type, f.day AS day, f.c AS c, f.trend7 AS trend7_sum,
+      |       sea.seasonal_x7_milli AS seasonal_x7_milli,
+      |       f.det_x7 * 1000 - sea.seasonal_x7_milli AS residual_x7_milli
+      |FROM f JOIN sea ON f.event_type = sea.event_type AND f.wd = sea.wd
+      |ORDER BY event_type, day""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val frame = Window.partitionBy($"event_type").orderBy($"dn")
+      .rangeBetween(-3, 3)
+    val d = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").cast("string").as("day"),
+        dayofweek(to_date($"ts")).as("wd"),
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date")).as("dn"))
+      .agg(count(lit(1)).as("c"))
+    val f = d
+      .select($"event_type", $"day", $"wd", $"c",
+        sum($"c").over(frame).as("trend7"),
+        count(lit(1)).over(frame).as("cnt7"))
+      .filter($"cnt7" === 7)
+      .select($"event_type", $"day", $"wd", $"c", $"trend7",
+        (lit(7) * $"c" - $"trend7").as("det_x7"))
+    val sea = f.groupBy($"event_type", $"wd")
+      .agg(expr("sum(det_x7) * 1000 DIV count(*)").as("seasonal_x7_milli"))
+    f.join(broadcast(sea), Seq("event_type", "wd"))
+      .select($"event_type", $"day", $"c", $"trend7".as("trend7_sum"),
+        $"seasonal_x7_milli",
+        ($"det_x7" * 1000 - $"seasonal_x7_milli").as("residual_x7_milli"))
+      .orderBy($"event_type", $"day")
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMoments, linreg, histogram, quantileBucket, profileOrders,
       madOutliers, chi2, ksTest, mannWhitney, targetEncode,
       weightedMedian, winsorize, cusumChange, autocorr, theilSen,
       bootstrapCi, weekdayAnova, kendallTau, spearman, runsTest,
-      giniSegment, ljungBox, desForecast)
+      giniSegment, ljungBox, desForecast, seasonalDecompose)
 }

@@ -545,6 +545,25 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == want.toSeq, s"phrase ($bw1 $bw2)")
   }
 
+  test("greedy LM decoding replays the argmax walk from the top unigram") {
+    val rows = LlmTextOps.lmGreedyGen.run(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    assert(rows.map(_._1).toSeq == (0 to 8), "steps 0..8 in order")
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .map(_.getString(0).split(" ").toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size).toSeq
+    val bi = docs.flatMap(_.sliding(2).filter(_.length == 2).map(w => (w(0), w(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    var cur = uni.sortBy(p => (-p._2, p._1)).head._1
+    assert(rows.head._2 == cur, "seed is the most frequent word")
+    for (k <- 1 to 8) {
+      cur = bi.filter(_._1._1 == cur).toSeq
+        .sortBy { case ((_, w2), n) => (-n, w2) }.head._1._2
+      assert(rows(k)._2 == cur, s"step $k greedy argmax")
+    }
+  }
+
   test("rake keywords: stopword-free islands, deg/freq ppm scores, cap at 4") {
     val rows = LlmTextOps.rakeKeywords.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

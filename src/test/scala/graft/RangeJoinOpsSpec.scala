@@ -90,4 +90,26 @@ class RangeJoinOpsSpec extends AnyFunSuite {
         "overlap filter must exclude negative (disjoint) spans")
     }
   }
+
+  test("value band join equals the quadratic |delta| <= $1 ground truth") {
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    // sf0.01: the $1 band is empty at sf0.001's density (150×10 balances
+    // over a $11k range); here the quadratic ground truth is 225k pairs —
+    // still trivial driver-side — and yields a non-degenerate 30-pair set.
+    val sf = "/root/testdata/sf0.01"
+    val cust = graft.io.Tables.customer(spark, sf)
+      .select(col("c_custkey"), rnd(col("c_acctbal") * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val supp = graft.io.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), rnd(col("s_acctbal") * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ck, cc) <- cust; (sk, sc) <- supp if math.abs(sc - cc) <= 100
+    } yield (ck, sk, cc, sc, sc - cc)).sortBy(p => (p._1, p._2)).toSeq
+    val got = RangeJoinOps.bandBalance.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == want, s"band join: got ${got.size}, want ${want.size}")
+    assert(want.nonEmpty, "some customer-supplier balance pair within $1")
+  }
 }

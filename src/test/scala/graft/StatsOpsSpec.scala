@@ -330,6 +330,33 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(BigInt(rows.head.getLong(3)) == num * 1000000 / (BigInt(n) * tot), s"$seg replay")
   }
 
+  test("seasonal decomposition: additive identity, windowed trend, constant weekday effect") {
+    val rows = StatsOps.seasonalDecompose.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // per-row identity: 7000*c = 1000*trend7 + seasonal + residual
+    rows.foreach { case (t, day, c, tr, sea, res) =>
+      assert(7000L * c == 1000L * tr + sea + res, s"$t $day additive identity")
+    }
+    // trend is the true centered 7-day total
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate), r.getLong(2))).toMap
+    rows.foreach { case (t, day, _, tr, _, _) =>
+      val d0 = java.time.LocalDate.parse(day)
+      val win = (-3 to 3).flatMap(i => daily.get((t, d0.plusDays(i))))
+      assert(win.length == 7, s"$t $day full centered window")
+      assert(tr == win.sum, s"$t $day trend")
+    }
+    // seasonal is constant within (type, weekday)
+    rows.groupBy(r => (r._1, java.time.LocalDate.parse(r._2).getDayOfWeek))
+      .foreach { case (k, rs) =>
+        assert(rs.map(_._5).distinct.length == 1, s"$k one seasonal value")
+      }
+  }
+
   test("DES forecast replays Brown's truncated power-of-two kernel") {
     val rows = StatsOps.desForecast.run(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
