@@ -517,8 +517,46 @@ object MultimodalOps {
       .filter($"n_shared_frames" >= 3)
   }
 
+  /** Near-dup CLUSTER resolution for binary assets — the step after
+    * [[simhashPayload]]'s pair mining: connected components over the
+    * hamming≤1 pair graph (pointer-jumping CC, `LlmTextOps.clusterOf` — the
+    * same O(log diameter) machinery the text lane uses), labels = min
+    * doc_id. Emits only docs that appear in some pair: the dedup-actionable
+    * set ("keep cluster_id, drop the rest"), singletons stay out of the
+    * frame. Oracle is an independent recursive-CTE closure over the same
+    * quadratic pair set (the geo_cluster pattern). */
+  val neardupCluster: QueryDef = QueryDef(
+    "mm_neardup_cluster",
+    """WITH RECURSIVE g AS (SELECT doc_id, substr(text, i, 4) AS g
+      |           FROM documents, unnest(range(1, length(text) - 2)) AS t(i)
+      |           WHERE length(text) >= 4),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM g),
+      |""".stripMargin +
+      s"s AS (SELECT doc_id, ${LlmTextOps.simhashSumsSql} FROM h GROUP BY doc_id),\n" +
+      s"f AS (SELECT doc_id, (${LlmTextOps.simhashBitsSql}) AS simhash FROM s),\n" +
+      """p AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |      FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+        |d AS (SELECT da AS id FROM p UNION SELECT db AS id FROM p),
+        |e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db AS a, da AS b FROM p),
+        |reach AS (
+        |  SELECT id, id AS r FROM d
+        |  UNION
+        |  SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val pairs = graft.Caches.persist(
+      simhashPayloadOf(mediaTable(spark, dir)).select($"doc_a", $"doc_b"))
+    val docs = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+    LlmTextOps.clusterOf(pairs, docs)
+      .select($"doc_id", $"cluster_id").orderBy($"doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(bytesStats, metaFilter, frameSample, decodeMeta, features,
       payloadDedup, crossmodalFetch, shardAssign, simhashPayload,
-      sharedFrames)
+      sharedFrames, neardupCluster)
 }

@@ -123,6 +123,42 @@ object SqlOps {
         |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Correlated EXISTS / NOT EXISTS — the subquery form the `a1_*` family
+    * doesn't cover (it has IN / NOT-IN / scalar-MAX): big spenders who
+    * never placed an urgent order. One SQL string, valid in both engines;
+    * Catalyst rewrites the pair into a semi-join + anti-join on
+    * `o_custkey` — the planner-visible proof that textual EXISTS costs the
+    * same as the hand-built joins. */
+  val existsCorrelated: QueryDef = {
+    val text =
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin
+    sqlQuery("sql_exists_correlated", text, text)
+  }
+
+  /** Correlated SCALAR subqueries in the SELECT list — per-customer order
+    * count and max ticket inline, no explicit join written. COUNT over an
+    * empty correlation is 0 and MAX is NULL in both engines (the two
+    * edge semantics that differ across lesser SQL dialects, pinned here).
+    * Catalyst plans each as an aggregate + left join keyed o_custkey. */
+  val scalarCorrelated: QueryDef = {
+    val text =
+      """SELECT c_custkey,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       (SELECT round(max(o_totalprice), 2) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin
+    sqlQuery("sql_scalar_correlated", text, text)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(topOrders, aggPricing, ddlView, catalogTables, nativeFunction)
+    Seq(topOrders, aggPricing, ddlView, catalogTables, nativeFunction,
+      existsCorrelated, scalarCorrelated)
 }

@@ -198,4 +198,23 @@ class MultimodalOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((0L, 1L, 3L)), s"got $got")
   }
+
+  test("payload near-dup clusters are the transitive closure of the pair graph") {
+    val sf = "/root/testdata/sf0.01"
+    val pairs = MultimodalOps.simhashPayload.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus contains payload near-dups at sf0.01")
+    val out = MultimodalOps.neardupCluster.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // membership = exactly the docs in some pair
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(out.keySet == inPairs, "clustered docs = paired docs")
+    // union-find ground truth
+    val parent = scala.collection.mutable.Map(inPairs.map(d => d -> d).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    for (d <- inPairs)
+      assert(out(d) == find(d), s"doc $d component label")
+  }
 }

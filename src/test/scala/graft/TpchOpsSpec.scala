@@ -52,4 +52,49 @@ class TpchOpsSpec extends AnyFunSuite {
   test("queries and oracleSql keys line up") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("correlated EXISTS equals the hand-built semi/anti join composition") {
+    import org.apache.spark.sql.functions.col
+    val got = ops.SqlOps.existsCorrelated.run(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    val orders = io.Tables.orders(spark, sf)
+    val want = io.Tables.customer(spark, sf)
+      .join(orders.filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("uk")), col("c_custkey") === col("uk"), "left_anti")
+      .select(col("c_custkey")).orderBy(col("c_custkey"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want && got.nonEmpty, s"${got.size} vs ${want.size}")
+  }
+
+  test("correlated scalar subqueries match a groupBy recompute; empty gives 0/NULL") {
+    import org.apache.spark.sql.functions.{col, count, max, round => rnd}
+    val rows = ops.SqlOps.scalarCorrelated.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Double]("max_order")))).toSeq
+    val want = io.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(col("*")).as("n"), rnd(max(col("o_totalprice")), 2).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.length == io.Tables.customer(spark, sf).count())
+    rows.foreach { case (ck, n, m) =>
+      want.get(ck) match {
+        case Some((wn, wm)) => assert(n == wn && m.contains(wm), s"customer $ck")
+        case None => assert(n == 0L && m.isEmpty, s"orderless $ck gives 0/NULL")
+      }
+    }
+    // the empty-correlation edge, pinned on a fixture (every testdata
+    // customer has orders, so the edge can't be observed on real data)
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    Seq((1L, 10.0), (1L, 20.0)).toDF("k", "v").createOrReplaceTempView("t_fix_o")
+    Seq(Tuple1(1L), Tuple1(2L)).toDF("k").createOrReplaceTempView("t_fix_c")
+    val fix = spark.sql(
+      """SELECT c.k, (SELECT count(*) FROM t_fix_o o WHERE o.k = c.k) AS n,
+        |       (SELECT max(v) FROM t_fix_o o WHERE o.k = c.k) AS m
+        |FROM t_fix_c c ORDER BY c.k""".stripMargin).collect()
+    assert(fix(0).getLong(1) == 2L && fix(0).getDouble(2) == 20.0)
+    assert(fix(1).getLong(1) == 0L, "COUNT over empty correlation is 0")
+    assert(fix(1).isNullAt(2), "MAX over empty correlation is NULL")
+  }
 }
