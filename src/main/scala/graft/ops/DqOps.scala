@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -609,8 +610,61 @@ object DqOps {
     }
   }
 
+  /** Declarative VALIDATION-RULE engine: a fixed rule set (range checks,
+    * sign checks, and one cross-table temporal consistency rule — lineitem
+    * must not ship before its order date), each evaluated as a predicate
+    * aggregate, results unioned into one audit frame. The shape a data
+    * contract runs on every load: per-rule checked/violation counts, pass
+    * flag, one pass per table (the temporal rule rides an orderkey-keyed
+    * join). The range/domain rules pin zero violations on this data
+    * ([[pkUnique]]'s tripwire design) — while the temporal rule actually
+    * FIRES: the synthetic generator draws shipdate independently of
+    * orderdate, and the engine catching that is the point of the op. */
+  val ruleCheck: QueryDef = {
+    // (rule name, FROM clause, violation predicate)
+    val rules = Seq(
+      ("li_ship_after_order",
+        "lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey",
+        "l.l_shipdate < o.o_orderdate"),
+      ("li_discount_range", "lineitem", "l_discount < 0 OR l_discount > 0.1"),
+      ("li_quantity_positive", "lineitem", "l_quantity <= 0"),
+      ("li_tax_nonnegative", "lineitem", "l_tax < 0"),
+      ("ord_price_positive", "orders", "o_totalprice <= 0"),
+      ("cust_segment_known",
+        "customer",
+        "c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY')"))
+    val sql = rules.map { case (name, from, viol) =>
+      s"""SELECT '$name' AS rule, CAST(count(*) AS BIGINT) AS n_checked,
+         |       CAST(sum(CASE WHEN $viol THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         |       CAST(CASE WHEN sum(CASE WHEN $viol THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS passes
+         |FROM $from""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY rule"
+    QueryDef("dq_rule_check", sql) { (spark, dir) =>
+      def audit(name: String, df: DataFrame, viol: Column) =
+        df.agg(count(lit(1)).as("n_checked"),
+            sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit(name).as("rule"), $"n_checked", $"n_violations",
+            when($"n_violations" === 0, 1L).otherwise(0L).as("passes"))
+      val li = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir)
+      Seq(
+        audit("li_ship_after_order",
+          li.join(o, $"l_orderkey" === $"o_orderkey"),
+          $"l_shipdate" < $"o_orderdate"),
+        audit("li_discount_range", li,
+          $"l_discount" < 0 || $"l_discount" > 0.1),
+        audit("li_quantity_positive", li, $"l_quantity" <= 0),
+        audit("li_tax_nonnegative", li, $"l_tax" < 0),
+        audit("ord_price_positive", o, $"o_totalprice" <= 0),
+        audit("cust_segment_known", Tables.customer(spark, dir),
+          !$"c_mktsegment".isin("AUTOMOBILE", "BUILDING", "FURNITURE",
+            "HOUSEHOLD", "MACHINERY")),
+      ).reduce(_ unionAll _).orderBy($"rule")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift, kAnonymity,
       lDiversity, tCloseness, scd2Build, scd2Lookup, benford, typoPairs,
-      fdMine)
+      fdMine, ruleCheck)
 }

@@ -1087,8 +1087,57 @@ object GraphOps {
     acc.orderBy($"seed", $"step")
   }
 
+  /** Degree ASSORTATIVITY (Newman 2002): do high-degree parts co-occur
+    * with high-degree parts? Pearson correlation of endpoint degrees over
+    * the SYMMETRIZED edge list (each undirected edge contributes (dᵤ,dᵥ)
+    * and (dᵥ,dᵤ) — the standard treatment, which also makes the moment
+    * sums order-independent), computed from exact integer moments with
+    * one identically-parenthesized float at the end — the `stats_corr_
+    * moments` discipline applied to graph structure. The one-number
+    * summary of hub-vs-periphery mixing that degreeDist can't show. */
+  val assortativity: QueryDef = QueryDef(
+    "graph_assortativity",
+    s"""WITH $edgesSql,
+       |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS degree
+       |        FROM (SELECT p1 AS p FROM pairs UNION ALL SELECT p2 AS p FROM pairs)
+       |        GROUP BY p),
+       |de AS (SELECT d1.degree AS dx, d2.degree AS dy
+       |       FROM pairs JOIN deg d1 ON pairs.p1 = d1.p
+       |                  JOIN deg d2 ON pairs.p2 = d2.p),
+       |sym AS (SELECT dx, dy FROM de UNION ALL SELECT dy AS dx, dx AS dy FROM de),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+       |             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+       |             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+       |             CAST(sum(dy * dy) AS BIGINT) AS syy
+       |      FROM sym)
+       |SELECT n // 2 AS n_edges,
+       |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity
+       |FROM m""".stripMargin,
+  ) { (spark, dir) =>
+    val e = cooccurEdges(Tables.lineitem(spark, dir))
+    val deg = e.select($"p1".as("p")).union(e.select($"p2".as("p")))
+      .groupBy($"p").agg(count(lit(1)).as("degree"))
+    val de = e
+      .join(deg.select($"p".as("p1"), $"degree".as("dx")), "p1")
+      .join(deg.select($"p".as("p2"), $"degree".as("dy")), "p2")
+      .select($"dx", $"dy")
+    val sym = de.unionAll(de.select($"dy".as("dx"), $"dx".as("dy")))
+    sym.agg(count(lit(1)).as("n"), sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dy").as("sxy"), sum($"dx" * $"dx").as("sxx"),
+        sum($"dy" * $"dy").as("syy"))
+      .select(expr("n DIV 2").as("n_edges"),
+        expr("""round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)""")
+          .as("assortativity"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, personalizedPageRank, bfsLevels,
       adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore,
-      labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks)
+      labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks,
+      assortativity)
 }

@@ -1278,10 +1278,41 @@ object StatsOps {
       .orderBy($"event_type", $"day")
   }
 
+  /** Empirical-Bayes SHRINKAGE of per-customer urgent-order rates toward
+    * the global rate (beta-binomial posterior mean with prior strength
+    * k = 20): the denoising step every per-entity rate dashboard needs —
+    * a 2-order customer at 50% urgent must not outrank a 40-order one at
+    * 45%. shrunk = (x·10⁶ + k·m_ppm) DIV (n + k), all exact integers; the
+    * 1-row global rate re-enters by broadcast. The Bayesian sibling of
+    * [[targetEncode]]'s leave-one-out encoding. */
+  val ebShrinkage: QueryDef = QueryDef(
+    "stats_eb_shrinkage",
+    """WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+      |                    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      |             FROM orders GROUP BY 1),
+      |g AS (SELECT CAST(sum(x) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT) AS m_ppm FROM per)
+      |SELECT o_custkey, n, x,
+      |       x * 1000000 // n AS raw_ppm,
+      |       (x * 1000000 + 20 * g.m_ppm) // (n + 20) AS shrunk_ppm
+      |FROM per CROSS JOIN g
+      |ORDER BY o_custkey""".stripMargin,
+  ) { (spark, dir) =>
+    val per = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)).as("x"))
+    val g = per.agg(expr("sum(x) * 1000000 DIV sum(n)").as("m_ppm"))
+    per.crossJoin(broadcast(g))
+      .select($"o_custkey", $"n", $"x",
+        expr("x * 1000000 DIV n").as("raw_ppm"),
+        expr("(x * 1000000 + 20 * m_ppm) DIV (n + 20)").as("shrunk_ppm"))
+      .orderBy($"o_custkey")
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMoments, linreg, histogram, quantileBucket, profileOrders,
       madOutliers, chi2, ksTest, mannWhitney, targetEncode,
       weightedMedian, winsorize, cusumChange, autocorr, theilSen,
       bootstrapCi, weekdayAnova, kendallTau, spearman, runsTest,
-      giniSegment, ljungBox, desForecast, seasonalDecompose)
+      giniSegment, ljungBox, desForecast, seasonalDecompose, ebShrinkage)
 }

@@ -220,6 +220,27 @@ class DqOpsSpec extends AnyFunSuite {
     assert(want.nonEmpty, "sequentially-numbered names must yield ED=1 pairs")
   }
 
+  test("rule engine: healthy data passes the hard rules, accounting closes") {
+    val rows = DqOps.ruleCheck.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == 6)
+    val nLi = graft.io.Tables.lineitem(spark, sf).count()
+    // per-row rules check every lineitem; pass flag mirrors the count
+    for (rule <- Seq("li_discount_range", "li_quantity_positive", "li_tax_nonnegative")) {
+      val (checked, viol, pass) = rows(rule)
+      assert(checked == nLi, s"$rule checks every lineitem")
+      assert((viol == 0L) == (pass == 1L), s"$rule flag consistent")
+    }
+    // the temporal rule rides the join: one check per lineitem with an order
+    assert(rows("li_ship_after_order")._1 == nLi, "FK is complete in testdata")
+    // the synthetic generator draws shipdate independently of orderdate, so
+    // the temporal rule FIRES — the engine catching a real inconsistency
+    // (and the pass flag correctly reads failure)
+    assert(rows("li_ship_after_order")._2 > 0L, "rule detects time travel")
+    assert(rows("li_ship_after_order")._3 == 0L, "temporal rule fails loudly")
+    assert(rows("cust_segment_known")._2 == 0L, "segments from the known domain")
+  }
+
   test("FD mining: key dependency scores zero g3, accounting closes") {
     val rows = DqOps.fdMine.run(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1), r.getString(2)),

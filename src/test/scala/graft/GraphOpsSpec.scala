@@ -383,6 +383,27 @@ class GraphOpsSpec extends AnyFunSuite {
     // root 1 covers every node except the isolated key 0
     assert(rows(1L)._1 == cust.length - (if (rows.contains(0L)) 1 else 0))
   }
+
+  test("assortativity replays a driver-side Pearson over symmetrized edge degrees") {
+    val sf = "/root/testdata/sf0.001"
+    val row = GraphOps.assortativity.run(spark, sf).collect().head
+    val edges = GraphOps.cooccurEdges(graft.io.Tables.lineitem(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(row.getLong(0) == edges.length.toLong, "edge count")
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pts = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val syy = pts.map(p => p._2 * p._2).sum.toDouble
+    val want = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(row.getDouble(1) - want) < 1e-6, s"r = $want")
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+  }
 }
 
 /** Collects jaccardLinksOf output as (a,b) -> (n_common, jaccard). */

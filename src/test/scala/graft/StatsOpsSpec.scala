@@ -330,6 +330,27 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(BigInt(rows.head.getLong(3)) == num * 1000000 / (BigInt(n) * tot), s"$seg replay")
   }
 
+  test("EB shrinkage pulls small samples toward the global rate, large ones stay") {
+    val rows = StatsOps.ebShrinkage.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val totN = rows.map(_._2).sum
+    val m = rows.map(_._3).sum * 1000000L / totN
+    rows.foreach { case (ck, n, x, raw, shrunk) =>
+      assert(raw == x * 1000000L / n, s"$ck raw rate")
+      assert(shrunk == (x * 1000000L + 20L * m) / (n + 20L), s"$ck posterior mean")
+      // shrunk lies between the raw rate and the global mean (floor slack 1)
+      assert(shrunk >= math.min(raw, m) - 1 && shrunk <= math.max(raw, m) + 1,
+        s"$ck between raw and prior")
+    }
+    // a customer with few orders moves closer to m than one with many
+    val small = rows.filter(_._2 <= 2).map(r => math.abs(r._5 - m).toDouble / math.max(1, math.abs(r._4 - m)))
+    val big = rows.filter(_._2 >= 15).map(r => math.abs(r._5 - m).toDouble / math.max(1, math.abs(r._4 - m)))
+    if (small.nonEmpty && big.nonEmpty)
+      assert(small.sum / small.length < big.sum / big.length + 0.5,
+        "shrinkage strength decreases with sample size")
+  }
+
   test("seasonal decomposition: additive identity, windowed trend, constant weekday effect") {
     val rows = StatsOps.seasonalDecompose.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
