@@ -47,7 +47,18 @@ object Caches {
     * plan several times) — and track the backing checkpoint RDD so
     * [[release]] frees its blocks like any other registration. On a real
     * cluster a reliable `checkpoint()` to durable storage would be the
-    * executor-loss-safe variant; the truncation role is identical. */
+    * executor-loss-safe variant; the truncation role is identical.
+    *
+    * The checkpointed frame is then REBUILT WITHOUT the origin statistics
+    * `Dataset.localCheckpoint` carries over: those stats are the truncated
+    * plan's `sizeInBytes`, so in a loop they COMPOUND (k plan references →
+    * ~k× the DIGITS per round; measured 182k-digit BigInts by round 10 of
+    * a 3-reference loop) and Catalyst's size-only stats visitor ends up
+    * multiplying astronomical BigIntegers on every broadcast-size probe —
+    * in `geo_msf` (nested iteration) planning alone cost 20+ minutes at
+    * sf0.1. Stat-less loop state instead relies on explicit `broadcast()`
+    * hints and AQE runtime sizes — the correct sizing authority for
+    * iterative state anyway. See [[org.apache.spark.sql.GraftShim]]. */
   def localCheckpoint(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
     cp.queryExecution.logical match {
@@ -55,7 +66,7 @@ object Caches {
         scopes.get.head.rdds += l.rdd
       case _ => ()
     }
-    cp
+    org.apache.spark.sql.GraftShim.withoutOriginStats(cp)
   }
 
   /** Unpersist everything the calling thread registered since its last

@@ -7,11 +7,13 @@ import org.apache.spark.sql.SparkSession
   * silently drift from the registry — round-5 advice). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.local("8")
-    val dir = "/root/testdata/sf0.01"
-    Seq("graph_adamic_adar_capped", "llm_ann_ivf_trained").foreach { name =>
-      println(s"=== $name ===")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    val spark = Sessions.local()
+    val dir = sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.1")
+    Seq("geo_msf", "geo_cluster", "llm_dedup_cluster").foreach { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(f"[probe] $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      Caches.release()
     }
     spark.stop()
   }
