@@ -222,7 +222,7 @@ object ClassifierOps {
         s"""
            |SELECT CAST($r AS BIGINT) AS round,
            |       round(CAST(sum(CAST(floor(-(y * ln($clampSql) + (1 - y) * ln(1 - $clampSql)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / nd.nd / 1000000.0, 6) AS logloss,
-           |       sum(CASE WHEN CAST(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS BIGINT) = y THEN 1 ELSE 0 END) AS n_correct,
+           |       CAST(sum(CASE WHEN CAST(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS BIGINT) = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
            |       round(CAST(sum(CASE WHEN CAST(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS BIGINT) = y THEN 1 ELSE 0 END) AS DOUBLE) / nd.nd, 6) AS accuracy
            |FROM s$r, nd GROUP BY nd.nd""".stripMargin
       }.mkString("\nUNION ALL") + "\nORDER BY round",

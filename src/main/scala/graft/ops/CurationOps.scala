@@ -125,8 +125,8 @@ object CurationOps {
        |        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
        |                          ORDER BY c DESC, w1 ASC, w2 ASC) AS rk FROM bc)
        |        WHERE rk = 1),
-       |ag AS (SELECT doc_id, sum(c) AS n_bigrams,
-       |              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_n
+       |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_n
        |       FROM bc GROUP BY 1)
        |SELECT uni.doc_id, uni.n_words, uni.n_distinct_words,
        |       round(1.0 - CAST(uni.n_distinct_words AS DOUBLE) / uni.n_words, 6) AS dup_word_frac,

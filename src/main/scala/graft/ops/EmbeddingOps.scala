@@ -1375,7 +1375,7 @@ object EmbeddingOps {
          |qt AS (SELECT s.vec_id AS q_id, s.m, cb.cell,
          |              CAST(floor(${d2Sql("s.sv", "cb.cv")} * 1000000.0 + 0.5) AS BIGINT) AS d_e6
          |       FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < $NQueries),
-         |ad AS (SELECT qt.q_id, enc.vec_id, sum(qt.d_e6) AS adc_e6
+         |ad AS (SELECT qt.q_id, enc.vec_id, CAST(sum(qt.d_e6) AS BIGINT) AS adc_e6
          |       FROM enc JOIN qt ON enc.m = qt.m AND enc.code = qt.cell
          |       WHERE qt.q_id <> enc.vec_id GROUP BY 1, 2),
          |r AS (SELECT q_id, vec_id, adc_e6,
@@ -1433,7 +1433,7 @@ object EmbeddingOps {
          |qt AS (SELECT s.vec_id AS q_id, s.m, cb.cell,
          |              CAST(floor(${d2Sql("s.sv", "cb.cv")} * 1000000.0 + 0.5) AS BIGINT) AS d_e6
          |       FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < $NQueries),
-         |ad AS (SELECT c.q_id, c.vec_id, sum(qt.d_e6) AS adc_e6
+         |ad AS (SELECT c.q_id, c.vec_id, CAST(sum(qt.d_e6) AS BIGINT) AS adc_e6
          |       FROM cand c JOIN enc ON enc.vec_id = c.vec_id
          |            JOIN qt ON qt.q_id = c.q_id AND qt.m = enc.m AND qt.cell = enc.code
          |       GROUP BY 1, 2),
@@ -1482,7 +1482,7 @@ object EmbeddingOps {
          |qt AS (SELECT s.vec_id AS q_id, s.m, cb.cell,
          |              CAST(floor(${d2Sql("s.sv", "cb.cv")} * 1000000.0 + 0.5) AS BIGINT) AS d_e6
          |       FROM sub s JOIN cb ON s.m = cb.m WHERE s.vec_id < $NQueries),
-         |ad AS (SELECT qt.q_id, enc.vec_id, sum(qt.d_e6) AS adc_e6
+         |ad AS (SELECT qt.q_id, enc.vec_id, CAST(sum(qt.d_e6) AS BIGINT) AS adc_e6
          |       FROM enc JOIN qt ON enc.m = qt.m AND enc.code = qt.cell
          |       WHERE qt.q_id <> enc.vec_id GROUP BY 1, 2),
          |r AS (SELECT q_id, vec_id,
@@ -1743,7 +1743,7 @@ object EmbeddingOps {
     }.mkString
     val tail = "\nSELECT 1 AS step, vec_id, CAST(0 AS BIGINT) AS d2_at_pick FROM c1" +
       (2 to K).map(k =>
-        s"\nUNION ALL SELECT $k, vec_id, mind FROM c$k").mkString +
+        s"\nUNION ALL SELECT $k, vec_id, CAST(mind AS BIGINT) FROM c$k").mkString +
       s"\nUNION ALL SELECT ${K + 1}, CAST(-1 AS BIGINT), CAST(max(mind) AS BIGINT) FROM m$K" +
       "\nORDER BY step"
     QueryDef("llm_kcenter_coreset", head + stages + tail) { (spark, dir) =>

@@ -397,7 +397,7 @@ object PerplexityOps {
          |                   ELSE round(exp(-(CAST(pd.mq AS DOUBLE) / 1000000.0)), 4) END AS ppl
          |       FROM nt LEFT JOIN pd ON nt.doc_id = pd.doc_id
          |                LEFT JOIN tc ON nt.doc_id = tc.doc_id),
-         |pb AS (SELECT phase, sum(n_tokens) AS phase_tokens FROM ph GROUP BY 1)
+         |pb AS (SELECT phase, CAST(sum(n_tokens) AS BIGINT) AS phase_tokens FROM ph GROUP BY 1)
          |SELECT ph.doc_id, ph.phase, ph.ppl, ph.n_tokens, pb.phase_tokens
          |FROM ph JOIN pb USING (phase) ORDER BY ph.doc_id""".stripMargin,
   ) { (spark, dir) =>

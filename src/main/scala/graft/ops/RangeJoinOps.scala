@@ -143,7 +143,8 @@ object RangeJoinOps {
        |vs AS (SELECT user_id, sess, min(ts) AS s_start, max(ts) AS s_end
        |       FROM (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess FROM vg)
        |       GROUP BY 1, 2)
-       |SELECT cs.user_id, cs.sess AS click_sess, vs.sess AS view_sess,
+       |SELECT cs.user_id, CAST(cs.sess AS BIGINT) AS click_sess,
+       |       CAST(vs.sess AS BIGINT) AS view_sess,
        |       CAST(least(epoch_us(cs.s_end), epoch_us(vs.s_end))
        |            - greatest(epoch_us(cs.s_start), epoch_us(vs.s_start)) AS BIGINT) AS overlap_us
        |FROM cs JOIN vs ON cs.user_id = vs.user_id

@@ -334,7 +334,7 @@ object StatsOps {
       |c AS (SELECT v, sum(na) OVER (ORDER BY v) AS cna,
       |             sum(nb) OVER (ORDER BY v) AS cnb
       |      FROM g),
-      |d AS (SELECT max(abs(cna * t.tb - cnb * t.ta)) AS dnum FROM c, t)
+      |d AS (SELECT CAST(max(abs(cna * t.tb - cnb * t.ta)) AS BIGINT) AS dnum FROM c, t)
       |SELECT t.ta AS n_a, t.tb AS n_b, d.dnum AS d_num,
       |       round(CAST(d.dnum AS DOUBLE) / (t.ta * t.tb), 6) AS d_stat,
       |       round(1.358 * sqrt(CAST(t.ta + t.tb AS DOUBLE) / (t.ta * t.tb)), 6) AS crit_005,
@@ -1243,14 +1243,14 @@ object StatsOps {
       |                            RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
       |      FROM d),
       |f AS (SELECT event_type, day, wd, c, CAST(trend7 AS BIGINT) AS trend7,
-      |             7 * c - trend7 AS det_x7
+      |             CAST(7 * c - trend7 AS BIGINT) AS det_x7
       |      FROM t WHERE cnt7 = 7),
       |sea AS (SELECT event_type, wd,
       |               CAST(sum(det_x7) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS seasonal_x7_milli
       |        FROM f GROUP BY 1, 2)
       |SELECT f.event_type AS event_type, f.day AS day, f.c AS c, f.trend7 AS trend7_sum,
       |       sea.seasonal_x7_milli AS seasonal_x7_milli,
-      |       f.det_x7 * 1000 - sea.seasonal_x7_milli AS residual_x7_milli
+      |       CAST(f.det_x7 * 1000 - sea.seasonal_x7_milli AS BIGINT) AS residual_x7_milli
       |FROM f JOIN sea ON f.event_type = sea.event_type AND f.wd = sea.wd
       |ORDER BY event_type, day""".stripMargin,
   ) { (spark, dir) =>

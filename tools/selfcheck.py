@@ -163,6 +163,23 @@ def eq(a: pd.DataFrame, b: pd.DataFrame) -> bool:
         return False
 
 
+def dtype_drift(got: pd.DataFrame, want: pd.DataFrame) -> list:
+    """Columns whose dtype KIND (int/uint vs float vs other) disagrees.
+
+    The driver's hash is type-sensitive (round-10 verdict: DuckDB widens
+    SUM(BIGINT)/window SUM/HUGEINT-propagating arithmetic to HUGEINT, which
+    pandas renders float64 while Spark emits int64 — 42 hashes != 42.0).
+    `check_dtype=False` above is still right for int32-vs-int64 width, but a
+    kind mismatch MUST fail locally or the class ships red to the driver.
+    """
+    def kind(d):
+        k = d.kind
+        return "i" if k in "iu" else ("f" if k == "f" else "o")
+    return [f"{c}: spark={got[c].dtype} oracle={want[c].dtype}"
+            for c in got.columns
+            if c in want.columns and kind(got[c].dtype) != kind(want[c].dtype)]
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -191,9 +208,23 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"  [rows-only] {name}: {len(got)} rows")
             continue
         try:
-            want = norm(con.sql(oracle.get(name) or REF_ORACLES[name]).df())
+            rel = con.sql(oracle.get(name) or REF_ORACLES[name])
+            huge = [f"{c} ({t})" for c, t in zip(rel.columns, map(str, rel.types))
+                    if "HUGEINT" in str(t)]
+            want = norm(rel.df())
         except Exception as e:
             print(f"  [FAIL-ORACLE-SQL] {name}: {e}")
+            n_fail += 1
+            continue
+        if huge:
+            # HUGEINT never survives the driver's type-sensitive hash —
+            # CAST(... AS BIGINT) the oracle column (values always fit).
+            print(f"  [FAIL-DTYPE] {name}: HUGEINT oracle column(s): {', '.join(huge)}")
+            n_fail += 1
+            continue
+        drift = dtype_drift(got, want)
+        if drift:
+            print(f"  [FAIL-DTYPE] {name}: dtype-kind drift: {'; '.join(drift)}")
             n_fail += 1
             continue
         ordered = eq(got, want)
