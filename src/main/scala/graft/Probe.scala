@@ -1,18 +1,17 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
-/** Dev-only scratch main: schema/behavior probes against the testdata.
-  * Probes run the SHIPPED registered queries (not hand-copied twins, which
-  * silently drift from the registry — round-5 advice). */
+/** Dev scratch main — not part of the library surface. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
-    val dir = sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.1")
-    Seq("geo_msf", "geo_cluster", "llm_dedup_cluster").foreach { name =>
+    val dir = "/root/testdata/sf0.1"
+    graft.SparkEntry.queries("llm_exact_dedup")(spark, dir).count()
+    Caches.release()
+    for (q <- Seq("llm_dedup_cluster", "llm_dedup_cluster_ls", "llm_dedup_cluster_ls", "mm_neardup_cluster",
+                  "llm_embed_dedup_cluster", "graph_components", "geo_cluster", "geo_msf")) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
-      println(f"[probe] $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      println(f"PROBE $q rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       Caches.release()
     }
     spark.stop()

@@ -1147,21 +1147,29 @@ object LlmTextOps {
     var converged = nEdges == 0L
     var iter = 0
     while (!converged && iter < MaxLsRounds) {
-      // large-star over both orientations
+      // Each star step is ONE window over the step's grouping key instead
+      // of a groupBy-min joined back to the edges: the min-per-node map is
+      // VERTEX-sized, so hinting it broadcast would lie at corpus scale,
+      // and as a join it costs two shuffles (agg + join probe) against the
+      // window's one. Loop state is stat-less (Caches.localCheckpoint →
+      // GraftShim), so without this the planner shuffle-joined every round
+      // — the round-10 cluster_ls 5× regression.
+      // large-star over both orientations: m = min({u} ∪ N(u))
       val und = e.select($"a".as("u"), $"b".as("v"))
         .union(e.select($"b".as("u"), $"a".as("v")))
-      val lMin = und.groupBy($"u").agg(min($"v").as("mv"))
-        .select($"u", least($"mv", $"u").as("m"))
-      val ls = und.filter($"v" > $"u")
-        .join(lMin, "u")
+      // no intermediate distinct: window MIN is duplicate-blind and the
+      // round-final distinct dedups the whole edge set, so the only
+      // shuffles per round are the two window keys + that one distinct
+      val ls = und
+        .withColumn("m", least(min($"v").over(Window.partitionBy($"u")), $"u"))
+        .filter($"v" > $"u")
         .select($"v".as("a"), $"m".as("b"))
-        .distinct()
-      // small-star over the (hi, lo) edges large-star produced
-      val sMin = ls.groupBy($"a").agg(min($"b").as("m"))
+      // small-star over the (hi, lo) edges large-star produced: every lo
+      // re-links to m = min(N_down(hi)), and each hi keeps (hi, m)
+      val sm = ls.withColumn("m", min($"b").over(Window.partitionBy($"a")))
       val next = graft.Caches.localCheckpoint(
-        ls.join(sMin, "a")
-          .select($"b".as("n"), $"m")
-          .union(sMin.select($"a".as("n"), $"m"))
+        sm.select($"b".as("n"), $"m")
+          .union(sm.select($"a".as("n"), $"m"))
           .filter($"n" =!= $"m")
           .select($"n".as("a"), $"m".as("b"))
           .distinct())
