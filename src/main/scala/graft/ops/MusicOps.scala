@@ -362,11 +362,19 @@ object MusicOps {
     val timed = listens.filter($"listen_day".isNotNull)
       .select($"user_id", $"song_id", $"listen_day").distinct()
     val u1 = timed.select($"user_id", $"listen_day").distinct()
-    val r = timed.select($"user_id".as("r_user"), $"song_id".as("r_song"),
-      $"listen_day".as("r_day"))
+    // Candidate = "some OTHER user listened to the song that day". Joining
+    // (user, day) against per-LISTEN rows is quadratic in per-day listen
+    // density (31.6× at the 10× rehearsal); pre-aggregate to one row per
+    // (day, song) instead — n_listeners plus min/max listener decide the
+    // user≠listener test exactly (n≥2 ⇒ min≠max ⇒ someone differs from any
+    // u; n=1 ⇒ compare the one listener), and the day-keyed join side
+    // shrinks from listens-per-day to catalog-per-day.
+    val sd = timed.groupBy($"listen_day", $"song_id".as("rec"))
+      .agg(min($"user_id").as("u_min"), max($"user_id").as("u_max"))
     val cand = u1
-      .join(r, $"listen_day" === $"r_day" && $"user_id" =!= $"r_user")
-      .select($"user_id", $"r_song".as("rec")).distinct()
+      .join(sd, "listen_day")
+      .filter($"u_min" =!= $"user_id" || $"u_max" =!= $"user_id")
+      .select($"user_id", $"rec").distinct()
     val owned = listens.select(
       $"user_id".as("x_user"), $"song_id".as("x_song"))
     cand
