@@ -174,11 +174,34 @@ object GeoOps {
     * the loop is ever quadratic — candidate edges come from the same grid
     * join as `geo_grid_pairs`.
     *
-    * Registered rows-only: an MST is an algorithm, not a SQL view —
-    * DuckDB can't replay it; GeoOpsSpec pins the full edge set against
-    * driver-side Kruskal and the forest-size invariant |V| − |components|.
-    */
-  val msf: QueryDef = QueryDef.rowsOnly("geo_msf") { (spark, dir) =>
+    * The oracle replays KRUSKAL through the cycle property instead of the
+    * rounds: rank every candidate edge by the same (w, a, b) total order;
+    * an edge belongs to the UNIQUE forest iff its endpoints are not
+    * connected using strictly smaller-ranked edges (exactly Kruskal's
+    * acceptance test, so the independent plan must reproduce Borůvka's
+    * edge set bit-for-bit). One recursive CTE carries (edge_rank,
+    * reachable_node) states — per-component quadratic, fine for an oracle,
+    * never for the engine. GeoOpsSpec additionally pins driver-side
+    * Kruskal and the forest-size invariant |V| − |components|. */
+  val msf: QueryDef = QueryDef(
+    "geo_msf",
+    s"""WITH RECURSIVE $pointsSql,
+       |p AS (SELECT a.id AS ea, b.id AS eb,
+       |             (a.ux - b.ux) * (a.ux - b.ux) + (a.uy - b.uy) * (a.uy - b.uy) AS w
+       |      FROM pts a JOIN pts b ON a.id < b.id
+       |      WHERE (a.ux - b.ux) * (a.ux - b.ux)
+       |            + (a.uy - b.uy) * (a.uy - b.uy) <= $Radius2),
+       |ed AS (SELECT ea, eb, w, row_number() OVER (ORDER BY w, ea, eb) AS k FROM p),
+       |e2 AS (SELECT k, ea AS u, eb AS v FROM ed UNION ALL SELECT k, eb, ea FROM ed),
+       |reach AS (
+       |  SELECT k AS eid, ea AS node FROM ed
+       |  UNION
+       |  SELECT r.eid, s.v AS node FROM reach r JOIN e2 s ON s.u = r.node AND s.k < r.eid
+       |)
+       |SELECT t.ea AS a, t.eb AS b, t.w
+       |FROM ed t WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.eid = t.k AND r.node = t.eb)
+       |ORDER BY a, b""".stripMargin,
+  ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val pts = points(spark, dir)
     val edges = graft.Caches.persist(
