@@ -528,6 +528,69 @@ object PerplexityOps {
       .orderBy($"doc_id")
   }
 
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3), the
+    * arrangement the released CommonCrawl snapshots actually ship in:
+    * within each LANGUAGE, split scored documents into perplexity thirds
+    * by two per-language thresholds — head (most fluent) trains first /
+    * survives strictest filtering, tail is usually dropped. This is the
+    * per-language twin of [[curriculum]]'s corpus-global phases: a
+    * multilingual corpus bucketed globally drowns low-resource languages
+    * in the tail because LM scores aren't comparable across languages;
+    * CCNet's per-language thresholds are the fix, and the `lang` column
+    * is exactly the partition that makes them computable.
+    *
+    * Buckets come from per-language QUANTILE THRESHOLDS (the paper's
+    * arrangement), not a per-language ntile: at 100 TB a per-language
+    * ranked window is a giant single-partition sort per language, while
+    * two thresholds per language are a tiny aggregate broadcast back to a
+    * map-only compare — the same exact-percentile caveat as
+    * [[perplexity]]'s decile flag (per-doc 8-byte `mq`s buffer on one
+    * aggregator; swap in `percentile_approx` at sketch-tolerant scale).
+    * Determinism: thresholds interpolate over exact-integer `mq`s from
+    * the identical 17-significant-digit fraction literals, so both
+    * engines compare the same doubles (`sketch_percentile_exact`
+    * precedent); docs with no bigrams are unscored and excluded by the
+    * LM, same as every lane on this file. */
+  val ccnetBuckets: QueryDef = QueryDef(
+    "llm_ccnet_buckets",
+    lmCtes + pdCtes +
+      """,
+        |pl AS (SELECT pd.doc_id, d.lang, pd.mq
+        |       FROM pd JOIN documents d USING (doc_id)),
+        |lt AS (SELECT lang,
+        |              quantile_cont(CAST(mq AS DOUBLE), 0.6666666666666666) AS t_head,
+        |              quantile_cont(CAST(mq AS DOUBLE), 0.3333333333333333) AS t_mid
+        |       FROM pl GROUP BY lang),
+        |lb AS (SELECT pl.doc_id, pl.lang,
+        |              CASE WHEN CAST(pl.mq AS DOUBLE) >= lt.t_head THEN 'head'
+        |                   WHEN CAST(pl.mq AS DOUBLE) >= lt.t_mid THEN 'middle'
+        |                   ELSE 'tail' END AS bucket,
+        |              round(exp(-(CAST(pl.mq AS DOUBLE) / 1000000.0)), 4) AS ppl
+        |       FROM pl JOIN lt USING (lang)),
+        |bc AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS bucket_docs
+        |       FROM lb GROUP BY 1, 2)
+        |SELECT lb.doc_id, lb.lang, lb.bucket, lb.ppl, bc.bucket_docs
+        |FROM lb JOIN bc USING (lang, bucket) ORDER BY lb.doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val pl = pdOf(scoredBigrams(docs))
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val lt = pl.groupBy($"lang").agg(
+      percentile($"mq", lit(0.6666666666666666)).as("t_head"),
+      percentile($"mq", lit(0.3333333333333333)).as("t_mid"))
+    val lb = pl.join(broadcast(lt), "lang")
+      .select($"doc_id", $"lang",
+        when($"mq".cast("double") >= $"t_head", "head")
+          .when($"mq".cast("double") >= $"t_mid", "middle")
+          .otherwise("tail").as("bucket"),
+        round(exp(-($"mq".cast("double") / 1000000.0)), 4).as("ppl"))
+    val bc = lb.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("bucket_docs"))
+    lb.join(broadcast(bc), Seq("lang", "bucket"))
+      .select($"doc_id", $"lang", $"bucket", $"ppl", $"bucket_docs")
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(perplexity, perplexityXval, perplexityKn,
-    bigramLm, ngramNovelty, curriculum, mooreLewis)
+    bigramLm, ngramNovelty, curriculum, mooreLewis, ccnetBuckets)
 }

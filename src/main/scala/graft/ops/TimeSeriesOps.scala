@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -491,9 +491,96 @@ object TimeSeriesOps {
       .orderBy($"event_type", $"hr")
   }
 
+  /** Pruning-effectiveness readout for the Z-order layout: cut the SAME
+    * rows into 64 equal-count "files" twice — once in Morton-key order
+    * ([[zorderKey]]'s curve over (user_id, day-of-year)), once in plain
+    * time order — record each file's min/max footprint on both
+    * dimensions (exactly the parquet footer stats a scan planner reads),
+    * and report how much of the table a fixed band predicate on EACH
+    * dimension alone must scan under each layout. This turns
+    * ZOrderSpec's layout property into an oracle-checked registry row,
+    * and the 2×2 readout is the whole argument for the curve: time
+    * order prunes its leading dimension perfectly and the other not at
+    * all, while z-order gives every file a compact rectangle-ish
+    * footprint so min/max stats prune BOTH dimensions; the matched row
+    * counts are layout-invariant (sanity columns).
+    *
+    * Scale shape: the ranked ntile stands in for the writer's
+    * `repartitionByRange(files, z)` (one range shuffle at any scale —
+    * the readout's global window is the oracle-able local form); the
+    * per-file stats are one grouped aggregate, file-count-sized; the
+    * scan accounting is arithmetic over 2×64 stat rows. All integer
+    * min/max/count math end-to-end. */
+  val zorderPrune: QueryDef = QueryDef(
+    "a4_zorder_prune", {
+      val z = graft.io.ZOrder.mortonKeySql("user_id", "dayofyear(ts)", 10)
+      s"""WITH b AS (
+         |  SELECT user_id, dayofyear(ts) AS doy,
+         |         ntile(64) OVER (ORDER BY $z, event_id) AS zf,
+         |         ntile(64) OVER (ORDER BY ts, event_id) AS tf
+         |  FROM events),
+         |f AS (
+         |  SELECT 'zorder' AS layout, zf AS file_id, min(user_id) AS u_lo,
+         |         max(user_id) AS u_hi, min(doy) AS d_lo, max(doy) AS d_hi,
+         |         count(*) AS n_rows,
+         |         CAST(sum(CASE WHEN user_id BETWEEN 40 AND 49 THEN 1 ELSE 0 END) AS BIGINT) AS u_match,
+         |         CAST(sum(CASE WHEN doy BETWEEN 10 AND 12 THEN 1 ELSE 0 END) AS BIGINT) AS d_match
+         |  FROM b GROUP BY zf
+         |  UNION ALL
+         |  SELECT 'time', tf, min(user_id), max(user_id), min(doy), max(doy),
+         |         count(*),
+         |         CAST(sum(CASE WHEN user_id BETWEEN 40 AND 49 THEN 1 ELSE 0 END) AS BIGINT),
+         |         CAST(sum(CASE WHEN doy BETWEEN 10 AND 12 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM b GROUP BY tf),
+         |p AS (
+         |  SELECT layout, 'user_40_49' AS predicate, file_id, n_rows,
+         |         CASE WHEN u_hi < 40 OR u_lo > 49 THEN 1 ELSE 0 END AS pruned,
+         |         u_match AS n_match
+         |  FROM f
+         |  UNION ALL
+         |  SELECT layout, 'day_10_12', file_id, n_rows,
+         |         CASE WHEN d_hi < 10 OR d_lo > 12 THEN 1 ELSE 0 END,
+         |         d_match
+         |  FROM f)
+         |SELECT layout, predicate, CAST(count(*) AS BIGINT) AS n_files,
+         |       CAST(sum(pruned) AS BIGINT) AS n_pruned,
+         |       CAST(sum(CASE WHEN pruned = 1 THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+         |       CAST(sum(n_match) AS BIGINT) AS rows_matched
+         |FROM p GROUP BY layout, predicate ORDER BY layout, predicate""".stripMargin
+    },
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", dayofyear($"ts").cast("long").as("doy"),
+        graft.io.ZOrder.mortonKey($"user_id", dayofyear($"ts"), 10).as("z"),
+        $"ts")
+    val b = ev
+      .withColumn("zf", ntile(64).over(Window.orderBy($"z", $"event_id")))
+      .withColumn("tf", ntile(64).over(Window.orderBy($"ts", $"event_id")))
+    def files(layout: String, fid: Column) = b
+      .groupBy(fid.as("file_id"))
+      .agg(min($"user_id").as("u_lo"), max($"user_id").as("u_hi"),
+        min($"doy").as("d_lo"), max($"doy").as("d_hi"),
+        count(lit(1)).as("n_rows"),
+        sum($"user_id".between(40, 49).cast("long")).as("u_match"),
+        sum($"doy".between(10, 12).cast("long")).as("d_match"))
+      .withColumn("layout", lit(layout))
+    val f = files("zorder", $"zf").unionAll(files("time", $"tf"))
+    def per(pred: String, prunedC: Column, matchC: Column) = f
+      .select($"layout", lit(pred).as("predicate"), $"n_rows",
+        prunedC.cast("long").as("pruned"), matchC.as("n_match"))
+    per("user_40_49", $"u_hi" < 40 || $"u_lo" > 49, $"u_match")
+      .unionAll(per("day_10_12", $"d_hi" < 10 || $"d_lo" > 12, $"d_match"))
+      .groupBy($"layout", $"predicate")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"pruned").as("n_pruned"),
+        sum(when($"pruned" === 1, 0L).otherwise($"n_rows")).as("rows_scanned"),
+        sum($"n_match").as("rows_matched"))
+      .orderBy($"layout", $"predicate")
+  }
+
   val all: Seq[QueryDef] = Seq(
     hourlyDedup, pointRead, daySlice, rangeMax, dailyMax, zorderKey, gapFill,
     funnel, retention, zscoreOutliers, patternMatch, rollingDistinct,
-    ohlcBars,
+    ohlcBars, zorderPrune,
   )
 }
