@@ -571,8 +571,11 @@ object PerplexityOps {
         |       FROM lb GROUP BY 1, 2)
         |SELECT lb.doc_id, lb.lang, lb.bucket, lb.ppl, bc.bucket_docs
         |FROM lb JOIN bc USING (lang, bucket) ORDER BY lb.doc_id""".stripMargin,
-  ) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
+  ) { (spark, dir) => ccnetBucketsOf(Tables.documents(spark, dir)) }
+
+  /** [[ccnetBuckets]] over any (doc_id, text, lang) frame — split out for
+    * the planted-fluency spec. */
+  private[graft] def ccnetBucketsOf(docs: DataFrame): DataFrame = {
     val pl = pdOf(scoredBigrams(docs))
       .join(docs.select($"doc_id", $"lang"), "doc_id")
     val lt = pl.groupBy($"lang").agg(

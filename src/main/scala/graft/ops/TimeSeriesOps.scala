@@ -548,8 +548,12 @@ object TimeSeriesOps {
          |       CAST(sum(n_match) AS BIGINT) AS rows_matched
          |FROM p GROUP BY layout, predicate ORDER BY layout, predicate""".stripMargin
     },
-  ) { (spark, dir) =>
-    val ev = Tables.events(spark, dir)
+  ) { (spark, dir) => zorderPruneOf(Tables.events(spark, dir)) }
+
+  /** [[zorderPrune]] over any (event_id, user_id, ts) frame — split out
+    * for the planted-grid spec. */
+  private[graft] def zorderPruneOf(events: DataFrame): DataFrame = {
+    val ev = events
       .select($"event_id", $"user_id", dayofyear($"ts").cast("long").as("doy"),
         graft.io.ZOrder.mortonKey($"user_id", dayofyear($"ts"), 10).as("z"),
         $"ts")

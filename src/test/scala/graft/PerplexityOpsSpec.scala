@@ -196,4 +196,52 @@ class PerplexityOpsSpec extends AnyFunSuite {
       val p = r.getAs[Double]("ppl"); p > 0.0 && !p.isInfinite && !p.isNaN
     })
   }
+
+  /** ccnetBuckets on a planted bilingual corpus: within each language the
+    * head bucket's perplexity upper-bounds the tail's lower bound (the
+    * thresholds split by fluency), every scored doc lands in exactly one
+    * bucket, and bucket_docs tallies agree with the per-(lang, bucket)
+    * row counts. */
+  test("ccnet buckets split each language by its own perplexity thirds") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def mk(lang: String, base: Int, texts: Seq[String]) =
+      texts.zipWithIndex.map { case (t, i) => ((base + i).toLong, t, lang) }
+    // language A: nine docs, three clearly-repetitive (fluent under the
+    // corpus LM), three mixed, three near-unique token streams
+    val aDocs = mk("aa", 0, Seq(
+      "the cat sat on the mat", "the cat sat on the mat",
+      "the cat sat on the mat", "the dog sat on the mat",
+      "a dog ran by the mat", "the cat ran by a rug",
+      "qq ww ee rr tt yy", "uu ii oo pp aa ss", "dd ff gg hh jj kk"))
+    // language B: same construction, disjoint vocabulary
+    val bDocs = mk("bb", 100, Seq(
+      "le chat dort sur le tapis", "le chat dort sur le tapis",
+      "le chat dort sur le tapis", "le chien dort sur le tapis",
+      "un chien court sur le sol", "le chat court sur un sol",
+      "zz xx cc vv bb nn", "mm qa ws ed rf tv", "yh uj ik ol pz ax"))
+    val docs = (aDocs ++ bDocs).toDF("doc_id", "text", "lang")
+    val rows = PerplexityOps.ccnetBucketsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.length == 18, "every doc has bigrams and is scored once")
+    for (lang <- Seq("aa", "bb")) {
+      val perLang = rows.filter(_._2 == lang)
+      val byBucket = perLang.groupBy(_._3).view.mapValues(_.toSeq).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"))
+      // tallies match the carried bucket_docs column
+      byBucket.foreach { case (_, rs) =>
+        assert(rs.forall(_._5 == rs.size.toLong))
+      }
+      // fluency ordering: head is the LOW-perplexity third
+      assert(byBucket("head").map(_._4).max
+        <= byBucket("middle").map(_._4).min + 1e-9)
+      assert(byBucket("middle").map(_._4).max
+        <= byBucket("tail").map(_._4).min + 1e-9)
+      // the planted repeats are head, the gibberish is tail
+      val heads = byBucket("head").map(_._1 % 100).toSet
+      assert(Set(0L, 1L, 2L).subsetOf(heads))
+      assert(byBucket("tail").map(_._1 % 100).toSet
+        .subsetOf(Set(4L, 5L, 6L, 7L, 8L)))
+    }
+  }
 }

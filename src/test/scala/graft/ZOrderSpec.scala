@@ -74,4 +74,40 @@ class ZOrderSpec extends AnyFunSuite {
       s"z-order should cluster doy, touched ${touched(zo)} of ${zo.size}")
     assert(touched(zo) < touched(lin))
   }
+
+  /** zorderPrune's 2x2 readout on a planted uniform grid: time order must
+    * prune NOTHING for a user-only band (every file spans all users),
+    * z-order must prune most files for BOTH single-dimension bands, and
+    * the matched row counts are layout-invariant. */
+  test("a4_zorder_prune: planted grid prunes both dimensions only under the curve") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // 128 users x 30 days (Jan 2024), one event per cell; within each day
+    // the minute scrambles the user order (37 is coprime to 60) so the
+    // time layout genuinely interleaves users — a fixture whose event_id
+    // or intra-day time correlated with user would hand the linear layout
+    // accidental user clustering
+    val rows = for (u <- 0L until 128L; d <- 1L to 30L)
+      yield (u * 100 + d, u, f"2024-01-$d%02d 12:${(u * 37 + d) % 60}%02d:${(u * 53) % 60}%02d")
+    val ev = rows.toDF("event_id", "user_id", "s")
+      .select($"event_id", $"user_id", to_timestamp($"s").as("ts"))
+    val out = TimeSeriesOps.zorderPruneOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == 4)
+    val total = 128L * 30L
+    val (_, tuPruned, tuScanned, tuMatched) = out(("time", "user_40_49"))
+    val (_, zuPruned, zuScanned, zuMatched) = out(("zorder", "user_40_49"))
+    val (_, tdPruned, _, tdMatched) = out(("time", "day_10_12"))
+    val (_, zdPruned, _, zdMatched) = out(("zorder", "day_10_12"))
+    // layout-invariant ground truth
+    assert(tuMatched == 10L * 30L && zuMatched == tuMatched)
+    assert(tdMatched == 128L * 3L && zdMatched == tdMatched)
+    // time order: user band prunes nothing (each file spans all users)
+    assert(tuPruned == 0L && tuScanned == total)
+    // time order prunes the day band (its leading dimension)
+    assert(tdPruned > 32L)
+    // the curve prunes BOTH bands and scans less than time order on user
+    assert(zuPruned > 32L && zdPruned > 16L)
+    assert(zuScanned < tuScanned / 2)
+  }
 }
