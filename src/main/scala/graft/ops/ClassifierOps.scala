@@ -104,7 +104,11 @@ object ClassifierOps {
     * margin. */
   private def scoresOf(feat: DataFrame, lab: DataFrame, w: DataFrame): DataFrame =
     feat.join(broadcast(w), "j")
-      .groupBy($"doc_id", $"n").agg(sum($"wq" * $"c").as("mq"))
+      // group on doc_id ALONE (n is functionally dependent — max() carries
+      // it): the cached feature stream is hash-partitioned on doc_id, so a
+      // doc_id-keyed aggregation and the doc_id joins below all reuse that
+      // partitioning instead of re-shuffling the corpus every round
+      .groupBy($"doc_id").agg(sum($"wq" * $"c").as("mq"), max($"n").as("n"))
       .join(lab, "doc_id")
       .select($"doc_id",
         round(lit(1.0) / (lit(1.0)
@@ -118,8 +122,14 @@ object ClassifierOps {
     * a planted corpus with the REAL plan. */
   private[graft] def clfTrainOf(spark: SparkSession, docs: DataFrame)
       : (Seq[DataFrame], DataFrame, DataFrame) = {
-    val feat = graft.Caches.persist(featuresOf(docs))
-    val lab = graft.Caches.persist(labelsOf(docs))
+    // both corpus-sized frames cache HASH-PARTITIONED ON doc_id: every
+    // round's per-doc margin aggregation, label join, and gradient join
+    // key on doc_id, so aligning the cached partitioning once removes the
+    // per-round corpus shuffles — each round then shuffles only the
+    // model-sized (j)-keyed gradient. At cluster scale this is the
+    // difference between 2 corpus shuffles per round and none.
+    val feat = graft.Caches.persist(featuresOf(docs).repartition($"doc_id"))
+    val lab = graft.Caches.persist(labelsOf(docs).repartition($"doc_id"))
     val nd = lab.agg(count(lit(1)).as("nd"))
     // s clamped away from {0, 1} so the log-loss stays finite even if a
     // margin saturates the 6-dp sigmoid
