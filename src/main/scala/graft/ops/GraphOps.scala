@@ -113,7 +113,13 @@ object GraphOps {
     * truncates every round, exactly as `LlmTextOps.clusterOf` does. */
   private[graft] def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val e = graft.Caches.persist(edges.select($"src", $"dst").join(deg, "src"))
+    // cache the edge table hash-partitioned on src, the key of every
+    // round's contributions join: the cached partitioning is reused by all
+    // `iters` joins, so only the VERTEX-sized rank table moves per round —
+    // never the edges. (The deg join alone doesn't guarantee this: a
+    // broadcast-planned deg leaves e in scan partitioning.)
+    val e = graft.Caches.persist(
+      edges.select($"src", $"dst").join(deg, "src").repartition($"src"))
     val nodes = graft.Caches.persist(
       edges.select($"src".as("id"))
         .union(edges.select($"dst".as("id"))).distinct())
@@ -214,7 +220,10 @@ object GraphOps {
   private[graft] def personalizedPageRankOf(
       edges: DataFrame, iters: Int, nSeeds: Int): DataFrame = {
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val e = graft.Caches.persist(edges.select($"src", $"dst").join(deg, "src"))
+    // src-partitioned cache, the pageRankOf arrangement: edges never
+    // re-shuffle across the teleport rounds
+    val e = graft.Caches.persist(
+      edges.select($"src", $"dst").join(deg, "src").repartition($"src"))
     val seedIds = edges.select($"src".as("id"))
       .union(edges.select($"dst".as("id"))).distinct()
       .orderBy($"id").limit(nSeeds)
@@ -838,14 +847,21 @@ object GraphOps {
     * referenced twice per half-round (contributions + total), so lineage
     * truncates every round (the `clusterOf` rule). */
   private[graft] def hitsOf(edges: DataFrame, iters: Int): DataFrame = {
-    val e = graft.Caches.persist(edges.select($"src", $"dst"))
+    // HITS joins the edge table on BOTH endpoints (src for the auth
+    // half-round, dst for the hub half-round), so cache one copy aligned
+    // to each key: 2× edge storage buys zero edge shuffles across all
+    // 2·iters half-rounds — only vertex-sized hub/auth tables move.
+    val eSrc = graft.Caches.persist(
+      edges.select($"src", $"dst").repartition($"src"))
+    val eDst = graft.Caches.persist(
+      edges.select($"src", $"dst").repartition($"dst"))
     val nodes = graft.Caches.persist(
-      e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct())
+      eSrc.select($"src".as("id")).union(eSrc.select($"dst".as("id"))).distinct())
     val nn = nodes.agg(count(lit(1)).as("nn"))
     var hub = nodes.select($"id", lit(1.0).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val aq = e.join(hub.select($"id".as("src"), $"h"), "src")
+      val aq = eSrc.join(hub.select($"id".as("src"), $"h"), "src")
         .select($"dst".as("id"), round($"h" * 1e9).cast("long").as("cq"))
         .groupBy($"id").agg(sum($"cq").as("q"))
       val at = aq.agg(sum($"q").as("t"))
@@ -854,7 +870,7 @@ object GraphOps {
           .crossJoin(broadcast(at)).crossJoin(broadcast(nn))
           .select($"id",
             (coalesce($"q", lit(0L)).cast("double") * $"nn" / $"t").as("a")))
-      val hq = e.join(auth.select($"id".as("dst"), $"a"), "dst")
+      val hq = eDst.join(auth.select($"id".as("dst"), $"a"), "dst")
         .select($"src".as("id"), round($"a" * 1e9).cast("long").as("cq"))
         .groupBy($"id").agg(sum($"cq").as("q"))
       val ht = hq.agg(sum($"q").as("t"))
