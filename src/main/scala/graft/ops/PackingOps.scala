@@ -166,5 +166,84 @@ object PackingOps {
       .orderBy($"doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(packSequences, decontaminate, contamFraction)
+  /** Length-bucketed batching parameters: bucket width (tokens), docs per
+    * batch, and the hash-shard fan-out that keeps the per-bucket windows
+    * parallel (a handful of length buckets alone would put the whole
+    * corpus behind ~7 window partitions). */
+  private val LenW = 16
+  private val BatchB = 8
+  private val LenShards = 32
+
+  /** Length-bucketed batching readout — the padding-waste case for
+    * grouping same-length documents into fine-tuning batches (every
+    * sequence in a batch pads to the batch max). Two layouts over the
+    * identical corpus: `length` forms batches inside width-[[LenW]]
+    * token-length buckets, `hash` forms them in plain hash order (the
+    * no-bucketing control, `len_bucket` = −1), both in deterministic
+    * (hash, doc_id) order so the assignment re-derives on any engine.
+    * Per (layout, bucket): batch count, docs, real tokens, padding tokens
+    * (Σ batch_max·n − Σ len), and the waste share — the readout IS the
+    * padded-token delta between the two layouts.
+    *
+    * Scale: one corpus pass for lengths; each layout is one shuffle keyed
+    * on (bucket, shard) — [[LenShards]] spreads every bucket across the
+    * cluster — and the batch window is a single sorted pass per shard;
+    * rollups are bucket-keyed with map-side partials. Integer math
+    * end-to-end (one final rounded division), and every DuckDB SUM is
+    * cast back from HUGEINT to BIGINT. */
+  val lengthBuckets: QueryDef = QueryDef(
+    "llm_length_buckets",
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+       |                  $docHashSql AS h
+       |           FROM documents),
+       |lay AS (
+       |  SELECT 'length' AS layout, n_tok // $LenW AS lb, h % $LenShards AS shard,
+       |         h, doc_id, n_tok FROM t
+       |  UNION ALL
+       |  SELECT 'hash', -1, h % $LenShards, h, doc_id, n_tok FROM t),
+       |r AS (SELECT layout, lb, shard, n_tok,
+       |             row_number() OVER (PARTITION BY layout, lb, shard
+       |                                ORDER BY h, doc_id) AS rn
+       |      FROM lay),
+       |bt AS (SELECT layout, lb, shard, (rn - 1) // $BatchB AS batch,
+       |              count(*) AS n, max(n_tok) AS mx, sum(n_tok) AS st
+       |       FROM r GROUP BY 1, 2, 3, 4)
+       |SELECT layout, CAST(lb AS BIGINT) AS len_bucket,
+       |       CAST(count(*) AS BIGINT) AS n_batches,
+       |       CAST(sum(n) AS BIGINT) AS n_docs,
+       |       CAST(sum(st) AS BIGINT) AS n_tok,
+       |       CAST(sum(mx * n - st) AS BIGINT) AS pad_tok,
+       |       round(CAST(sum(mx * n - st) AS DOUBLE)
+       |             / (sum(mx * n - st) + sum(st)), 4) AS waste
+       |FROM bt GROUP BY 1, 2 ORDER BY layout, len_bucket""".stripMargin,
+  ) { (spark, dir) => lengthBucketsOf(Tables.documents(spark, dir)) }
+
+  /** [[lengthBuckets]] over any (doc_id, text) frame — fixture seam. */
+  private[graft] def lengthBucketsOf(docs: DataFrame): DataFrame = {
+    val t = docs.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tok"), docHash.as("h"))
+    def layout(name: String, lbCol: org.apache.spark.sql.Column) = {
+      val w = Window.partitionBy($"lb", $"shard").orderBy($"h", $"doc_id")
+      t.withColumn("lb", lbCol)
+        .withColumn("shard", $"h" % LenShards)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch", floor(($"rn" - 1) / BatchB))
+        .groupBy($"lb", $"shard", $"batch")
+        .agg(count(lit(1)).as("n"), max($"n_tok").as("mx"),
+          sum($"n_tok").as("st"))
+        .groupBy($"lb")
+        .agg(count(lit(1)).as("n_batches"), sum($"n").as("n_docs"),
+          sum($"st").as("n_tok"), sum($"mx" * $"n" - $"st").as("pad_tok"))
+        .select(lit(name).as("layout"), $"lb".cast("long").as("len_bucket"),
+          $"n_batches", $"n_docs", $"n_tok", $"pad_tok",
+          round($"pad_tok".cast("double") / ($"pad_tok" + $"n_tok"), 4)
+            .as("waste"))
+    }
+    layout("length", floor($"n_tok" / LenW).cast("long"))
+      .unionAll(layout("hash", lit(-1L)))
+      .orderBy($"layout", $"len_bucket")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(packSequences, decontaminate, contamFraction, lengthBuckets)
 }

@@ -75,4 +75,51 @@ class PackingOpsSpec extends AnyFunSuite {
       ("B", "2024-01-01 01", 0L, 5.0),
     ))
   }
+
+  test("length-bucketed batching matches a driver-side replay of the layout") {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    import org.apache.spark.sql.functions._
+    // 20 docs with word counts spanning three 16-wide length buckets
+    val docs = (0 until 20).map { i =>
+      (i.toLong, Seq.fill(5 + (i * 7) % 40)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    // fetch the engine's own portable hash, then replay batching in Scala
+    val hashed = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"),
+        call_function("md5hash60", $"doc_id".cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // per-lb (n_batches, n_docs, n_tok, pad_tok) from a flat batch list
+    def replay(lbOf: Long => Long): Map[Long, (Long, Long, Long, Long)] =
+      hashed.map { case (id, n, h) => (lbOf(n), h % 32, h, id, n) }
+        .groupBy(t => (t._1, t._2)).toSeq
+        .flatMap { case ((lb, _), g) =>
+          g.sortBy(t => (t._3, t._4)).zipWithIndex
+            .groupBy { case (_, rn) => rn / 8 }.values
+            .map { b =>
+              val lens = b.map(_._1._5)
+              (lb, lens.length.toLong, lens.max, lens.sum)
+            }
+        }
+        .groupBy(_._1)
+        .map { case (lb, batches) =>
+          lb -> (batches.length.toLong, batches.map(_._2).sum,
+            batches.map(_._4).sum,
+            batches.map(b => b._3 * b._2 - b._4).sum)
+        }
+    val expLen = replay(n => n / 16)
+    val expHash = replay(_ => -1L)
+    val out = ops.PackingOps.lengthBucketsOf(docs).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    for ((layout, exp) <- Seq(("length", expLen), ("hash", expHash));
+         (lb, (nBatches, nDocs, nTok, padTok)) <- exp) {
+      assert(out.contains((layout, lb, nBatches, nDocs, nTok, padTok)),
+        s"$layout bucket $lb: expected ($nBatches, $nDocs, $nTok, $padTok) in ${out.toSeq}")
+    }
+    assert(out.length == expLen.size + expHash.size)
+    // equal-length corpus pads nothing under either layout
+    val flat = (0 until 10).map(i => (i.toLong, "a b c d e")).toDF("doc_id", "text")
+    assert(ops.PackingOps.lengthBucketsOf(flat).collect()
+      .forall(_.getLong(5) == 0L))
+  }
 }
