@@ -2225,6 +2225,54 @@ object LlmTextOps {
       .orderBy($"n_occ".desc, $"doc_id").limit(20)
   }
 
+  /** Dictionary size for [[keywordTag]]. */
+  private val TagDictK = 12
+
+  /** Multi-phrase dictionary tagging — the FlashText/Aho-Corasick shape:
+    * match EVERY phrase of a dictionary against every document in one
+    * corpus pass and emit per-(doc, phrase) hit counts. [[phraseSearch]]
+    * locates ONE phrase; curation pipelines tag against whole keyword
+    * lists (topic lexicons, blocklists), which is this operator. The
+    * dictionary here is self-mined — the [[TagDictK]] most frequent word
+    * bigrams (ties by text) — so the oracle replays it exactly; a real
+    * deployment would load a curated list, identical plan.
+    *
+    * Scale shape: the corpus bigram stream is materialized once and feeds
+    * both the dictionary mine and the tagging join; dictionaries are
+    * tiny next to a 100 TB corpus, so the tag join BROADCASTS the
+    * dictionary and the only shuffle is the (doc, phrase)-keyed count
+    * with map-side partials. Multi-word patterns generalize by emitting
+    * length-k shingles per dictionary length — same equi-join. */
+  val keywordTag: QueryDef = QueryDef(
+    "llm_keyword_tag",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS phrase
+       |       FROM t, unnest(range(1, len(ts))) AS u(i)
+       |       WHERE len(ts) >= 2),
+       |dict AS (SELECT phrase FROM bg GROUP BY 1
+       |         ORDER BY count(*) DESC, phrase LIMIT $TagDictK)
+       |SELECT b.doc_id, b.phrase, CAST(count(*) AS BIGINT) AS n_hits
+       |FROM bg b JOIN dict USING (phrase)
+       |GROUP BY 1, 2 ORDER BY doc_id, phrase""".stripMargin,
+  ) { (spark, dir) => keywordTagOf(Tables.documents(spark, dir)) }
+
+  /** [[keywordTag]] over any (doc_id, text) frame — fixture seam. */
+  private[graft] def keywordTagOf(docs: DataFrame): DataFrame = {
+    val bg = graft.Caches.persist(
+      docs.select($"doc_id", split($"text", " ").as("ts"))
+        .filter(size($"ts") >= 2)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), size($"ts") - 1),
+          i => concat_ws(" ", element_at($"ts", i), element_at($"ts", i + 1))))
+          .as("phrase")))
+    val dict = bg.groupBy($"phrase").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"phrase").limit(TagDictK)
+      .select($"phrase")
+    bg.join(broadcast(dict), "phrase")
+      .groupBy($"doc_id", $"phrase").agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id", $"phrase")
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
     * maximal stopword-free token runs (islands via the pos − row_number
     * trick, capped at 4 tokens — the classic RAKE cap); each word scores
@@ -2352,7 +2400,7 @@ object LlmTextOps {
     dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,
     dupChunks, dupSpans, despanApply, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
-    phraseSearch, rakeKeywords, lmGreedyGen,
+    phraseSearch, keywordTag, rakeKeywords, lmGreedyGen,
   )
 
 }

@@ -582,4 +582,21 @@ class LlmTextOpsSpec extends AnyFunSuite {
       assert(s >= 1000000L, s"'$p' degree at least its frequency")
     }
   }
+
+  test("keyword tagging mines the top-12 bigram dictionary and counts every hit") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // 16 distinct bigrams: "x x"×3, "a b"×2, then 14 singletons — the
+    // (count DESC, phrase) tiebreak keeps "b a" and c01..c09→c10, and must
+    // cut the four lexicographically-last singletons
+    val docs = Seq(
+      (1L, "x x x x"),
+      (2L, "a b a b"),
+      (3L, (1 to 14).map(i => f"c$i%02d").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val out = LlmTextOps.keywordTagOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = Seq((1L, "x x", 3L), (2L, "a b", 2L), (2L, "b a", 1L)) ++
+      (1 to 9).map(i => (3L, f"c$i%02d c${i + 1}%02d", 1L))
+    assert(out.toSeq == expected)
+  }
 }
