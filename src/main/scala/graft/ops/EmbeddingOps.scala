@@ -1853,11 +1853,148 @@ object EmbeddingOps {
     }
   }
 
+  /** Out-degree of the [[annGraph]] navigation graph. */
+  private val AnnGraphK = 6
+
+  /** Hop cap for the [[annGraph]] descent — similarity strictly increases
+    * along the walk, so this is a safety stop, never the terminator. */
+  private val GraphHopCap = 40
+
+  /** Graph-based ANN — the HNSW/NSW search shape: queries greedy-walk a
+    * small-out-degree navigation graph from a fixed entry point, moving to
+    * the neighbor most similar to the query while that STRICTLY improves,
+    * and stop at a local maximum. Emits every hop of every query's walk
+    * (`hop` 0 = the entry node) with its similarity — the path is the
+    * proof the walk is greedy. The navigation graph is each graph node's
+    * [[AnnGraphK]] most similar peers among its sign-LSH hamming≤1
+    * candidates (the [[annLsh]] candidate generator — never a cross
+    * join); query vectors (`vec_id` < [[NQueries]]) are held OUT of the
+    * graph. Walks are deterministic end-to-end: dot products are the
+    * bit-identical sequential fold, improvement is a strict comparison of
+    * those doubles, ties break to the smaller vec_id.
+    *
+    * Scale: graph construction is the bucketed candidate equi-join plus a
+    * per-src top-k window — the one-time index cost; each search hop
+    * touches exactly |queries|·K edges via an equi-join on the frontier
+    * node (frontier broadcast, edges shuffled once by src and cached), so
+    * search cost is hops·K per query regardless of corpus size — the
+    * whole point of graph ANN at 100 TB.
+    *
+    * The oracle replays the walk without iteration: the greedy step is a
+    * FUNCTION next(q, node) (best neighbor, kept only when improving), so
+    * the walk is one recursive CTE over that functional graph — strictly
+    * increasing similarity guarantees termination. The Q×N similarity
+    * table is oracle-only convenience (per-component-quadratic precedent:
+    * `geo_msf`); the engine computes sims only along visited edges. */
+  val annGraph: QueryDef = QueryDef(
+    "llm_ann_graph",
+    (vecCte +
+      s"""
+         |, b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM e),
+         |nodes AS (SELECT * FROM b WHERE vec_id >= $NQueries),
+         |ent AS (SELECT min(vec_id) AS e FROM nodes),
+         |cand AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+         |                ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS s
+         |         FROM nodes x JOIN nodes y
+         |           ON x.vec_id <> y.vec_id
+         |          AND bit_count(xor(x.bucket, y.bucket)) <= 1),
+         |knn AS (SELECT src, dst FROM (
+         |          SELECT src, dst,
+         |                 row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rk
+         |          FROM cand) WHERE rk <= $AnnGraphK),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM b WHERE vec_id < $NQueries),
+         |qs AS (SELECT q.q_id, n.vec_id AS node,
+         |              ${dotSql("q.qv", "n.v")} / (q.qn * n.nrm) AS sim
+         |       FROM q, nodes n),
+         |nxt AS (SELECT q_id, node, dst FROM (
+         |          SELECT s1.q_id, k.src AS node, k.dst,
+         |                 row_number() OVER (PARTITION BY s1.q_id, k.src
+         |                                    ORDER BY s2.sim DESC, k.dst) AS rk,
+         |                 s2.sim AS snb, s1.sim AS scur
+         |          FROM knn k
+         |          JOIN qs s1 ON s1.node = k.src
+         |          JOIN qs s2 ON s2.q_id = s1.q_id AND s2.node = k.dst)
+         |        WHERE rk = 1 AND snb > scur),
+         |walk AS (
+         |  SELECT q.q_id, 0 AS hop, ent.e AS node FROM q, ent
+         |  UNION ALL
+         |  SELECT w.q_id, w.hop + 1, n.dst
+         |  FROM walk w JOIN nxt n ON n.q_id = w.q_id AND n.node = w.node
+         |  WHERE w.hop < $GraphHopCap)
+         |SELECT w.q_id, CAST(w.hop AS BIGINT) AS hop, w.node,
+         |       round(qs.sim, 6) AS sim
+         |FROM walk w JOIN qs ON qs.q_id = w.q_id AND qs.node = w.node
+         |ORDER BY w.q_id, w.hop""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE "),
+  ) { (spark, dir) => annGraphOf(vectors(spark, dir)) }
+
+  /** The [[annGraph]] navigation graph over any (vec_id, v) frame:
+    * per-src top-[[AnnGraphK]] over the sign-LSH hamming≤1 candidate
+    * join, query vectors (`vec_id` < [[NQueries]]) excluded. Extracted so
+    * the spec replays the walk against the graph the engine built. */
+  private[graft] def navGraphOf(e: DataFrame): DataFrame = {
+    val nodes = e.filter($"vec_id" >= NQueries).withColumn("bucket", bucketCol)
+    val probe = nodes.select($"vec_id".as("y_id"), $"v".as("yv"),
+      explode(array($"bucket" +: (0 until NPlanes)
+        .map(j => $"bucket".bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+    nodes.join(probe, Seq("bucket"))
+      .filter($"vec_id" =!= $"y_id")
+      .select($"vec_id".as("src"), $"y_id".as("dst"),
+        call_function("cosine_sim", $"v", $"yv").as("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"src").orderBy($"s".desc, $"dst")))
+      .filter($"rk" <= AnnGraphK)
+      .select($"src", $"dst")
+  }
+
+  /** [[annGraph]] over any (vec_id, v, nrm) frame — fixture seam. */
+  private[graft] def annGraphOf(e: DataFrame): DataFrame = {
+    val b = graft.Caches.persist(e)
+    val nodes = b.filter($"vec_id" >= NQueries)
+    // navigation graph cached keyed on src — every hop's frontier join
+    // reuses the partitioning
+    val edges = graft.Caches.persist(navGraphOf(b).repartition($"src"))
+    val entry = nodes.agg(min($"vec_id").as("e"))
+    val q = b.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    var state = graft.Caches.localCheckpoint(
+      q.crossJoin(broadcast(entry))
+        .join(nodes.select($"vec_id".as("e"), $"v".as("ev")), "e")
+        .select($"q_id", $"qv", $"e".as("cur"),
+          call_function("cosine_sim", $"qv", $"ev").as("s")))
+    var path = state.select($"q_id", lit(0L).as("hop"), $"cur".as("node"), $"s")
+    var hop = 0
+    var live = true
+    while (live && hop < GraphHopCap) {
+      val moved = graft.Caches.localCheckpoint(
+        edges.join(broadcast(state.select($"q_id", $"qv", $"cur", $"s")),
+            $"src" === $"cur")
+          .join(nodes.select($"vec_id".as("dst"), $"v".as("dv")), "dst")
+          .select($"q_id", $"qv", $"cur", $"s", $"dst",
+            call_function("cosine_sim", $"qv", $"dv").as("snb"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"snb".desc, $"dst")))
+          .filter($"rk" === 1 && $"snb" > $"s")
+          .select($"q_id", $"qv", $"dst".as("cur"), $"snb".as("s")))
+      hop += 1
+      if (moved.isEmpty) live = false
+      else {
+        path = graft.Caches.localCheckpoint(path.unionAll(
+          moved.select($"q_id", lit(hop.toLong).as("hop"), $"cur".as("node"),
+            $"s")))
+        state = moved
+      }
+    }
+    path.select($"q_id", $"hop", $"node", round($"s", 6).as("sim"))
+      .orderBy($"q_id", $"hop")
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
       ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup,
       embedDedupCluster, semDedup, embedStats, embedCentroid, embedQuantize,
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
-      annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower)
+      annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower,
+      annGraph)
 }

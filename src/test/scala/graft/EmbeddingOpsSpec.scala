@@ -473,4 +473,50 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     // the covering radius never exceeds any pick's distance-at-selection
     assert(rows.last._3 <= rows(7)._3, "radius shrinks monotonically")
   }
+
+  test("graph ANN walks are exactly greedy over the engine's navigation graph") {
+    import org.apache.spark.sql.functions.{aggregate, col, lit, sqrt, transform => hofTransform}
+    val e = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        hofTransform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val edges = EmbeddingOps.navGraphOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val outN = edges.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    assert(outN.values.forall(_.size <= 6), "out-degree capped at K")
+    val vecs = e.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // same left-to-right double fold as the engine's cosine_sim
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val entry = vecs.keys.filter(_ >= 5).min
+    val walks = EmbeddingOps.annGraph.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toList).toMap
+    assert(walks.keySet == (0L until 5L).toSet, "one walk per held-out query")
+    for ((qid, path) <- walks) {
+      assert(path.head._3 == entry && path.head._2 == 0L, "walk starts at the entry")
+      assert(path.map(_._2) == path.indices.map(_.toLong).toList, "dense hop numbering")
+      val sims = path.map(p => cos(vecs(qid), vecs(p._3)))
+      sims.sliding(2).foreach { case List(a, b) => assert(b > a, s"q$qid not greedy-ascending") case _ => }
+      path.zip(sims).foreach { case ((_, _, _, s6), s) =>
+        assert(math.abs(s6 - s) < 1e-6, "emitted sim matches the exact cosine") }
+      // every move is to the BEST improving out-neighbor; the end is a local max
+      path.sliding(2).foreach {
+        case List((_, _, cur, _), (_, _, nxt, _)) =>
+          val best = outN(cur).map(d => (cos(vecs(qid), vecs(d)), d))
+            .maxBy { case (s, d) => (s, -d) }
+          assert(best._2 == nxt, s"q$qid must move to the best neighbor of $cur")
+        case _ =>
+      }
+      val last = path.last._3
+      val lastSim = cos(vecs(qid), vecs(last))
+      assert(outN.getOrElse(last, Nil).forall(d => cos(vecs(qid), vecs(d)) <= lastSim),
+        s"q$qid terminal node must be a local maximum")
+    }
+  }
 }
