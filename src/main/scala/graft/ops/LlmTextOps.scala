@@ -2225,6 +2225,107 @@ object LlmTextOps {
       .orderBy($"n_occ".desc, $"doc_id").limit(20)
   }
 
+  /** Longest piece the [[unigramSegment]] vocabulary admits. */
+  private val UniMaxPiece = 4
+
+  /** Unigram-LM subword segmentation — the SentencePiece (Kudo 2018)
+    * tokenizer family, next to the BPE lanes: score every substring piece
+    * (length ≤ [[UniMaxPiece]]) by its frequency-weighted occurrence count
+    * across the corpus vocabulary, then VITERBI-segment each word into the
+    * piece sequence of minimal total cost (−ln p, quantized to an e6
+    * integer the moment it's computed — from there the DP is pure integer
+    * math). Cost ties break to fewer pieces: the DP minimizes the PAIR
+    * (cost, n_pieces) lexicographically, which has optimal substructure,
+    * so the reported pair is unique no matter how many optimal paths
+    * exist. Emits per distinct word its corpus count, length, optimal
+    * piece count, and the e6 cost.
+    *
+    * Scale: the word table and piece inventory are VOCABULARY-sized (the
+    * BPE precedent) — one corpus pass for word counts, then every stage
+    * is bounded by vocab × word length × [[UniMaxPiece]]; the piece-cost
+    * table broadcasts as a map and the whole DP is one codegen'd
+    * higher-order fold per distinct word, no joins inside the loop.
+    *
+    * The oracle cannot express the fold, so it enumerates every
+    * segmentation as a recursive-CTE path walk (≤ tetranacci(len) ≈ 108
+    * paths for len ≤ 8 — per-word-bounded, the oracle-only-quadratic
+    * precedent of `geo_msf`) and takes the (cost, n_pieces) minimum —
+    * the same unique pair the DP computes. */
+  val unigramSegment: QueryDef = QueryDef(
+    "llm_unigram_segment",
+    s"""WITH RECURSIVE wt AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |occ AS (SELECT substr(w, s, l) AS u, wc
+       |        FROM wt,
+       |             unnest(range(1, len(w) + 1)) AS a(s),
+       |             unnest(range(1, ${UniMaxPiece + 1})) AS b(l)
+       |        WHERE s + l - 1 <= len(w)),
+       |pc AS (SELECT u, sum(wc) AS c FROM occ GROUP BY 1),
+       |tot AS (SELECT sum(c) AS t FROM pc),
+       |vc AS (SELECT u, CAST(round(round(-ln(CAST(c AS DOUBLE) / tot.t), 6)
+       |                            * 1000000) AS BIGINT) AS cost
+       |       FROM pc, tot),
+       |paths AS (
+       |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS np
+       |  FROM wt
+       |  UNION ALL
+       |  SELECT p.w, p.pos + l, p.c + vc.cost, p.np + 1
+       |  FROM paths p, unnest(range(1, ${UniMaxPiece + 1})) AS z(l), vc
+       |  WHERE vc.u = substr(p.w, p.pos + 1, l) AND p.pos + l <= len(p.w)),
+       |done AS (SELECT w, c, np FROM paths WHERE pos = len(w)),
+       |best AS (SELECT w, c, np FROM (
+       |           SELECT w, c, np,
+       |                  row_number() OVER (PARTITION BY w ORDER BY c, np) AS rk
+       |           FROM done) WHERE rk = 1)
+       |SELECT b.w, wt.wc, CAST(len(b.w) AS BIGINT) AS n_chars,
+       |       CAST(b.np AS BIGINT) AS n_pieces, CAST(b.c AS BIGINT) AS cost_e6
+       |FROM best b JOIN wt USING (w) ORDER BY w""".stripMargin,
+  ) { (spark, dir) => unigramSegmentOf(Tables.documents(spark, dir)) }
+
+  /** [[unigramSegment]] over any (doc_id, text) frame — fixture seam. */
+  private[graft] def unigramSegmentOf(docs: DataFrame): DataFrame = {
+    val wt = graft.Caches.persist(
+      docs.select(explode(tokens).as("w")).filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("wc")))
+    val occ = wt.select($"wc", explode(flatten(transform(
+        sequence(lit(1), length($"w")),
+        s => transform(
+          sequence(lit(1), least(lit(UniMaxPiece), length($"w") - s + 1)),
+          l => $"w".substr(s, l))))).as("u"))
+    val pc = occ.groupBy($"u").agg(sum($"wc").as("c"))
+    val tot = pc.agg(sum($"c").as("t"))
+    val costs = pc.crossJoin(broadcast(tot))
+      .select($"u",
+        round(round(-log($"c".cast("double") / $"t"), 6) * 1000000)
+          .cast("long").as("cost"))
+    val vmap = costs
+      .agg(map_from_entries(collect_list(struct($"u", $"cost"))).as("vm"))
+    // Viterbi as one fold: acc[k] = best (cost, pieces) pair for the
+    // k−1-char prefix; each position folds its ≤UniMaxPiece last-piece
+    // starts, keeping the lexicographic (cost, np) minimum
+    val dp = aggregate(
+      sequence(lit(1), length($"w")),
+      array(struct(lit(0L).as("c"), lit(0L).as("np"))),
+      (acc, i) => concat(acc, array(aggregate(
+        sequence(greatest(lit(1), i - (UniMaxPiece - 1)), i),
+        struct(lit(Long.MaxValue / 2).as("c"), lit(0L).as("np")),
+        (b, s) => {
+          val cc = element_at(acc, s).getField("c") +
+            element_at($"vm", $"w".substr(s, i - s + lit(1)))
+          val cn = element_at(acc, s).getField("np") + lit(1L)
+          when(cc < b.getField("c") ||
+              (cc === b.getField("c") && cn < b.getField("np")),
+            struct(cc.as("c"), cn.as("np"))).otherwise(b)
+        }))))
+    wt.crossJoin(broadcast(vmap))
+      .withColumn("best", element_at(dp, length($"w") + 1))
+      .select($"w", $"wc", length($"w").cast("long").as("n_chars"),
+        $"best.np".as("n_pieces"), $"best.c".as("cost_e6"))
+      .orderBy($"w")
+  }
+
   /** Dictionary size for [[keywordTag]]. */
   private val TagDictK = 12
 
@@ -2399,6 +2500,7 @@ object LlmTextOps {
     simhash, simhashPairs,
     dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,
     dupChunks, dupSpans, despanApply, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
+    unigramSegment,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
     phraseSearch, keywordTag, rakeKeywords, lmGreedyGen,
   )

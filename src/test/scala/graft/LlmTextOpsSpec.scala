@@ -599,4 +599,51 @@ class LlmTextOpsSpec extends AnyFunSuite {
       (1 to 9).map(i => (3L, f"c$i%02d c${i + 1}%02d", 1L))
     assert(out.toSeq == expected)
   }
+
+  test("unigram segmentation matches a driver-side Viterbi replay") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // frequent pieces get cheap: "abab" should segment into two "ab"s, not chars
+    val docs = Seq(
+      (1L, "ab ab ab abab banana"),
+      (2L, "ab abab cd x bananas"),
+    ).toDF("doc_id", "text")
+    // replay: piece costs (same double path: ln -> HALF_UP 6dp -> e6 int)
+    val words = Seq("ab" -> 4L, "abab" -> 2L, "banana" -> 1L, "cd" -> 1L,
+      "x" -> 1L, "bananas" -> 1L)
+    val pieceCounts = collection.mutable.Map.empty[String, Long]
+    for ((w, wc) <- words; s <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - s))
+      pieceCounts(w.substring(s, s + l)) =
+        pieceCounts.getOrElse(w.substring(s, s + l), 0L) + wc
+    val tot = pieceCounts.values.sum.toDouble
+    def cost(u: String): Long = {
+      val r6 = BigDecimal(-math.log(pieceCounts(u) / tot))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.round(r6 * 1e6)
+    }
+    def viterbi(w: String): (Long, Long) = {
+      // best (cost, pieces), lexicographic — mirrors the engine fold
+      val best = Array.fill(w.length + 1)((Long.MaxValue / 2, Long.MaxValue / 2))
+      best(0) = (0L, 0L)
+      for (i <- 1 to w.length; s <- math.max(0, i - 4) until i) {
+        val cand = (best(s)._1 + cost(w.substring(s, i)), best(s)._2 + 1)
+        if (cand._1 < best(i)._1 ||
+            (cand._1 == best(i)._1 && cand._2 < best(i)._2)) best(i) = cand
+      }
+      best(w.length)
+    }
+    val out = LlmTextOps.unigramSegmentOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val expected = words.sortBy(_._1).map { case (w, wc) =>
+      val (c, np) = viterbi(w)
+      (w, wc, w.length.toLong, np, c)
+    }
+    assert(out.toSeq == expected)
+    // piece counts stay inside the feasible band: ceil(len/4) .. len
+    out.foreach { case (w, _, len, np, _) =>
+      assert(np >= (len + 3) / 4 && np <= len, s"'$w' piece count $np") }
+    // "abab" is itself a <=4-char piece, so one piece beats two "ab"s
+    assert(out.find(_._1 == "abab").get._4 == 1L)
+  }
 }
