@@ -50,6 +50,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "llm_dup_spans degraded to a single-partition window")
   }
 
+  test("round-11 lanes broadcast their dictionary/frontier state, never the corpus") {
+    // keyword dictionary, unigram piece-cost map — each a vocab-sized
+    // table that must plan as a broadcast (llm_ann_graph's broadcasts live
+    // inside its checkpoint-truncated walk loop, invisible to this sweep)
+    Seq("llm_keyword_tag", "llm_unigram_segment").foreach { n =>
+      assert(plans(n).contains("Broadcast"), s"$n lost its broadcast")
+    }
+    // the ANN navigation-graph build must pair candidates via the bucket
+    // EQUI-join — a cartesian/BNL here is the n² the LSH buckets exist
+    // to avoid
+    val nav = graft.ops.EmbeddingOps.navGraphOf(
+      graft.io.Tables.embeddings(spark, sf)
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            x => x.cast("double")).as("v")))
+      .queryExecution.executedPlan.toString
+    assert(!nav.contains("CartesianProduct") && !nav.contains("BroadcastNestedLoop"),
+      s"ann graph build lost its bucket equi-join:\n$nav")
+    // any equi-join strategy is fine (tiny SFs may broadcast one side);
+    // the key is that the pairing keys on bucket at all
+    assert(nav.contains("Join") && nav.contains("bucket"),
+      "ann graph candidates must pair via the bucket key")
+    // batching windows are keyed on (bucket, shard): a single-partition
+    // window would serialize the corpus behind one task
+    assert(!plans("llm_length_buckets").contains("SinglePartition"),
+      "llm_length_buckets degraded to a single-partition window")
+  }
+
   test("dimension joins broadcast the small side") {
     Seq("redshift_q1", "a5_search_tag_range", "llm_cosine_topk",
       "a4_zscore_outliers", "llm_decontam", "llm_contam_frac",
