@@ -1886,8 +1886,10 @@ object EmbeddingOps {
     * increasing similarity guarantees termination. The Q×N similarity
     * table is oracle-only convenience (per-component-quadratic precedent:
     * `geo_msf`); the engine computes sims only along visited edges. */
-  val annGraph: QueryDef = QueryDef(
-    "llm_ann_graph",
+  /** The oracle CTE chain shared by [[annGraph]] and [[annGraphRecall]]:
+    * buckets → navigation graph → Q×N sims (`qs`) → functional next
+    * pointers → the recursive `walk`. */
+  private def annGraphWalkCtes: String =
     (vecCte +
       s"""
          |, b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM e),
@@ -1920,13 +1922,78 @@ object EmbeddingOps {
          |  UNION ALL
          |  SELECT w.q_id, w.hop + 1, n.dst
          |  FROM walk w JOIN nxt n ON n.q_id = w.q_id AND n.node = w.node
-         |  WHERE w.hop < $GraphHopCap)
-         |SELECT w.q_id, CAST(w.hop AS BIGINT) AS hop, w.node,
-         |       round(qs.sim, 6) AS sim
-         |FROM walk w JOIN qs ON qs.q_id = w.q_id AND qs.node = w.node
-         |ORDER BY w.q_id, w.hop""".stripMargin)
-      .replaceFirst("^WITH ", "WITH RECURSIVE "),
+         |  WHERE w.hop < $GraphHopCap)""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+
+  val annGraph: QueryDef = QueryDef(
+    "llm_ann_graph",
+    annGraphWalkCtes +
+      """
+        |SELECT w.q_id, CAST(w.hop AS BIGINT) AS hop, w.node,
+        |       round(qs.sim, 6) AS sim
+        |FROM walk w JOIN qs ON qs.q_id = w.q_id AND qs.node = w.node
+        |ORDER BY w.q_id, w.hop""".stripMargin,
   ) { (spark, dir) => annGraphOf(vectors(spark, dir)) }
+
+  /** Recall readout for [[annGraph]] — where does each walk actually LAND
+    * on the exact similarity ranking? Per query: the terminal node, its
+    * EXACT rank among all graph nodes (1 + the count of strictly-better
+    * nodes under the (sim DESC, vec_id) total order), a hit@[[TopK]]
+    * indicator, and the hop count spent — the accuracy-vs-cost readout
+    * every ANN family here ships ([[annRecall]], [[pqRecall]]). The
+    * exact ranking is the evaluation baseline, priced like [[annRecall]]:
+    * queries broadcast, one linear corpus scan — never corpus×corpus. */
+  val annGraphRecall: QueryDef = QueryDef(
+    "llm_ann_graph_recall",
+    annGraphWalkCtes +
+      s"""
+         |, term AS (SELECT q_id, node, hop FROM (
+         |             SELECT q_id, node, hop,
+         |                    row_number() OVER (PARTITION BY q_id ORDER BY hop DESC) AS rk
+         |             FROM walk) WHERE rk = 1),
+         |fs AS (SELECT t.q_id, t.node AS found_id, t.hop AS n_hops, s.sim
+         |       FROM term t JOIN qs s ON s.q_id = t.q_id AND s.node = t.node),
+         |rnk AS (SELECT f.q_id,
+         |               1 + sum(CASE WHEN x.sim > f.sim
+         |                         OR (x.sim = f.sim AND x.node < f.found_id)
+         |                        THEN 1 ELSE 0 END) AS r
+         |        FROM fs f JOIN qs x ON x.q_id = f.q_id
+         |        GROUP BY f.q_id)
+         |SELECT f.q_id, f.found_id, CAST(rnk.r AS BIGINT) AS rank_exact,
+         |       CAST(CASE WHEN rnk.r <= $TopK THEN 1 ELSE 0 END AS BIGINT) AS hit_topk,
+         |       CAST(f.n_hops AS BIGINT) AS n_hops
+         |FROM fs f JOIN rnk ON rnk.q_id = f.q_id
+         |ORDER BY f.q_id""".stripMargin,
+  ) { (spark, dir) => annGraphRecallOf(vectors(spark, dir)) }
+
+  /** [[annGraphRecall]] over any (vec_id, v, nrm) frame. The walk re-runs
+    * the [[annGraphOf]] loop; the exact ranks come from one broadcast-
+    * queries linear scan over the graph nodes. */
+  private[graft] def annGraphRecallOf(e: DataFrame): DataFrame = {
+    val term = annGraphOf(e)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"hop".desc)))
+      .filter($"rk" === 1)
+      .select($"q_id", $"node".as("found_id"), $"hop".as("n_hops"))
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val sims = e.filter($"vec_id" >= NQueries)
+      .join(broadcast(q))
+      .select($"q_id", $"vec_id".as("node"),
+        call_function("cosine_sim", $"qv", $"v").as("sim"))
+    val fs = term.join(sims,
+        term("q_id") === sims("q_id") && term("found_id") === sims("node"))
+      .select(term("q_id"), $"found_id", $"n_hops", $"sim")
+    fs.join(sims.select($"q_id", $"node".as("x_node"), $"sim".as("x_sim")), "q_id")
+      .groupBy($"q_id", $"found_id", $"n_hops", $"sim")
+      .agg(sum(when($"x_sim" > $"sim" ||
+          ($"x_sim" === $"sim" && $"x_node" < $"found_id"), 1L)
+        .otherwise(0L)).as("nb"))
+      .select($"q_id", $"found_id", ($"nb" + 1L).as("rank_exact"),
+        when($"nb" + 1L <= TopK, 1L).otherwise(0L).as("hit_topk"),
+        $"n_hops".cast("long").as("n_hops"))
+      .orderBy($"q_id")
+  }
 
   /** The [[annGraph]] navigation graph over any (vec_id, v) frame:
     * per-src top-[[AnnGraphK]] over the sign-LSH hamming≤1 candidate
@@ -1996,5 +2063,5 @@ object EmbeddingOps {
       embedDedupCluster, semDedup, embedStats, embedCentroid, embedQuantize,
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
       annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower,
-      annGraph)
+      annGraph, annGraphRecall)
 }

@@ -518,5 +518,23 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       assert(outN.getOrElse(last, Nil).forall(d => cos(vecs(qid), vecs(d)) <= lastSim),
         s"q$qid terminal node must be a local maximum")
     }
+    // the recall readout agrees with the walks and with exact driver ranks
+    val recall = EmbeddingOps.annGraphRecall.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(recall.map(_._1).toSeq == (0L until 5L).toSeq)
+    val nodeIds = vecs.keys.filter(_ >= 5).toSeq
+    for ((qid, found, rank, hit, nHops) <- recall) {
+      val walk = walks(qid)
+      assert(found == walk.last._3 && nHops == walk.last._2,
+        s"q$qid recall row disagrees with its walk")
+      val fSim = cos(vecs(qid), vecs(found))
+      val better = nodeIds.count { n =>
+        val s = cos(vecs(qid), vecs(n))
+        s > fSim || (s == fSim && n < found)
+      }
+      assert(rank == better + 1L, s"q$qid exact rank")
+      assert(hit == (if (rank <= 10) 1L else 0L))
+    }
   }
 }
