@@ -244,6 +244,102 @@ object PackingOps {
       .orderBy($"layout", $"len_bucket")
   }
 
+  /** First-fit-decreasing bin packing — the OTHER classic packing layout
+    * next to [[packSequences]]'s concat-and-chunk: documents must NOT
+    * straddle windows (instruction-tuning, long-doc curation), so each
+    * doc is placed whole into the first [[Ctx]]-token bin that still
+    * fits, in decreasing length order (FFD's 11/9·OPT+1 guarantee).
+    * Deterministic: docs are packed per hash shard in (len DESC, hash,
+    * doc_id) order and first-fit always picks the lowest-index open bin,
+    * so the assignment is a total function of the corpus — pure integer
+    * math, oracle-exact.
+    *
+    * Scale: one shuffle keys the corpus by the [[Buckets]] hash shards;
+    * within a shard the packing is inherently sequential (bin state
+    * depends on every earlier placement), so it runs as ONE higher-order
+    * fold over the shard's sorted doc list — no driver loop, no join —
+    * and shards give the parallelism, exactly like [[packSequences]].
+    * The oracle replays the fold as a per-shard recursive CTE stepping
+    * doc-by-doc with the bin-load list as recursion state. */
+  val packFfd: QueryDef = QueryDef(
+    "llm_pack_ffd",
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+       |         $docHashSql AS h
+       |  FROM documents),
+       |seq AS (
+       |  SELECT doc_id, h % $Buckets AS shard, n_tok,
+       |         row_number() OVER (PARTITION BY h % $Buckets
+       |                            ORDER BY n_tok DESC, h, doc_id) AS r
+       |  FROM t),
+       |fit AS (
+       |  SELECT shard, 0 AS r, CAST([] AS BIGINT[]) AS loads,
+       |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin
+       |  FROM (SELECT DISTINCT shard FROM seq)
+       |  UNION ALL
+       |  SELECT f.shard, s.r,
+       |         CASE WHEN idx IS NULL THEN list_append(f.loads, s.n_tok)
+       |              ELSE list_transform(range(1, len(f.loads) + 1),
+       |                     i -> CASE WHEN i = idx THEN f.loads[i] + s.n_tok
+       |                               ELSE f.loads[i] END)
+       |         END,
+       |         s.doc_id,
+       |         coalesce(idx, len(f.loads) + 1)
+       |  FROM fit f
+       |  JOIN seq s ON s.shard = f.shard AND s.r = f.r + 1,
+       |  LATERAL (SELECT list_filter(range(1, len(f.loads) + 1),
+       |                    i -> f.loads[i] + s.n_tok <= $Ctx)[1] AS idx) z)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |       CAST(bin AS BIGINT) AS bin, CAST(n_tok AS BIGINT) AS n_tok
+       |FROM fit JOIN seq USING (shard, doc_id, r)
+       |WHERE fit.doc_id IS NOT NULL
+       |ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) => packFfdOf(Tables.documents(spark, dir)) }
+
+  /** [[packFfd]] over any (doc_id, text) frame — fixture seam. */
+  private[graft] def packFfdOf(docs: DataFrame): DataFrame = {
+    val t = docs.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("n_tok"), docHash.as("h"))
+      .withColumn("shard", $"h" % Buckets)
+    // per shard: sorted doc list (len DESC via the negated first field),
+    // then one fold carrying (bin loads, assignments) as the accumulator
+    val packed = t
+      .groupBy($"shard")
+      .agg(sort_array(collect_list(
+        struct((-$"n_tok").as("neg"), $"h", $"doc_id", $"n_tok"))).as("ds"))
+      .select($"shard", aggregate(
+        $"ds",
+        struct(
+          expr("CAST(array() AS ARRAY<BIGINT>)").as("loads"),
+          expr("CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, bin: BIGINT>>)")
+            .as("asg")),
+        (acc, d) => {
+          val loads = acc.getField("loads")
+          // sequence(1, 0) counts DOWN, so the no-bins case needs its own arm
+          val fit = when(size(loads) > 0,
+            filter(sequence(lit(1), size(loads)),
+              i => element_at(loads, i) + d.getField("n_tok") <= lit(Ctx.toLong)))
+            .otherwise(expr("CAST(array() AS ARRAY<INT>)"))
+          val idx = coalesce(try_element_at(fit, lit(1)).cast("long"),
+            (size(loads) + 1).cast("long"))
+          struct(
+            when(idx > size(loads),
+              concat(loads, array(d.getField("n_tok"))))
+              .otherwise(transform(loads, (x, j) =>
+                when(j.cast("long") + 1L === idx, x + d.getField("n_tok"))
+                  .otherwise(x))).as("loads"),
+            concat(acc.getField("asg"), array(
+              struct(d.getField("doc_id").as("doc_id"), idx.as("bin"))))
+              .as("asg"))
+        }).getField("asg").as("asg"))
+      .select($"shard", explode($"asg").as("a"))
+      .select($"a.doc_id".as("doc_id"), $"shard", $"a.bin".as("bin"))
+    packed.join(t.select($"doc_id", $"n_tok"), "doc_id")
+      .select($"doc_id", $"shard".cast("long").as("shard"), $"bin",
+        $"n_tok")
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(packSequences, decontaminate, contamFraction, lengthBuckets)
+    Seq(packSequences, decontaminate, contamFraction, lengthBuckets, packFfd)
 }

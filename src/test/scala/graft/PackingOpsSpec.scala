@@ -122,4 +122,35 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(ops.PackingOps.lengthBucketsOf(flat).collect()
       .forall(_.getLong(5) == 0L))
   }
+
+  test("first-fit-decreasing packing matches a driver-side replay, bins never overflow") {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    import org.apache.spark.sql.functions._
+    // lengths chosen so several docs must share bins and first-fit matters
+    val lens = Seq(1200, 1100, 1000, 900, 800, 700, 600, 500, 400, 300,
+      200, 100, 50, 25, 1500, 1800)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val hashed = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"),
+        call_function("md5hash60", col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = hashed.groupBy(_._3 % 32).toSeq.flatMap { case (shard, g) =>
+      val sorted = g.sortBy(t => (-t._2, t._3, t._1))
+      val loads = collection.mutable.ArrayBuffer.empty[Long]
+      sorted.map { case (id, n, _) =>
+        val idx = loads.indexWhere(_ + n <= 2048)
+        val bin = if (idx >= 0) { loads(idx) += n; idx + 1 }
+        else { loads += n; loads.length }
+        (id, shard, bin.toLong, n)
+      }
+    }.sortBy(_._1)
+    val out = ops.PackingOps.packFfdOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == expected)
+    // no (shard, bin) ever exceeds the context window
+    out.groupBy(t => (t._2, t._3)).foreach { case (sb, g) =>
+      assert(g.map(_._4).sum <= 2048L, s"bin $sb overflows") }
+  }
 }
