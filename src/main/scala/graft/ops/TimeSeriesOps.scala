@@ -550,16 +550,11 @@ object TimeSeriesOps {
     },
   ) { (spark, dir) => zorderPruneOf(Tables.events(spark, dir)) }
 
-  /** [[zorderPrune]] over any (event_id, user_id, ts) frame — split out
-    * for the planted-grid spec. */
-  private[graft] def zorderPruneOf(events: DataFrame): DataFrame = {
-    val ev = events
-      .select($"event_id", $"user_id", dayofyear($"ts").cast("long").as("doy"),
-        graft.io.ZOrder.mortonKey($"user_id", dayofyear($"ts"), 10).as("z"),
-        $"ts")
-    val b = ev
-      .withColumn("zf", ntile(64).over(Window.orderBy($"z", $"event_id")))
-      .withColumn("tf", ntile(64).over(Window.orderBy($"ts", $"event_id")))
+  /** Shared prune readout: `b` carries (event_id, user_id, doy) plus one
+    * file-id column per layout; replays parquet footer min/max pruning of
+    * 64 equal-count files per layout against the two band predicates. */
+  private def pruneReadoutOf(b: DataFrame,
+      layouts: Seq[(String, Column)]): DataFrame = {
     def files(layout: String, fid: Column) = b
       .groupBy(fid.as("file_id"))
       .agg(min($"user_id").as("u_lo"), max($"user_id").as("u_hi"),
@@ -568,7 +563,7 @@ object TimeSeriesOps {
         sum($"user_id".between(40, 49).cast("long")).as("u_match"),
         sum($"doy".between(10, 12).cast("long")).as("d_match"))
       .withColumn("layout", lit(layout))
-    val f = files("zorder", $"zf").unionAll(files("time", $"tf"))
+    val f = layouts.map { case (n, c) => files(n, c) }.reduce(_ unionAll _)
     def per(pred: String, prunedC: Column, matchC: Column) = f
       .select($"layout", lit(pred).as("predicate"), $"n_rows",
         prunedC.cast("long").as("pruned"), matchC.as("n_match"))
@@ -582,9 +577,108 @@ object TimeSeriesOps {
       .orderBy($"layout", $"predicate")
   }
 
+  /** [[zorderPrune]] over any (event_id, user_id, ts) frame — split out
+    * for the planted-grid spec. */
+  private[graft] def zorderPruneOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .select($"event_id", $"user_id", dayofyear($"ts").cast("long").as("doy"),
+        graft.io.ZOrder.mortonKey($"user_id", dayofyear($"ts"), 10).as("z"),
+        $"ts")
+    val b = ev
+      .withColumn("zf", ntile(64).over(Window.orderBy($"z", $"event_id")))
+      .withColumn("tf", ntile(64).over(Window.orderBy($"ts", $"event_id")))
+    pruneReadoutOf(b, Seq("zorder" -> $"zf", "time" -> $"tf"))
+  }
+
+  /** Hilbert-curve bits: covers user_id ≤ 1499 (sf0.1) and doy ≤ 366;
+    * inputs mask to this width on both engines. */
+  private val HilbertBits = 11
+
+  /** Three-way layout shoot-out: the [[zorderPrune]] data-skipping
+    * readout with a HILBERT-ordered layout added — same 64 equal-count
+    * files, same band predicates, one extra row pair. Hilbert's unit-step
+    * locality (consecutive curve positions are always grid neighbors —
+    * proven in HilbertSpec; z-order jumps at every power-of-two boundary)
+    * gives files tighter (user, day) bounding boxes, so footer pruning
+    * skips at least as many files for the same predicate. The xy→d
+    * transform is a per-bit integer fold (quadrant offset + flip/swap
+    * rotation) in codegen'd built-ins; the oracle replays it as one CTE
+    * round per bit with identical BIGINT arithmetic ([[graft.io.HilbertCurve]]). */
+  val hilbertPrune: QueryDef = QueryDef(
+    "a4_hilbert_prune", {
+      val z = graft.io.ZOrder.mortonKeySql("user_id", "doy", 10)
+      val m = (1L << HilbertBits) - 1
+      s"""WITH hb0 AS (
+         |  SELECT event_id, user_id, dayofyear(ts) AS doy, ts,
+         |         CAST(user_id AS BIGINT) & $m AS hx,
+         |         CAST(dayofyear(ts) AS BIGINT) & $m AS hy,
+         |         CAST(0 AS BIGINT) AS hd
+         |  FROM events),
+         |${graft.io.HilbertCurve.hilbertCtesSql("hb", HilbertBits,
+              "event_id, user_id, doy, ts")},
+         |b AS (
+         |  SELECT user_id, doy,
+         |         ntile(64) OVER (ORDER BY hd, event_id) AS hf,
+         |         ntile(64) OVER (ORDER BY $z, event_id) AS zf,
+         |         ntile(64) OVER (ORDER BY ts, event_id) AS tf
+         |  FROM hb$HilbertBits),
+         |f AS (
+         |  SELECT 'hilbert' AS layout, hf AS file_id, min(user_id) AS u_lo,
+         |         max(user_id) AS u_hi, min(doy) AS d_lo, max(doy) AS d_hi,
+         |         count(*) AS n_rows,
+         |         CAST(sum(CASE WHEN user_id BETWEEN 40 AND 49 THEN 1 ELSE 0 END) AS BIGINT) AS u_match,
+         |         CAST(sum(CASE WHEN doy BETWEEN 10 AND 12 THEN 1 ELSE 0 END) AS BIGINT) AS d_match
+         |  FROM b GROUP BY hf
+         |  UNION ALL
+         |  SELECT 'zorder', zf, min(user_id), max(user_id), min(doy), max(doy),
+         |         count(*),
+         |         CAST(sum(CASE WHEN user_id BETWEEN 40 AND 49 THEN 1 ELSE 0 END) AS BIGINT),
+         |         CAST(sum(CASE WHEN doy BETWEEN 10 AND 12 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM b GROUP BY zf
+         |  UNION ALL
+         |  SELECT 'time', tf, min(user_id), max(user_id), min(doy), max(doy),
+         |         count(*),
+         |         CAST(sum(CASE WHEN user_id BETWEEN 40 AND 49 THEN 1 ELSE 0 END) AS BIGINT),
+         |         CAST(sum(CASE WHEN doy BETWEEN 10 AND 12 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM b GROUP BY tf),
+         |p AS (
+         |  SELECT layout, 'user_40_49' AS predicate, file_id, n_rows,
+         |         CASE WHEN u_hi < 40 OR u_lo > 49 THEN 1 ELSE 0 END AS pruned,
+         |         u_match AS n_match
+         |  FROM f
+         |  UNION ALL
+         |  SELECT layout, 'day_10_12', file_id, n_rows,
+         |         CASE WHEN d_hi < 10 OR d_lo > 12 THEN 1 ELSE 0 END,
+         |         d_match
+         |  FROM f)
+         |SELECT layout, predicate, CAST(count(*) AS BIGINT) AS n_files,
+         |       CAST(sum(pruned) AS BIGINT) AS n_pruned,
+         |       CAST(sum(CASE WHEN pruned = 1 THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+         |       CAST(sum(n_match) AS BIGINT) AS rows_matched
+         |FROM p GROUP BY layout, predicate ORDER BY layout, predicate""".stripMargin
+    },
+  ) { (spark, dir) => hilbertPruneOf(Tables.events(spark, dir)) }
+
+  /** [[hilbertPrune]] over any (event_id, user_id, ts) frame. */
+  private[graft] def hilbertPruneOf(events: DataFrame): DataFrame = {
+    val ev = graft.io.HilbertCurve.withHilbertKey(
+      events
+        .select($"event_id", $"user_id",
+          dayofyear($"ts").cast("long").as("doy"),
+          graft.io.ZOrder.mortonKey($"user_id", dayofyear($"ts"), 10).as("z"),
+          $"ts"),
+      $"user_id", $"doy", HilbertBits, "hk")
+    val b = ev
+      .withColumn("hf", ntile(64).over(Window.orderBy($"hk", $"event_id")))
+      .withColumn("zf", ntile(64).over(Window.orderBy($"z", $"event_id")))
+      .withColumn("tf", ntile(64).over(Window.orderBy($"ts", $"event_id")))
+    pruneReadoutOf(b,
+      Seq("hilbert" -> $"hf", "zorder" -> $"zf", "time" -> $"tf"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     hourlyDedup, pointRead, daySlice, rangeMax, dailyMax, zorderKey, gapFill,
     funnel, retention, zscoreOutliers, patternMatch, rollingDistinct,
-    ohlcBars, zorderPrune,
+    ohlcBars, zorderPrune, hilbertPrune,
   )
 }
