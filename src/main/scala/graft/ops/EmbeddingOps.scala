@@ -556,6 +556,78 @@ object EmbeddingOps {
       .orderBy($"round", $"cell")
   }
 
+  /** SIMPLIFIED SILHOUETTE of the trained k-means partition (the
+    * centroid-based silhouette of Hruschka et al. — the O(n·k) scalable
+    * form of Rousseeuw 1987's O(n²) original): per vector, cosine distance
+    * to its OWN learned centroid (`a = 1 − s_own`) vs the nearest OTHER
+    * centroid (`b = 1 − max other s`), scored `(b − a) / max(a, b)` ∈
+    * [−1, 1] and rolled up per cell — the clustering-quality readout that
+    * says which learned cells are tight and which bleed into a neighbor
+    * (the k-picking signal next to [[kmeansTrain]]'s convergence trace).
+    *
+    * Determinism: every similarity is the same sequential-fold cosine both
+    * engines compute everywhere else ([[kmeansIter]]); the score chain
+    * (two subtractions, a max, one division) is written with IDENTICAL
+    * association on both sides, quantized to a 1e-6 BIGINT via the
+    * `floor(x·1e6 + 0.5)` house rule BEFORE the per-cell sum, and the
+    * per-cell mean is an integer `DIV`. Zero-denominator guard (a vector
+    * sitting exactly on two centroids) pins the score to 0 on both sides.
+    *
+    * Scale shape: one corpus pass against the BROADCAST centroid table
+    * (bounded by [[MaxBroadcastCells]] like every assignment here), one
+    * (vec_id)-keyed max for the runner-up, one (cell)-keyed rollup —
+    * nothing touches vector pairs. */
+  val kmeansSilhouette: QueryDef = QueryDef(
+    "llm_kmeans_silhouette",
+    s"""${kmTrainCtes(KmRounds)},
+       |sc AS (SELECT a.vec_id, a.cell, n.cell AS cand,
+       |              ${dotSql("a.v", "n.cv")} / (a.nrm * n.cnrm) AS s
+       |       FROM a$KmRounds a, n2$KmRounds n),
+       |own AS (SELECT vec_id, cell, s AS s_own FROM sc WHERE cand = cell),
+       |oth AS (SELECT vec_id, max(s) AS s_other FROM sc WHERE cand <> cell GROUP BY vec_id),
+       |sil AS (SELECT o.cell,
+       |               CASE WHEN greatest(1.0 - o.s_own, 1.0 - t.s_other) > 0
+       |                    THEN CAST(floor(((1.0 - t.s_other) - (1.0 - o.s_own))
+       |                         / greatest(1.0 - o.s_own, 1.0 - t.s_other) * 1000000.0 + 0.5) AS BIGINT)
+       |                    ELSE 0 END AS sil_e6
+       |        FROM own o JOIN oth t USING (vec_id))
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(sum(sil_e6) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_sil_e6,
+       |       min(sil_e6) AS min_sil_e6, max(sil_e6) AS max_sil_e6
+       |FROM sil GROUP BY cell ORDER BY cell""".stripMargin,
+  ) { (spark, dir) =>
+    val (_, nc, a) = kmeansTrainOf(spark, dir, KmRounds)
+    silhouetteOf(a, nc)
+  }
+
+  /** The silhouette rollup over any assignment `(vec_id, v, cell)` and
+    * centroid table `(cell, cv)` — extracted for the planted-cluster
+    * spec. */
+  private[graft] def silhouetteOf(a: DataFrame, nc: DataFrame): DataFrame = {
+    val scored = a
+      .crossJoin(broadcast(nc.select($"cell".as("cand"), $"cv")))
+      .select($"vec_id", $"cell", $"cand",
+        call_function("cosine_sim", $"v", $"cv").as("s"))
+    val own = scored.filter($"cand" === $"cell")
+      .select($"vec_id", $"cell", $"s".as("s_own"))
+    val oth = scored.filter($"cand" =!= $"cell")
+      .groupBy($"vec_id").agg(max($"s").as("s_other"))
+    val sil = own.join(oth, "vec_id")
+      .select($"cell",
+        when(greatest(lit(1.0) - $"s_own", lit(1.0) - $"s_other") > 0,
+          floor(((lit(1.0) - $"s_other") - (lit(1.0) - $"s_own"))
+            / greatest(lit(1.0) - $"s_own", lit(1.0) - $"s_other") * 1000000.0 + 0.5)
+            .cast("long"))
+          .otherwise(lit(0L)).as("sil_e6"))
+    sil.groupBy($"cell")
+      .agg(count(lit(1)).as("n_members"), sum($"sil_e6").as("ssum"),
+        min($"sil_e6").as("min_sil_e6"), max($"sil_e6").as("max_sil_e6"))
+      .select($"cell".cast("long").as("cell"), $"n_members",
+        expr("ssum DIV n_members").as("mean_sil_e6"),
+        $"min_sil_e6", $"max_sil_e6")
+      .orderBy($"cell")
+  }
+
   /** Trained-IVF top-k plan — the [[ivfTopK]] skeleton over LEARNED
     * cells: corpus cells are the final training assignment, query probes
     * are the top-2 learned centroids. Shared by [[annIvfTrained]] and
@@ -2059,6 +2131,7 @@ object EmbeddingOps {
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
+      kmeansSilhouette,
       ivfAssignBlocked, hybridRrf, hybridRrfAnn, embedNeardup,
       embedDedupCluster, semDedup, embedStats, embedCentroid, embedQuantize,
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,

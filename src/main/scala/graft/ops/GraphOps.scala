@@ -1151,9 +1151,150 @@ object GraphOps {
           .as("assortativity"))
   }
 
+  // ------------------------------------------------- weighted shortest path
+
+  /** WEIGHT-carrying co-occurrence edge CTE — [[edgesSql]] with the support
+    * count exposed as `w` (the sssp/louvain lanes price and score edges by
+    * it; the unweighted twin keeps its narrower shape for the older
+    * oracles). */
+  private val wedgesSql =
+    """bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |wpairs AS (SELECT b1.l_partkey AS p1, b2.l_partkey AS p2,
+      |                  CAST(count(*) AS BIGINT) AS w
+      |           FROM bi b1 JOIN bi b2 ON b1.l_orderkey = b2.l_orderkey
+      |                              AND b1.l_partkey < b2.l_partkey
+      |           GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin
+
+  /** Bellman-Ford rounds run (and unrolled in the oracle). One more than
+    * [[bfsLevels]]' hop cap: with weights, a 4-edge path can undercut a
+    * 2-edge one — the extra round is exactly where SSSP and BFS diverge. */
+  private val SsspRounds = 4
+
+  /** Bounded Bellman-Ford over any `(src, dst, cost)` edge list (both
+    * orientations) — distances reachable within `rounds` edges from the
+    * minimum src id. Per round: ONE equi-join of the vertex-sized distance
+    * frame to the src-partitioned cached edge table (edges never move after
+    * the initial partition — the power-iteration arrangement) and ONE
+    * (node)-keyed min. State is the distance map, never paths, so there is
+    * no path explosion at any scale; rounds beyond the graph's weighted
+    * diameter are no-ops. Distance state is referenced twice per round
+    * (relax join + union), so lineage truncates per round like
+    * [[bfsLevelsOf]]. */
+  private[graft] def ssspOf(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = graft.Caches.persist(
+      edges.select($"src", $"dst", $"cost").repartition($"src"))
+    var dist = graft.Caches.localCheckpoint(
+      e.agg(min($"src").as("node")).select($"node", lit(0L).as("d")))
+    for (_ <- 1 to rounds) {
+      dist = graft.Caches.localCheckpoint(
+        dist.unionAll(
+          e.join(dist.select($"node".as("src"), $"d"), "src")
+            .select($"dst".as("node"), ($"d" + $"cost").as("d")))
+          .groupBy($"node").agg(min($"d").as("d")))
+    }
+    dist
+  }
+
+  /** Single-source WEIGHTED shortest paths ([[SsspRounds]]-round
+    * Bellman-Ford) over the co-occurrence graph from its minimum part id —
+    * the weighted sibling of [[bfsLevels]]. Edge cost prices affinity:
+    * `1000 DIV w`, so frequently co-ordered pairs are cheap to traverse
+    * and the readout is "how related is every part to the source along its
+    * strongest chains", not mere hop count. Integer costs end to end: the
+    * relaxation `min` and sums are exact BIGINTs in both engines, so the
+    * whole distance map hash-matches. The oracle unrolls the identical
+    * rounds as per-level CTEs (the [[bfsLevels]] technique) — each round is
+    * |V|+|E| work, never path enumeration. */
+  val sssp: QueryDef = QueryDef(
+    "graph_sssp",
+    s"""WITH $wedgesSql,
+       |und AS (SELECT p1 AS src, p2 AS dst, CAST(1000 // w AS BIGINT) AS cost FROM wpairs
+       |        UNION ALL SELECT p2, p1, CAST(1000 // w AS BIGINT) FROM wpairs),
+       |d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS d FROM und)
+       |${(1 to SsspRounds).map(r =>
+          s""", d$r AS (SELECT node, min(d) AS d FROM (
+             |         SELECT node, d FROM d${r - 1}
+             |         UNION ALL
+             |         SELECT e.dst, p.d + e.cost FROM d${r - 1} p JOIN und e ON e.src = p.node
+             |       ) GROUP BY node)""".stripMargin).mkString("\n")}
+       |SELECT node AS part, d FROM d$SsspRounds ORDER BY part""".stripMargin,
+  ) { (spark, dir) =>
+    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val edges = und
+      .select($"p1".as("src"), $"p2".as("dst"), expr("1000 DIV w").as("cost"))
+      .unionAll(und
+        .select($"p2".as("src"), $"p1".as("dst"), expr("1000 DIV w").as("cost")))
+    ssspOf(edges, SsspRounds)
+      .select($"node".as("part"), $"d")
+      .orderBy($"part")
+  }
+
+  // ----------------------------------------------- Louvain modularity pass
+
+  /** First Louvain pass (Blondel et al. 2008, "Fast unfolding of
+    * communities in large networks") from the singleton partition, on the
+    * WEIGHTED co-occurrence graph: every node inspects its neighbors'
+    * (singleton) communities and takes the move with the largest modularity
+    * gain, staying put when no move gains. With singleton communities the
+    * gain of moving n next to c reduces to
+    * `ΔQ·2m² = 2m·w(n,c) − deg(n)·deg(c)` — evaluated EXACTLY in BIGINTs,
+    * so the argmax (ties toward the smaller candidate id) and the reported
+    * scaled gains hash-match; no float modularity crosses the engines (the
+    * float readout lives in [[modularity]]). This is the greedy-move
+    * primitive the full Louvain loop iterates; one synchronous pass keeps
+    * the op closed-form for the oracle while [[labelProp]] +
+    * [[modularity]] cover the iterate-to-fixpoint side.
+    *
+    * Scale shape: weighted degrees are one (node)-keyed agg of the edge
+    * list; the gain table is the edge list joined to the vertex-sized
+    * degree frame on each endpoint (two equi-joins, never a pair
+    * expansion); the argmax is a per-node window. */
+  val louvainPass: QueryDef = QueryDef(
+    "graph_louvain_pass",
+    s"""WITH $wedgesSql,
+       |und AS (SELECT p1 AS u, p2 AS v, w FROM wpairs
+       |        UNION ALL SELECT p2, p1, w FROM wpairs),
+       |mm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM wpairs),
+       |deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS dg FROM und GROUP BY u),
+       |g AS (SELECT e.u AS node, e.v AS cand,
+       |             2 * mm.m * e.w - du.dg * dv.dg AS gain
+       |      FROM und e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v, mm),
+       |best AS (SELECT node, cand, gain,
+       |                row_number() OVER (PARTITION BY node ORDER BY gain DESC, cand) AS rk
+       |         FROM g)
+       |SELECT node AS part,
+       |       CASE WHEN gain > 0 THEN cand ELSE node END AS community,
+       |       CASE WHEN gain > 0 THEN gain ELSE 0 END AS gain2m2
+       |FROM best WHERE rk = 1 ORDER BY part""".stripMargin,
+  ) { (spark, dir) =>
+    louvainPassOf(cooccurEdges(Tables.lineitem(spark, dir)))
+  }
+
+  /** The Louvain first pass over any canonical weighted `(p1, p2, w)` edge
+    * list — extracted for the planted-fixture spec. */
+  private[graft] def louvainPassOf(wp: DataFrame): DataFrame = {
+    val und = wp.select($"p1".as("u"), $"p2".as("v"), $"w")
+      .unionAll(wp.select($"p2".as("u"), $"p1".as("v"), $"w"))
+    val mm = wp.agg(sum($"w").as("m"))
+    val deg = und.groupBy($"u").agg(sum($"w").as("dg"))
+    val g = und
+      .join(deg.select($"u", $"dg".as("du")), "u")
+      .join(deg.select($"u".as("v"), $"dg".as("dv")), "v")
+      .crossJoin(broadcast(mm))
+      .select($"u".as("node"), $"v".as("cand"),
+        (lit(2L) * $"m" * $"w" - $"du" * $"dv").as("gain"))
+    g.withColumn("rk", row_number().over(
+        Window.partitionBy($"node").orderBy($"gain".desc, $"cand".asc)))
+      .filter($"rk" === 1)
+      .select($"node".as("part"),
+        when($"gain" > 0, $"cand").otherwise($"node").as("community"),
+        when($"gain" > 0, $"gain").otherwise(lit(0L)).as("gain2m2"))
+      .orderBy($"part")
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, personalizedPageRank, bfsLevels,
       adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore,
       labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks,
-      assortativity)
+      assortativity, sssp, louvainPass)
 }

@@ -1510,6 +1510,74 @@ object LlmTextOps {
       .orderBy($"doc_id")
   }
 
+  /** CONTENT-DEFINED chunking dedup (the rsync/LBFS rolling-hash cut rule,
+    * Muthitacharoen et al. 2001, at token granularity): a boundary falls
+    * AFTER token i whenever the hash of the trailing 3-token window is
+    * ≡ 0 mod 8 (expected chunk ≈ 8 tokens), so chunk edges are decided by
+    * LOCAL content, not absolute position. This is the dedup mode
+    * [[dupChunks]]' aligned fixed windows miss: insert one token near the
+    * head of a copied document and every 10-aligned chunk after it shifts
+    * and stops hashing equal, while CDC boundaries re-synchronize within
+    * one window of the edit and every later chunk still matches. Per doc:
+    * chunk count, duplicated-chunk count, and duplicated-token mass.
+    *
+    * Scale shape: one posexplode, two doc-partitioned windows (trailing
+    * 3-gram via lag + running boundary count — both bounded by document
+    * length), a (doc, chunk)-keyed rollup that reduces each chunk to its
+    * 60-bit digest, then the [[dupChunks]] tail: digest-keyed count +
+    * digest-keyed join back and a doc-keyed rollup. Text never shuffles
+    * past the chunk rollup; nothing is quadratic in duplicate count. */
+  val cdcChunks: QueryDef = QueryDef(
+    "llm_cdc_chunks",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      |p AS (SELECT doc_id, i, ts[i] AS tok,
+      |             CASE WHEN i >= 3 AND ('0x' || substr(md5(array_to_string(ts[i-2:i], ' ')), 1, 15))::BIGINT % 8 = 0
+      |                  THEN 1 ELSE 0 END AS bnd
+      |      FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)),
+      |c AS (SELECT doc_id, i, tok,
+      |             coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ck
+      |      FROM p),
+      |ch AS (SELECT doc_id, ck, CAST(count(*) AS BIGINT) AS n_toks,
+      |              ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY i)), 1, 15))::BIGINT AS h
+      |       FROM c GROUP BY doc_id, ck),
+      |fr AS (SELECT h, count(*) AS n FROM ch GROUP BY h)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(CASE WHEN fr.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |       CAST(sum(CASE WHEN fr.n > 1 THEN ch.n_toks ELSE 0 END) AS BIGINT) AS n_dup_tokens
+      |FROM ch JOIN fr USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    cdcChunksOf(Tables.documents(spark, dir))
+  }
+
+  /** The CDC pipeline over any `(doc_id, text)` frame — extracted for the
+    * insertion-robustness spec. */
+  private[graft] def cdcChunksOf(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"doc_id").orderBy($"i")
+    val p = documents
+      .select($"doc_id", posexplode(tokens))
+      .select($"doc_id", ($"pos" + 1).as("i"), $"col".as("tok"))
+      .withColumn("bnd", when($"i" >= 3 &&
+        pmod(portableHash(concat_ws(" ",
+          lag($"tok", 2).over(w), lag($"tok", 1).over(w), $"tok")), lit(8)) === 0,
+        1L).otherwise(0L))
+    val c = p.withColumn("ck", coalesce(
+      sum($"bnd").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ch = c.groupBy($"doc_id", $"ck")
+      .agg(count(lit(1)).as("n_toks"),
+        portableHash(array_join(
+          transform(array_sort(collect_list(struct($"i", $"tok"))),
+            s => s.getField("tok")), " ")).as("h"))
+    val fr = ch.groupBy($"h").agg(count(lit(1)).as("n"))
+    ch.join(fr, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"n" > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when($"n" > 1, $"n_toks").otherwise(0L)).as("n_dup_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** SUBSTRING-level dedup readout (the ExactSubstr signal of Lee et al.
     * 2021, "Deduplicating Training Data Makes Language Models Better",
     * approximated at 5-token granularity): every 5-token gram occurring
@@ -2499,7 +2567,7 @@ object LlmTextOps {
     entropy, neardupJaccard, containment, minhashSig, minhashLsh, minhashSweep,
     simhash, simhashPairs,
     dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,
-    dupChunks, dupSpans, despanApply, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
+    dupChunks, cdcChunks, dupSpans, despanApply, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
     unigramSegment,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
     phraseSearch, keywordTag, rakeKeywords, lmGreedyGen,

@@ -537,4 +537,49 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       assert(hit == (if (rank <= 10) 1L else 0L))
     }
   }
+
+  test("silhouette: planted tight clusters replay exactly; boundary point drags the min") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // cell 0 hugs e1, cell 1 hugs e2; vec 4 sits near the 45° boundary but
+    // is assigned to cell 0 — its score must be the cell-0 minimum and far
+    // below the tight members'.
+    val pts = Seq(
+      (0L, Array(1.0, 0.02, 0.0), 0L),
+      (1L, Array(1.0, -0.02, 0.0), 0L),
+      (2L, Array(0.02, 1.0, 0.0), 1L),
+      (3L, Array(-0.02, 1.0, 0.0), 1L),
+      (4L, Array(0.8, 0.6, 0.0), 0L))
+    val a = pts.toDF("vec_id", "v", "cell")
+    val nc = Seq((0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0)))
+    val out = EmbeddingOps.silhouetteOf(a, nc.toDF("cell", "cv")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    // replay with the exact shipped float chain
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- x.indices) { dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = nc.toMap
+    val sil = pts.map { case (_, v, cell) =>
+      val sOwn = cos(v, cents(cell))
+      val sOth = cents.keys.filter(_ != cell).map(c => cos(v, cents(c))).max
+      val den = math.max(1.0 - sOwn, 1.0 - sOth)
+      val s = if (den > 0)
+        math.floor(((1.0 - sOth) - (1.0 - sOwn)) / den * 1000000.0 + 0.5).toLong
+      else 0L
+      cell -> s
+    }
+    val expected = sil.groupBy(_._1).view.mapValues { xs =>
+      val vs = xs.map(_._2)
+      (vs.size.toLong, vs.sum / vs.size, vs.min, vs.max)
+    }.toMap
+    assert(out == expected, s"engine vs replay: $out vs $expected")
+    // semantic shape: tight members near +1e6, boundary point the minimum
+    assert(out(1L)._2 > 900000L, "cell 1 is tight")
+    // boundary vec: a = 1−0.8, b = 1−0.6 → score (b−a)/b = 0.5 exactly
+    assert(out(0L)._3 <= 500000L, "boundary vec drags cell 0's min down")
+    assert(out(0L)._4 > 900000L, "cell 0 still has tight members")
+  }
 }

@@ -404,6 +404,51 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1) - want) < 1e-6, s"r = $want")
     assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
   }
+
+  test("sssp: cheap two-edge path beats a heavy direct edge, round cap bounds reach") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // 1-2:10, 2-3:10 undercut the direct 1-3:100 (weighted ≠ BFS);
+    // chain 3-4-5 at 10 each needs exactly 4 relax rounds for node 5's
+    // cheap 40; node 6's cheap 5-edge path (50) is out of reach at 4
+    // rounds, so it reports the best ≤4-edge path 1-3-4-5-6 = 130 — the
+    // bounded-Bellman-Ford contract; {100,101} form an unreachable
+    // component → absent. Source = min src id = 1.
+    val und = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 100L),
+      (3L, 4L, 10L), (4L, 5L, 10L), (5L, 6L, 10L), (100L, 101L, 5L))
+    val edges = (und ++ und.map { case (a, b, c) => (b, a, c) })
+      .toDF("src", "dst", "cost")
+    val out = GraphOps.ssspOf(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 30L, 5L -> 40L,
+        6L -> 130L),
+      s"weighted distances must win over hop count: $out")
+    // one more round lets the cheap 5-edge chain overtake the heavy detour
+    val relaxed = GraphOps.ssspOf(edges, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relaxed(6L) == 50L, s"round 5 must relax node 6 to 50: $relaxed")
+    val again = GraphOps.ssspOf(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == again, "sssp must be deterministic")
+  }
+
+  test("louvain pass: gain discounts hub-hub edges, ties break to the smaller id") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // Two hubs 1,2 joined by the RAW-heaviest edge (w=30), each holding
+    // two w=20 leaves. m=110, 2m=220, deg(hub)=70, deg(leaf)=20.
+    //   gain(hub→hub)  = 220·30 − 70·70 = 1700
+    //   gain(hub→leaf) = 220·20 − 70·20 = 3000  ← degree discounting wins
+    // so each hub merges with a LEAF despite the heavier hub-hub edge,
+    // and the equal-gain leaf pair (10 vs 11) resolves to the smaller id.
+    val wp = Seq((1L, 2L, 30L), (1L, 10L, 20L), (1L, 11L, 20L),
+      (2L, 20L, 20L), (2L, 21L, 20L)).toDF("p1", "p2", "w")
+    val out = GraphOps.louvainPassOf(wp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((10L, 3000L)), s"hub 1 must join leaf 10: $out")
+    assert(out(2L) == ((20L, 3000L)), s"hub 2 must join leaf 20: $out")
+    // every leaf's only neighbor is its hub: gain = 220·20 − 20·70 = 3000
+    assert(Seq(10L, 11L).forall(out(_) == ((1L, 3000L))), s"leaves→hub 1: $out")
+    assert(Seq(20L, 21L).forall(out(_) == ((2L, 3000L))), s"leaves→hub 2: $out")
+  }
 }
 
 /** Collects jaccardLinksOf output as (a,b) -> (n_common, jaccard). */

@@ -646,4 +646,52 @@ class LlmTextOpsSpec extends AnyFunSuite {
     // "abab" is itself a <=4-char piece, so one piece beats two "ab"s
     assert(out.find(_._1 == "abab").get._4 == 1L)
   }
+
+  test("cdc chunks: full driver-side replay; boundaries re-sync after an insertion") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // doc 1 duplicates doc 0 exactly; doc 2 PREPENDS one token to doc 0.
+    // Content-defined boundaries depend only on the trailing 3-token
+    // window, so doc 2's cuts realign with doc 0's one window after the
+    // edit and every later chunk hashes equal — the failure mode aligned
+    // fixed-width chunking (llm_dup_chunks) cannot recover from.
+    val base = (1 to 60).map(i => s"t$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, base), (2L, "zzz " + base))
+    val out = LlmTextOps.cdcChunksOf(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    // exact replay of the shipped algorithm (md5-60 gear, mod-8 cut rule)
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    def chunksOf(text: String): Seq[String] = {
+      val ts = text.split(" ")
+      val bnd = ts.indices.map { i0 =>
+        val i = i0 + 1
+        i >= 3 && h60(ts.slice(i - 3, i).mkString(" ")) % 8 == 0
+      }
+      val cut = bnd.scanLeft(0)((acc, b) => acc + (if (b) 1 else 0))
+      ts.indices.groupBy(i0 => cut(i0)).toSeq.sortBy(_._1)
+        .map { case (_, is) => is.map(ts).mkString(" ") }
+    }
+    val all = docs.map { case (id, text) => id -> chunksOf(text) }
+    val freq = all.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val expected = all.map { case (id, cs) =>
+      val dup = cs.filter(freq(_) > 1)
+      id -> ((cs.size.toLong, dup.size.toLong,
+        dup.map(_.split(" ").length.toLong).sum))
+    }.toMap
+    assert(out == expected, s"engine vs replay: $out vs $expected")
+
+    // the replay itself must show the CDC property: several chunks, all of
+    // doc 0/1 duplicated, and doc 2 sharing all but its first chunk
+    val (n0, d0, t0) = expected(0L)
+    assert(n0 >= 3, s"mod-8 cut rule should yield several chunks: $expected")
+    assert(d0 == n0 && t0 == 60L, "doc 0 fully duplicated by doc 1")
+    val (n2, d2, _) = expected(2L)
+    assert(d2 >= n2 - 1, s"all but the head chunk must re-sync: $expected")
+    assert(d2 > 0, "insertion must not destroy all sharing")
+  }
 }
