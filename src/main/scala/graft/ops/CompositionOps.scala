@@ -358,9 +358,10 @@ object CompositionOps {
     * domain off by more than one token.
     *
     * Shape: domain-keyed aggregate (bounded by domain count, not corpus
-    * size), scalar-total broadcast, then a window over the ~|domains| rows
-    * — the unpartitioned ROW_NUMBER runs on the already-aggregated tiny
-    * frame, never on corpus rows.
+    * size), scalar-total broadcast, then the remainder ranking over the
+    * ~|domains| rows via [[graft.ops.ParallelRank.withGlobalRank]] —
+    * already tiny, but ranked partition-parallel anyway so no
+    * unpartitioned window appears in any plan.
     *
     * Determinism: pure integer arithmetic end-to-end (DIV / mod, no
     * floats anywhere), remainder ties broken by (lang, source). BIGINT
@@ -385,7 +386,6 @@ object CompositionOps {
       |         AS budget_toks
       |FROM r, l ORDER BY r.lang, r.source""".stripMargin,
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, dir)
       .groupBy($"lang", $"source")
       .agg(sum(size(split($"text", " ")).cast("long")).as("avail"))
@@ -395,8 +395,11 @@ object CompositionOps {
         expr("(100000L * avail) DIV total").as("base"),
         expr("(100000L * avail) % total").as("rem"))
     val l = q.agg((lit(100000L) - sum($"base")).as("leftover"))
-    val r = q.withColumn("rk",
-      row_number().over(Window.orderBy($"rem".desc, $"lang", $"source")))
+    // |domains| rows, but ranked partition-parallel anyway so the sweep
+    // invariant (zero unpartitioned windows in src/main outside documented
+    // bounded sites) holds without an exemption here.
+    val r = ParallelRank.withGlobalRank(q,
+      Seq($"rem".desc, $"lang", $"source"), "rk")
     r.crossJoin(broadcast(l))
       .select($"lang", $"source", $"avail",
         ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("budget_toks"))

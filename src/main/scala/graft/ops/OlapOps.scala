@@ -178,12 +178,13 @@ object OlapOps {
     * is best on every axis (most recent / most orders / most spend);
     * `segment` concatenates the three digits.
     *
-    * Scale: the metrics are one orders-keyed aggregate; the three ntiles
-    * are rank-only windows over the AGGREGATED per-customer frame (one row
-    * per customer, no payload), which a cluster serves via range
-    * partitioning — at extreme customer counts the quartile edges would
-    * come from approximate quantiles instead, trading this oracle's
-    * exactness for parallelism. */
+    * Scale: the metrics are one orders-keyed aggregate; the three
+    * quartile assignments run via [[ParallelRank.withNtile]] (range
+    * shuffle + partition-parallel ranking + broadcast rank offsets) over
+    * the AGGREGATED per-customer frame — one row per customer, which is
+    * itself corpus-scale at 100 TB, so no single-partition window
+    * anywhere (round-11 verdict sweep); output is bit-identical to the
+    * oracle's global `ntile(4)`. */
   val rfmSegments: QueryDef = QueryDef(
     "olap_rfm",
     """WITH m AS (SELECT o_custkey,
@@ -200,7 +201,6 @@ object OlapOps {
       |         || CAST(ntile(4) OVER (ORDER BY mon_cents DESC, o_custkey) AS VARCHAR) AS segment
       |FROM m ORDER BY o_custkey""".stripMargin,
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val orders = Tables.orders(spark, dir)
     val maxDate = orders.agg(max($"o_orderdate").as("gmax"))
     val m = orders
@@ -213,13 +213,15 @@ object OlapOps {
       .select($"o_custkey",
         datediff($"gmax", $"last_date").cast("long").as("rec_days"),
         $"freq", $"mon_cents")
-    val rq = ntile(4).over(Window.orderBy($"rec_days", $"o_custkey")).cast("long")
-    val fq = ntile(4).over(Window.orderBy($"freq".desc, $"o_custkey")).cast("long")
-    val mq = ntile(4).over(Window.orderBy($"mon_cents".desc, $"o_custkey")).cast("long")
-    m.select($"o_custkey", $"rec_days", $"freq", $"mon_cents",
-        rq.as("r_q"), fq.as("f_q"), mq.as("m_q"),
-        concat(rq.cast("string"), fq.cast("string"), mq.cast("string"))
-          .as("segment"))
+    val b = ParallelRank.withNtile(
+      ParallelRank.withNtile(
+        ParallelRank.withNtile(m, 4, Seq($"rec_days", $"o_custkey"), "r_q"),
+        4, Seq($"freq".desc, $"o_custkey"), "f_q"),
+      4, Seq($"mon_cents".desc, $"o_custkey"), "m_q")
+    b.select($"o_custkey", $"rec_days", $"freq", $"mon_cents",
+        $"r_q", $"f_q", $"m_q",
+        concat($"r_q".cast("string"), $"f_q".cast("string"),
+          $"m_q".cast("string")).as("segment"))
       .orderBy($"o_custkey")
   }
 
@@ -231,8 +233,11 @@ object OlapOps {
     * share ever decides a row. Output is the 3-row class summary (count,
     * revenue, exact basis-point share floor-quantized).
     *
-    * Scale: per-customer aggregate, then a rank-only running sum over the
-    * aggregated frame — same shape (and same caveat) as [[rfmSegments]]. */
+    * Scale: per-customer aggregate, then the running revenue sum via
+    * [[ParallelRank.withRunningSum]] (partition-parallel prefix sums with
+    * broadcast per-partition offsets — no single-partition window; the
+    * per-customer frame is corpus-scale at 100 TB) and the grand total as
+    * a broadcast scalar — same rewrite family as [[rfmSegments]]. */
   val abcPareto: QueryDef = QueryDef(
     "olap_abc_pareto",
     """WITH m AS (SELECT o_custkey,
@@ -253,17 +258,17 @@ object OlapOps {
       |       CAST(sum(cents) * 10000 // max(total) AS BIGINT) AS share_bps
       |FROM k GROUP BY abc_class ORDER BY abc_class""".stripMargin,
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val m = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")
         .cast("decimal(38,0)")).cast("long").as("cents"))
-    val run = Window.orderBy($"cents".desc, $"o_custkey")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val c = m.select($"o_custkey", $"cents",
-      sum($"cents".cast("decimal(38,0)")).over(run).cast("long").as("cum"),
-      sum($"cents".cast("decimal(38,0)"))
-        .over(Window.partitionBy()).cast("long").as("total"))
+    val tot = m.agg(
+      sum($"cents".cast("decimal(38,0)")).cast("long").as("total"))
+    val c = ParallelRank.withRunningSum(m,
+        Seq($"cents".desc, $"o_custkey"),
+        $"cents".cast("decimal(38,0)"), "cumd")
+      .crossJoin(broadcast(tot))
+      .select($"o_custkey", $"cents", $"cumd".cast("long").as("cum"), $"total")
     c.select(
         when($"cum" * 100 <= $"total" * 80, "A")
           .when($"cum" * 100 <= $"total" * 95, "B")
@@ -376,8 +381,9 @@ object OlapOps {
     * per nation as exact-bps share of its region, and each region's share
     * of the grand total — two hierarchy levels in one pass. The dimension
     * chain (customer→nation→region) folds in as broadcast joins; the
-    * shares are windows over the 25-row nation aggregate, with the only
-    * unpartitioned window running over that same tiny frame. */
+    * region share is a window partitioned by region over the 25-row
+    * nation aggregate, and the grand total a broadcast scalar — no
+    * unpartitioned window anywhere in the plan. */
   val pctOfParent: QueryDef = QueryDef(
     "olap_pct_of_parent",
     """WITH rev AS (SELECT r.r_name AS region, n.n_name AS nation,
@@ -403,9 +409,10 @@ object OlapOps {
       .groupBy($"r_name".as("region"), $"n_name".as("nation"))
       .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("decimal(38,0)"))
         .cast("long").as("cents"))
+    val grand = rev.agg(sum($"cents").cast("long").as("grand_total"))
     rev
       .withColumn("region_total", sum($"cents").over(Window.partitionBy($"region")))
-      .withColumn("grand_total", sum($"cents").over(Window.partitionBy()))
+      .crossJoin(broadcast(grand))
       .select($"region", $"nation", $"cents".as("revenue_cents"),
         expr("cents * 10000 DIV region_total").as("share_of_region_bps"),
         expr("region_total * 10000 DIV grand_total").as("region_share_bps"))

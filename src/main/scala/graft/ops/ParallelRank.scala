@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ranks / ntiles / running sums WITHOUT a single-partition
+  * window.
+  *
+  * `rank()/ntile()/sum() OVER (ORDER BY …)` with no PARTITION BY makes
+  * Spark move the ENTIRE frame to one task ("Moving all data to a single
+  * partition" — WindowExec's required distribution is AllTuples), which is
+  * the one plan shape that cannot survive a 100× scale-up: a corpus-sized
+  * sort serialized through a single executor thread. The round-11 verdict
+  * flagged every such site on a row-/entity-scale frame; this helper is
+  * the shared rewrite.
+  *
+  * The classic distributed total-order decomposition (TeraSort's
+  * partitioner, Goetz Graefe's rank-offset trick):
+  *
+  *  1. `repartitionByRange` on the FULL sort key — one range shuffle, the
+  *     same cost any sorted write already pays; sampling picks balanced
+  *     bounds, and because callers always include a unique tiebreaker the
+  *     key is a total order, so partition i's rows all sort strictly
+  *     before partition i+1's regardless of how the sampler balanced them.
+  *  2. per-partition `row_number()` / running `sum()` — a window
+  *     PARTITIONED by the range-partition id, fully parallel.
+  *  3. per-partition counts/totals (one bounded row per partition) are
+  *     offset via a tiny triangular self-join — NOT a window, so even the
+  *     bounded offset pass plans zero single-partition exchanges — and
+  *     broadcast back; global rank = partition offset + local rank.
+  *
+  * The result is bit-identical to the global window (the oracle keeps the
+  * plain `OVER (ORDER BY …)` form), but the big frame only ever crosses
+  * the wire range-partitioned, and every sort runs partition-parallel.
+  *
+  * Callers MUST pass a total order (include a unique key as the last sort
+  * column) — with duplicate keys the cross-partition placement of ties is
+  * sampler-dependent and ranks would be nondeterministic.
+  */
+object ParallelRank {
+
+  /** Range-shuffle `df` on `order` and freeze each row's partition id.
+    * Persisted: the id column must not be recomputed under a different
+    * partitioning once the offset join re-shuffles rows. */
+  private def ranged(df: DataFrame, order: Seq[Column]): DataFrame =
+    graft.Caches.persist(
+      df.repartitionByRange(order: _*).withColumn("__pid", spark_partition_id()))
+
+  /** Exclusive prefix totals over the per-partition frame `per`
+    * (`__pid`, `__n`): for each partition, the sum of all `__n` strictly
+    * before it. A triangular broadcast join over ≤|shuffle partitions|
+    * rows — deliberately not a window, so the helper itself introduces no
+    * single-partition exchange anywhere in the plan. */
+  private def prefixOffsets(per: DataFrame): DataFrame = {
+    val before = per.select($"__pid".as("__bpid"), $"__n".as("__bn"))
+    per.join(broadcast(before), $"__bpid" < $"__pid", "left")
+      .groupBy($"__pid")
+      .agg(max($"__n").as("__n"), coalesce(sum($"__bn"), lit(0L)).as("__off"))
+  }
+
+  /** `out` := `row_number() OVER (ORDER BY order…)` (1-based, BIGINT),
+    * computed partition-parallel. */
+  def withGlobalRank(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
+    val r = ranged(df, order)
+    val off = prefixOffsets(r.groupBy($"__pid").agg(count(lit(1)).as("__n")))
+    r.withColumn("__lr",
+        row_number().over(Window.partitionBy($"__pid").orderBy(order: _*)))
+      .join(broadcast(off.select($"__pid", $"__off")), Seq("__pid"))
+      .withColumn(out, ($"__off" + $"__lr").cast("long"))
+      .drop("__pid", "__lr", "__off")
+  }
+
+  /** `out` := `ntile(k) OVER (ORDER BY order…)` (BIGINT), computed
+    * partition-parallel: global rank as above, then the standard SQL
+    * ntile bucket rule — with n rows the first `n mod k` buckets hold
+    * `⌈n/k⌉` rows, the rest `⌊n/k⌋` (both engines implement exactly
+    * this) — applied as pure integer arithmetic on (rank, n). The
+    * `n < k` edge stays in the first CASE branch (every bucket size 1),
+    * so the `DIV ⌊n/k⌋` in the other branch never sees a zero. */
+  def withNtile(df: DataFrame, k: Int, order: Seq[Column], out: String): DataFrame = {
+    val r = ranged(df, order)
+    val off = prefixOffsets(r.groupBy($"__pid").agg(count(lit(1)).as("__n")))
+    val tot = off.agg(sum($"__n").cast("long").as("__tot"))
+    r.withColumn("__lr",
+        row_number().over(Window.partitionBy($"__pid").orderBy(order: _*)))
+      .join(broadcast(off.select($"__pid", $"__off")), Seq("__pid"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__r", $"__off" + $"__lr")
+      .withColumn(out, expr(
+        s"""CAST(CASE
+           |  WHEN __r <= (__tot % $k) * ((__tot DIV $k) + 1)
+           |  THEN (__r - 1) DIV ((__tot DIV $k) + 1) + 1
+           |  ELSE (__tot % $k)
+           |       + (__r - 1 - (__tot % $k) * ((__tot DIV $k) + 1)) DIV (__tot DIV $k)
+           |       + 1
+           |END AS BIGINT)""".stripMargin))
+      .drop("__pid", "__lr", "__off", "__tot", "__r")
+  }
+
+  /** `out` := `sum(value) OVER (ORDER BY order… ROWS UNBOUNDED PRECEDING)`
+    * computed partition-parallel: local running sums plus the broadcast
+    * exclusive prefix of per-partition value totals. `value`'s type is
+    * preserved (pass a DECIMAL(38,0) accumulator for big exact sums, per
+    * the repo-wide overflow discipline). */
+  def withRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+      out: String): DataFrame =
+    withRunningSums(df, order, Seq(value -> out))
+
+  /** Several running sums over ONE total order in one pass — one range
+    * shuffle, one partition-parallel window, one broadcast offset row per
+    * partition carrying every accumulator. */
+  def withRunningSums(df: DataFrame, order: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
+    val is = values.indices
+    val r = ranged(is.foldLeft(df) { (d, i) =>
+      d.withColumn(s"__v$i", values(i)._1) }, order)
+    // one total per accumulator per partition (≤|shuffle partitions| rows)
+    val aggs = is.map(i => sum(col(s"__v$i")).as(s"__t$i"))
+    val per = r.groupBy($"__pid").agg(aggs.head, aggs.tail: _*)
+    // exclusive prefix of every accumulator via one triangular join
+    val before = per.select(($"__pid".as("__bpid") +:
+      is.map(i => col(s"__t$i").as(s"__b$i"))): _*)
+    val offAggs = is.map(i => coalesce(sum(col(s"__b$i")), lit(0L)).as(s"__off$i"))
+    val off = per.join(broadcast(before), $"__bpid" < $"__pid", "left")
+      .groupBy($"__pid").agg(offAggs.head, offAggs.tail: _*)
+    val win = Window.partitionBy($"__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = is.foldLeft(r) { (d, i) =>
+      d.withColumn(s"__lrun$i", sum(col(s"__v$i")).over(win))
+    }
+    val named = is.foldLeft(local.join(
+      broadcast(off.select(($"__pid" +: is.map(i => col(s"__off$i"))): _*)),
+      Seq("__pid"))) { (d, i) =>
+      d.withColumn(values(i)._2, col(s"__off$i") + col(s"__lrun$i"))
+    }
+    named.drop((Seq("__pid") ++
+      is.flatMap(i => Seq(s"__v$i", s"__lrun$i", s"__off$i"))): _*)
+  }
+}

@@ -352,15 +352,16 @@ object StatsOps {
   /** [[ksTest]] over any `(v: BIGINT, in_a: 0|1)` pooled-sample frame —
     * fixture seam for the planted-shift spec. */
   private[graft] def ksTestOf(s: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = graft.Caches.persist(
       s.groupBy($"v")
         .agg(sum($"in_a").as("na"), sum(lit(1L) - $"in_a").as("nb")))
     val t = g.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
-    val w = Window.orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val c = g.select($"v", sum($"na").over(w).as("cna"),
-      sum($"nb").over(w).as("cnb"))
+    // both empirical CDFs in one partition-parallel prefix pass — the
+    // distinct-value frame is domain-bounded, but ranked via ParallelRank
+    // anyway so no plan carries an unpartitioned window (round-12 sweep)
+    val c = ParallelRank.withRunningSums(g, Seq($"v"),
+      Seq($"na" -> "cna", $"nb" -> "cnb"))
+      .select($"v", $"cna", $"cnb")
     val d = c.crossJoin(broadcast(t))
       .agg(max(abs($"cna" * $"tb" - $"cnb" * $"ta")).as("dnum"))
     d.crossJoin(broadcast(t))
@@ -426,16 +427,14 @@ object StatsOps {
     * fixture seam for the planted-shift spec (same contract as
     * [[ksTestOf]]). */
   private[graft] def mannWhitneyOf(s: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = graft.Caches.persist(
       s.groupBy($"v")
         .agg(sum($"in_a").as("na"), sum(lit(1L) - $"in_a").as("nb")))
     val t = g.agg(sum($"na").as("ta"), sum($"nb").as("tb"),
       sum(($"na" + $"nb") * ($"na" + $"nb") * ($"na" + $"nb") - ($"na" + $"nb"))
         .as("tie3"))
-    val w = Window.orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val c = g.select($"v", $"na", $"nb", sum($"na" + $"nb").over(w).as("cum"))
+    // pooled-rank prefix via ParallelRank — same rewrite as [[ksTestOf]]
+    val c = ParallelRank.withRunningSum(g, Seq($"v"), $"na" + $"nb", "cum")
     val r = c.agg(
       sum(($"na" * (lit(2) * ($"cum" - $"na" - $"nb") + $"na" + $"nb" + 1))
         .cast("decimal(38,0)")).cast("long").as("r2"))

@@ -167,6 +167,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("registry-wide: unpartitioned windows only on documented bounded frames") {
+    // A logical Window with an EMPTY partitionSpec forces AllTuples
+    // distribution — Spark moves the whole frame to ONE task. After the
+    // round-12 ParallelRank rewrites (a4_*_prune, llm_curriculum,
+    // olap_rfm/abc_pareto, llm_token_budget) the only global windows left
+    // in the registry must be over frames bounded by something other than
+    // data volume; each allowlisted name documents its bound. Any new
+    // query that plans a global window over an unbounded frame fails here.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val allow = Map(
+      // frame = 20 rows, after a LIMIT (top-k id-gen readout)
+      "a1_idgen" -> "post-LIMIT 20-row frame",
+      // frame = 10 rows, after a TakeOrdered LIMIT (Redis ZREVRANGE twin)
+      "ref_scores_top10" -> "post-LIMIT 10-row frame",
+      // frame = one row per DISTINCT order count (the skyline staircase
+      // walks the x-domain, not the row count)
+      "olap_skyline" -> "distinct-x-domain frame",
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0 && !allow.contains(name)) Some(s"$name($n)") else None
+    }
+    assert(offenders.isEmpty,
+      s"unallowlisted global windows in: ${offenders.mkString(", ")}")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (no manual salting needed)") {
     // The runtime complement to SkewOps.saltedJoin: one hot key (90% of the
     // probe side) lands in one shuffle partition; with skew thresholds
