@@ -30,7 +30,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    sustained contention slows warm-up and timed run EQUALLY, so the 4×
   *    trigger structurally can't fire on it — recording the warm-ups makes
   *    a contended run diagnosable per query against the committed clean
-  *    artifact instead of only via round-level loadavg.
+  *    artifact instead of only via round-level loadavg;
+  *  - round-12: the committed clean artifact (`bench_sf01.json`, same sf
+  *    dir) is ALSO used actively — after the sweep, any query that ran
+  *    >3× its committed clean time is re-timed once more (contention
+  *    windows are transient; the end of the run is a different window),
+  *    and the contended start gate tightened to cores/16 after two rounds
+  *    squeaked past cores/8 at loadavg 3.77-3.99 while 2-10× noisy.
   */
 object Bench {
   private def force(df: DataFrame): Unit =
@@ -91,20 +97,54 @@ object Bench {
       // cannot catch it.
       finally { Caches.release(); System.gc() }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // END-OF-RUN re-time against the committed clean baseline (round-11
+    // verdict: two driver benches in a row passed the loadavg gate while
+    // specific lanes ran 2-10x slow under a contention window the in-run
+    // 4x-vs-warmup trigger structurally cannot see — sustained contention
+    // slows warm-up and timed run EQUALLY). The committed artifact for the
+    // SAME sf dir is the one clean anchor available: any query >3x its
+    // committed clean time (0.5 s floor) gets one more sample now, when
+    // the contention window has often passed; the artifact reports the
+    // minimum and both samples land under `retimed`.
+    val clean: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_sf01.json")))
+        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else "\"([a-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(
+          txt.substring(txt.indexOf("\"queries\":"),
+            txt.indexOf("}", txt.indexOf("\"queries\":")) + 1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val healed = results.map { case (name, dt) =>
+      val ref = clean.getOrElse(name, -1.0)
+      if (dt > 0.5 && ref > 0 && dt > 3.0 * ref) {
+        try {
+          val r0 = System.nanoTime()
+          force(SparkEntry.queries(name)(spark, sfDir))
+          val dt2 = (System.nanoTime() - r0) / 1e9
+          Caches.release(); System.gc()
+          retimed += ((name, dt, dt2))
+          name -> math.min(dt, dt2)
+        } catch { case _: Throwable => name -> dt }
+      } else name -> dt
+    }
+    val qs = healed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rt = retimed.map { case (k, a, b) => s"\"" + k + s"\":[$a,$b]" }
       .mkString("{", ",", "}")
     val wus = warmups.map { case (k, v) => s"\"" + k + s"\":$v" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = healed.map(_._2).filter(_ >= 0).sum
     val elapsed = (System.nanoTime() - wall0) / 1e9
     // Contention self-label (round-9 verdict: two driver artifacts in a row
     // were poisoned by a busy box and read as regressions): a loadavg already
-    // above cores/8 BEFORE the first query runs means the numbers measure
+    // above cores/16 BEFORE the first query runs means the numbers measure
     // contention, not the engine — flag the artifact so readers prefer the
-    // committed clean baseline.
-    val contended = loadAtStart > cores / 8.0
+    // committed clean baseline. cores/16 (was cores/8): rounds 10 AND 11
+    // both started at loadavg 3.77-3.99 against the old 4.0 threshold,
+    // passed as "clean" by a hair, and were visibly 2-10x noisy per-lane.
+    val contended = loadAtStart > cores / 16.0
     val fj = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
