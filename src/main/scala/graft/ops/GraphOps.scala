@@ -1292,9 +1292,138 @@ object GraphOps {
       .orderBy($"part")
   }
 
+  // ------------------------------------------------- full Louvain rounds
+
+  /** Local-move rounds run by [[louvainFull]] (and unrolled in its
+    * oracle) — even, so each parity class moves the same number of
+    * times. The op is defined as exactly-R-rounds (deterministic on both
+    * engines) rather than "until converged". */
+  private val LouvainRounds = 4
+
+  /** FULL Louvain local-move phase — [[louvainPass]] iterated from the
+    * singleton partition for [[LouvainRounds]] synchronous rounds, with
+    * communities no longer singletons after round 1. The general move
+    * criterion (Blondel et al. 2008, eq. 2, exact-integer 2m² scaling):
+    * node u joins the candidate community c (its neighbors' current
+    * communities plus staying put) maximizing
+    * `score·2m² = 2m·w(u,c) − deg(u)·(Σtot(c) − [c = own]·deg(u))`
+    * — w(u,c) the weight from u into c, Σtot the community's total
+    * weighted degree, the bracket removing u's own degree when scoring
+    * its current home (staying scores 0 from singletons, so an updating
+    * node's round-1 move is [[louvainPass]]'s exactly). Argmax ties break
+    * to the smaller community id; every score is an exact BIGINT, so the
+    * full assignment hash-matches (at 100 TB-scale weights the 2m·w
+    * product would move to DECIMAL(38,0) per the repo-wide discipline).
+    *
+    * Moves are SEMI-SYNCHRONOUS: round r only lets nodes of id parity
+    * `r mod 2` move, the rest hold — the standard distributed-Louvain
+    * fix (coloring/alternating move sets) for the 2-cycle oscillation
+    * fully synchronous argmax provably falls into (two mutually-best
+    * nodes swap communities forever and cliques never coalesce; traced
+    * in the spec fixture). Parity is a deterministic 2-coloring proxy:
+    * cheap on both engines, and enough to break every mutual-swap cycle
+    * between opposite-parity pairs.
+    *
+    * Scale shape per round: Σtot is a community-keyed agg of the
+    * vertex-sized (node, comm, deg) frame; w(u,c) is ONE edge-shuffle —
+    * the edge list (cached pre-partitioned on the neighbor key, the
+    * round-11 power-iteration lesson) joined to the vertex-sized
+    * assignment; scoring joins are all on the aggregated (u, cand)
+    * candidate frame (≤ edges, usually far smaller); the argmax is a
+    * window PARTITIONED by node. Nothing corpus-sized crosses a round
+    * boundary except the one edge join every Louvain implementation
+    * pays. */
+  val louvainFull: QueryDef = QueryDef(
+    "graph_louvain", {
+      def round(r: Int): String = {
+        val p = r - 1
+        s""",
+           |tot$r AS (SELECT c.comm, CAST(sum(d.dg) AS BIGINT) AS tot
+           |          FROM cm$p c JOIN deg d ON d.u = c.node GROUP BY 1),
+           |wnc$r AS (SELECT e.u, c.comm AS cand, CAST(sum(e.w) AS BIGINT) AS wuc
+           |          FROM und e JOIN cm$p c ON c.node = e.v GROUP BY 1, 2),
+           |cand$r AS (SELECT u, cand, CAST(sum(wuc) AS BIGINT) AS wuc FROM (
+           |             SELECT u, cand, wuc FROM wnc$r
+           |             UNION ALL SELECT node, comm, 0 FROM cm$p) GROUP BY 1, 2),
+           |sc$r AS (SELECT a.u, a.cand, c.comm AS own,
+           |                2 * mm.m * a.wuc
+           |                - d.dg * (t.tot - CASE WHEN a.cand = c.comm THEN d.dg ELSE 0 END)
+           |                  AS score
+           |         FROM cand$r a JOIN cm$p c ON c.node = a.u
+           |              JOIN deg d ON d.u = a.u
+           |              JOIN tot$r t ON t.comm = a.cand, mm),
+           |cm$r AS MATERIALIZED (SELECT u AS node,
+           |                CASE WHEN u % 2 = ${r % 2} THEN cand ELSE own END AS comm
+           |         FROM (
+           |           SELECT u, cand, own,
+           |                  row_number() OVER (PARTITION BY u ORDER BY score DESC, cand) AS rk
+           |           FROM sc$r) WHERE rk = 1)""".stripMargin
+      }
+      s"""WITH $wedgesSql,
+         |und AS MATERIALIZED (SELECT p1 AS u, p2 AS v, w FROM wpairs
+         |        UNION ALL SELECT p2, p1, w FROM wpairs),
+         |mm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM wpairs),
+         |deg AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS dg FROM und GROUP BY u),
+         |cm0 AS MATERIALIZED (SELECT u AS node, u AS comm FROM deg)
+         |${(1 to LouvainRounds).map(round).mkString}
+         |SELECT c.node AS part, c.comm AS community, s.comm_size
+         |FROM cm$LouvainRounds c
+         |JOIN (SELECT comm, CAST(count(*) AS BIGINT) AS comm_size
+         |      FROM cm$LouvainRounds GROUP BY 1) s USING (comm)
+         |ORDER BY part""".stripMargin
+    },
+  ) { (spark, dir) =>
+    louvainFullOf(cooccurEdges(Tables.lineitem(spark, dir)), LouvainRounds)
+  }
+
+  /** [[louvainFull]] over any canonical weighted `(p1, p2, w)` edge list —
+    * extracted for the planted-two-clique spec. */
+  private[graft] def louvainFullOf(wp: DataFrame, rounds: Int): DataFrame = {
+    val mm = wp.agg(sum($"w").as("m"))
+    // neighbor-keyed edge cache: the ONLY edge-sized join each round is on
+    // v, so the cached partitioning is reused every round
+    val und = graft.Caches.persist(
+      wp.select($"p1".as("u"), $"p2".as("v"), $"w")
+        .unionAll(wp.select($"p2".as("u"), $"p1".as("v"), $"w"))
+        .repartition($"v"))
+    val deg = graft.Caches.persist(und.groupBy($"u").agg(sum($"w").as("dg")))
+    var cm = graft.Caches.localCheckpoint(
+      deg.select($"u".as("node"), $"u".as("comm")))
+    for (r <- 1 to rounds) {
+      val tot = cm.join(deg, $"node" === $"u")
+        .groupBy($"comm").agg(sum($"dg").as("tot"))
+      val wnc = und
+        .join(cm.select($"node".as("v"), $"comm".as("cand")), "v")
+        .groupBy($"u", $"cand").agg(sum($"w").as("wuc"))
+      val cand = wnc
+        .unionAll(cm.select($"node".as("u"), $"comm".as("cand"),
+          lit(0L).as("wuc")))
+        .groupBy($"u", $"cand").agg(sum($"wuc").as("wuc"))
+      val scored = cand
+        .join(cm.select($"node".as("u"), $"comm".as("own")), "u")
+        .join(deg.select($"u", $"dg"), "u")
+        .join(tot.select($"comm".as("cand"), $"tot"), "cand")
+        .crossJoin(broadcast(mm))
+        .select($"u", $"cand", $"own",
+          (lit(2L) * $"m" * $"wuc"
+            - $"dg" * ($"tot" - when($"cand" === $"own", $"dg")
+              .otherwise(lit(0L)))).as("score"))
+      cm = graft.Caches.localCheckpoint(
+        scored.withColumn("rk", row_number().over(
+            Window.partitionBy($"u").orderBy($"score".desc, $"cand".asc)))
+          .filter($"rk" === 1)
+          .select($"u".as("node"),
+            when($"u" % 2 === lit(r % 2), $"cand").otherwise($"own")
+              .as("comm")))
+    }
+    cm.withColumn("comm_size", count(lit(1)).over(Window.partitionBy($"comm")))
+      .select($"node".as("part"), $"comm".as("community"), $"comm_size")
+      .orderBy($"part")
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, personalizedPageRank, bfsLevels,
       adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore,
       labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks,
-      assortativity, sssp, louvainPass)
+      assortativity, sssp, louvainPass, louvainFull)
 }

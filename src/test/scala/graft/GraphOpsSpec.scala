@@ -449,6 +449,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(Seq(10L, 11L).forall(out(_) == ((1L, 3000L))), s"leaves→hub 1: $out")
     assert(Seq(20L, 21L).forall(out(_) == ((2L, 3000L))), s"leaves→hub 2: $out")
   }
+
+  test("louvain full: parity rounds coalesce planted cliques across a weak bridge") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // Two triangles {1,2,3} and {4,5,6} (internal w=10) joined by a weak
+    // bridge (3,4,w=1). m=61, 2m=122. Hand-traced parity rounds:
+    //   r1 (odd move):  1→comm2 (score 820 beats comm3's 800),
+    //                   3→comm1 (800/800 tie breaks to smaller id),
+    //                   5→comm6 (820)
+    //   r2 (even move): 4→comm6 (w(4,{5,6})=20 → 122·20−21·40=1600);
+    //                   2 and 6 stay (own-community score 820 is best)
+    //   r3 (odd move):  3→comm2 (122·20−21·40=1600; bridge to comm6
+    //                   scores 122−21·61=−1159) — cliques now whole
+    //   r4 (even move): fixpoint — every stay score dominates
+    // so the weak bridge never merges the cliques, and synchronous-only
+    // oscillation (hub pairs swapping forever) cannot occur by parity.
+    val wp = Seq((1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L), (3L, 4L, 1L))
+      .toDF("p1", "p2", "w")
+    val out = GraphOps.louvainFullOf(wp, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_) == ((2L, 3L))),
+      s"triangle A must coalesce into community 2: $out")
+    assert(Seq(4L, 5L, 6L).forall(out(_) == ((6L, 3L))),
+      s"triangle B must coalesce into community 6: $out")
+    val again = GraphOps.louvainFullOf(wp, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == again, "louvain full must be deterministic")
+  }
 }
 
 /** Collects jaccardLinksOf output as (a,b) -> (n_common, jaccard). */
