@@ -763,7 +763,72 @@ object StreamingOps {
       .orderBy($"window_start", $"rk")
   }
 
+  /** Dictionary size for [[keywordTagged]]. */
+  private val StreamTagK = 8
+
+  /** Static tag dictionary for the streaming tagger — the [[StreamTagK]]
+    * most frequent non-stopword unigrams (ties by text), mined BATCH-side
+    * from the corpus at rest. In production this is the curated lexicon /
+    * blocklist refreshed offline; the stream never recomputes it. */
+  def tagDict(docs: DataFrame): DataFrame =
+    docs.select(explode(split($"text", " ")).as("term"))
+      .filter(!$"term".isin("a", "the"))
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"term").limit(StreamTagK)
+      .select($"term")
+
+  /** STREAMING keyword tagging — the batch `llm_keyword_tag` shape at the
+    * ingest door: documents arrive on a stream, the static dictionary is
+    * BROADCAST into a stream-static join (stateless — no state store
+    * entry per row), and the only stateful operator is the
+    * (doc_id, term)-keyed hit count, whose state is bounded by
+    * tagged-vocabulary × documents-in-horizon, not stream volume. The
+    * SAME function runs in batch (the registered, oracle-checked twin)
+    * and on the stream (StreamingOpsSpec splits one document's rows
+    * across two micro-batches and asserts the carried counts equal the
+    * batch answer). */
+  def tagHits(docs: DataFrame, dict: DataFrame): DataFrame =
+    docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .join(broadcast(dict), "term")
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("n_hits"))
+
+  /** Serve-time per-document tag summary over [[tagHits]] output — like
+    * [[topkFinish]], row-incremental rank logic that in streaming runs at
+    * READ time on the tiny hit table; the registered batch twin fuses
+    * both stages. Emits tag count, total hits, and the dominant term
+    * (ties to the lexicographically smallest). */
+  def tagFinish(hits: DataFrame): DataFrame =
+    hits
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"n_hits".desc, $"term")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tags"), sum($"n_hits").as("n_hits"),
+        max(when($"rk" === 1, $"term")).as("top_term"))
+
+  val keywordTagged: QueryDef = QueryDef(
+    "stream_keyword_tag",
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |           FROM documents),
+       |d AS (SELECT term FROM t WHERE term NOT IN ('a', 'the')
+       |      GROUP BY 1 ORDER BY count(*) DESC, term LIMIT $StreamTagK),
+       |h AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n_hits
+       |      FROM t JOIN d USING (term) GROUP BY 1, 2),
+       |r AS (SELECT doc_id, term, n_hits,
+       |             row_number() OVER (PARTITION BY doc_id
+       |                                ORDER BY n_hits DESC, term) AS rk
+       |      FROM h)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tags,
+       |       CAST(sum(n_hits) AS BIGINT) AS n_hits,
+       |       max(CASE WHEN rk = 1 THEN term END) AS top_term
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    tagFinish(tagHits(docs, tagDict(docs))).orderBy($"doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
     customSession, enriched, attribution, cms, neardup, cdc, psi,
-    asofEnriched, ewmaStreamed, sampleNth, topk)
+    asofEnriched, ewmaStreamed, sampleNth, topk, keywordTagged)
 }

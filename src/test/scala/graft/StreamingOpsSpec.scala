@@ -595,4 +595,42 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, s"$w count order")
     }
   }
+
+  test("streaming keyword tagging carries per-(doc, term) counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    // Static dictionary mined batch-side from the corpus at rest — the
+    // stream only ever joins it, never recomputes it.
+    val dict = StreamingOps.tagDict(io.Tables.documents(spark, sf))
+    val terms = dict.collect().map(_.getString(0)).toSeq
+    assert(terms.size == 8, s"mined dictionary must fill its size: $terms")
+    // One document's rows SPLIT across two micro-batches: the (doc, term)
+    // counts must accumulate in the state store, not reset per batch.
+    val b1 = Seq(SDoc(1L, s"${terms.head} x ${terms.head} ${terms(1)}"),
+      SDoc(2L, s"${terms(1)} y"))
+    val b2 = Seq(SDoc(1L, s"${terms.head} z ${terms(1)}"))
+    val stream = MemoryStream[SDoc]
+    val agg = StreamingOps.tagHits(stream.toDF(), dict)
+    val q = agg.writeStream
+      .format("memory").queryName("tag_hits").outputMode("complete")
+      .start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = StreamingOps.tagFinish(spark.table("tag_hits"))
+      .orderBy($"doc_id").collect().toSeq
+    val batch = StreamingOps.tagFinish(StreamingOps.tagHits(
+        spark.createDataFrame(b1 ++ b2), dict))
+      .orderBy($"doc_id").collect().toSeq
+    assert(streamed == batch, "streamed tag summary must equal the batch twin")
+    // doc 1 saw terms.head 3x across the two batches (2 + 1) and terms(1) 2x
+    val d1 = streamed.find(_.getLong(0) == 1L).get
+    assert(d1.getLong(1) == 2L && d1.getLong(2) == 5L &&
+      d1.getString(3) == terms.head,
+      s"doc 1 must accumulate cross-batch hits: $d1")
+  }
 }
+
+/** Streamed document row for the keyword-tagging test. */
+case class SDoc(doc_id: Long, text: String)
