@@ -1739,6 +1739,100 @@ object LlmTextOps {
       .orderBy($"doc_id")
   }
 
+  /** Minimum repeat length / suffix-sort bucket key width for
+    * [[suffixRepeats]] (matches [[dupSpans]]' 5-gram granularity). */
+  private val SufK = 5
+
+  /** Suffix truncation horizon for [[suffixRepeats]] — repeats longer than
+    * 30 tokens report as 30 (the "long enough to be boilerplate" cap). */
+  private val SufL = 30
+
+  /** MAXIMAL repeated substrings with EXACT lengths — the genuinely
+    * suffix-array-shaped readout the gram surrogate in [[dupSpans]] cannot
+    * give (it marks positions with ±4-token boundary slop and never says
+    * how long the repeat actually is). Classic suffix-array result: the
+    * repeated substrings of a corpus are exactly the longest-common-
+    * prefixes of lexicographically ADJACENT suffixes. Distributed form:
+    * suffixes sharing a prefix are contiguous in sorted order, so
+    * bucketing every suffix by its first [[SufK]] tokens keeps ALL
+    * adjacencies with LCP ≥ [[SufK]] inside one bucket — the global
+    * suffix sort becomes a bucket-partitioned window, never a single
+    * partition. Per repeated [[SufK]]-gram the op reports: `rep_len` = the
+    * longest repeated extension of that gram (exact, capped at [[SufL]]),
+    * `rep_text` = the lexicographically-smallest maximal extension
+    * achieving it, `n_occ` = the gram's corpus occurrence count
+    * (self-overlaps within one document count, standard SA semantics);
+    * top 50 by (rep_len DESC, gram). LCP is a monotone fold — Σ over
+    * i ≤ [[SufL]] of [prefix-i slices equal] — identical in both engines,
+    * so every row is exact-integer oracle-checkable.
+    *
+    * Scale shape: suffix emission is map-only and bounded by [[SufL]] ×
+    * corpus tokens; every shuffle (window, both groupBys, both joins) is
+    * keyed on the gram bucket. A viral boilerplate gram concentrates its
+    * occurrences in one bucket — cost is that gram's occurrence count,
+    * not its square (pairs come from SORTED ADJACENCY, n−1 per bucket,
+    * not n²); AQE skew splitting applies to the sort. At 100 TB the
+    * production variant drops `sufs` for a rank-doubling key, but the
+    * [[SufL]]-horizon string is the standard bounded-context surrogate
+    * (matches Lee et al. 2021's minimum-match-length practice). */
+  val suffixRepeats: QueryDef = QueryDef(
+    "llm_suffix_repeats",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+       |suf AS (SELECT doc_id, i, list_slice(ts, i, i + ${SufL - 1}) AS suf,
+       |               array_to_string(list_slice(ts, i, i + ${SufK - 1}), ' ') AS bucket,
+       |               array_to_string(list_slice(ts, i, i + ${SufL - 1}), ' ') AS sufs
+       |        FROM toks, unnest(range(1, len(ts) - ${SufK - 2})) AS t(i)
+       |        WHERE len(ts) >= $SufK),
+       |p AS (SELECT bucket, suf,
+       |             lag(suf) OVER (PARTITION BY bucket
+       |                            ORDER BY sufs, doc_id, i) AS prev
+       |      FROM suf),
+       |pr AS (SELECT bucket, suf,
+       |              list_sum(list_transform(range(1, ${SufL + 1}), i ->
+       |                CASE WHEN list_slice(suf, 1, i) = list_slice(prev, 1, i)
+       |                     THEN 1 ELSE 0 END)) AS lcp
+       |       FROM p WHERE prev IS NOT NULL),
+       |bm AS (SELECT bucket, max(lcp) AS rep_len FROM pr GROUP BY 1),
+       |rt AS (SELECT pr.bucket, bm.rep_len,
+       |              min(array_to_string(list_slice(pr.suf, 1, bm.rep_len), ' ')) AS rep_text
+       |       FROM pr JOIN bm ON pr.bucket = bm.bucket AND pr.lcp = bm.rep_len
+       |       GROUP BY 1, 2),
+       |oc AS (SELECT bucket, count(*) AS n_occ FROM suf GROUP BY 1)
+       |SELECT rt.bucket, CAST(rt.rep_len AS BIGINT) AS rep_len, rt.rep_text,
+       |       CAST(oc.n_occ AS BIGINT) AS n_occ
+       |FROM rt JOIN oc USING (bucket)
+       |ORDER BY rep_len DESC, bucket LIMIT 50""".stripMargin,
+  ) { (spark, dir) =>
+    suffixRepeatsOf(Tables.documents(spark, dir).select($"doc_id", tokens.as("ts")))
+  }
+
+  /** [[suffixRepeats]] over any (doc_id, ts) token frame — fixture seam. */
+  private[graft] def suffixRepeatsOf(docs: DataFrame): DataFrame = {
+    val sufs = docs.filter(size($"ts") >= SufK)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"ts") - (SufK - 1)),
+        i => struct(i.as("i"), slice($"ts", i, lit(SufL)).as("suf")))).as("g"))
+      .select($"doc_id", $"g.i".as("i"), $"g.suf".as("suf"))
+      .withColumn("bucket", concat_ws(" ", slice($"suf", 1, SufK)))
+      .withColumn("sufs", concat_ws(" ", $"suf"))
+    val w = Window.partitionBy($"bucket").orderBy($"sufs", $"doc_id", $"i")
+    val pairs = sufs
+      .withColumn("prev", lag($"suf", 1).over(w))
+      .filter($"prev".isNotNull)
+      .withColumn("lcp", aggregate(
+        sequence(lit(1), lit(SufL)), lit(0L),
+        (acc, i) => acc +
+          when(slice($"suf", lit(1), i) === slice($"prev", lit(1), i), 1L)
+            .otherwise(0L)))
+    val bmax = pairs.groupBy($"bucket").agg(max($"lcp").as("rep_len"))
+    val rep = pairs.join(bmax, "bucket").filter($"lcp" === $"rep_len")
+      .groupBy($"bucket", $"rep_len")
+      .agg(min(concat_ws(" ", slice($"suf", lit(1), $"rep_len"))).as("rep_text"))
+    val occ = sufs.groupBy($"bucket").agg(count(lit(1)).as("n_occ"))
+    rep.join(occ, "bucket")
+      .select($"bucket", $"rep_len", $"rep_text", $"n_occ")
+      .orderBy($"rep_len".desc, $"bucket").limit(50)
+  }
+
   /** Per-document token (Shannon) entropy — the information-density twin
     * of [[repetition]]: keyword-stuffed and template boilerplate collapses
     * toward 0 bits while diverse text approaches ln(distinct). Computed as
@@ -2567,7 +2661,7 @@ object LlmTextOps {
     entropy, neardupJaccard, containment, minhashSig, minhashLsh, minhashSweep,
     simhash, simhashPairs,
     dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,
-    dupChunks, cdcChunks, dupSpans, despanApply, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
+    dupChunks, cdcChunks, dupSpans, despanApply, suffixRepeats, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
     unigramSegment,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
     phraseSearch, keywordTag, rakeKeywords, lmGreedyGen,

@@ -694,4 +694,35 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(d2 >= n2 - 1, s"all but the head chunk must re-sync: $expected")
     assert(d2 > 0, "insertion must not destroy all sharing")
   }
+
+  test("suffix repeats: adjacency LCP recovers exact maximal repeat lengths") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // docs 1/2 share a 7-token run; doc 3 self-overlaps a 5-token run.
+    // Exactly the 5-gram buckets occurring >= 2x appear, each with the
+    // EXACT extension length — the readout dup_spans' +-4 slop can't give.
+    val docs = Seq(
+      (1L, "p1 p2 p3 p4 p5 p6 p7 f1 f2"),
+      (2L, "g1 p1 p2 p3 p4 p5 p6 p7 g2"),
+      (3L, "m1 m2 m3 m4 m5 m1 m2 m3 m4 m5"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("ts"))
+    val rows = LlmTextOps.suffixRepeatsOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val p7 = (1 to 7).map(i => s"p$i").mkString(" ")
+    assert(rows.toSeq == Seq(
+      ("p1 p2 p3 p4 p5", 7L, p7, 2L),
+      ("p2 p3 p4 p5 p6", 6L, p7.drop(3), 2L),
+      ("m1 m2 m3 m4 m5", 5L, "m1 m2 m3 m4 m5", 2L),
+      ("p3 p4 p5 p6 p7", 5L, p7.drop(6), 2L)), s"got: ${rows.toSeq}")
+  }
+
+  test("suffix repeats: extension length caps at the 30-token horizon") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val long = (1 to 35).map(i => s"q$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, long)).toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("ts"))
+    val top = LlmTextOps.suffixRepeatsOf(docs).collect().head
+    assert(top.getString(0) == "q1 q2 q3 q4 q5" && top.getLong(1) == 30L,
+      s"identical 35-token docs must report the 30-token cap: $top")
+  }
 }
