@@ -2086,6 +2086,22 @@ object EmbeddingOps {
       .select($"src", $"dst")
   }
 
+  /** ONE greedy descent step shared by [[annGraphOf]] and [[annHnswOf]]:
+    * from per-query state (q_id, qv, cur, s), the best neighbor of `cur`
+    * in `edges`, kept only when STRICTLY improving, ties to the smaller
+    * dst. Frontier is broadcast (queries-sized); edges are pre-partitioned
+    * on src by the caller so the join moves no corpus data. */
+  private def greedyStep(edges: DataFrame, nodes: DataFrame, state: DataFrame): DataFrame =
+    edges.join(broadcast(state.select($"q_id", $"qv", $"cur", $"s")),
+        $"src" === $"cur")
+      .join(nodes.select($"vec_id".as("dst"), $"v".as("dv")), "dst")
+      .select($"q_id", $"qv", $"cur", $"s", $"dst",
+        call_function("cosine_sim", $"qv", $"dv").as("snb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"snb".desc, $"dst")))
+      .filter($"rk" === 1 && $"snb" > $"s")
+      .select($"q_id", $"qv", $"dst".as("cur"), $"snb".as("s"))
+
   /** [[annGraph]] over any (vec_id, v, nrm) frame — fixture seam. */
   private[graft] def annGraphOf(e: DataFrame): DataFrame = {
     val b = graft.Caches.persist(e)
@@ -2105,16 +2121,7 @@ object EmbeddingOps {
     var hop = 0
     var live = true
     while (live && hop < GraphHopCap) {
-      val moved = graft.Caches.localCheckpoint(
-        edges.join(broadcast(state.select($"q_id", $"qv", $"cur", $"s")),
-            $"src" === $"cur")
-          .join(nodes.select($"vec_id".as("dst"), $"v".as("dv")), "dst")
-          .select($"q_id", $"qv", $"cur", $"s", $"dst",
-            call_function("cosine_sim", $"qv", $"dv").as("snb"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy($"q_id").orderBy($"snb".desc, $"dst")))
-          .filter($"rk" === 1 && $"snb" > $"s")
-          .select($"q_id", $"qv", $"dst".as("cur"), $"snb".as("s")))
+      val moved = graft.Caches.localCheckpoint(greedyStep(edges, nodes, state))
       hop += 1
       if (moved.isEmpty) live = false
       else {
@@ -2128,6 +2135,167 @@ object EmbeddingOps {
       .orderBy($"q_id", $"hop")
   }
 
+  /** Top HNSW layer index — layers 2, 1, 0; assignment is the standard
+    * geometric level draw at p = 1/4, made deterministic and cross-engine
+    * via the md5 portable hash of the vec_id: lvl 2 iff h ≡ 0 (mod 16),
+    * lvl 1 iff h ≡ 0 (mod 4) — every node is in layer 0. */
+  private val HnswTop = 2
+
+  /** Deterministic HNSW level of a node (see [[HnswTop]]). */
+  private def hnswLvl: Column = {
+    val h = call_function("md5hash60", $"vec_id".cast("string"))
+    when(pmod(h, lit(16L)) === 0, 2).when(pmod(h, lit(4L)) === 0, 1)
+      .otherwise(0)
+  }
+
+  /** Greedy walk of ONE HNSW layer: the [[greedyStep]] loop with
+    * FULL-state carry — unlike [[annGraphOf]]'s movers-only state, every
+    * query keeps its (cur, s) row so a query parked at a local optimum on
+    * this layer still hands its terminal down to the next. Returns every
+    * hop (0 = the layer's start node) and the terminal state. */
+  private def hnswLayerWalk(edges: DataFrame, nodes: DataFrame,
+      init: DataFrame, layer: Int): (DataFrame, DataFrame) = {
+    def emit(df: DataFrame, hop: Long) = df.select($"q_id",
+      lit(layer.toLong).as("layer"), lit(hop).as("hop"), $"cur".as("node"), $"s")
+    var state = graft.Caches.localCheckpoint(init)
+    var path = emit(state, 0L)
+    var hop = 0
+    var live = true
+    while (live && hop < GraphHopCap) {
+      val moved = graft.Caches.localCheckpoint(greedyStep(edges, nodes, state))
+      hop += 1
+      if (moved.isEmpty) live = false
+      else {
+        path = graft.Caches.localCheckpoint(path.unionAll(emit(moved, hop.toLong)))
+        state = graft.Caches.localCheckpoint(
+          state.join(moved.select($"q_id", $"cur".as("nc"), $"s".as("ns")),
+              Seq("q_id"), "left")
+            .select($"q_id", $"qv", coalesce($"nc", $"cur").as("cur"),
+              coalesce($"ns", $"s").as("s")))
+      }
+    }
+    (path, state)
+  }
+
+  /** Per-layer oracle CTE block: layer-l candidate pairs → nav graph →
+    * functional next pointers → the recursive layer walk → its terminal.
+    * `start` is a FROM-able relation with (q_id, node). */
+  private def hnswLayerCtes(l: Int, start: String): String =
+    s""",
+       |cand$l AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+       |                  ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS s
+       |           FROM lnodes x JOIN lnodes y
+       |             ON x.vec_id <> y.vec_id
+       |            AND x.lvl >= $l AND y.lvl >= $l
+       |            AND bit_count(xor(x.bucket, y.bucket)) <= 1),
+       |knn$l AS (SELECT src, dst FROM (
+       |            SELECT src, dst,
+       |                   row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rk
+       |            FROM cand$l) WHERE rk <= $AnnGraphK),
+       |nxt$l AS (SELECT q_id, node, dst FROM (
+       |            SELECT s1.q_id, k.src AS node, k.dst,
+       |                   row_number() OVER (PARTITION BY s1.q_id, k.src
+       |                                      ORDER BY s2.sim DESC, k.dst) AS rk,
+       |                   s2.sim AS snb, s1.sim AS scur
+       |            FROM knn$l k
+       |            JOIN qs s1 ON s1.node = k.src
+       |            JOIN qs s2 ON s2.q_id = s1.q_id AND s2.node = k.dst)
+       |          WHERE rk = 1 AND snb > scur),
+       |walk$l AS (
+       |  SELECT q_id, 0 AS hop, node FROM $start
+       |  UNION ALL
+       |  SELECT w.q_id, w.hop + 1, n.dst
+       |  FROM walk$l w JOIN nxt$l n ON n.q_id = w.q_id AND n.node = w.node
+       |  WHERE w.hop < $GraphHopCap),
+       |t$l AS (SELECT q_id, node FROM (
+       |          SELECT q_id, node,
+       |                 row_number() OVER (PARTITION BY q_id ORDER BY hop DESC) AS rk
+       |          FROM walk$l) WHERE rk = 1)""".stripMargin
+
+  /** Multi-layer (HNSW-style) graph ANN on top of [[annGraph]]'s
+    * single-layer walk — Malkov & Yashunin's hierarchy: nodes draw a
+    * geometric level (deterministic, see [[HnswTop]]), each layer l keeps
+    * the [[navGraphOf]]-shaped kNN graph over the nodes with lvl ≥ l
+    * (upper layers are sparse express lanes whose edges are LONG — the
+    * same out-degree over a 1/16th-density subset spans 16× the distance),
+    * and a query greedy-descends layer 2 → 1 → 0, starting each layer at
+    * the previous layer's terminal. Entry = the smallest vec_id on the
+    * highest populated layer. Emits every hop of every layer's walk
+    * (hop 0 = the layer's start, so consecutive layers visibly hand off),
+    * deterministic end-to-end like [[annGraph]].
+    *
+    * Scale: the hierarchy is what fixes the single-layer walk's weakness —
+    * hop count to cross the corpus drops from O(diameter) to
+    * O(log n) expected, while per-hop cost stays |queries|·K edges via the
+    * same frontier-broadcast equi-join against layer graphs cached
+    * pre-partitioned on src. Index cost is three bucketed candidate
+    * equi-joins (the lvl ≥ l subsets), never a cross join.
+    *
+    * Oracle: each layer's greedy step is a FUNCTION of (query, node), so
+    * the three walks are three recursive CTEs chained through terminal
+    * extraction — [[annGraph]]'s walk oracle applied per layer. */
+  val annHnsw: QueryDef = QueryDef(
+    "llm_ann_hnsw",
+    (vecCte +
+      s"""
+         |, lnodes AS (
+         |    SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket,
+         |           CASE WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1
+         |                ELSE 0 END AS lvl
+         |    FROM (SELECT vec_id, v, nrm,
+         |                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |          FROM e WHERE vec_id >= $NQueries)),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $NQueries),
+         |qs AS (SELECT q.q_id, n.vec_id AS node,
+         |              ${dotSql("q.qv", "n.v")} / (q.qn * n.nrm) AS sim
+         |       FROM q, lnodes n),
+         |ent AS (SELECT coalesce(min(CASE WHEN lvl >= 2 THEN vec_id END),
+         |                        min(CASE WHEN lvl >= 1 THEN vec_id END),
+         |                        min(vec_id)) AS e FROM lnodes)""".stripMargin +
+      hnswLayerCtes(2, "(SELECT q.q_id, ent.e AS node FROM q, ent) st") +
+      hnswLayerCtes(1, "t2") +
+      hnswLayerCtes(0, "t1") +
+      s"""
+         |SELECT w.q_id, CAST(w.layer AS BIGINT) AS layer,
+         |       CAST(w.hop AS BIGINT) AS hop, w.node, round(qs.sim, 6) AS sim
+         |FROM (SELECT q_id, 2 AS layer, hop, node FROM walk2
+         |      UNION ALL SELECT q_id, 1 AS layer, hop, node FROM walk1
+         |      UNION ALL SELECT q_id, 0 AS layer, hop, node FROM walk0) w
+         |JOIN qs ON qs.q_id = w.q_id AND qs.node = w.node
+         |ORDER BY w.q_id, w.layer DESC, w.hop""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE "),
+  ) { (spark, dir) => annHnswOf(vectors(spark, dir)) }
+
+  /** [[annHnsw]] over any (vec_id, v, nrm) frame — fixture seam. */
+  private[graft] def annHnswOf(e: DataFrame): DataFrame = {
+    val b = graft.Caches.persist(e)
+    val nodes = graft.Caches.persist(
+      b.filter($"vec_id" >= NQueries).withColumn("lvl", hnswLvl))
+    val layerEdges = (0 to HnswTop).map { l =>
+      l -> graft.Caches.persist(
+        navGraphOf(nodes.filter($"lvl" >= l)).repartition($"src"))
+    }.toMap
+    val entry = nodes.agg(coalesce(
+      min(when($"lvl" >= 2, $"vec_id")),
+      min(when($"lvl" >= 1, $"vec_id")),
+      min($"vec_id")).as("e"))
+    val q = b.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    var state = q.crossJoin(broadcast(entry))
+      .join(nodes.select($"vec_id".as("e"), $"v".as("ev")), "e")
+      .select($"q_id", $"qv", $"e".as("cur"),
+        call_function("cosine_sim", $"qv", $"ev").as("s"))
+    var paths = Seq.empty[DataFrame]
+    (HnswTop to 0 by -1).foreach { l =>
+      val (path, term) = hnswLayerWalk(layerEdges(l), nodes, state, l)
+      paths :+= path
+      state = term
+    }
+    paths.reduce(_ unionAll _)
+      .select($"q_id", $"layer", $"hop", $"node", round($"s", 6).as("sim"))
+      .orderBy($"q_id", $"layer".desc, $"hop")
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
@@ -2136,5 +2304,5 @@ object EmbeddingOps {
       embedDedupCluster, semDedup, embedStats, embedCentroid, embedQuantize,
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
       annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower,
-      annGraph, annGraphRecall)
+      annGraph, annGraphRecall, annHnsw)
 }

@@ -538,6 +538,79 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HNSW descent: layered walks are greedy per layer and hand off terminals") {
+    import org.apache.spark.sql.functions.{aggregate, call_function, col, lit, sqrt, transform => hofTransform}
+    val e = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        hofTransform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val vecs = e.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // replay the deterministic geometric level draw with the engine's hash
+    val lvl = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id"),
+        call_function("md5hash60", col("vec_id").cast("string")).as("h"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getLong(1) % 16 == 0) 2 else if (r.getLong(1) % 4 == 0) 1 else 0))
+      .toMap
+    val nodesF = e.filter(col("vec_id") >= 5)
+    val outN = (0 to 2).map { l =>
+      val keep = lvl.filter(_._2 >= l).keySet
+      l -> EmbeddingOps.navGraphOf(
+          nodesF.filter(col("vec_id").isin(keep.toSeq: _*)))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    }.toMap
+    val topPop = (2 to 0 by -1).find(l => lvl.values.exists(_ >= l)).get
+    val entry = lvl.filter(_._2 >= topPop).keys.min
+    val rows = EmbeddingOps.annHnsw.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val byQ = rows.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.sortBy(_._3).toList).toMap)
+      .toMap
+    assert(byQ.keySet == (0L until 5L).toSet, "one descent per held-out query")
+    for ((qid, layers) <- byQ) {
+      assert(layers.keySet == Set(0L, 1L, 2L), s"q$qid must visit all layers")
+      assert(layers(2L).head._4 == entry, s"q$qid starts at the global entry")
+      for (l <- 2L to 0L by -1L) {
+        val path = layers(l)
+        assert(path.map(_._3) == path.indices.map(_.toLong).toList,
+          s"q$qid layer $l dense hop numbering")
+        val sims = path.map(p => cos(vecs(qid), vecs(p._4)))
+        path.zip(sims).foreach { case ((_, _, _, _, s6), s) =>
+          assert(math.abs(s6 - s) < 1e-6, s"q$qid layer $l sim column exact") }
+        sims.sliding(2).foreach {
+          case List(a, b) => assert(b > a, s"q$qid layer $l strictly ascending")
+          case _ =>
+        }
+        // every move is to the BEST improving out-neighbor IN THIS LAYER,
+        // and the layer terminal is a local max of this layer's graph
+        path.sliding(2).foreach {
+          case List((_, _, _, cur, _), (_, _, _, nxt, _)) =>
+            val best = outN(l.toInt)(cur).map(d => (cos(vecs(qid), vecs(d)), d))
+              .maxBy { case (s, d) => (s, -d) }
+            assert(best._2 == nxt, s"q$qid layer $l must take the best edge from $cur")
+          case _ =>
+        }
+        val last = path.last._4
+        assert(outN(l.toInt).getOrElse(last, Nil)
+            .forall(d => cos(vecs(qid), vecs(d)) <= cos(vecs(qid), vecs(last))),
+          s"q$qid layer $l terminal must be a layer-local maximum")
+        // handoff: the next layer down starts exactly where this one ended
+        if (l > 0L)
+          assert(layers(l - 1L).head._4 == last, s"q$qid layer ${l - 1} handoff")
+      }
+    }
+  }
+
   test("silhouette: planted tight clusters replay exactly; boundary point drags the min") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // cell 0 hugs e1, cell 1 hugs e2; vec 4 sits near the 45° boundary but
