@@ -2296,6 +2296,72 @@ object EmbeddingOps {
       .orderBy($"q_id", $"layer".desc, $"hop")
   }
 
+  /** Recall readout for [[annHnsw]] — the [[annGraphRecall]] contract on
+    * the layered walk: per query the layer-0 terminal, its EXACT rank
+    * under the (sim DESC, vec_id) total order, hit@[[TopK]], and the
+    * total move count across ALL layers (the cost the hierarchy is
+    * supposed to shrink — read next to `llm_ann_graph_recall.n_hops` this
+    * is the layers-pay-for-themselves readout). Exact ranks are priced
+    * like every recall lane here: queries broadcast, one linear scan. */
+  val annHnswRecall: QueryDef = QueryDef(
+    "llm_ann_hnsw_recall",
+    annHnsw.oracle.get
+      .replaceFirst("(?s)\nSELECT w\\.q_id.*$", "") +
+      s""",
+         |fs AS (SELECT t0.q_id, t0.node AS found_id, s.sim
+         |       FROM t0 JOIN qs s ON s.q_id = t0.q_id AND s.node = t0.node),
+         |mv AS (SELECT q_id, sum(mh) AS n_moves FROM (
+         |         SELECT q_id, max(hop) AS mh FROM (
+         |           SELECT q_id, 2 AS layer, hop FROM walk2
+         |           UNION ALL SELECT q_id, 1 AS layer, hop FROM walk1
+         |           UNION ALL SELECT q_id, 0 AS layer, hop FROM walk0)
+         |         GROUP BY q_id, layer)
+         |       GROUP BY q_id),
+         |rnk AS (SELECT f.q_id,
+         |               1 + sum(CASE WHEN x.sim > f.sim
+         |                         OR (x.sim = f.sim AND x.node < f.found_id)
+         |                        THEN 1 ELSE 0 END) AS r
+         |        FROM fs f JOIN qs x ON x.q_id = f.q_id
+         |        GROUP BY f.q_id)
+         |SELECT f.q_id, f.found_id, CAST(rnk.r AS BIGINT) AS rank_exact,
+         |       CAST(CASE WHEN rnk.r <= $TopK THEN 1 ELSE 0 END AS BIGINT) AS hit_topk,
+         |       CAST(mv.n_moves AS BIGINT) AS n_moves
+         |FROM fs f JOIN rnk ON rnk.q_id = f.q_id
+         |JOIN mv ON mv.q_id = f.q_id
+         |ORDER BY f.q_id""".stripMargin,
+  ) { (spark, dir) => annHnswRecallOf(vectors(spark, dir)) }
+
+  /** [[annHnswRecall]] over any (vec_id, v, nrm) frame. */
+  private[graft] def annHnswRecallOf(e: DataFrame): DataFrame = {
+    val walks = graft.Caches.persist(annHnswOf(e))
+    val term = walks.filter($"layer" === 0)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"hop".desc)))
+      .filter($"rk" === 1)
+      .select($"q_id", $"node".as("found_id"))
+    val moves = walks.groupBy($"q_id", $"layer").agg(max($"hop").as("mh"))
+      .groupBy($"q_id").agg(sum($"mh").as("n_moves"))
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val sims = e.filter($"vec_id" >= NQueries)
+      .join(broadcast(q))
+      .select($"q_id", $"vec_id".as("node"),
+        call_function("cosine_sim", $"qv", $"v").as("sim"))
+    val fs = term.join(sims,
+        term("q_id") === sims("q_id") && term("found_id") === sims("node"))
+      .select(term("q_id"), $"found_id", $"sim")
+    fs.join(sims.select($"q_id", $"node".as("x_node"), $"sim".as("x_sim")), "q_id")
+      .groupBy($"q_id", $"found_id", $"sim")
+      .agg(sum(when($"x_sim" > $"sim" ||
+          ($"x_sim" === $"sim" && $"x_node" < $"found_id"), 1L)
+        .otherwise(0L)).as("nb"))
+      .join(moves, "q_id")
+      .select($"q_id", $"found_id", ($"nb" + 1L).as("rank_exact"),
+        when($"nb" + 1L <= TopK, 1L).otherwise(0L).as("hit_topk"),
+        $"n_moves".cast("long").as("n_moves"))
+      .orderBy($"q_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
@@ -2304,5 +2370,5 @@ object EmbeddingOps {
       embedDedupCluster, semDedup, embedStats, embedCentroid, embedQuantize,
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
       annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower,
-      annGraph, annGraphRecall, annHnsw)
+      annGraph, annGraphRecall, annHnsw, annHnswRecall)
 }

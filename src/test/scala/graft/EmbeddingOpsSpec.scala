@@ -609,6 +609,25 @@ class EmbeddingOpsSpec extends AnyFunSuite {
           assert(layers(l - 1L).head._4 == last, s"q$qid layer ${l - 1} handoff")
       }
     }
+    // the recall readout agrees with the walks and with exact ranks
+    val recall = EmbeddingOps.annHnswRecall.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(recall.map(_._1).toSeq == (0L until 5L).toSeq)
+    val nodeIds = vecs.keys.filter(_ >= 5).toSeq
+    for ((qid, found, rank, hit, nMoves) <- recall) {
+      val layers = byQ(qid)
+      assert(found == layers(0L).last._4, s"q$qid recall row vs layer-0 terminal")
+      assert(nMoves == (0L to 2L).map(l => layers(l).last._3).sum,
+        s"q$qid total moves across layers")
+      val fSim = cos(vecs(qid), vecs(found))
+      val better = nodeIds.count { n =>
+        val s = cos(vecs(qid), vecs(n))
+        s > fSim || (s == fSim && n < found)
+      }
+      assert(rank == better + 1L, s"q$qid exact rank")
+      assert(hit == (if (rank <= 10) 1L else 0L))
+    }
   }
 
   test("silhouette: planted tight clusters replay exactly; boundary point drags the min") {
