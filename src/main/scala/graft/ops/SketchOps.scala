@@ -142,6 +142,87 @@ object SketchOps {
       .orderBy($"event_type")
   }
 
+  /** Register count (2^6) for [[hllRegisters]]. */
+  private val HllM = 64
+
+  /** Textbook HyperLogLog (Flajolet et al. 2007) built DECLARATIVELY and
+    * — like [[cmsTopk]], unusually for a sketch — ORACLE-BACKED: under
+    * the portable md5 hash the register array is an exact integer object
+    * (register j = max over hashed keys with low bits j of the
+    * leading-zero rank of the remaining 54 bits), so both engines compute
+    * it bit-identically. The harmonic-mean denominator Σ 2^−M[j] is
+    * rescaled by 2^54 into an exact BIGINT sum (every term is a register
+    * lookup in a 56-entry power table — no float before the shuffle, the
+    * repo-wide quantize-then-sum rule), and the one float expression —
+    * α·m²·2^54/Σ, quantized to millis — sits at the very end, textually
+    * identical in both engines. Emitted next to the exact distinct count
+    * so the row is its own error readout; `n_zero` is the input to the
+    * linear-counting small-range correction a production deployment
+    * layers on below 2.5m.
+    *
+    * Scale shape: ONE pass, state = 64 longs per group (vs
+    * [[approxDistinct]]'s opaque HLL++ binary) — the 100 TB distinct-count
+    * form; the register join is against a 5×64-row frame. The exact
+    * count column is test-SF-only instrumentation (it shuffles every
+    * key); drop it at scale. */
+  val hllRegisters: QueryDef = {
+    val powers = (0 to 53).map(1L << _)
+    val terms = (0 to 54).map(k => 1L << (54 - k)) :+ 0L
+    val estSql = "floor(0.7213 / (1 + 1.079 / 64) * 4096 * " +
+      "18014398509481984.0 / sum_t * 1000 + 0.5)"
+    QueryDef(
+      "sketch_hll_registers",
+      s"""WITH h AS (SELECT event_type,
+         |                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |           FROM events),
+         |jw AS (SELECT event_type, h % $HllM AS j, h // $HllM AS w FROM h),
+         |r AS (SELECT event_type, j,
+         |             max(1 + list_sum(list_transform(${powers.mkString("[", ", ", "]")},
+         |                   p -> CASE WHEN w < p THEN 1 ELSE 0 END))) AS m
+         |      FROM jw GROUP BY 1, 2),
+         |reg AS (SELECT t.event_type, g.j, coalesce(r.m, 0) AS m
+         |        FROM (SELECT DISTINCT event_type FROM events) t
+         |        CROSS JOIN (SELECT unnest(range(0, $HllM)) AS j) g
+         |        LEFT JOIN r ON r.event_type = t.event_type AND r.j = g.j),
+         |s AS (SELECT event_type,
+         |             sum(${terms.mkString("[", ", ", "]")}[CAST(m AS INT) + 1]) AS sum_t,
+         |             sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS n_zero
+         |      FROM reg GROUP BY 1),
+         |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |      FROM events GROUP BY 1)
+         |SELECT s.event_type, CAST(s.sum_t AS BIGINT) AS sum_t,
+         |       CAST(s.n_zero AS BIGINT) AS n_zero,
+         |       CAST($estSql AS BIGINT) AS est_milli,
+         |       CAST(x.exact_users AS BIGINT) AS exact_users
+         |FROM s JOIN x USING (event_type) ORDER BY s.event_type""".stripMargin,
+    ) { (spark, dir) =>
+      val ev = Tables.events(spark, dir).select($"event_type", $"user_id")
+      val rho = (0 to 53)
+        .map(k => when($"w" < lit(1L << k), 1L).otherwise(0L))
+        .reduce(_ + _) + 1L
+      val regs = ev
+        .withColumn("h", call_function("md5hash60", $"user_id".cast("string")))
+        .select($"event_type", ($"h" % HllM).as("j"), expr(s"h DIV $HllM").as("w"))
+        .groupBy($"event_type", $"j").agg(max(rho).as("m"))
+      val full = ev.select($"event_type").distinct()
+        .select($"event_type", explode(sequence(lit(0L), lit(HllM - 1L))).as("j"))
+        .join(regs, Seq("event_type", "j"), "left")
+        .withColumn("m", coalesce($"m", lit(0L)))
+      val s = full.groupBy($"event_type")
+        .agg(
+          sum(element_at(array(terms.map(lit): _*), ($"m" + 1).cast("int")))
+            .as("sum_t"),
+          sum(when($"m" === 0, 1L).otherwise(0L)).as("n_zero"))
+      val x = ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      s.join(x, "event_type")
+        .select($"event_type", $"sum_t", $"n_zero",
+          expr(s"CAST($estSql AS BIGINT)").as("est_milli"), $"exact_users")
+        .orderBy($"event_type")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(approxDistinct, approxPercentiles, percentileExact, cmsTopk, hllUnion)
+    Seq(approxDistinct, approxPercentiles, percentileExact, cmsTopk, hllUnion,
+      hllRegisters)
 }

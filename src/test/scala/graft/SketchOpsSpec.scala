@@ -77,4 +77,43 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(overcount <= stream / 100,
       s"overcount $overcount too large for stream $stream")
   }
+
+  test("declarative HLL registers replay exactly; estimate tracks exact counts") {
+    // replay the register build in plain JVM code with the same md5 hash
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val pairs = graft.io.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = pairs.groupBy(_._1).map { case (t, rs) =>
+      val regs = Array.fill(64)(0L)
+      rs.foreach { case (_, u) =>
+        val h = h60(u.toString)
+        val j = (h % 64).toInt
+        val w = h / 64
+        val rho = 1L + (0 to 53).count(k => w < (1L << k))
+        if (rho > regs(j)) regs(j) = rho
+      }
+      val sumT = regs.map(m => if (m <= 54) 1L << (54 - m) else 0L).sum
+      t -> (sumT, regs.count(_ == 0).toLong, rs.map(_._2).distinct.size.toLong)
+    }
+    val rows = SketchOps.hllRegisters.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == expected.keys.toSeq.sorted)
+    for ((t, sumT, nZero, estMilli, exact) <- rows) {
+      val (eSum, eZero, eExact) = expected(t)
+      assert(sumT == eSum, s"$t register denominator must replay exactly")
+      assert(nZero == eZero, s"$t zero-register count")
+      assert(exact == eExact, s"$t exact distinct")
+      // m=64 raw HLL: rsd ~ 1.04/8 = 13%; allow 3 sigma
+      val est = estMilli / 1000.0
+      assert(math.abs(est - exact) <= 0.4 * exact,
+        s"$t estimate $est too far from exact $exact")
+    }
+  }
 }
