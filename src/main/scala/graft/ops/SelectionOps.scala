@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -227,5 +228,118 @@ object SelectionOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val all: Seq[QueryDef] = Seq(dsirSelect, rougePairs)
+  /** EXACT longest common substring (in tokens) for every near-dup pair —
+    * the contiguity readout completing the pair-eval picture next to
+    * [[rougePairs]] (bag-of-grams overlap says HOW MUCH is shared;
+    * this says the longest HOW-CONTIGUOUS run, i.e. verbatim quotation vs
+    * scattered phrase reuse). Computed by the diagonal-run identity from
+    * local alignment: a shared token run of length R ≥ 5 is exactly a
+    * maximal run of R−4 consecutive shared-5-gram matches on one
+    * alignment diagonal d = pos_a − pos_b, so LCS = 4 + the longest
+    * consecutive-ia island per (pair, d) — an islands window, never a
+    * quadratic token DP. Matching is on the portable 60-bit gram hash,
+    * identical in the oracle, so collisions (≈ 2⁻⁶⁰) cannot cause a
+    * cross-engine mismatch. Runs shorter than 5 tokens report 0 — the
+    * gram floor is the minimum meaningful quotation, matching the
+    * [[LlmTextOps.dupSpans]] granularity. Ties (equal length) resolve to
+    * the smallest (start_a, start_b).
+    *
+    * Scale shape: gram emission is map-only; the match join is keyed on
+    * (pair, gram hash) against the dedup OUTPUT pair list — never
+    * corpus×corpus; the islands window partitions by (pair, diagonal),
+    * bounded by the shorter document, never corpus-sized. */
+  val lcsPairs: QueryDef = QueryDef(
+    "llm_lcs_pairs",
+    LlmTextOps.shingleCte +
+      """
+        |, pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |         WHERE len(list_intersect(a.s, b.s)) * 5
+        |               >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4),
+        |g AS (SELECT doc_id, i,
+        |             ('0x' || substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))::BIGINT AS h
+        |      FROM toks, unnest(range(1, len(ts) - 3)) AS t(i)
+        |      WHERE len(ts) >= 5),
+        |m AS (SELECT p.doc_a, p.doc_b, a.i AS ia, b.i AS ib, a.i - b.i AS d
+        |      FROM pr p JOIN g a ON a.doc_id = p.doc_a
+        |                JOIN g b ON b.doc_id = p.doc_b AND b.h = a.h),
+        |r AS (SELECT doc_a, doc_b, d, ia, ib,
+        |             CASE WHEN ia - lag(ia) OVER (PARTITION BY doc_a, doc_b, d
+        |                                          ORDER BY ia) = 1
+        |                  THEN 0 ELSE 1 END AS nr
+        |      FROM m),
+        |r2 AS (SELECT doc_a, doc_b, d, ia, ib,
+        |              sum(nr) OVER (PARTITION BY doc_a, doc_b, d ORDER BY ia) AS rid
+        |       FROM r),
+        |runs AS (SELECT doc_a, doc_b, d, rid,
+        |                min(ia) AS sa, min(ib) AS sb, count(*) AS c
+        |         FROM r2 GROUP BY 1, 2, 3, 4),
+        |best AS (SELECT doc_a, doc_b, c + 4 AS lcs_len, sa FROM (
+        |           SELECT doc_a, doc_b, c, sa, sb,
+        |                  row_number() OVER (PARTITION BY doc_a, doc_b
+        |                                     ORDER BY c DESC, sa, sb) AS rk
+        |           FROM runs) WHERE rk = 1),
+        |ln AS (SELECT doc_id, len(ts) AS n FROM toks)
+        |SELECT p.doc_a, p.doc_b,
+        |       CAST(la.n AS BIGINT) AS n_a, CAST(lb.n AS BIGINT) AS n_b,
+        |       CAST(coalesce(b.lcs_len, 0) AS BIGINT) AS lcs_len,
+        |       coalesce(array_to_string(list_slice(ta.ts, b.sa, b.sa + b.lcs_len - 1), ' '), '') AS lcs_text,
+        |       round(coalesce(b.lcs_len, 0) / least(la.n, lb.n), 6) AS lcs_frac
+        |FROM pr p
+        |JOIN ln la ON la.doc_id = p.doc_a
+        |JOIN ln lb ON lb.doc_id = p.doc_b
+        |JOIN toks ta ON ta.doc_id = p.doc_a
+        |LEFT JOIN best b ON b.doc_a = p.doc_a AND b.doc_b = p.doc_b
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    lcsPairsOf(
+      LlmTextOps.neardupPlan(LlmTextOps.docShinglesOf(docs))
+        .select($"doc_a", $"doc_b"),
+      docs)
+  }
+
+  /** [[lcsPairs]] over any (doc_a, doc_b) pair frame and (doc_id, text)
+    * doc frame — fixture seam. */
+  private[graft] def lcsPairsOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val tk = docs.select($"doc_id", tokens.as("ts"))
+    val grams = tk.filter(size($"ts") >= 5)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"ts") - 4),
+        i => struct(i.as("i"),
+          call_function("md5hash60", concat_ws(" ", slice($"ts", i, lit(5))))
+            .as("h")))).as("g"))
+      .select($"doc_id", $"g.i".as("i"), $"g.h".as("h"))
+    val m = pairs
+      .join(grams.select($"doc_id".as("doc_a"), $"i".as("ia"), $"h"), "doc_a")
+      .join(grams.select($"doc_id".as("doc_b"), $"i".as("ib"), $"h"),
+        Seq("doc_b", "h"))
+      .withColumn("d", $"ia" - $"ib")
+    val w = Window.partitionBy($"doc_a", $"doc_b", $"d").orderBy($"ia")
+    val runs = m
+      .withColumn("nr",
+        when($"ia" - lag($"ia", 1).over(w) === 1, 0L).otherwise(1L))
+      .withColumn("rid", sum($"nr").over(w))
+      .groupBy($"doc_a", $"doc_b", $"d", $"rid")
+      .agg(min($"ia").as("sa"), min($"ib").as("sb"), count(lit(1)).as("c"))
+    val best = runs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_a", $"doc_b").orderBy($"c".desc, $"sa", $"sb")))
+      .filter($"rk" === 1)
+      .select($"doc_a", $"doc_b", ($"c" + 4L).as("lcs_len"), $"sa")
+    val lens = tk.select($"doc_id", size($"ts").cast("long").as("n"))
+    pairs
+      .join(lens.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+      .join(lens.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+      .join(tk.select($"doc_id".as("doc_a"), $"ts"), "doc_a")
+      .join(best, Seq("doc_a", "doc_b"), "left")
+      .select($"doc_a", $"doc_b", $"n_a", $"n_b",
+        coalesce($"lcs_len", lit(0L)).as("lcs_len"),
+        coalesce(concat_ws(" ", slice($"ts", $"sa", $"lcs_len")), lit(""))
+          .as("lcs_text"),
+        round(coalesce($"lcs_len", lit(0L)).cast("double")
+          / least($"n_a", $"n_b"), 6).as("lcs_frac"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(dsirSelect, rougePairs, lcsPairs)
 }

@@ -89,4 +89,30 @@ class SelectionOpsSpec extends AnyFunSuite {
         "bigram F1 can't exceed unigram F1 on near-dup text")
     }
   }
+
+  test("lcsPairs: diagonal runs recover the exact longest shared token run") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val docs = Seq(
+      (1L, "a1 a2 c1 c2 c3 c4 c5 c6 b1 b2"),
+      (2L, "x1 c1 c2 c3 c4 c5 c6 y1 c1 c2 c3 c4 z1"),
+      (3L, (1 to 8).map(i => s"u$i").mkString(" ")),
+      // two equal-length shared runs in swapped order — tie must break to
+      // the run starting earliest in doc_a
+      (4L, "t1 t2 t3 t4 t5 w1 s1 s2 s3 s4 s5"),
+      (5L, "s1 s2 s3 s4 s5 v1 t1 t2 t3 t4 t5"),
+      // self-repeat inside doc 6: the d=0 diagonal must win over the
+      // shifted second occurrence
+      (6L, "r1 r2 r3 r4 r5 r6 w2 r1 r2 r3 r4 r5"),
+      (7L, "r1 r2 r3 r4 r5 r6")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val rows = SelectionOps.lcsPairsOf(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getString(5), r.getDouble(6))).toMap
+    assert(rows((1L, 2L)) == ((6L, "c1 c2 c3 c4 c5 c6", 0.6)), s"${rows((1L, 2L))}")
+    assert(rows((1L, 3L)) == ((0L, "", 0.0)), "no shared 5-gram reports zero")
+    assert(rows((4L, 5L)) == ((5L, "t1 t2 t3 t4 t5", round6(5.0 / 11))), s"${rows((4L, 5L))}")
+    assert(rows((6L, 7L)) == ((6L, "r1 r2 r3 r4 r5 r6", 1.0)), s"${rows((6L, 7L))}")
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 }
