@@ -673,6 +673,117 @@ object GraphOps {
     kcoreOf(cooccurEdges(Tables.lineitem(spark, dir)), KCoreK)
   }
 
+  /** Per-edge triangle support over a canonical (p1 < p2) edge list: the
+    * [[trianglesOf]] two-join closure, each triangle crediting its three
+    * edges. Shared by the [[ktrussOf]] peeling rounds. */
+  private def edgeSupportOf(e: DataFrame): DataFrame = {
+    val t = e.as("e1").join(e.as("e2"), col("e1.p2") === col("e2.p1"))
+      .join(e.as("e3"),
+        col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+      .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+    t.select($"a".as("x"), $"b".as("y"))
+      .unionAll(t.select($"b".as("x"), $"c".as("y")))
+      .unionAll(t.select($"a".as("x"), $"c".as("y")))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("s"))
+  }
+
+  /** k-truss membership by parallel edge peeling — the EDGE analog of
+    * [[kcoreOf]] (Cohen 2008): repeatedly delete every edge in fewer than
+    * k−2 triangles of the CURRENT subgraph until stable; survivors are
+    * the k-truss, the standard stronger-than-core dense-region extractor
+    * (every surviving tie is re-witnessed by ≥ k−2 common neighbors, so
+    * chains and stars that survive k-core peeling fall away). Per round:
+    * one [[trianglesOf]]-shaped closure (two equi-joins on the canonical
+    * orientation — never a pair expansion), a (p1,p2)-keyed support
+    * aggregate, and one keyed anti-filter; loop state localCheckpointed
+    * per round, driver holds only edge counts; deletion is monotone so an
+    * unchanged count IS the fixpoint, and hitting [[MaxPeelRounds]]
+    * throws (the loud-failure convention). Emits every ORIGINAL edge
+    * with its membership flag and within-truss support. */
+  private[graft] def ktrussOf(edges: DataFrame, k: Int): DataFrame = {
+    val orig = graft.Caches.persist(edges.select($"p1", $"p2"))
+    var e = orig
+    var nEdges = e.count()
+    var converged = nEdges == 0L
+    var iter = 0
+    while (!converged && iter < MaxPeelRounds) {
+      val sup = edgeSupportOf(e)
+      val next = graft.Caches.localCheckpoint(
+        e.join(sup, $"p1" === $"x" && $"p2" === $"y", "left")
+          .filter(coalesce($"s", lit(0L)) >= k - 2)
+          .select($"p1", $"p2"))
+      val nNext = next.count()
+      converged = nNext == nEdges || nNext == 0L
+      e = next
+      nEdges = nNext
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ktrussOf did not stabilize after $MaxPeelRounds peeling rounds — " +
+          "refusing to return a superset of the truss")
+    val finalSup = edgeSupportOf(e)
+    orig
+      .join(e.select($"p1", $"p2", lit(1L).as("in_truss")), Seq("p1", "p2"), "left")
+      .join(finalSup.select($"x".as("p1"), $"y".as("p2"), $"s"),
+        Seq("p1", "p2"), "left")
+      .select($"p1", $"p2",
+        coalesce($"in_truss", lit(0L)).as("in_truss"),
+        coalesce($"s", lit(0L)).as("truss_support"))
+      .orderBy($"p1", $"p2")
+  }
+
+  private val KTrussK = 3
+  private val KTrussOracleRounds = 8 // margin over the observed fixpoint
+
+  /** The truss peeling loop unrolled to materialized CTEs — the
+    * [[kcoreCtes]] technique verbatim: rounds past the fixpoint are
+    * no-ops, each round's edge set referenced multiple times must
+    * MATERIALIZE or inlining goes exponential. */
+  private def ktrussCtes(rounds: Int, k: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""t$r AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+         |        FROM e${r - 1} e1 JOIN e${r - 1} e2 ON e2.p1 = e1.p2
+         |             JOIN e${r - 1} e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+         |s$r AS (SELECT x, y, count(*) AS s FROM (
+         |          SELECT a AS x, b AS y FROM t$r
+         |          UNION ALL SELECT b, c FROM t$r
+         |          UNION ALL SELECT a, c FROM t$r) GROUP BY 1, 2),
+         |e$r AS MATERIALIZED (
+         |        SELECT e.p1, e.p2 FROM e${r - 1} e
+         |        LEFT JOIN s$r ON s$r.x = e.p1 AND s$r.y = e.p2
+         |        WHERE coalesce(s$r.s, 0) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |e0 AS MATERIALIZED (SELECT p1, p2 FROM pairs),
+       |$rs""".stripMargin
+  }
+
+  /** 3-truss of the mined co-occurrence graph: every original edge with
+    * its truss membership and within-truss triangle support. */
+  val ktruss: QueryDef = QueryDef(
+    "graph_ktruss",
+    s"""${ktrussCtes(KTrussOracleRounds, KTrussK)},
+       |ft AS MATERIALIZED (
+       |        SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+       |        FROM e$KTrussOracleRounds e1
+       |        JOIN e$KTrussOracleRounds e2 ON e2.p1 = e1.p2
+       |        JOIN e$KTrussOracleRounds e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+       |fs AS (SELECT x, y, count(*) AS s FROM (
+       |         SELECT a AS x, b AS y FROM ft
+       |         UNION ALL SELECT b, c FROM ft
+       |         UNION ALL SELECT a, c FROM ft) GROUP BY 1, 2)
+       |SELECT p.p1, p.p2,
+       |       CAST(CASE WHEN e.p1 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_truss,
+       |       CAST(coalesce(fs.s, 0) AS BIGINT) AS truss_support
+       |FROM pairs p
+       |LEFT JOIN e$KTrussOracleRounds e ON e.p1 = p.p1 AND e.p2 = p.p2
+       |LEFT JOIN fs ON fs.x = p.p1 AND fs.y = p.p2
+       |ORDER BY p.p1, p.p2""".stripMargin,
+  ) { (spark, dir) =>
+    ktrussOf(cooccurEdges(Tables.lineitem(spark, dir)), KTrussK)
+  }
+
   private val LpRounds = 4
 
   /** Synchronous label propagation over any canonical (p1 < p2) edge list,
@@ -1423,7 +1534,7 @@ object GraphOps {
 
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, personalizedPageRank, bfsLevels,
-      adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore,
+      adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore, ktruss,
       labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks,
       assortativity, sssp, louvainPass, louvainFull)
 }

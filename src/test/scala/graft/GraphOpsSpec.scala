@@ -34,6 +34,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("peeling rounds"))
   }
 
+  test("k-truss peeling: 4-clique survives k=4, weak triangles cascade away") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // K4 on {1,2,3,4} (every edge in 2 triangles) + triangle {4,5,6} +
+    // triangle {5,6,8} + pendant (6,7). At k=4 (support >= 2): round 1
+    // deletes the support-1 edges (4,5),(4,6),(5,8),(6,8) and (6,7);
+    // (5,6) started at support 2 but loses BOTH its triangles — the
+    // CASCADE must remove it in round 2, leaving exactly the K4.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (5L, 8L), (6L, 8L),
+      (6L, 7L))).toDF("p1", "p2")
+    val rows = GraphOps.ktrussOf(edges, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.size == 12, "every original edge reported")
+    assert(k4.forall(rows(_) == ((1L, 2L))),
+      s"K4 edges survive with support 2: $rows")
+    assert((rows.keySet -- k4).forall(rows(_) == ((0L, 0L))),
+      s"all non-clique edges cascade out: $rows")
+  }
+
   test("cooccur edges: support threshold, canonical orientation, set semantics") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // orders 1,2 share {10,20}; order 3 adds (10,30) once (below support);
