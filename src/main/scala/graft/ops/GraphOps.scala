@@ -1444,52 +1444,72 @@ object GraphOps {
     * window PARTITIONED by node. Nothing corpus-sized crosses a round
     * boundary except the one edge join every Louvain implementation
     * pays. */
+  /** One oracle local-move round over edge table `und`, degree table
+    * `deg`, assignment prefix `cm` — shared by [[louvainFull]] (fine
+    * graph) and [[louvainCoarsen]] (supergraph, where `skipSelf` drops
+    * self-loop edges from the candidate weights: after any move a
+    * supernode's self-loop is internal to it, so it shifts every
+    * candidate's w(u,c) equally and cancels in the argmax — it still
+    * counts in degrees, Σtot and m). */
+  private def louvainRoundCte(r: Int, und: String, deg: String, cm: String,
+      skipSelf: Boolean): String = {
+    val p = r - 1
+    val self = if (skipSelf) " WHERE e.u <> e.v" else ""
+    s""",
+       |${cm}tot$r AS (SELECT c.comm, CAST(sum(d.dg) AS BIGINT) AS tot
+       |          FROM $cm$p c JOIN $deg d ON d.u = c.node GROUP BY 1),
+       |${cm}wnc$r AS (SELECT e.u, c.comm AS cand, CAST(sum(e.w) AS BIGINT) AS wuc
+       |          FROM $und e JOIN $cm$p c ON c.node = e.v$self GROUP BY 1, 2),
+       |${cm}cand$r AS (SELECT u, cand, CAST(sum(wuc) AS BIGINT) AS wuc FROM (
+       |             SELECT u, cand, wuc FROM ${cm}wnc$r
+       |             UNION ALL SELECT node, comm, 0 FROM $cm$p) GROUP BY 1, 2),
+       |${cm}sc$r AS (SELECT a.u, a.cand, c.comm AS own,
+       |                2 * mm.m * a.wuc
+       |                - d.dg * (t.tot - CASE WHEN a.cand = c.comm THEN d.dg ELSE 0 END)
+       |                  AS score
+       |         FROM ${cm}cand$r a JOIN $cm$p c ON c.node = a.u
+       |              JOIN $deg d ON d.u = a.u
+       |              JOIN ${cm}tot$r t ON t.comm = a.cand, mm),
+       |$cm$r AS MATERIALIZED (SELECT u AS node,
+       |                CASE WHEN u % 2 = ${r % 2} THEN cand ELSE own END AS comm
+       |         FROM (
+       |           SELECT u, cand, own,
+       |                  row_number() OVER (PARTITION BY u ORDER BY score DESC, cand) AS rk
+       |           FROM ${cm}sc$r) WHERE rk = 1)""".stripMargin
+  }
+
+  /** The fine-graph local-move CTE chain ending in `cm<rounds>` — shared
+    * by the [[louvainFull]] and [[louvainCoarsen]] oracles. */
+  private def louvainCtes(rounds: Int): String =
+    s"""WITH $wedgesSql,
+       |und AS MATERIALIZED (SELECT p1 AS u, p2 AS v, w FROM wpairs
+       |        UNION ALL SELECT p2, p1, w FROM wpairs),
+       |mm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM wpairs),
+       |deg AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS dg FROM und GROUP BY u),
+       |cm0 AS MATERIALIZED (SELECT u AS node, u AS comm FROM deg)
+       |${(1 to rounds).map(louvainRoundCte(_, "und", "deg", "cm", skipSelf = false)).mkString}""".stripMargin
+
   val louvainFull: QueryDef = QueryDef(
-    "graph_louvain", {
-      def round(r: Int): String = {
-        val p = r - 1
-        s""",
-           |tot$r AS (SELECT c.comm, CAST(sum(d.dg) AS BIGINT) AS tot
-           |          FROM cm$p c JOIN deg d ON d.u = c.node GROUP BY 1),
-           |wnc$r AS (SELECT e.u, c.comm AS cand, CAST(sum(e.w) AS BIGINT) AS wuc
-           |          FROM und e JOIN cm$p c ON c.node = e.v GROUP BY 1, 2),
-           |cand$r AS (SELECT u, cand, CAST(sum(wuc) AS BIGINT) AS wuc FROM (
-           |             SELECT u, cand, wuc FROM wnc$r
-           |             UNION ALL SELECT node, comm, 0 FROM cm$p) GROUP BY 1, 2),
-           |sc$r AS (SELECT a.u, a.cand, c.comm AS own,
-           |                2 * mm.m * a.wuc
-           |                - d.dg * (t.tot - CASE WHEN a.cand = c.comm THEN d.dg ELSE 0 END)
-           |                  AS score
-           |         FROM cand$r a JOIN cm$p c ON c.node = a.u
-           |              JOIN deg d ON d.u = a.u
-           |              JOIN tot$r t ON t.comm = a.cand, mm),
-           |cm$r AS MATERIALIZED (SELECT u AS node,
-           |                CASE WHEN u % 2 = ${r % 2} THEN cand ELSE own END AS comm
-           |         FROM (
-           |           SELECT u, cand, own,
-           |                  row_number() OVER (PARTITION BY u ORDER BY score DESC, cand) AS rk
-           |           FROM sc$r) WHERE rk = 1)""".stripMargin
-      }
-      s"""WITH $wedgesSql,
-         |und AS MATERIALIZED (SELECT p1 AS u, p2 AS v, w FROM wpairs
-         |        UNION ALL SELECT p2, p1, w FROM wpairs),
-         |mm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM wpairs),
-         |deg AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS dg FROM und GROUP BY u),
-         |cm0 AS MATERIALIZED (SELECT u AS node, u AS comm FROM deg)
-         |${(1 to LouvainRounds).map(round).mkString}
+    "graph_louvain",
+    louvainCtes(LouvainRounds) +
+      s"""
          |SELECT c.node AS part, c.comm AS community, s.comm_size
          |FROM cm$LouvainRounds c
          |JOIN (SELECT comm, CAST(count(*) AS BIGINT) AS comm_size
          |      FROM cm$LouvainRounds GROUP BY 1) s USING (comm)
-         |ORDER BY part""".stripMargin
-    },
+         |ORDER BY part""".stripMargin,
   ) { (spark, dir) =>
     louvainFullOf(cooccurEdges(Tables.lineitem(spark, dir)), LouvainRounds)
   }
 
-  /** [[louvainFull]] over any canonical weighted `(p1, p2, w)` edge list —
-    * extracted for the planted-two-clique spec. */
-  private[graft] def louvainFullOf(wp: DataFrame, rounds: Int): DataFrame = {
+  /** The [[louvainFull]] local-move loop over any canonical weighted
+    * `(p1, p2, w)` edge list (self-loops allowed when the list is a
+    * contracted supergraph — `skipSelf` then drops them from the
+    * candidate weights, where they cancel across candidates, while
+    * keeping them in degrees and m). Returns the (node, comm)
+    * assignment after `rounds` parity-alternating rounds. */
+  private[graft] def louvainAssignOf(wp: DataFrame, rounds: Int,
+      skipSelf: Boolean = false): DataFrame = {
     val mm = wp.agg(sum($"w").as("m"))
     // neighbor-keyed edge cache: the ONLY edge-sized join each round is on
     // v, so the cached partitioning is reused every round
@@ -1498,12 +1518,13 @@ object GraphOps {
         .unionAll(wp.select($"p2".as("u"), $"p1".as("v"), $"w"))
         .repartition($"v"))
     val deg = graft.Caches.persist(und.groupBy($"u").agg(sum($"w").as("dg")))
+    val wEdges = if (skipSelf) und.filter($"u" =!= $"v") else und
     var cm = graft.Caches.localCheckpoint(
       deg.select($"u".as("node"), $"u".as("comm")))
     for (r <- 1 to rounds) {
       val tot = cm.join(deg, $"node" === $"u")
         .groupBy($"comm").agg(sum($"dg").as("tot"))
-      val wnc = und
+      val wnc = wEdges
         .join(cm.select($"node".as("v"), $"comm".as("cand")), "v")
         .groupBy($"u", $"cand").agg(sum($"w").as("wuc"))
       val cand = wnc
@@ -1527,8 +1548,87 @@ object GraphOps {
             when($"u" % 2 === lit(r % 2), $"cand").otherwise($"own")
               .as("comm")))
     }
-    cm.withColumn("comm_size", count(lit(1)).over(Window.partitionBy($"comm")))
+    cm
+  }
+
+  /** [[louvainFull]] over any canonical weighted `(p1, p2, w)` edge list —
+    * extracted for the planted-two-clique spec. */
+  private[graft] def louvainFullOf(wp: DataFrame, rounds: Int): DataFrame =
+    louvainAssignOf(wp, rounds)
+      .withColumn("comm_size", count(lit(1)).over(Window.partitionBy($"comm")))
       .select($"node".as("part"), $"comm".as("community"), $"comm_size")
+      .orderBy($"part")
+
+  /** Coarse-phase local-move rounds for [[louvainCoarsen]] — even, like
+    * [[LouvainRounds]]. */
+  private val CoarseRounds = 2
+
+  /** Louvain PHASE 2 (Blondel et al. 2008 §2): contract the
+    * [[louvainFull]] communities into supernodes — inter-community
+    * weights sum into supergraph edges, intra-community weights become
+    * self-loops — then rerun the same exact-integer local-move criterion
+    * on the supergraph for [[CoarseRounds]] parity-alternating rounds and
+    * project the coarse communities back down to the original nodes.
+    * This is the step that makes Louvain HIERARCHICAL: communities the
+    * flat pass leaves fragmented (each node already locally optimal)
+    * merge once they act as single nodes. Self-loop handling is the
+    * published one: self-loops count in degrees, Σtot and m (a
+    * supernode's internal weight travels with it) but drop out of the
+    * candidate weights w(u,c), where they would shift every candidate
+    * equally and cannot change the argmax.
+    *
+    * Scale shape: the contraction is ONE edge-list join to the
+    * vertex-sized assignment per endpoint plus a (comm-pair)-keyed sum —
+    * the supergraph is orders of magnitude smaller, so the coarse rounds
+    * run on a frame the size of the COMMUNITY COUNT; everything else is
+    * the audited [[louvainAssignOf]] shape. */
+  val louvainCoarsen: QueryDef = QueryDef(
+    "graph_louvain_coarsen",
+    louvainCtes(LouvainRounds) +
+      s""",
+         |ce AS MATERIALIZED (
+         |  SELECT least(a.comm, b.comm) AS p1, greatest(a.comm, b.comm) AS p2,
+         |         CAST(sum(e.w) AS BIGINT) AS w
+         |  FROM wpairs e JOIN cm$LouvainRounds a ON a.node = e.p1
+         |       JOIN cm$LouvainRounds b ON b.node = e.p2
+         |  GROUP BY 1, 2),
+         |und2 AS MATERIALIZED (SELECT p1 AS u, p2 AS v, w FROM ce
+         |        UNION ALL SELECT p2, p1, w FROM ce),
+         |deg2 AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS dg FROM und2 GROUP BY u),
+         |km0 AS MATERIALIZED (SELECT u AS node, u AS comm FROM deg2)""".stripMargin +
+      (1 to CoarseRounds)
+        .map(louvainRoundCte(_, "und2", "deg2", "km", skipSelf = true))
+        .mkString +
+      s"""
+         |SELECT c.node AS part, k.comm AS community, s.comm_size
+         |FROM cm$LouvainRounds c
+         |JOIN km$CoarseRounds k ON k.node = c.comm
+         |JOIN (SELECT k2.comm, CAST(count(*) AS BIGINT) AS comm_size
+         |      FROM cm$LouvainRounds c2 JOIN km$CoarseRounds k2 ON k2.node = c2.comm
+         |      GROUP BY 1) s ON s.comm = k.comm
+         |ORDER BY part""".stripMargin,
+  ) { (spark, dir) =>
+    louvainCoarsenOf(cooccurEdges(Tables.lineitem(spark, dir)),
+      LouvainRounds, CoarseRounds)
+  }
+
+  /** [[louvainCoarsen]] over any canonical weighted `(p1, p2, w)` edge
+    * list — fixture seam. */
+  private[graft] def louvainCoarsenOf(wp: DataFrame, rounds: Int,
+      coarseRounds: Int): DataFrame = {
+    val cm = graft.Caches.persist(louvainAssignOf(wp, rounds))
+    val ce = wp
+      .join(cm.select($"node".as("p1"), $"comm".as("c1")), "p1")
+      .join(cm.select($"node".as("p2"), $"comm".as("c2")), "p2")
+      .select(least($"c1", $"c2").as("p1"), greatest($"c1", $"c2").as("p2"), $"w")
+      .groupBy($"p1", $"p2").agg(sum($"w").as("w"))
+    val km = louvainAssignOf(ce, coarseRounds, skipSelf = true)
+    val proj = cm.select($"node", $"comm".as("mid"))
+      .join(km.select($"node".as("mid"), $"comm".as("community")), "mid")
+    proj
+      .withColumn("comm_size",
+        count(lit(1)).over(Window.partitionBy($"community")))
+      .select($"node".as("part"), $"community", $"comm_size")
       .orderBy($"part")
   }
 
@@ -1536,5 +1636,5 @@ object GraphOps {
     Seq(triangles, degreeDist, pageRank, personalizedPageRank, bfsLevels,
       adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore, ktruss,
       labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks,
-      assortativity, sssp, louvainPass, louvainFull)
+      assortativity, sssp, louvainPass, louvainFull, louvainCoarsen)
 }

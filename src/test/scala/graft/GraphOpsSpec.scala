@@ -497,6 +497,44 @@ class GraphOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out == again, "louvain full must be deterministic")
   }
+
+  test("louvain coarsening merges ring-of-clique fragments the flat pass leaves") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // Ring of 10 unit triangles bridged by unit edges — the Fortunato &
+    // Barthelemy resolution-limit regime: every single NODE is locally
+    // optimal staying in its triangle (stay 2m·2 − 3·(8−3) = 145 beats
+    // jump 2m·1 − 3·8 = 56, in 2m² units, m = 40), so the flat pass
+    // fixes at one community per triangle; but adjacent triangles as
+    // SUPERNODES gain by merging (2m·w(A,B) − deg(A)·deg(B) =
+    // 80 − 64 > 0) — only the contraction phase can see it.
+    val k = 10
+    val edges = (0 until k).flatMap { t =>
+      val b = 3 * t
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2), (b + 2, (b + 3) % (3 * k)))
+    }.map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong, 1L) }
+      .toDF("p1", "p2", "w")
+    val flat = GraphOps.louvainFullOf(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val triangleOf = (n: Long) => n / 3
+    assert(flat.groupBy(_._2).values.map(_.keys.map(triangleOf).toSet.size)
+        .forall(_ == 1) && flat.values.toSet.size == k,
+      s"flat pass must fix at exactly one community per triangle: $flat")
+    val coarse = GraphOps.louvainCoarsenOf(edges, 4, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // phase 2 output must be a strict coarsening: flat communities map
+    // WHOLE into coarse communities, and at least one adjacent pair merged
+    assert(flat.groupBy(_._2).values
+        .forall(m => m.keys.map(coarse).toSet.size == 1),
+      "every flat community must land in exactly one coarse community")
+    assert(coarse.values.toSet.size < k,
+      s"supernode rounds must merge adjacent triangles: $coarse")
+    // NOTE: merged label groups need not be ring-contiguous — a supernode
+    // can adopt a neighbor's label and that neighbor move on next round
+    // (standard label semantics, same as the flat phase).
+    val again = GraphOps.louvainCoarsenOf(edges, 4, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(coarse == again, "coarsening must be deterministic")
+  }
 }
 
 /** Collects jaccardLinksOf output as (a,b) -> (n_common, jaccard). */
