@@ -51,7 +51,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     val cores = spark.sparkContext.defaultParallelism
-    val loadAtStart = loadavg1
+    // The 1-minute loadavg at this point is dominated by OUR OWN sbt
+    // compile + JVM startup (observed: 4.31 on an otherwise-idle box —
+    // which would false-positive the tightened cores/16 gate below and
+    // mislabel a genuinely clean run as contended). A compile spike decays
+    // with the 1-minute half-life, real contention doesn't: wait up to
+    // 3 min for the load to settle under the gate before sampling the
+    // value the contended label is derived from. Both readings land in
+    // the artifact so the wait is auditable.
+    val loadRaw = loadavg1
+    var loadAtStart = loadRaw
+    var settleWait = 0
+    while (loadAtStart > cores / 16.0 && settleWait < 180) {
+      Thread.sleep(15000)
+      settleWait += 15
+      loadAtStart = loadavg1
+    }
     val wall0 = System.nanoTime()
     val retimed = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     // per-query warm-up seconds: SUSTAINED machine contention slows warm-up
@@ -149,7 +164,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""retimed":$rt,"warmups":$wus,"failed":$fj,"sf":"$sfDir","cores":$cores,""" +
-        s""""loadavg1":$loadAtStart,"loadavg1_end":$loadavg1,""" +
+        s""""loadavg1":$loadAtStart,"loadavg1_raw":$loadRaw,""" +
+        s""""settle_wait_s":$settleWait,"loadavg1_end":$loadavg1,""" +
         s""""contended":$contended,"elapsed_wall":$elapsed}"""
     println(line)
     // stdout is the driver's channel but is truncation-prone under sbt; the

@@ -277,5 +277,56 @@ object ClassifierOps {
       .orderBy($"j")
   }
 
-  val all: Seq[QueryDef] = Seq(clfTrain, clfScore, clfWeights)
+  /** CALIBRATION curve (reliability diagram) of the trained scorer over
+    * score-RANK deciles — per bin, how many documents, how many actually
+    * positive, and the gap between mean predicted score and observed
+    * positive rate (the per-bin expected-calibration-error term): the
+    * readout that decides whether `llm_clf_score`'s probabilities can
+    * gate data by threshold or need recalibration first. Binning is by
+    * QUANTILE, not equal width — the trained scores saturate into a
+    * 0.0017-wide band at the top of the sigmoid, so equal-width bins
+    * collapse to one; rank deciles always resolve ten bins (the standard
+    * reliability-diagram treatment for concentrated scores).
+    *
+    * Determinism: the 6-dp sigmoid is already engine-identical, so its
+    * exact-integer micro form (`round(s·1e6)`) ranks on the (micro,
+    * doc_id) total order and averages without any new float crossing
+    * engines; rate and mean are one exact integer division each.
+    *
+    * Scale shape: scoring is the (cached) training lane; the decile
+    * assignment is [[ParallelRank.withNtile]] — a range shuffle plus
+    * partition-parallel windows, NO single-partition exchange — and the
+    * readout is one bounded (10-group) aggregate. */
+  val clfCalibration: QueryDef = QueryDef(
+    "llm_clf_calibration",
+    trainCtes +
+      s"""
+         |, mic AS (SELECT doc_id, CAST(round(s * 1000000) AS BIGINT) AS micro, y
+         |          FROM s$Rounds),
+         |b AS (SELECT micro, y,
+         |             CAST(ntile(10) OVER (ORDER BY micro, doc_id) AS BIGINT) AS bucket
+         |      FROM mic)
+         |SELECT bucket,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(y) AS BIGINT) AS n_pos,
+         |       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+         |       CAST(sum(micro) // count(*) AS BIGINT) AS mean_score_micro,
+         |       CAST(abs(sum(micro) // count(*) - sum(y) * 1000000 // count(*)) AS BIGINT) AS gap_micro
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+  ) { (spark, dir) =>
+    val (_, _, scores) = clfTrainOf(spark, Tables.documents(spark, dir))
+    val mic = scores.select($"doc_id",
+      round($"s" * 1000000).cast("long").as("micro"), $"y")
+    ParallelRank.withNtile(mic, 10, Seq($"micro", $"doc_id"), "bucket")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"y").as("n_pos"),
+        expr("sum(y) * 1000000 DIV count(*)").as("pos_rate_ppm"),
+        expr("sum(micro) DIV count(*)").as("mean_score_micro"))
+      .select($"bucket", $"n_docs", $"n_pos", $"pos_rate_ppm",
+        $"mean_score_micro",
+        abs($"mean_score_micro" - $"pos_rate_ppm").as("gap_micro"))
+      .orderBy($"bucket")
+  }
+
+  val all: Seq[QueryDef] = Seq(clfTrain, clfScore, clfWeights, clfCalibration)
 }

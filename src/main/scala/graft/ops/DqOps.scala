@@ -663,8 +663,147 @@ object DqOps {
     }
   }
 
+  /** Neighborhood width for [[snmPairs]] — each record is compared to the
+    * w−1 records on either side of it in sort order. */
+  private val SnmW = 5
+
+  /** Sorted-neighborhood dedup blocking (Hernández & Stolfo 1995): sort
+    * the records on a fuzzy key (account balance in exact cents, custkey
+    * tiebreak), then compare only records within a fixed window of
+    * [[SnmW]] sort positions — O(n·w) candidates instead of the quadratic
+    * compare, and the THIRD blocking strategy in the ER suite next to the
+    * SymSpell deletion variants ([[typoPairs]]) and the FS attribute
+    * blocks ([[recordLinkage]]): SNM catches near-misses on a CONTINUOUS
+    * key, where equality-based blocks split neighbors that straddle a
+    * bucket boundary. Verified pairs = same nation and balance within $1.
+    *
+    * Scale shape: the global sort position comes from
+    * [[ParallelRank.withGlobalRank]] (range shuffle + partition-parallel
+    * window — no single-partition exchange anywhere), and the window
+    * self-join is an equi-join on `rank DIV w`: the left side emits each
+    * row into its own block and the next, the right side stays home, so a
+    * pair at rank distance < w shares exactly one join key. Candidates
+    * are n·(w−1) at any scale; nothing quadratic.
+    *
+    * Determinism: the sort key (cents, custkey) is a total order, so
+    * ranks — and therefore the candidate set — are engine-independent;
+    * the oracle replays the plain global window form. */
+  val snmPairs: QueryDef = QueryDef(
+    "dq_snm_pairs",
+    s"""WITH c AS (SELECT c_custkey, c_nationkey,
+       |                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+       |           FROM customer),
+       |r AS (SELECT c_custkey, c_nationkey, cents,
+       |             row_number() OVER (ORDER BY cents, c_custkey) AS rk
+       |      FROM c)
+       |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       |       CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+       |       CAST(abs(a.cents - b.cents) AS BIGINT) AS cents_gap
+       |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + ${SnmW - 1}
+       |WHERE a.c_nationkey = b.c_nationkey AND abs(a.cents - b.cents) <= 100
+       |ORDER BY id1, id2""".stripMargin,
+  ) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey",
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("cents"))
+    val r = ParallelRank.withGlobalRank(c, Seq($"cents", $"c_custkey"), "rk")
+    val home = r.select($"c_custkey".as("id2"), $"c_nationkey".as("n2"),
+      $"cents".as("cents2"), $"rk".as("rk2"),
+      expr(s"rk DIV $SnmW").as("blk"))
+    val probe = r.select($"c_custkey".as("id1"), $"c_nationkey".as("n1"),
+        $"cents".as("cents1"), $"rk".as("rk1"),
+        explode(array(expr(s"rk DIV $SnmW"), expr(s"rk DIV $SnmW") + 1))
+          .as("blk"))
+    probe.join(home, "blk")
+      .filter($"rk2" > $"rk1" && $"rk2" <= $"rk1" + (SnmW - 1) &&
+        $"n1" === $"n2" && abs($"cents1" - $"cents2") <= 100)
+      .select($"id1", $"id2", ($"rk2" - $"rk1").as("rank_gap"),
+        abs($"cents1" - $"cents2").as("cents_gap"))
+      .orderBy($"id1", $"id2")
+  }
+
+  /** Fellegi–Sunter record-linkage scoring (1969) over multi-pass blocked
+    * candidates: pass A blocks on (nation, segment, $500 balance bucket),
+    * pass B on the 3-digit name suffix — the Hernández–Stolfo multi-pass
+    * answer to any single block key splitting true matches. Every
+    * candidate pair is scored by summing per-field agreement/disagreement
+    * weights (fixed integer centi-bans, the scaled log-likelihood ratios
+    * a production FS model would EM-fit) and classified by the two
+    * standard thresholds into match / possible / non_match. Output is the
+    * score histogram with its class labels — the calibration readout an
+    * ER pipeline tunes thresholds on.
+    *
+    * Scale shape: candidates come only from block-keyed equi-joins
+    * (Σ block² pairs, never n²); scoring is map-side arithmetic on the
+    * joined row; the histogram is a bounded-domain aggregate. At 100 TB
+    * the block keys get finer (more balance buckets, longer suffixes) to
+    * hold block sizes constant — the knob is the key, the plan is fixed.
+    *
+    * Determinism: all-integer weights on exact-cents comparisons; the
+    * DISTINCT union dedups pairs found by both passes. */
+  val recordLinkage: QueryDef = {
+    val score =
+      """CASE WHEN abs(a.cents - b.cents) <= 100 THEN 30 ELSE -5 END
+        | + CASE WHEN a.sfx = b.sfx THEN 25 ELSE -3 END
+        | + CASE WHEN a.seg = b.seg THEN 8 ELSE -12 END
+        | + CASE WHEN a.nat = b.nat THEN 10 ELSE -15 END""".stripMargin
+    QueryDef(
+      "dq_record_linkage",
+      s"""WITH c AS (SELECT c_custkey AS id, c_nationkey AS nat,
+         |                  c_mktsegment AS seg,
+         |                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         |                  substr(c_name, 16, 3) AS sfx
+         |           FROM customer),
+         |pa AS (SELECT a.id AS i, b.id AS j FROM c a JOIN c b
+         |       ON a.nat = b.nat AND a.seg = b.seg
+         |          AND a.cents // 50000 = b.cents // 50000 AND a.id < b.id),
+         |pb AS (SELECT a.id AS i, b.id AS j FROM c a JOIN c b
+         |       ON a.sfx = b.sfx AND a.id < b.id),
+         |cand AS (SELECT DISTINCT i, j FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb)),
+         |sc AS (SELECT CAST($score AS BIGINT) AS score
+         |       FROM cand JOIN c a ON a.id = cand.i JOIN c b ON b.id = cand.j)
+         |SELECT score,
+         |       CASE WHEN score >= 35 THEN 'match'
+         |            WHEN score >= 10 THEN 'possible' ELSE 'non_match' END AS cls,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM sc GROUP BY score ORDER BY score""".stripMargin,
+    ) { (spark, dir) =>
+      val c = Tables.customer(spark, dir).select(
+        $"c_custkey".as("id"), $"c_nationkey".as("nat"),
+        $"c_mktsegment".as("seg"),
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("cents"),
+        substring($"c_name", 16, 3).as("sfx"))
+      val pa = c.as("a").join(c.as("b"),
+        $"a.nat" === $"b.nat" && $"a.seg" === $"b.seg" &&
+          expr("a.cents DIV 50000") === expr("b.cents DIV 50000") &&
+          $"a.id" < $"b.id")
+        .select($"a.id".as("i"), $"b.id".as("j"))
+      val pb = c.as("a").join(c.as("b"),
+          $"a.sfx" === $"b.sfx" && $"a.id" < $"b.id")
+        .select($"a.id".as("i"), $"b.id".as("j"))
+      val cand = pa.unionAll(pb).distinct()
+      cand.join(c.select($"id".as("i"), $"nat".as("na"), $"seg".as("sa"),
+          $"cents".as("ca"), $"sfx".as("fa")), "i")
+        .join(c.select($"id".as("j"), $"nat".as("nb"), $"seg".as("sb"),
+          $"cents".as("cb"), $"sfx".as("fb")), "j")
+        .select((
+          when(abs($"ca" - $"cb") <= 100, 30).otherwise(-5)
+            + when($"fa" === $"fb", 25).otherwise(-3)
+            + when($"sa" === $"sb", 8).otherwise(-12)
+            + when($"na" === $"nb", 10).otherwise(-15)).cast("long").as("score"))
+        .groupBy($"score")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select($"score",
+          when($"score" >= 35, "match")
+            .when($"score" >= 10, "possible")
+            .otherwise("non_match").as("cls"),
+          $"n_pairs")
+        .orderBy($"score")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift, kAnonymity,
       lDiversity, tCloseness, scd2Build, scd2Lookup, benford, typoPairs,
-      fdMine, ruleCheck)
+      fdMine, ruleCheck, snmPairs, recordLinkage)
 }

@@ -1632,9 +1632,286 @@ object GraphOps {
       .orderBy($"part")
   }
 
+  // ------------------------------------------ strongly connected components
+
+  /** Caps for [[sccOf]]'s three nested loops. Trim/color/confirm rounds are
+    * bounded by (respectively) the DAG part's peel depth, the longest
+    * remaining path, and the largest SCC's diameter; outer rounds by the
+    * condensation depth of the cyclic part. All empirically single-digit on
+    * order-sequence graphs; hitting a cap throws (the [[kcoreOf]]
+    * loud-failure convention) rather than emitting a wrong partition. */
+  private val MaxSccOuter = 32
+  private val MaxSccInner = 64
+
+  /** DIRECTED part-succession edges: within each order's lineitem sequence
+    * (by linenumber), an edge from each part to the NEXT part when both
+    * share a brand — "after putting X in the basket, X's brand-mate Y
+    * follows". One window over order-partitioned lineitems (no self-join);
+    * the brand gate keeps the graph sparse enough that its cyclic structure
+    * is non-trivial (mutual-succession rings) instead of one giant SCC. */
+  private[graft] def brandSuccessorEdges(lineitem: DataFrame,
+      part: DataFrame): DataFrame = {
+    // (orderkey, linenumber) is NOT unique in this data (generator quirk:
+    // ~12k dup pairs at sf0.01) — the partkey tiebreaker makes the lead()
+    // order total, hence engine-independent
+    val w = Window.partitionBy($"o").orderBy($"ln", $"p")
+    lineitem
+      .select($"l_orderkey".as("o"), $"l_linenumber".as("ln"),
+        $"l_partkey".as("p"))
+      .join(part.select($"p_partkey".as("p"), $"p_brand".as("br")), "p")
+      .withColumn("np", lead($"p", 1).over(w))
+      .withColumn("nbr", lead($"br", 1).over(w))
+      .filter($"np".isNotNull && $"br" === $"nbr" && $"p" =!= $"np")
+      .select($"p".as("src"), $"np".as("dst"))
+      .distinct()
+  }
+
+  /** Strongly connected components of a directed edge list by
+    * trim + forward-max coloring + backward confirmation (the
+    * Orzan/Hong-style coloring scheme that FB-trisection engines and
+    * Pregel SCC both build on):
+    *
+    *  1. TRIM — a node with no in-edge or no out-edge in the remaining
+    *     graph is on no cycle, hence a singleton SCC; peel to fixpoint.
+    *     This resolves the entire DAG part in peel-depth rounds.
+    *  2. COLOR — propagate `C(v) = max(v, max over in-edges of C(u))` to
+    *     fixpoint: v's color is the largest remaining id that reaches it.
+    *     The per-node max only grows, so `sum(C)` is strictly monotone and
+    *     an unchanged sum IS the fixpoint (one cheap scalar per round).
+    *  3. CONFIRM — class roots are `C(v) = v`; walk REVERSE edges from
+    *     each root simultaneously, restricted to same-color edges, to
+    *     fixpoint. A confirmed v satisfies both "root reaches v" (its
+    *     color) and "v reaches root" (the walk), i.e. v ∈ SCC(root); the
+    *     restriction is lossless because any v→root path stays inside the
+    *     color class (anything on it is reached by the root and reaches
+    *     the root, so its color is exactly the root). Assign, remove,
+    *     repeat from 1 — the max remaining id's SCC always confirms, so
+    *     every outer round makes progress.
+    *
+    * Scale shape: state is two vertex-sized frames (colors, confirmed) and
+    * the edge list — never reachability SETS (the oracle's quadratic
+    * closure is test-SF-only); every round is an edge equi-join plus a
+    * node-keyed max, the [[pageRankOf]] shape, with same-class edges
+    * cached pre-partitioned on the walk key for the confirm loop. Loop
+    * state is localCheckpointed per round (each frame is referenced
+    * multiple times per round — the `clusterOf` lineage rule).
+    *
+    * Output ids are normalized to the MINIMUM member (the [[components]]
+    * convention), so labels are engine-independent. */
+  private[graft] def sccOf(edges0: DataFrame): DataFrame = {
+    import graft.Caches.{localCheckpoint, persist}
+    var e = localCheckpoint(edges0.select($"src", $"dst").distinct())
+    var nodes = localCheckpoint(
+      e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct())
+    var nNodes = nodes.count()
+    // (id, root); seeded empty so a zero-edge input yields a zero-row frame
+    var done: DataFrame =
+      nodes.select($"id", $"id".as("root")).filter(lit(false))
+    def addDone(df: DataFrame): Unit =
+      done = localCheckpoint(done.unionAll(df))
+    var outer = 0
+    while (nNodes > 0 && outer < MaxSccOuter) {
+      // 1) trim singleton SCCs to fixpoint
+      var trimming = true
+      var t = 0
+      while (trimming && t < MaxSccInner) {
+        val srcs = e.select($"src".as("id")).distinct()
+        val dsts = e.select($"dst".as("id")).distinct()
+        val trimmed = localCheckpoint(
+          nodes.join(srcs, Seq("id"), "left_anti")
+            .unionAll(nodes.join(dsts, Seq("id"), "left_anti"))
+            .distinct())
+        val nTrim = trimmed.count()
+        if (nTrim == 0) trimming = false
+        else {
+          addDone(trimmed.select($"id", $"id".as("root")))
+          nodes = localCheckpoint(nodes.join(trimmed, Seq("id"), "left_anti"))
+          e = localCheckpoint(
+            e.join(trimmed.select($"id".as("src")), Seq("src"), "left_anti")
+              .join(trimmed.select($"id".as("dst")), Seq("dst"), "left_anti")
+              .select($"src", $"dst"))
+          nNodes -= nTrim
+        }
+        t += 1
+      }
+      if (trimming) throw new IllegalStateException(
+        s"sccOf trim did not stabilize in $MaxSccInner rounds")
+      if (nNodes > 0) {
+        // 2) forward-max coloring to fixpoint (sum(C) monotone)
+        var c = localCheckpoint(nodes.select($"id", $"id".as("c")))
+        var cSum = c.agg(sum($"c")).head.getLong(0)
+        var stable = false
+        var r = 0
+        while (!stable && r < MaxSccInner) {
+          val next = localCheckpoint(
+            c.unionAll(
+              e.join(c.select($"id".as("src"), $"c"), "src")
+                .select($"dst".as("id"), $"c"))
+              .groupBy($"id").agg(max($"c").as("c")))
+          val nSum = next.agg(sum($"c")).head.getLong(0)
+          stable = nSum == cSum
+          c = next
+          cSum = nSum
+          r += 1
+        }
+        if (!stable) throw new IllegalStateException(
+          s"sccOf coloring did not stabilize in $MaxSccInner rounds")
+        // 3) backward confirmation within color classes
+        val sameClass = persist(
+          e.join(c.select($"id".as("src"), $"c".as("cs")), "src")
+            .join(c.select($"id".as("dst"), $"c".as("cd")), "dst")
+            .filter($"cs" === $"cd")
+            .select($"src", $"dst", $"cs".as("c"))
+            .repartition($"dst"))
+        var m = localCheckpoint(c.filter($"id" === $"c"))
+        var nM = m.count()
+        stable = false
+        r = 0
+        while (!stable && r < MaxSccInner) {
+          val next = localCheckpoint(
+            m.unionAll(
+              sameClass.join(m.select($"id".as("dst"), $"c"), Seq("dst", "c"))
+                .select($"src".as("id"), $"c"))
+              .distinct())
+          val nNext = next.count()
+          stable = nNext == nM
+          m = next
+          nM = nNext
+          r += 1
+        }
+        if (!stable) throw new IllegalStateException(
+          s"sccOf confirmation did not stabilize in $MaxSccInner rounds")
+        addDone(m.select($"id", $"c".as("root")))
+        nodes = localCheckpoint(nodes.join(m.select($"id"), Seq("id"), "left_anti"))
+        e = localCheckpoint(
+          e.join(m.select($"id".as("src")), Seq("src"), "left_anti")
+            .join(m.select($"id".as("dst")), Seq("dst"), "left_anti")
+            .select($"src", $"dst"))
+        nNodes -= nM
+      }
+      outer += 1
+    }
+    if (nNodes > 0) throw new IllegalStateException(
+      s"sccOf did not resolve every node in $MaxSccOuter outer rounds")
+    val lab = done.groupBy($"root")
+      .agg(min($"id").as("scc_id"), count(lit(1)).as("n_members"))
+    done.join(lab, "root").select($"id".as("node"), $"scc_id", $"n_members")
+  }
+
+  /** SCC decomposition of the brand-gated part-succession graph — which
+    * parts mutually follow each other across baskets (succession RINGS,
+    * invisible to the undirected [[components]]). The oracle replays
+    * membership as the mutual-reachability closure (`a.r = b.id ∧ a.id =
+    * b.r`) — quadratic and test-SF-only, where the engine's coloring
+    * rounds keep vertex-sized state. */
+  val scc: QueryDef = QueryDef(
+    "graph_scc",
+    """WITH RECURSIVE s AS (SELECT l.l_orderkey AS o, l.l_linenumber AS ln,
+      |                            l.l_partkey AS p, pt.p_brand AS br
+      |                     FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey),
+      |nx AS (SELECT p AS src, lead(p) OVER (PARTITION BY o ORDER BY ln, p) AS dst,
+      |              br, lead(br) OVER (PARTITION BY o ORDER BY ln, p) AS nbr
+      |       FROM s),
+      |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM nx
+      |                   WHERE dst IS NOT NULL AND br = nbr AND src <> dst),
+      |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |reach AS (SELECT id, id AS r FROM nodes
+      |          UNION
+      |          SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id),
+      |scc AS MATERIALIZED (SELECT a.id, min(a.r) AS scc_id
+      |                     FROM reach a JOIN reach b ON a.id = b.r AND a.r = b.id
+      |                     GROUP BY a.id),
+      |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members FROM scc GROUP BY 1)
+      |SELECT scc.id AS node, scc.scc_id, sz.n_members
+      |FROM scc JOIN sz USING (scc_id) ORDER BY node""".stripMargin,
+  ) { (spark, dir) =>
+    sccOf(brandSuccessorEdges(
+        Tables.lineitem(spark, dir), Tables.part(spark, dir)))
+      .orderBy($"node")
+  }
+
+  // ------------------------------------------------- landmark closeness
+
+  private val ClosenessLandmarks = 8
+  private val ClosenessMaxHops = 24
+
+  /** Landmark closeness centrality: exact BFS distances from [[ClosenessLandmarks]]
+    * hash-chosen landmark nodes (smallest portable-md5 of the id — a
+    * deterministic uniform sample), aggregated per node into the standard
+    * landmark estimate `n_landmarks_reached / Σ dist` (Eppstein & Wang
+    * 2004 — the way closeness is computed at scale, since exact closeness
+    * is all-pairs BFS). Distances are hop-capped at [[ClosenessMaxHops]]
+    * on BOTH engines (true landmark eccentricity at sf0.01 is 11, so the
+    * cap is slack, not truncation).
+    *
+    * Scale shape: ONE multi-source BFS carrying (landmark, node) pairs —
+    * state k·|V|, frontier expansion an equi-join against the
+    * src-partitioned cached edge list, rounds = eccentricity. The ppm
+    * division is exact integer arithmetic, so rows hash-match. */
+  private[graft] def closenessOf(edges: DataFrame, nLm: Int,
+      maxHops: Int): DataFrame = {
+    val e = graft.Caches.persist(
+      edges.select($"src", $"dst").repartition($"src"))
+    val lms = e.select($"src".as("id")).distinct()
+      .orderBy(call_function("md5hash60", $"id".cast("string")), $"id")
+      .limit(nLm)
+      .select($"id".as("lm"))
+    var visited = graft.Caches.localCheckpoint(
+      lms.select($"lm", $"lm".as("id"), lit(0L).as("d")))
+    var frontier = visited.select($"lm", $"id")
+    var h = 1
+    var n = frontier.count()
+    while (n > 0 && h <= maxHops) {
+      val nf = graft.Caches.localCheckpoint(
+        e.join(frontier.select($"lm", $"id".as("src")), "src")
+          .select($"lm", $"dst".as("id")).distinct()
+          .join(visited.select($"lm", $"id"), Seq("lm", "id"), "left_anti")
+          .select($"lm", $"id", lit(h.toLong).as("d")))
+      n = nf.count()
+      if (n > 0) visited = graft.Caches.localCheckpoint(visited.unionAll(nf))
+      frontier = nf.select($"lm", $"id")
+      h += 1
+    }
+    visited.groupBy($"id")
+      .agg(count(lit(1)).as("n_lm"), sum($"d").as("sum_d"))
+      .select($"id".as("node"), $"n_lm", $"sum_d",
+        when($"sum_d" > 0, expr("n_lm * 1000000 DIV sum_d"))
+          .otherwise(0L).as("closeness_ppm"))
+  }
+
+  /** Landmark closeness over the mined co-occurrence graph — which parts
+    * sit centrally in the basket-affinity structure. */
+  val closeness: QueryDef = QueryDef(
+    "graph_closeness",
+    s"""WITH RECURSIVE $edgesSql,
+       |und AS (SELECT p1 AS src, p2 AS dst FROM pairs
+       |        UNION ALL SELECT p2, p1 FROM pairs),
+       |lm AS (SELECT id AS lm FROM (SELECT DISTINCT src AS id FROM und)
+       |       ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT, id
+       |       LIMIT $ClosenessLandmarks),
+       |reach AS (SELECT lm, lm AS id, 0 AS d FROM lm
+       |          UNION
+       |          SELECT reach.lm, und.dst AS id, reach.d + 1
+       |          FROM reach JOIN und ON und.src = reach.id
+       |          WHERE reach.d < $ClosenessMaxHops),
+       |md AS (SELECT lm, id, min(d) AS d FROM reach GROUP BY 1, 2)
+       |SELECT id AS node, CAST(count(*) AS BIGINT) AS n_lm,
+       |       CAST(sum(d) AS BIGINT) AS sum_d,
+       |       CAST(CASE WHEN sum(d) > 0 THEN count(*) * 1000000 // sum(d)
+       |            ELSE 0 END AS BIGINT) AS closeness_ppm
+       |FROM md GROUP BY id ORDER BY node""".stripMargin,
+  ) { (spark, dir) =>
+    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val edges = und.select($"p1".as("src"), $"p2".as("dst"))
+      .unionAll(und.select($"p2".as("src"), $"p1".as("dst")))
+    closenessOf(edges, ClosenessLandmarks, ClosenessMaxHops)
+      .orderBy($"node")
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, personalizedPageRank, bfsLevels,
       adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore, ktruss,
       labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks,
-      assortativity, sssp, louvainPass, louvainFull, louvainCoarsen)
+      assortativity, sssp, louvainPass, louvainFull, louvainCoarsen, scc,
+      closeness)
 }

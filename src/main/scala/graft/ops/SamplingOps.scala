@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -246,7 +246,51 @@ object SamplingOps {
       .limit(50)
   }
 
+  /** Sample-ratio-mismatch (SRM) check on the A/B assignment — the
+    * guardrail every experiment readout runs FIRST: if the 50/50 hash
+    * split didn't land 50/50, the arms are biased and [[abConversion]] /
+    * [[abTTest]] readouts are void. The one-df chi-square against equal
+    * expected counts simplifies to `(n_a − n_b)² / (n_a + n_b)`, computed
+    * in exact integer ppm (counts are BIGINTs, one integer division at the
+    * end), compared against the 5% critical value 3.841 — so the verdict
+    * hash-matches with no float crossing engines. Healthy hashing means
+    * `srm_detected = 0`, which the oracle pins exactly ([[DqOps.pkUnique]]'s
+    * tripwire design); the spec plants a skewed split and watches it fire.
+    *
+    * Scale shape: a user-keyed dedup then a 2-group count — the cheapest
+    * query in the suite at any scale. */
+  val abSrm: QueryDef = QueryDef(
+    "ab_srm",
+    """WITH v AS (SELECT DISTINCT user_id,
+      |                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant
+      |           FROM events),
+      |c AS (SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |      FROM v)
+      |SELECT n_a, n_b,
+      |       CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS BIGINT) AS chi2_ppm,
+      |       CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) > 3841000
+      |            THEN 1 ELSE 0 END AS BIGINT) AS srm_detected
+      |FROM c""".stripMargin,
+  ) { (spark, dir) =>
+    srmOf(Tables.events(spark, dir).select($"user_id").distinct()
+      .select((call_function("md5hash60", $"user_id".cast("string")) % 2)
+        .as("variant")))
+  }
+
+  /** The SRM aggregate over a pre-assigned `variant` column — extracted so
+    * the spec can plant a skewed assignment and watch the flag fire. */
+  private[graft] def srmOf(assigned: DataFrame): DataFrame =
+    assigned
+      .agg(sum(when($"variant" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"variant" === 1, 1L).otherwise(0L)).as("n_b"))
+      .select($"n_a", $"n_b",
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000 DIV (n_a + n_b)")
+          .as("chi2_ppm"),
+        (expr("(n_a - n_b) * (n_a - n_b) * 1000000 DIV (n_a + n_b)") > 3841000L)
+          .cast("long").as("srm_detected"))
+
   val all: Seq[QueryDef] =
     Seq(sampleHash, sampleStratified, trainSplit, abConversion, abTTest,
-      weightedSample)
+      weightedSample, abSrm)
 }

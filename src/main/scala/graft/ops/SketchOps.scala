@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -197,13 +198,7 @@ object SketchOps {
          |FROM s JOIN x USING (event_type) ORDER BY s.event_type""".stripMargin,
     ) { (spark, dir) =>
       val ev = Tables.events(spark, dir).select($"event_type", $"user_id")
-      val rho = (0 to 53)
-        .map(k => when($"w" < lit(1L << k), 1L).otherwise(0L))
-        .reduce(_ + _) + 1L
-      val regs = ev
-        .withColumn("h", call_function("md5hash60", $"user_id".cast("string")))
-        .select($"event_type", ($"h" % HllM).as("j"), expr(s"h DIV $HllM").as("w"))
-        .groupBy($"event_type", $"j").agg(max(rho).as("m"))
+      val regs = hllRegisterAgg(ev)
       val full = ev.select($"event_type").distinct()
         .select($"event_type", explode(sequence(lit(0L), lit(HllM - 1L))).as("j"))
         .join(regs, Seq("event_type", "j"), "left")
@@ -222,7 +217,121 @@ object SketchOps {
     }
   }
 
+  /** Sketch size for [[kmvIntersect]]. */
+  private val KmvK = 64
+
+  /** K-minimum-values (theta-style) set-intersection sketch between the
+    * per-event-type user sets (Beyer et al. 2007 / the DataSketches theta
+    * family): each type keeps its [[KmvK]] SMALLEST portable-md5 user
+    * hashes; for a pair, the k smallest of the merged sketch form the
+    * union sample U, and `|{h ∈ U : h in both sketches}| / |U|` estimates
+    * the Jaccard similarity — the store-now-intersect-later pattern
+    * ([[hllUnion]]'s union sibling; HLL can union but cannot intersect).
+    * Like [[cmsTopk]]/[[hllRegisters]], the sketch is an exact integer
+    * object under the portable hash, so — unusually for a sketch — the
+    * whole row including the estimate is ORACLE-BACKED; the exact Jaccard
+    * rides along as test-SF instrumentation (it shuffles every key — drop
+    * it at scale).
+    *
+    * Scale shape: per-type k-mins are computed in two bounded phases —
+    * local top-k per (type, 32 hash shards), then top-k of the ≤ 32·k
+    * survivors — so no window ever sees more than max(shard, 32·k) rows
+    * per partition no matter the corpus size; pair expansion is over the
+    * bounded type domain (10 pairs), each carrying ≤ 2k sketch rows. */
+  val kmvIntersect: QueryDef = QueryDef(
+    "sketch_kmv_intersect",
+    s"""WITH h AS (SELECT DISTINCT event_type AS t,
+       |                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |           FROM events),
+       |k AS (SELECT t, h FROM (SELECT t, h,
+       |              row_number() OVER (PARTITION BY t ORDER BY h) AS rk FROM h)
+       |      WHERE rk <= $KmvK),
+       |tp AS (SELECT a.t AS t1, b.t AS t2
+       |       FROM (SELECT DISTINCT t FROM h) a JOIN (SELECT DISTINCT t FROM h) b ON a.t < b.t),
+       |m AS (SELECT tp.t1, tp.t2, k.h,
+       |             max(CASE WHEN k.t = tp.t1 THEN 1 ELSE 0 END) AS in_a,
+       |             max(CASE WHEN k.t = tp.t2 THEN 1 ELSE 0 END) AS in_b
+       |      FROM tp JOIN k ON k.t = tp.t1 OR k.t = tp.t2
+       |      GROUP BY 1, 2, 3),
+       |u AS (SELECT t1, t2, in_a, in_b FROM (SELECT t1, t2, in_a, in_b,
+       |             row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rk FROM m)
+       |      WHERE rk <= $KmvK),
+       |est AS (SELECT t1, t2, CAST(sum(in_a * in_b) AS BIGINT) AS n_common_kmin,
+       |               CAST(count(*) AS BIGINT) AS n_u,
+       |               CAST(sum(in_a * in_b) * 1000000 // count(*) AS BIGINT) AS est_jaccard_ppm
+       |        FROM u GROUP BY 1, 2),
+       |e AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+       |du AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY t),
+       |ix AS (SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS inter
+       |       FROM e a JOIN e b ON a.user_id = b.user_id AND a.t < b.t
+       |       GROUP BY 1, 2)
+       |SELECT est.t1, est.t2, est.n_common_kmin, est.n_u, est.est_jaccard_ppm,
+       |       CAST(coalesce(ix.inter, 0) * 1000000 //
+       |            (da.n + db.n - coalesce(ix.inter, 0)) AS BIGINT) AS exact_jaccard_ppm
+       |FROM est LEFT JOIN ix ON ix.t1 = est.t1 AND ix.t2 = est.t2
+       |     JOIN du da ON da.t = est.t1 JOIN du db ON db.t = est.t2
+       |ORDER BY est.t1, est.t2""".stripMargin,
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(spark, dir)
+      .select($"event_type".as("t"),
+        call_function("md5hash60", $"user_id".cast("string")).as("h"))
+      .distinct()
+    // bounded two-phase per-type top-k: shard-local k-mins, then k of those
+    val local = h.withColumn("shard", $"h" % 32)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"t", $"shard").orderBy($"h")))
+      .filter($"rk" <= KmvK).drop("shard", "rk")
+    val k = local
+      .withColumn("rk", row_number().over(Window.partitionBy($"t").orderBy($"h")))
+      .filter($"rk" <= KmvK).drop("rk")
+    val types = h.select($"t").distinct()
+    val tp = types.as("a").join(types.as("b"), $"a.t" < $"b.t")
+      .select($"a.t".as("t1"), $"b.t".as("t2"))
+    val m = tp.join(k, $"t" === $"t1" || $"t" === $"t2")
+      .groupBy($"t1", $"t2", $"h")
+      .agg(max(when($"t" === $"t1", 1L).otherwise(0L)).as("in_a"),
+        max(when($"t" === $"t2", 1L).otherwise(0L)).as("in_b"))
+    val u = m.withColumn("rk", row_number().over(
+        Window.partitionBy($"t1", $"t2").orderBy($"h")))
+      .filter($"rk" <= KmvK)
+    val est = u.groupBy($"t1", $"t2")
+      .agg(sum($"in_a" * $"in_b").as("n_common_kmin"),
+        count(lit(1)).as("n_u"))
+      .withColumn("est_jaccard_ppm",
+        expr("n_common_kmin * 1000000 DIV n_u"))
+    val e = Tables.events(spark, dir)
+      .select($"event_type".as("t"), $"user_id").distinct()
+    val du = e.groupBy($"t").agg(count(lit(1)).as("n"))
+    val ix = e.as("a").join(e.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.t" < $"b.t")
+      .groupBy($"a.t".as("t1"), $"b.t".as("t2"))
+      .agg(count(lit(1)).as("inter"))
+    est.join(ix, Seq("t1", "t2"), "left")
+      .join(du.select($"t".as("t1"), $"n".as("na")), "t1")
+      .join(du.select($"t".as("t2"), $"n".as("nb")), "t2")
+      .withColumn("i", coalesce($"inter", lit(0L)))
+      .select($"t1", $"t2", $"n_common_kmin", $"n_u", $"est_jaccard_ppm",
+        expr("i * 1000000 DIV (na + nb - i)").as("exact_jaccard_ppm"))
+      .orderBy($"t1", $"t2")
+  }
+
+  /** Sparse HLL register table — per-(type, register) max leading-zero
+    * rank, the MERGEABLE integer state behind [[hllRegisters]], extracted
+    * so the streaming twin (`stream_hll`) aggregates the identical object
+    * across micro-batches (max is associative, so stream ≡ batch). */
+  private[graft] def hllRegisterAgg(events: DataFrame): DataFrame = {
+    val rho = (0 to 53)
+      .map(k => when($"w" < lit(1L << k), 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    events
+      .select($"event_type", $"user_id")
+      .withColumn("h", call_function("md5hash60", $"user_id".cast("string")))
+      .select($"event_type", ($"h" % HllM).as("j"), expr(s"h DIV $HllM").as("w"))
+      .groupBy($"event_type", $"j").agg(max(rho).as("m"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(approxDistinct, approxPercentiles, percentileExact, cmsTopk, hllUnion,
-      hllRegisters)
+      hllRegisters, kmvIntersect)
 }

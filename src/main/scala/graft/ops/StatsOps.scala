@@ -1308,10 +1308,99 @@ object StatsOps {
       .orderBy($"o_custkey")
   }
 
+  /** Hashing-trick CROSSED feature (nation × segment → 64 buckets via the
+    * portable 60-bit md5): the feature-engineering staple that makes
+    * high-cardinality crosses trainable without a vocabulary — the bucket
+    * id IS the feature index, no fit step, no dictionary to ship. The
+    * readout is the collision diagnostic a pipeline checks before trusting
+    * the hash width: rows and DISTINCT raw crosses per bucket (>1 cross in
+    * a bucket = a collision the model cannot tell apart).
+    *
+    * Scale shape: map-side hash, one bounded (≤64-group) aggregate; the
+    * distinct-cross count is bounded by the true cross cardinality (125),
+    * never the row count. Same plan at any SF. */
+  val hashedCross: QueryDef = QueryDef(
+    "feat_hashed_cross",
+    """WITH x AS (SELECT ('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment), 1, 15))::BIGINT % 64 AS bucket,
+      |                  CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment AS cross_key
+      |           FROM customer)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT cross_key) AS BIGINT) AS n_crosses,
+      |       CAST(CASE WHEN count(DISTINCT cross_key) > 1 THEN 1 ELSE 0 END AS BIGINT) AS collided
+      |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .select(concat($"c_nationkey".cast("string"), lit(":"), $"c_mktsegment")
+        .as("cross_key"))
+      .withColumn("bucket", call_function("md5hash60", $"cross_key") % 64)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"cross_key").as("n_crosses"))
+      .select($"bucket", $"n_rows", $"n_crosses",
+        ($"n_crosses" > 1).cast("long").as("collided"))
+      .orderBy($"bucket")
+  }
+
+  /** Weight-of-evidence (WOE) encoding of order priority against the
+    * `o_orderstatus = 'F'` target, with each category's information-value
+    * term — the credit-scoring-style categorical encoder (Siddiqi 2006)
+    * next to the leave-one-out mean ([[targetEncode]]): WOE is the
+    * log-odds of the category's positive share vs its negative share, so
+    * the encoded value is monotone in the category's lift and 0 for an
+    * uninformative category.
+    *
+    * Determinism: counts are exact BIGINTs; the ×2+1 smoothing (the
+    * standard ±0.5 Laplace shift kept integral by doubling) makes the
+    * odds-ratio argument an exact integer ratio, and the single `ln` is
+    * the repo's double-rounded log pattern (`round(round(ln(x),6)·1e6)`),
+    * bit-stable cross-engine. The IV term multiplies two already-exact
+    * integers (share gap in ppm × woe in micros), so the shuffled sum a
+    * full IV would take is exact too.
+    *
+    * Scale shape: one 5-group aggregate + a broadcast totals row; the
+    * encoder table is category-sized at any SF. */
+  val woeEncode: QueryDef = {
+    val woeMicro =
+      "CAST(round(round(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6) * 1000000) AS BIGINT)"
+    QueryDef(
+      "feat_woe",
+      s"""WITH c AS (SELECT o_orderpriority AS cat,
+         |                  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |                  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+         |           FROM orders GROUP BY 1),
+         |t AS (SELECT CAST(sum(pos) AS BIGINT) AS pos_tot, CAST(sum(neg) AS BIGINT) AS neg_tot FROM c),
+         |r AS (SELECT c.cat, c.pos, c.neg,
+         |             (2 * c.pos + 1) * (2 * t.neg_tot + 1) AS num,
+         |             (2 * c.neg + 1) * (2 * t.pos_tot + 1) AS den,
+         |             c.pos * 1000000 // t.pos_tot - c.neg * 1000000 // t.neg_tot AS gap_ppm
+         |      FROM c, t)
+         |SELECT cat, pos, neg, $woeMicro AS woe_micro,
+         |       CAST(gap_ppm * $woeMicro AS BIGINT) AS iv_term_scaled
+         |FROM r ORDER BY cat""".stripMargin,
+    ) { (spark, dir) =>
+      val c = Tables.orders(spark, dir)
+        .groupBy($"o_orderpriority".as("cat"))
+        .agg(sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("pos"),
+          sum(when($"o_orderstatus" === "F", 0L).otherwise(1L)).as("neg"))
+      val t = c.agg(sum($"pos").as("pos_tot"), sum($"neg").as("neg_tot"))
+      c.crossJoin(broadcast(t))
+        .select($"cat", $"pos", $"neg",
+          ((lit(2) * $"pos" + 1) * (lit(2) * $"neg_tot" + 1)).as("num"),
+          ((lit(2) * $"neg" + 1) * (lit(2) * $"pos_tot" + 1)).as("den"),
+          (expr("pos * 1000000 DIV pos_tot") - expr("neg * 1000000 DIV neg_tot"))
+            .as("gap_ppm"))
+        .select($"cat", $"pos", $"neg",
+          expr(woeMicro).as("woe_micro"),
+          (expr("gap_ppm") * expr(woeMicro)).cast("long").as("iv_term_scaled"))
+        .orderBy($"cat")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMoments, linreg, histogram, quantileBucket, profileOrders,
       madOutliers, chi2, ksTest, mannWhitney, targetEncode,
       weightedMedian, winsorize, cusumChange, autocorr, theilSen,
       bootstrapCi, weekdayAnova, kendallTau, spearman, runsTest,
-      giniSegment, ljungBox, desForecast, seasonalDecompose, ebShrinkage)
+      giniSegment, ljungBox, desForecast, seasonalDecompose, ebShrinkage,
+      hashedCross, woeEncode)
 }

@@ -828,7 +828,36 @@ object StreamingOps {
     tagFinish(tagHits(docs, tagDict(docs))).orderBy($"doc_id")
   }
 
+  /** Per-type distinct-user HLL registers maintained as a STREAMING
+    * aggregate — the streaming twin of `sketch_hll_registers`: register j
+    * of a type's sketch is `max(rho)` over the hashed users landing in j,
+    * and max is associative, so the state store carries 64 BIGINTs per
+    * event type regardless of stream volume and every micro-batch folds
+    * in exactly like the batch aggregate (the [[cmsAgg]] argument, for
+    * cardinality instead of frequency). The registered batch twin emits
+    * the SPARSE register table (observed registers only — the mergeable
+    * object a sketch store persists); the estimate readout stays with the
+    * batch op. Oracle replays the identical integer register derivation;
+    * the spec proves stream ≡ batch across micro-batches. */
+  def hllAgg(events: DataFrame): DataFrame = SketchOps.hllRegisterAgg(events)
+
+  val hll: QueryDef = {
+    val powers = (0 to 53).map(1L << _).mkString("[", ", ", "]")
+    QueryDef(
+      "stream_hll",
+      s"""SELECT event_type, h % 64 AS j,
+         |       CAST(max(1 + list_sum(list_transform($powers,
+         |              p -> CASE WHEN h // 64 < p THEN 1 ELSE 0 END))) AS BIGINT) AS m
+         |FROM (SELECT event_type,
+         |             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |      FROM events)
+         |GROUP BY event_type, j ORDER BY event_type, j""".stripMargin,
+    ) { (spark, dir) =>
+      hllAgg(Tables.events(spark, dir)).orderBy($"event_type", $"j")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
     customSession, enriched, attribution, cms, neardup, cdc, psi,
-    asofEnriched, ewmaStreamed, sampleNth, topk, keywordTagged)
+    asofEnriched, ewmaStreamed, sampleNth, topk, keywordTagged, hll)
 }

@@ -264,4 +264,53 @@ class DqOpsSpec extends AnyFunSuite {
     assert(v2 == cust.length - keep, "g3 is rows minus majority mass")
     assert(c2 == keep.toLong * 1000000L / cust.length, "confidence ppm")
   }
+
+  test("SNM pairs: window semantics replayed brute-force, blocking loses nothing") {
+    // replay the registered query's candidate rule driver-side on the real
+    // table: sort by (cents, custkey), compare rank distance <= 4, verify
+    // same nation and <= $1 apart — the banded join must find EXACTLY these
+    val cust = graft.io.Tables.customer(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val ranked = cust.sortBy(c => (c._3, c._1)).zipWithIndex
+    val want = (for {
+      (a, ia) <- ranked; (b, ib) <- ranked
+      if ib > ia && ib <= ia + 4 && a._2 == b._2 && math.abs(a._3 - b._3) <= 100
+    } yield (a._1, b._1, (ib - ia).toLong, math.abs(a._3 - b._3))).sorted
+    val got = DqOps.snmPairs.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want.toSeq, s"banded SNM join != brute-force window replay")
+    // determinism: a rerun is bit-identical (ParallelRank total order)
+    val again = DqOps.snmPairs.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == again)
+  }
+
+  test("FS record linkage: weights sum per field, classes split at the thresholds") {
+    val rows = DqOps.recordLinkage.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // the four weight sets only ever produce sums in [-35, 73]
+    assert(rows.forall { case (s, _, _) => s >= -35 && s <= 73 })
+    // class labels are a pure function of the two published thresholds
+    assert(rows.forall { case (s, c, _) =>
+      c == (if (s >= 35) "match" else if (s >= 10) "possible" else "non_match")
+    })
+    // every pair that agrees on ALL four fields scores exactly 73; a pair
+    // disagreeing on all four exactly -35 — spot-check the arithmetic on a
+    // planted two-record frame run through the same scoring expression
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions._
+    val twins = Seq((1L, 7, "AAA", 5000L, "001"), (2L, 7, "AAA", 5050L, "001"))
+      .toDF("id", "nat", "seg", "cents", "sfx")
+    val a = twins.filter($"id" === 1L).select($"nat".as("na"), $"seg".as("sa"),
+      $"cents".as("ca"), $"sfx".as("fa"))
+    val s = twins.filter($"id" === 2L).crossJoin(a)
+      .select((when(abs($"ca" - $"cents") <= 100, 30).otherwise(-5)
+        + when($"fa" === $"sfx", 25).otherwise(-3)
+        + when($"sa" === $"seg", 8).otherwise(-12)
+        + when($"na" === $"nat", 10).otherwise(-15)).as("score"))
+      .collect().head.getInt(0)
+    assert(s == 73, "full agreement sums the four agreement weights")
+  }
 }

@@ -535,6 +535,50 @@ class GraphOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(coarse == again, "coarsening must be deterministic")
   }
+
+  test("SCC: cycles found exactly, DAG part trims to singletons, labels are min-member") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // 3-cycle {1,2,3} → chain node 4 → 2-cycle {5,6}; 7 feeds the 3-cycle.
+    // The chain/feeder nodes are singleton SCCs; labels = min member.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 5L), (7L, 1L)).toDF("src", "dst")
+    val got = GraphOps.sccOf(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      4L -> ((4L, 1L)), 7L -> ((7L, 1L)),
+      5L -> ((5L, 2L)), 6L -> ((5L, 2L))), s"wrong SCCs: $got")
+    // the confirm walk must NOT leak across touching-but-one-way cycles:
+    // {10,11} → {12,13} share no mutual path, so they stay separate
+    val touching = Seq((10L, 11L), (11L, 10L), (12L, 13L), (13L, 12L),
+      (11L, 12L)).toDF("src", "dst")
+    val got2 = GraphOps.sccOf(touching).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(10L -> 10L, 11L -> 10L, 12L -> 12L, 13L -> 12L),
+      s"one-way-linked cycles must stay separate SCCs: $got2")
+    val again = GraphOps.sccOf(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == again, "SCC labels must be deterministic")
+  }
+
+  test("closeness: with every node a landmark the estimate is exact closeness") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // path 1-2-3-4 (both orientations): exact distance sums 6,4,4,6
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.closenessOf(edges, 4, 24).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      1L -> ((4L, 6L, 666666L)), 2L -> ((4L, 4L, 1000000L)),
+      3L -> ((4L, 4L, 1000000L)), 4L -> ((4L, 6L, 666666L))),
+      s"exact closeness mismatch: $got")
+    // hop cap is a hard gate on BOTH sides: cap 1 sees only neighbors
+    val capped = GraphOps.closenessOf(edges, 4, 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(capped(1L) == ((2L, 1L)) && capped(2L) == ((3L, 2L)),
+      s"hop cap must bound the BFS: $capped")
+  }
 }
 
 /** Collects jaccardLinksOf output as (a,b) -> (n_common, jaccard). */

@@ -115,4 +115,29 @@ class SamplingOpsSpec extends AnyFunSuite {
     assert(sampleMean > corpusMean,
       s"weighting must tilt the sample toward quality: $sampleMean <= $corpusMean")
   }
+
+  test("SRM: healthy hash split passes, a planted 60/40 skew fires") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions.col
+    // real assignment on testdata: the chi-square accounting must close
+    // (n_a + n_b = distinct users) and the detector must NOT fire
+    val row = SamplingOps.abSrm.run(spark, sf).collect().head
+    val (na, nb, chi2, flag) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val users = io.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(na + nb == users, "every user assigned to exactly one arm")
+    assert(chi2 == (na - nb) * (na - nb) * 1000000L / (na + nb))
+    assert(flag == 0L, s"healthy 50/50 hashing must pass SRM: chi2_ppm=$chi2")
+    // planted skew: 600 vs 400 -> chi2 = 200^2/1000 = 40 >> 3.841 -> fires
+    val skew = (Seq.fill(600)(0) ++ Seq.fill(400)(1)).map(v => Tuple1(v.toLong))
+      .toDF("variant")
+    val fired = SamplingOps.srmOf(skew).collect().head
+    assert(fired.getLong(2) == 40000000L && fired.getLong(3) == 1L,
+      s"planted 60/40 split must fire: $fired")
+    // borderline: 520 vs 480 -> chi2 = 1.6 < 3.841 -> passes
+    val ok = (Seq.fill(520)(0) ++ Seq.fill(480)(1)).map(v => Tuple1(v.toLong))
+      .toDF("variant")
+    assert(SamplingOps.srmOf(ok).collect().head.getLong(3) == 0L)
+  }
 }

@@ -116,4 +116,27 @@ class SketchOpsSpec extends AnyFunSuite {
         s"$t estimate $est too far from exact $exact")
     }
   }
+
+  test("KMV intersect: estimate brackets the exact Jaccard, sketch rows bounded") {
+    val rows = SketchOps.kmvIntersect.run(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    // 5 event types -> 10 canonically-oriented pairs
+    assert(rows.length == 10, s"expected 10 type pairs, got ${rows.length}")
+    assert(rows.forall { case ((a, b), _) => a < b }, "canonical orientation")
+    for (((a, b), (common, nU, est, exact)) <- rows) {
+      assert(nU >= 1 && nU <= 64, s"($a,$b): union sample size bounded by k")
+      assert(common >= 0 && common <= nU, s"($a,$b): common within the sample")
+      assert(est == common * 1000000L / nU, s"($a,$b): estimate arithmetic")
+      // k=64 KMV: rsd ~ 1/sqrt(64) = 12.5% of the UNION; Jaccard here is
+      // large (same user population drives every type), so 3.5 sigma in
+      // absolute ppm of the union is a safe determinism-preserving bracket
+      assert(math.abs(est - exact) <= 440000L,
+        s"($a,$b): estimate $est vs exact $exact beyond 3.5 sigma")
+    }
+    val rerun = SketchOps.kmvIntersect.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
+    assert(rerun.toSeq == rows.map { case ((a, _), (c, _, e, _)) => (a, c, e) }.toSeq,
+      "sketch is a deterministic integer object")
+  }
 }

@@ -418,4 +418,44 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(math.abs(got - approx) < nd * nd * 1e-4, s"$t Q ~ $approx vs $got")
     }
   }
+
+  test("hashed cross: bucket accounting closes, collisions flagged exactly") {
+    val rows = StatsOps.hashedCross.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.forall { case (b, _, _, _) => b >= 0 && b < 64 })
+    val cust = graft.io.Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment")).collect()
+      .map(r => s"${r.getInt(0)}:${r.getString(1)}")
+    assert(rows.map(_._2).sum == cust.length.toLong,
+      "every customer row lands in exactly one bucket")
+    assert(rows.map(_._3).sum == cust.distinct.length.toLong,
+      "each raw cross hashes to exactly one bucket")
+    assert(rows.forall { case (_, _, nc, fl) => fl == (if (nc > 1) 1L else 0L) },
+      "collision flag mirrors the distinct-cross count")
+  }
+
+  test("WOE replays a driver-side recomputation exactly, IV terms are lift-consistent") {
+    val rows = StatsOps.woeEncode.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 5, "one row per order priority")
+    val counts = graft.io.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderstatus")).collect()
+      .map(r => (r.getString(0), r.getString(1) == "F"))
+    val posTot = counts.count(_._2).toLong
+    val negTot = counts.length - posTot
+    for ((cat, pos, neg, woe, iv) <- rows) {
+      val cp = counts.count(c => c._1 == cat && c._2).toLong
+      val cn = counts.count(c => c._1 == cat && !c._2).toLong
+      assert((pos, neg) == ((cp, cn)), s"$cat counts")
+      val arg = ((2 * cp + 1) * (2 * negTot + 1)).toDouble /
+        ((2 * cn + 1) * (2 * posTot + 1))
+      val expWoe = math.round(
+        BigDecimal(math.log(arg)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble * 1000000).toLong
+      assert(woe == expWoe, s"$cat woe: $woe vs $expWoe")
+      val gap = cp * 1000000L / posTot - cn * 1000000L / negTot
+      assert(iv == gap * woe, s"$cat iv term")
+    }
+  }
 }

@@ -114,6 +114,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.length <= 4 * 1024)
   }
 
+  test("streaming HLL registers equal the batch sketch across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val slice = boundedSlice()
+    val stream = MemoryStream[Ev]
+    // registers must fold across micro-batches (max is associative)
+    val (b1, b2) = slice.splitAt(slice.length / 2)
+    stream.addData(b1)
+    val q = StreamingOps.hllAgg(stream.toDF()).writeStream
+      .format("memory").queryName("hll_out").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_out")
+      .orderBy($"event_type", $"j").collect().toSeq
+    val batch = StreamingOps.hllAgg(
+      io.Tables.events(spark, sf)
+        .filter($"ts" < to_timestamp(lit("2024-01-03 00:00:00"))))
+      .orderBy($"event_type", $"j").collect().toSeq
+    assert(streamed == batch, "stream state must equal the batch registers")
+    // bounded state: at most 64 registers per event type
+    assert(streamed.length <= 5 * 64)
+    assert(streamed.forall(_.getLong(2) >= 1), "observed registers have rank >= 1")
+  }
+
   test("streaming session windows equal the batch sessionization") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits.newProductEncoder
