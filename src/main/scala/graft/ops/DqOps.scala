@@ -741,69 +741,132 @@ object DqOps {
     *
     * Determinism: all-integer weights on exact-cents comparisons; the
     * DISTINCT union dedups pairs found by both passes. */
-  val recordLinkage: QueryDef = {
-    val score =
-      """CASE WHEN abs(a.cents - b.cents) <= 100 THEN 30 ELSE -5 END
-        | + CASE WHEN a.sfx = b.sfx THEN 25 ELSE -3 END
-        | + CASE WHEN a.seg = b.seg THEN 8 ELSE -12 END
-        | + CASE WHEN a.nat = b.nat THEN 10 ELSE -15 END""".stripMargin
-    QueryDef(
-      "dq_record_linkage",
-      s"""WITH c AS (SELECT c_custkey AS id, c_nationkey AS nat,
-         |                  c_mktsegment AS seg,
-         |                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
-         |                  substr(c_name, 16, 3) AS sfx
-         |           FROM customer),
-         |pa AS (SELECT a.id AS i, b.id AS j FROM c a JOIN c b
-         |       ON a.nat = b.nat AND a.seg = b.seg
-         |          AND a.cents // 50000 = b.cents // 50000 AND a.id < b.id),
-         |pb AS (SELECT a.id AS i, b.id AS j FROM c a JOIN c b
-         |       ON a.sfx = b.sfx AND a.id < b.id),
-         |cand AS (SELECT DISTINCT i, j FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb)),
-         |sc AS (SELECT CAST($score AS BIGINT) AS score
-         |       FROM cand JOIN c a ON a.id = cand.i JOIN c b ON b.id = cand.j)
-         |SELECT score,
-         |       CASE WHEN score >= 35 THEN 'match'
-         |            WHEN score >= 10 THEN 'possible' ELSE 'non_match' END AS cls,
-         |       CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM sc GROUP BY score ORDER BY score""".stripMargin,
-    ) { (spark, dir) =>
-      val c = Tables.customer(spark, dir).select(
-        $"c_custkey".as("id"), $"c_nationkey".as("nat"),
-        $"c_mktsegment".as("seg"),
-        floor($"c_acctbal" * 100 + 0.5).cast("long").as("cents"),
-        substring($"c_name", 16, 3).as("sfx"))
-      val pa = c.as("a").join(c.as("b"),
-        $"a.nat" === $"b.nat" && $"a.seg" === $"b.seg" &&
-          expr("a.cents DIV 50000") === expr("b.cents DIV 50000") &&
-          $"a.id" < $"b.id")
-        .select($"a.id".as("i"), $"b.id".as("j"))
-      val pb = c.as("a").join(c.as("b"),
-          $"a.sfx" === $"b.sfx" && $"a.id" < $"b.id")
-        .select($"a.id".as("i"), $"b.id".as("j"))
-      val cand = pa.unionAll(pb).distinct()
-      cand.join(c.select($"id".as("i"), $"nat".as("na"), $"seg".as("sa"),
-          $"cents".as("ca"), $"sfx".as("fa")), "i")
-        .join(c.select($"id".as("j"), $"nat".as("nb"), $"seg".as("sb"),
-          $"cents".as("cb"), $"sfx".as("fb")), "j")
-        .select((
-          when(abs($"ca" - $"cb") <= 100, 30).otherwise(-5)
-            + when($"fa" === $"fb", 25).otherwise(-3)
-            + when($"sa" === $"sb", 8).otherwise(-12)
-            + when($"na" === $"nb", 10).otherwise(-15)).cast("long").as("score"))
-        .groupBy($"score")
-        .agg(count(lit(1)).as("n_pairs"))
-        .select($"score",
-          when($"score" >= 35, "match")
-            .when($"score" >= 10, "possible")
-            .otherwise("non_match").as("cls"),
-          $"n_pairs")
-        .orderBy($"score")
-    }
+  /** The multi-pass blocked candidate pairs of [[recordLinkage]] with
+    * their Fellegi–Sunter scores — extracted so [[goldenRecord]] clusters
+    * the SAME match set the histogram reports. */
+  private[graft] def linkageScores(customer: DataFrame): DataFrame = {
+    val c = customer.select(
+      $"c_custkey".as("id"), $"c_nationkey".as("nat"),
+      $"c_mktsegment".as("seg"),
+      floor($"c_acctbal" * 100 + 0.5).cast("long").as("cents"),
+      substring($"c_name", 16, 3).as("sfx"))
+    val pa = c.as("a").join(c.as("b"),
+      $"a.nat" === $"b.nat" && $"a.seg" === $"b.seg" &&
+        expr("a.cents DIV 50000") === expr("b.cents DIV 50000") &&
+        $"a.id" < $"b.id")
+      .select($"a.id".as("i"), $"b.id".as("j"))
+    val pb = c.as("a").join(c.as("b"),
+        $"a.sfx" === $"b.sfx" && $"a.id" < $"b.id")
+      .select($"a.id".as("i"), $"b.id".as("j"))
+    pa.unionAll(pb).distinct()
+      .join(c.select($"id".as("i"), $"nat".as("na"), $"seg".as("sa"),
+        $"cents".as("ca"), $"sfx".as("fa")), "i")
+      .join(c.select($"id".as("j"), $"nat".as("nb"), $"seg".as("sb"),
+        $"cents".as("cb"), $"sfx".as("fb")), "j")
+      .select($"i", $"j", (
+        when(abs($"ca" - $"cb") <= 100, 30).otherwise(-5)
+          + when($"fa" === $"fb", 25).otherwise(-3)
+          + when($"sa" === $"sb", 8).otherwise(-12)
+          + when($"na" === $"nb", 10).otherwise(-15)).cast("long").as("score"))
+  }
+
+  /** Shared CTE prefix deriving the scored candidate pairs (`sc`: i, j,
+    * score) — the SQL twin of [[linkageScores]]. */
+  private val linkageSql =
+    """c AS (SELECT c_custkey AS id, c_nationkey AS nat,
+      |             c_mktsegment AS seg,
+      |             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+      |             substr(c_name, 16, 3) AS sfx
+      |      FROM customer),
+      |pa AS (SELECT a.id AS i, b.id AS j FROM c a JOIN c b
+      |       ON a.nat = b.nat AND a.seg = b.seg
+      |          AND a.cents // 50000 = b.cents // 50000 AND a.id < b.id),
+      |pb AS (SELECT a.id AS i, b.id AS j FROM c a JOIN c b
+      |       ON a.sfx = b.sfx AND a.id < b.id),
+      |cand AS (SELECT DISTINCT i, j FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb)),
+      |sc AS (SELECT cand.i, cand.j,
+      |              CAST(CASE WHEN abs(a.cents - b.cents) <= 100 THEN 30 ELSE -5 END
+      |               + CASE WHEN a.sfx = b.sfx THEN 25 ELSE -3 END
+      |               + CASE WHEN a.seg = b.seg THEN 8 ELSE -12 END
+      |               + CASE WHEN a.nat = b.nat THEN 10 ELSE -15 END AS BIGINT) AS score
+      |       FROM cand JOIN c a ON a.id = cand.i JOIN c b ON b.id = cand.j)""".stripMargin
+
+  val recordLinkage: QueryDef = QueryDef(
+    "dq_record_linkage",
+    s"""WITH $linkageSql
+       |SELECT score,
+       |       CASE WHEN score >= 35 THEN 'match'
+       |            WHEN score >= 10 THEN 'possible' ELSE 'non_match' END AS cls,
+       |       CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM sc GROUP BY score ORDER BY score""".stripMargin,
+  ) { (spark, dir) =>
+    linkageScores(Tables.customer(spark, dir))
+      .groupBy($"score")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"score",
+        when($"score" >= 35, "match")
+          .when($"score" >= 10, "possible")
+          .otherwise("non_match").as("cls"),
+        $"n_pairs")
+      .orderBy($"score")
+  }
+
+  /** SURVIVORSHIP / golden-record construction — the step AFTER record
+    * linkage: the `score ≥ 35` matches of [[recordLinkage]] resolve into
+    * entity clusters (large-star/small-star, the dedup-lane resolver on
+    * its third registered surface), and each cluster emits ONE merged
+    * record under explicit survivorship rules — representative key = MIN
+    * member (stable), balance = MAX over members (most-favorable-value
+    * rule), descriptive attributes from the representative. Unmatched
+    * customers pass through as their own golden record, so the output is
+    * a complete deduplicated master table.
+    *
+    * Scale shape: the match graph is the (tiny) top of the FS score
+    * distribution — star contraction on it is O(log n) rounds of
+    * edge-keyed aggregates; the merge itself is one cluster-keyed
+    * aggregate plus a broadcast-sized rep-attribute join.
+    *
+    * Determinism: min/max survivorship over integer keys/cents; the
+    * oracle replays membership as the usual transitive-closure CTE. */
+  val goldenRecord: QueryDef = QueryDef(
+    "dq_golden_record",
+    s"""WITH RECURSIVE $linkageSql,
+       |mp AS (SELECT i, j FROM sc WHERE score >= 35),
+       |e AS (SELECT i AS a, j AS b FROM mp UNION ALL SELECT j, i FROM mp),
+       |reach AS (SELECT id, id AS r FROM c
+       |          UNION
+       |          SELECT e.b AS id, reach.r FROM reach JOIN e ON e.a = reach.id),
+       |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |g AS (SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |             CAST(min(l.id) AS BIGINT) AS rep_key,
+       |             CAST(max(c.cents) AS BIGINT) AS best_bal_cents
+       |      FROM lbl l JOIN c ON c.id = l.id GROUP BY 1)
+       |SELECT g.cluster_id, g.n_members, g.rep_key, g.best_bal_cents,
+       |       rc.seg AS rep_segment, CAST(rc.nat AS BIGINT) AS rep_nation
+       |FROM g JOIN c rc ON rc.id = g.rep_key
+       |ORDER BY g.cluster_id""".stripMargin,
+  ) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir)
+    val matches = linkageScores(cust).filter($"score" >= 35)
+      .select($"i".as("doc_a"), $"j".as("doc_b"))
+    val clusters = LlmTextOps.clusterLsOf(
+      matches, cust.select($"c_custkey".as("doc_id")))
+    val attrs = cust.select($"c_custkey".as("doc_id"),
+      floor($"c_acctbal" * 100 + 0.5).cast("long").as("cents"),
+      $"c_mktsegment".as("seg"), $"c_nationkey".cast("long").as("nat"))
+    val g = clusters.join(attrs, "doc_id")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"), min($"doc_id").as("rep_key"),
+        max($"cents").as("best_bal_cents"))
+    g.join(attrs.select($"doc_id".as("rep_key"), $"seg".as("rep_segment"),
+        $"nat".as("rep_nation")), "rep_key")
+      .select($"cluster_id", $"n_members", $"rep_key", $"best_bal_cents",
+        $"rep_segment", $"rep_nation")
+      .orderBy($"cluster_id")
   }
 
   val all: Seq[QueryDef] =
     Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift, kAnonymity,
       lDiversity, tCloseness, scd2Build, scd2Lookup, benford, typoPairs,
-      fdMine, ruleCheck, snmPairs, recordLinkage)
+      fdMine, ruleCheck, snmPairs, recordLinkage, goldenRecord)
 }

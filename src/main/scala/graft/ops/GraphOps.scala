@@ -1879,6 +1879,147 @@ object GraphOps {
           .otherwise(0L).as("closeness_ppm"))
   }
 
+  private val StressMaxHops = 12
+
+  /** Landmark STRESS centrality (Shimbel 1953) — for each node, the
+    * number of shortest paths from the landmark sources that pass THROUGH
+    * it: the all-integer sibling of betweenness (no σ-ratio fractions), by
+    * the two sweeps of Brandes 2001 restricted to [[ClosenessLandmarks]]
+    * sources:
+    *
+    *  1. FORWARD (per level h): σ(s,v) = Σ σ(s,u) over DAG edges u→v with
+    *     dist(s,u) = h−1 — the frontier aggregate IS the path count, so
+    *     BFS and σ cost one pass together.
+    *  2. BACKWARD (levels deepest→0): T(s,v) = Σ_{DAG succ w} (T(s,w)+1)
+    *     counts the DAG paths leaving v; then Σ_t σ_st(v) = σ(s,v)·T(s,v)
+    *     exactly (every s-t path through v = a shortest s-v path × a DAG
+    *     path v-t), summed over sources with d > 0 so endpoints don't
+    *     count themselves.
+    *
+    * Hops capped at [[StressMaxHops]] on BOTH engines (landmark
+    * eccentricity is 11 at sf0.01; the oracle unrolls exactly this many
+    * levels, and rounds past the true depth are empty no-ops). Probed
+    * magnitudes (max σ 20, max T 4072 at sf0.01) sit far below BIGINT.
+    *
+    * Scale shape: identical to [[closenessOf]] — k·|V| state, frontier
+    * equi-joins against the src-partitioned cached edge list, 2·depth
+    * rounds; never a path enumeration. */
+  private[graft] def stressOf(edges: DataFrame, nLm: Int,
+      maxHops: Int): DataFrame = {
+    val e = graft.Caches.persist(
+      edges.select($"src", $"dst").repartition($"src"))
+    val lms = e.select($"src".as("id")).distinct()
+      .orderBy(call_function("md5hash60", $"id".cast("string")), $"id")
+      .limit(nLm)
+      .select($"id".as("lm"))
+    // forward sweep: visited rows are (lm, id, d, sig)
+    var visited = graft.Caches.localCheckpoint(
+      lms.select($"lm", $"lm".as("id"), lit(0L).as("d"), lit(1L).as("sig")))
+    var frontier = visited
+    var h = 1
+    var n = frontier.count()
+    while (n > 0 && h <= maxHops) {
+      // aggregate BEFORE the visited anti-join: depth-h σ sums exactly the
+      // depth-(h−1) frontier's σ along DAG edges; contributions landing on
+      // already-visited (shallower) nodes drop out with the anti-join
+      val nf = graft.Caches.localCheckpoint(
+        e.join(frontier.select($"lm", $"id".as("src"), $"sig"), "src")
+          .groupBy($"lm", $"dst".as("id")).agg(sum($"sig").as("sig"))
+          .join(visited.select($"lm", $"id"), Seq("lm", "id"), "left_anti")
+          .select($"lm", $"id", lit(h.toLong).as("d"), $"sig"))
+      n = nf.count()
+      if (n > 0) visited = graft.Caches.localCheckpoint(visited.unionAll(nf))
+      frontier = nf
+      h += 1
+    }
+    // backward sweep: T at the deepest level is 0; each shallower level
+    // sums (T+1) over same-source DAG successors
+    val maxD = visited.agg(max($"d")).head.getLong(0)
+    var tAcc = graft.Caches.localCheckpoint(
+      visited.filter($"d" === maxD)
+        .select($"lm", $"id", lit(maxD).as("d"), lit(0L).as("t")))
+    var l = maxD - 1
+    while (l >= 0) {
+      val contrib = e
+        .join(tAcc.filter($"d" === l + 1).select($"lm", $"id".as("dst"), $"t"),
+          Seq("dst"))
+        .select($"lm", $"src".as("id"), ($"t" + 1L).as("tc"))
+      val next = graft.Caches.localCheckpoint(
+        visited.filter($"d" === l).select($"lm", $"id")
+          .join(contrib, Seq("lm", "id"), "left")
+          .groupBy($"lm", $"id")
+          .agg(coalesce(sum($"tc"), lit(0L)).as("t"))
+          .select($"lm", $"id", lit(l).as("d"), $"t"))
+      tAcc = graft.Caches.localCheckpoint(tAcc.unionAll(next))
+      l -= 1
+    }
+    visited.filter($"d" > 0)
+      .join(tAcc.select($"lm", $"id", $"t"), Seq("lm", "id"))
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_lm"), sum($"sig" * $"t").as("stress"))
+      .select($"id".as("node"), $"n_lm", $"stress")
+  }
+
+  /** The [[stressOf]] oracle: the closeness min-dist recursion feeds
+    * [[StressMaxHops]] unrolled σ levels and as many backward T levels —
+    * the [[kcore]] unroll technique, with every multi-referenced frame
+    * MATERIALIZED and every sum cast back to BIGINT (DuckDB widens). */
+  private def stressSql: String = {
+    val sigs = (1 to StressMaxHops).map { l =>
+      s"""sig$l AS MATERIALIZED (SELECT m.lm, m.id, CAST(sum(s.sig) AS BIGINT) AS sig
+         |       FROM sig${l - 1} s JOIN und e ON e.src = s.id
+         |       JOIN md m ON m.lm = s.lm AND m.id = e.dst AND m.d = $l
+         |       GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val ts = (StressMaxHops - 1 to 0 by -1).map { l =>
+      s"""t$l AS MATERIALIZED (SELECT m.lm, m.id,
+         |       CAST(coalesce(sum(tw.t + 1), 0) AS BIGINT) AS t
+         |       FROM md m LEFT JOIN und e ON e.src = m.id
+         |       LEFT JOIN t${l + 1} tw ON tw.lm = m.lm AND tw.id = e.dst
+         |       WHERE m.d = $l GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val sigAll = (0 to StressMaxHops).map(l => s"SELECT * FROM sig$l")
+      .mkString(" UNION ALL ")
+    val tAll = (0 to StressMaxHops).map(l => s"SELECT * FROM t$l")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $edgesSql,
+       |und AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM pairs
+       |       UNION ALL SELECT p2, p1 FROM pairs),
+       |lm AS (SELECT id AS lm FROM (SELECT DISTINCT src AS id FROM und)
+       |       ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT, id
+       |       LIMIT $ClosenessLandmarks),
+       |reach AS (SELECT lm, lm AS id, 0 AS d FROM lm
+       |          UNION
+       |          SELECT reach.lm, und.dst AS id, reach.d + 1
+       |          FROM reach JOIN und ON und.src = reach.id
+       |          WHERE reach.d < $StressMaxHops),
+       |md AS MATERIALIZED (SELECT lm, id, min(d) AS d FROM reach GROUP BY 1, 2),
+       |sig0 AS (SELECT lm, lm AS id, CAST(1 AS BIGINT) AS sig FROM lm),
+       |$sigs,
+       |t$StressMaxHops AS (SELECT lm, id, CAST(0 AS BIGINT) AS t FROM md WHERE d = $StressMaxHops),
+       |$ts,
+       |siga AS ($sigAll),
+       |ta AS ($tAll)
+       |SELECT s.id AS node, CAST(count(*) AS BIGINT) AS n_lm,
+       |       CAST(sum(s.sig * ta.t) AS BIGINT) AS stress
+       |FROM siga s JOIN ta ON ta.lm = s.lm AND ta.id = s.id
+       |     JOIN md ON md.lm = s.lm AND md.id = s.id
+       |WHERE md.d > 0
+       |GROUP BY s.id ORDER BY node""".stripMargin
+  }
+
+  /** Landmark stress centrality over the mined co-occurrence graph —
+    * which parts sit on the most shortest basket-affinity paths (the
+    * broker/bottleneck readout [[closeness]] can't give: central-but-
+    * peripheral-to-routes nodes score low here). */
+  val stress: QueryDef = QueryDef("graph_stress", stressSql) { (spark, dir) =>
+    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val edges = und.select($"p1".as("src"), $"p2".as("dst"))
+      .unionAll(und.select($"p2".as("src"), $"p1".as("dst")))
+    stressOf(edges, ClosenessLandmarks, StressMaxHops)
+      .orderBy($"node")
+  }
+
   /** Landmark closeness over the mined co-occurrence graph — which parts
     * sit centrally in the basket-affinity structure. */
   val closeness: QueryDef = QueryDef(
@@ -1913,5 +2054,5 @@ object GraphOps {
       adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore, ktruss,
       labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks,
       assortativity, sssp, louvainPass, louvainFull, louvainCoarsen, scc,
-      closeness)
+      closeness, stress)
 }

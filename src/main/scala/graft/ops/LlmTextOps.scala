@@ -2654,6 +2654,145 @@ object LlmTextOps {
     }
   }
 
+  // ------------------------------------------------------ span corruption
+
+  /** Span-start rate: 1-in-20 token positions (≈5%), each opening a
+    * 3-token span → ≈15% of tokens masked, the T5 default corruption
+    * budget. */
+  private val SpanDenom = 20
+  private val SpanLen = 3
+
+  /** T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective data generator: deterministic hash-chosen span
+    * starts (1 in [[SpanDenom]] positions), each masking [[SpanLen]]
+    * tokens; overlapping spans merge into one run; each run is replaced
+    * by a numbered sentinel in the INPUT and contributes
+    * `sentinel + original tokens` to the TARGET. Seedless: the span draw
+    * is the portable hash of (doc_id, position), so the corpus regenerates
+    * bit-identically anywhere — the repo's sampling convention
+    * (`llm_sample_hash`) applied to objective construction.
+    *
+    * Scale shape: map-ONLY — every derivation is per-row array algebra
+    * (no shuffle at any SF); the run-id prefix count inside the lambda is
+    * O(len²) per doc, fine at doc scale (the linear alternative is a
+    * higher-order `aggregate` running sum — swap in if docs grow to
+    * book length).
+    *
+    * Determinism: hash draw + pure array functions; both engines build
+    * the same arrays and join them with single spaces. */
+  val spanCorruption: QueryDef = QueryDef(
+    "llm_span_corruption",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |b AS (SELECT doc_id, ts, len(ts) AS n,
+       |             [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 15))::BIGINT % $SpanDenom = 0
+       |              for p in range(0, len(ts))] AS sb
+       |      FROM t),
+       |m AS (SELECT doc_id, ts, n,
+       |             -- p >= k guards: a DuckDB negative index wraps from the END
+       |             [sb[p + 1] OR (p >= 1 AND coalesce(sb[p], false))
+       |                        OR (p >= 2 AND coalesce(sb[p - 1], false))
+       |              for p in range(0, n)] AS mk
+       |      FROM b),
+       |r AS (SELECT doc_id, ts, n, mk,
+       |             [mk[p + 1] AND NOT (p >= 1 AND coalesce(mk[p], false))
+       |              for p in range(0, n)] AS rs
+       |      FROM m),
+       |s AS (SELECT doc_id, ts, n, mk, rs,
+       |             [len(list_filter(rs[1:p + 1], x -> x))
+       |              for p in range(0, n)] AS sid
+       |      FROM r)
+       |SELECT doc_id,
+       |       CAST(n AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(mk, x -> x)) AS BIGINT) AS n_masked,
+       |       CAST(coalesce(sid[n], 0) AS BIGINT) AS n_spans,
+       |       -- coalesce: DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+       |       coalesce(array_to_string(list_filter(
+       |         [CASE WHEN NOT mk[p + 1] THEN ts[p + 1]
+       |               WHEN rs[p + 1] THEN '<extra_id_' || CAST(sid[p + 1] AS VARCHAR) || '>'
+       |               ELSE NULL END for p in range(0, n)],
+       |         x -> x IS NOT NULL), ' '), '') AS input_text,
+       |       coalesce(array_to_string(list_filter(
+       |         [CASE WHEN rs[p + 1] THEN '<extra_id_' || CAST(sid[p + 1] AS VARCHAR) || '> ' || ts[p + 1]
+       |               WHEN mk[p + 1] THEN ts[p + 1]
+       |               ELSE NULL END for p in range(0, n)],
+       |         x -> x IS NOT NULL), ' '), '') AS target_text
+       |FROM s ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) => spanCorruptionOf(Tables.documents(spark, dir)) }
+
+  private[graft] def spanCorruptionOf(documents: DataFrame): DataFrame =
+    documents
+      .select($"doc_id", tokens.as("ts"))
+      .withColumn("n", size($"ts"))
+      // span-start draws per position (0-based)
+      .withColumn("sb", expr(
+        s"""transform(sequence(0, n - 1), p ->
+           |  md5hash60(concat(cast(doc_id AS string), ':', cast(p AS string))) % $SpanDenom = 0)""".stripMargin))
+      // masked = a start opened within the last SpanLen positions
+      .withColumn("mk", expr(
+        """transform(sequence(0, n - 1), p ->
+          |  element_at(sb, p + 1)
+          |  OR (CASE WHEN p >= 1 THEN element_at(sb, p) ELSE false END)
+          |  OR (CASE WHEN p >= 2 THEN element_at(sb, p - 1) ELSE false END))""".stripMargin))
+      // run starts and 1-based run ids (prefix count of run starts)
+      .withColumn("rs", expr(
+        """transform(sequence(0, n - 1), p ->
+          |  element_at(mk, p + 1)
+          |  AND NOT (CASE WHEN p >= 1 THEN element_at(mk, p) ELSE false END))""".stripMargin))
+      .withColumn("sid", expr(
+        """transform(sequence(0, n - 1), p ->
+          |  size(filter(slice(rs, 1, p + 1), x -> x)))""".stripMargin))
+      .select($"doc_id",
+        $"n".cast("long").as("n_tokens"),
+        expr("cast(size(filter(mk, x -> x)) AS bigint)").as("n_masked"),
+        expr("cast(coalesce(element_at(sid, n), 0) AS bigint)").as("n_spans"),
+        expr(
+          """array_join(filter(transform(sequence(0, n - 1), p ->
+            |  CASE WHEN NOT element_at(mk, p + 1) THEN element_at(ts, p + 1)
+            |       WHEN element_at(rs, p + 1)
+            |         THEN concat('<extra_id_', cast(element_at(sid, p + 1) AS string), '>')
+            |       ELSE NULL END), x -> x IS NOT NULL), ' ')""".stripMargin)
+          .as("input_text"),
+        expr(
+          """array_join(filter(transform(sequence(0, n - 1), p ->
+            |  CASE WHEN element_at(rs, p + 1)
+            |         THEN concat('<extra_id_', cast(element_at(sid, p + 1) AS string), '> ',
+            |                     element_at(ts, p + 1))
+            |       WHEN element_at(mk, p + 1) THEN element_at(ts, p + 1)
+            |       ELSE NULL END), x -> x IS NOT NULL), ' ')""".stripMargin)
+          .as("target_text"))
+      .orderBy($"doc_id")
+
+  /** Prefix-cache REUSE readout — how much of the corpus shares an exact
+    * leading-token prefix (the unit an inference prefix cache or a
+    * training pack-with-shared-prefix step exploits): group docs by their
+    * first-8-token prefix and histogram the group sizes, with the token
+    * count a shared-prefix cache would save (`(n_docs − 1) · prefix_len`
+    * per group). One narrow-key shuffle; the histogram is bounded by the
+    * max group size at any SF. */
+  val prefixReuse: QueryDef = QueryDef(
+    "llm_prefix_reuse",
+    """WITH p AS (SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS pref,
+      |                  least(len(string_split(text, ' ')), 8) AS plen
+      |           FROM documents),
+      |g AS (SELECT pref, CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(max(plen) AS BIGINT) AS plen
+      |      FROM p GROUP BY pref)
+      |SELECT n_docs AS reuse_count,
+      |       CAST(count(*) AS BIGINT) AS n_prefixes,
+      |       CAST(sum((n_docs - 1) * plen) AS BIGINT) AS tokens_saved
+      |FROM g GROUP BY n_docs ORDER BY reuse_count""".stripMargin,
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(array_join(slice(tokens, 1, 8), " ").as("pref"),
+        least(size(tokens), lit(8)).as("plen"))
+      .groupBy($"pref")
+      .agg(count(lit(1)).as("n_docs"), max($"plen").cast("long").as("plen"))
+      .groupBy($"n_docs".as("reuse_count"))
+      .agg(count(lit(1)).as("n_prefixes"),
+        sum(($"n_docs" - 1) * $"plen").as("tokens_saved"))
+      .orderBy($"reuse_count")
+  }
+
   val all: Seq[QueryDef] = Seq(
     exactDedup, normDedup, fingerprint, winnow, winnowPairs, winnowNative,
     textStats,
@@ -2665,6 +2804,7 @@ object LlmTextOps {
     unigramSegment,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
     phraseSearch, keywordTag, rakeKeywords, lmGreedyGen,
+    spanCorruption, prefixReuse,
   )
 
 }

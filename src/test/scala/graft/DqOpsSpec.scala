@@ -286,6 +286,49 @@ class DqOpsSpec extends AnyFunSuite {
     assert(got == again)
   }
 
+  test("golden record: clusters partition the master table, survivorship rules hold") {
+    val cust = graft.io.Tables.customer(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong,
+        r.getString(4), r.getInt(2).toLong))
+      .map { case (k, c, s, n) => k -> ((c, s, n)) }.toMap
+    val rows = DqOps.goldenRecord.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    // golden records partition the full customer table
+    assert(rows.map(_._2).sum == cust.size.toLong,
+      "cluster sizes must sum to the master table")
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per cluster")
+    for ((cid, n, rep, bal, seg, nat) <- rows) {
+      assert(rep == cid, "representative key IS the min-member cluster id")
+      val (repBal, repSeg, repNat) = cust(rep)
+      assert(seg == repSeg && nat == repNat,
+        s"cluster $cid: descriptive attributes come from the representative")
+      assert(bal >= repBal, s"cluster $cid: max-balance survivorship")
+      if (n == 1L)
+        assert(bal == repBal, s"singleton $cid keeps its own balance")
+    }
+    // match pairs and multi-member clusters tell the same story: every
+    // score>=35 pair must land in one cluster
+    val matches = DqOps.linkageScores(graft.io.Tables.customer(spark, sf))
+      .filter(org.apache.spark.sql.functions.col("score") >= 35).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // rebuild membership driver-side: min reachable via union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    matches.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val multi = cust.keys.groupBy(find).filter(_._2.size > 1)
+    val gotMulti = rows.filter(_._2 > 1).map(r => r._1 -> r._2).toMap
+    assert(gotMulti == multi.map { case (r, m) => r -> m.size.toLong },
+      s"multi-member clusters must replay the union-find over match pairs")
+  }
+
   test("FS record linkage: weights sum per field, classes split at the thresholds") {
     val rows = DqOps.recordLinkage.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

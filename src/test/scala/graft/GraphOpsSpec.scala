@@ -561,6 +561,35 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == again, "SCC labels must be deterministic")
   }
 
+  test("stress: path graph counts exactly the shortest paths through each node") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // path 1-2-3-4, all nodes as sources: ordered endpoint pairs routing
+    // through node 2 are (1,3),(1,4),(3,1),(4,1) -> stress 4; symmetric for
+    // node 3; endpoints broker nothing
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.stressOf(edges, 4, 12).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((3L, 0L)), 2L -> ((3L, 4L)),
+      3L -> ((3L, 4L)), 4L -> ((3L, 0L))), s"path stress mismatch: $got")
+    // diamond 1-2-4, 1-3-4 (+ reverse): two shortest 1->4 paths, sigma
+    // must split over both middles and count them once each
+    val d = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val dedges = (d ++ d.map(_.swap)).toDF("src", "dst")
+    val gd = GraphOps.stressOf(dedges, 4, 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // through 2: (1,4) and (4,1) one path each -> 2; same for 3; the
+    // endpoints 1 and 4 sit between 2 and 3 (paths 2-1-3, 2-4-3 + reverses):
+    // sigma(2->, via 1)=1 of 2 shortest... stress counts PATHS: through 1:
+    // 2->1->3 and 3->1->2 -> 2
+    assert(gd == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L),
+      s"diamond stress mismatch: $gd")
+    val again = GraphOps.stressOf(edges, 4, 12).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == again, "stress must be deterministic")
+  }
+
   test("closeness: with every node a landmark the estimate is exact closeness") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // path 1-2-3-4 (both orientations): exact distance sums 6,4,4,6

@@ -725,4 +725,58 @@ class LlmTextOpsSpec extends AnyFunSuite {
     assert(top.getString(0) == "q1 q2 q3 q4 q5" && top.getLong(1) == 30L,
       s"identical 35-token docs must report the 30-token cap: $top")
   }
+
+  test("span corruption is lossless: sentinel splice reconstructs every document") {
+    val orig = graft.io.Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = LlmTextOps.spanCorruption.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(rows.length == orig.size, "one corrupted row per document")
+    val sentinel = "<extra_id_(\\d+)>".r
+    var sawMasked = false
+    for ((id, nTok, nMasked, nSpans, input, target) <- rows) {
+      assert(nTok == orig(id).split(" ", -1).length.toLong, s"doc $id token count")
+      assert(nMasked <= nTok && nSpans <= nMasked, s"doc $id accounting")
+      // token accounting: input keeps unmasked + one sentinel per run;
+      // target holds one sentinel per run + the masked tokens
+      val inToks = if (input.isEmpty) Array.empty[String] else input.split(" ")
+      val tgToks = if (target.isEmpty) Array.empty[String] else target.split(" ")
+      assert(inToks.length.toLong == nTok - nMasked + nSpans, s"doc $id input len")
+      assert(tgToks.length.toLong == nMasked + nSpans, s"doc $id target len")
+      // sentinels are numbered 1..n_spans, in order, in BOTH sequences
+      val inSent = inToks.collect { case sentinel(k) => k.toLong }
+      val tgSent = tgToks.collect { case sentinel(k) => k.toLong }
+      assert(inSent.toSeq == (1L to nSpans) && tgSent.toSeq == (1L to nSpans),
+        s"doc $id sentinel numbering")
+      // THE invariant: splicing each target span back over its sentinel
+      // reconstructs the original text exactly (corruption is lossless)
+      val spans = scala.collection.mutable.Map[Long, List[String]]()
+      var cur = -1L
+      tgToks.foreach {
+        case sentinel(k) => cur = k.toLong; spans(cur) = Nil
+        case w => spans(cur) = spans(cur) :+ w
+      }
+      val rebuilt = inToks.flatMap {
+        case sentinel(k) => spans(k.toLong)
+        case w => Seq(w)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id must reconstruct exactly")
+      if (nMasked > 0) sawMasked = true
+    }
+    assert(sawMasked, "the 5% start rate must mask something in 50 docs")
+  }
+
+  test("prefix reuse histogram replays a driver-side group-by") {
+    val docs = graft.io.Tables.documents(spark, sf).collect()
+      .map(r => r.getString(1).split(" ").take(8))
+    val groups = docs.groupBy(_.mkString(" ")).toSeq.map { case (_, g) =>
+      (g.length.toLong, g.head.length.toLong) }
+    val want = groups.groupBy(_._1).map { case (n, gs) =>
+      n -> ((gs.length.toLong, gs.map { case (nd, pl) => (nd - 1) * pl }.sum))
+    }
+    val got = LlmTextOps.prefixReuse.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, s"prefix histogram mismatch: $got vs $want")
+  }
 }
