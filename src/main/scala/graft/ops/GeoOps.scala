@@ -248,5 +248,48 @@ object GeoOps {
       .select($"a", $"b", $"w").orderBy($"a", $"b")
   }
 
-  val all: Seq[QueryDef] = Seq(knn, gridPairs, cluster, msf)
+  /** Zoom levels for [[tileHeatmap]] — each +2 zoom quarters the tile
+    * edge, so a tile's parent two levels up is `tile >> 4` (one Morton
+    * bit-pair per dim per level), the drill-down identity the spec pins. */
+  private val TileZooms = Seq(2, 4, 6)
+
+  /** Map-tile HEATMAP: point counts per Morton quadkey tile at three zoom
+    * levels — the aggregation a tile server / dashboard drills through.
+    * Tile id = the bit-interleave of the zoom-scaled integer cell coords
+    * (`ux·2^z DIV 360e6`, `uy·2^z DIV 180e6`), reusing the
+    * [[graft.io.ZOrder]] interleave the layout lanes already oracle-test,
+    * so child tiles nest under parents by construction (`tile >> 4` two
+    * levels up).
+    *
+    * Scale shape: map-side tile derivation + one (zoom, tile)-keyed count
+    * — output bounded by 4^z non-empty tiles per level regardless of row
+    * count; the exact shape a vector-tile pre-aggregation job ships.
+    * All-integer (micro-degree coords, truncating DIV on both engines). */
+  val tileHeatmap: QueryDef = QueryDef(
+    "geo_tile_heatmap",
+    s"""WITH $pointsSql,
+       |cells AS (${TileZooms.map(z =>
+          s"""SELECT $z AS zoom,
+             |${graft.io.ZOrder.mortonKeySql(
+                s"(ux * ${1L << z} // 360000000)",
+                s"(uy * ${1L << z} // 180000000)", z)} AS tile FROM pts""".stripMargin)
+          .mkString("\nUNION ALL\n")})
+       |SELECT CAST(zoom AS BIGINT) AS zoom, CAST(tile AS BIGINT) AS tile,
+       |       CAST(count(*) AS BIGINT) AS n_points
+       |FROM cells GROUP BY 1, 2 ORDER BY zoom, tile""".stripMargin,
+  ) { (spark, dir) =>
+    tileHeatmapOf(points(spark, dir))
+  }
+
+  private[graft] def tileHeatmapOf(pts: DataFrame): DataFrame =
+    TileZooms.map { z =>
+      pts.select(lit(z.toLong).as("zoom"),
+        graft.io.ZOrder.mortonKey(
+          expr(s"ux * ${1L << z} DIV 360000000"),
+          expr(s"uy * ${1L << z} DIV 180000000"), z).as("tile"))
+    }.reduce(_ unionAll _)
+      .groupBy($"zoom", $"tile").agg(count(lit(1)).as("n_points"))
+      .orderBy($"zoom", $"tile")
+
+  val all: Seq[QueryDef] = Seq(knn, gridPairs, cluster, msf, tileHeatmap)
 }

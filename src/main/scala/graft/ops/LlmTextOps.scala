@@ -1818,11 +1818,20 @@ object LlmTextOps {
     val pairs = sufs
       .withColumn("prev", lag($"suf", 1).over(w))
       .filter($"prev".isNotNull)
-      .withColumn("lcp", aggregate(
-        sequence(lit(1), lit(SufL)), lit(0L),
-        (acc, i) => acc +
-          when(slice($"suf", lit(1), i) === slice($"prev", lit(1), i), 1L)
-            .otherwise(0L)))
+      // LCP as one O(L) pass: positionwise equality (zip_with pads the
+      // shorter side with null → null-safe-eq false = mismatch), then the
+      // first-false position. Value-identical to the per-prefix-slice fold
+      // it replaces (that one re-sliced both arrays per i — O(L²)
+      // interpreted per pair, the top cost of the sf1 bench at 159 s),
+      // INCLUDING the saturating convention both engines share: a pair
+      // with no mismatch counts the full SufL horizon even when the
+      // suffixes are tail-shortened (slice-beyond-length compares equal).
+      .withColumn("eqs", zip_with($"suf", $"prev",
+        (a, b) => a <=> b && a.isNotNull))
+      .withColumn("lcp",
+        when(array_position($"eqs", false) === 0, lit(SufL.toLong))
+          .otherwise(array_position($"eqs", false) - 1L))
+      .drop("eqs")
     val bmax = pairs.groupBy($"bucket").agg(max($"lcp").as("rep_len"))
     val rep = pairs.join(bmax, "bucket").filter($"lcp" === $"rep_len")
       .groupBy($"bucket", $"rep_len")

@@ -158,7 +158,26 @@ object SqlOps {
     sqlQuery("sql_scalar_correlated", text, text)
   }
 
+  /** LATERAL correlated subquery — the per-row "top-1 of my children"
+    * idiom that outer-references the left table INSIDE an ordered LIMIT
+    * (not expressible as a plain join; the window alternative ranks every
+    * child). One SQL string, valid verbatim in Spark 4 and DuckDB; Spark
+    * plans it as a rewritten join under `LateralJoin`, so the lane proves
+    * the SQL surface, not a new executor. 20 nations with ≥1 customer
+    * keep the output bounded. */
+  val lateralTopN: QueryDef = {
+    val text =
+      """SELECT n.n_name, t.c_custkey AS top_custkey, t.bal_cents
+        |FROM nation n, LATERAL (
+        |  SELECT c.c_custkey, CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 1
+        |) t
+        |ORDER BY n.n_name""".stripMargin
+    sqlQuery("sql_lateral_topn", text, text)
+  }
+
   val all: Seq[QueryDef] =
     Seq(topOrders, aggPricing, ddlView, catalogTables, nativeFunction,
-      existsCorrelated, scalarCorrelated)
+      existsCorrelated, scalarCorrelated, lateralTopN)
 }

@@ -132,5 +132,36 @@ object TypedOps {
       .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
   }
 
-  val all: Seq[QueryDef] = Seq(filterMap, typedAvg, typedTopK)
+  final case class Order(o_orderkey: Long, o_custkey: Long,
+      o_orderpriority: String)
+
+  /** `Dataset.joinWith` — the TYPED join that keeps both sides as whole
+    * case-class values (a `Dataset[(Customer, Order)]`, no column-name
+    * flattening or ambiguity), then a lambda filter and a typed
+    * `groupByKey.count`. The lambda pipeline is opaque to Catalyst (the
+    * trade this lane documents), but the JOIN itself is still a planned
+    * equi-join — broadcast/shuffle selection, AQE, and codegen all apply;
+    * only the post-join lambdas run interpreted. Counts only, so the
+    * oracle compare is exact. */
+  val typedJoinWith: QueryDef = QueryDef(
+    "typed_joinwith",
+    """SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_urgent
+      |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY segment""".stripMargin,
+  ) { (spark, dir) =>
+    implicit val encO: Encoder[Order] = Encoders.product[Order]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    val c = customers(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority").as[Order]
+    c.joinWith(o, c("c_custkey") === o("o_custkey"), "inner")
+      .filter((t: (Customer, Order)) => t._2.o_orderpriority == "1-URGENT")
+      .groupByKey((t: (Customer, Order)) => t._1.c_mktsegment)
+      .count()
+      .toDF("segment", "n_urgent")
+      .orderBy($"segment")
+  }
+
+  val all: Seq[QueryDef] = Seq(filterMap, typedAvg, typedTopK, typedJoinWith)
 }

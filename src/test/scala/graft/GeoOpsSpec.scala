@@ -77,4 +77,28 @@ class GeoOpsSpec extends AnyFunSuite {
     // forest weight can never exceed the candidate set's: spot sanity
     assert(got.map(_._3).sum <= edges.map(_._3).sum)
   }
+
+  test("tile heatmap: every zoom counts every point, children roll up to parents") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // four points in distinct quadrants plus one duplicate location
+    val pts = Seq(
+      (1L, 10000000L, 10000000L), (2L, 200000000L, 20000000L),
+      (3L, 30000000L, 100000000L), (4L, 350000000L, 170000000L),
+      (5L, 10000000L, 10000000L)).toDF("id", "ux", "uy")
+    val rows = GeoOps.tileHeatmapOf(pts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byZoom = rows.groupBy(_._1)
+    assert(byZoom.keySet == Set(2L, 4L, 6L))
+    // completeness: each level accounts for all 5 points
+    assert(byZoom.values.forall(_.map(_._3).sum == 5L))
+    // drill-down identity: a zoom-6 tile's parent two levels up is
+    // tile >> 4; rolled-up counts must equal the zoom-4 histogram (and
+    // zoom-4 >> 4 the zoom-2 one)
+    def rollup(z: Long) = byZoom(z).groupBy(t => t._2 >> 4)
+      .map { case (p, ts) => p -> ts.map(_._3).sum }
+    assert(rollup(6L) == byZoom(4L).map(t => t._2 -> t._3).toMap)
+    assert(rollup(4L) == byZoom(2L).map(t => t._2 -> t._3).toMap)
+    // co-located points share a tile at every zoom
+    assert(byZoom(6L).exists(_._3 == 2L), "duplicate location counted together")
+  }
 }

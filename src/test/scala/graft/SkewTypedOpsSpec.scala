@@ -76,4 +76,38 @@ class SkewTypedOpsSpec extends AnyFunSuite {
         "cutoff must split the data or the test proves nothing")
     }
   }
+
+  test("typed joinWith + lambda pipeline equals the DataFrame twin") {
+    val typed = TypedOps.typedJoinWith.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val df = graft.io.Tables.customer(spark, sf)
+      .join(graft.io.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(typed == df, "typed and DataFrame paths must agree")
+    assert(typed.values.sum > 0, "urgent orders exist in testdata")
+  }
+
+  test("LATERAL top-1 picks each nation's max-balance customer") {
+    val rows = SqlOps.lateralTopN.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per nation")
+    // replay driver-side: the lateral row is the (raw-bal DESC, key ASC)
+    // argmax — order on the DOUBLE like the SQL does, cents only as output
+    val cust = graft.io.Tables.customer(spark, sf).collect()
+      .map(r => (r.getInt(2), r.getLong(0), r.getDouble(3),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val nations = graft.io.Tables.load(spark, sf, "nation").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val want = cust.groupBy(_._1).map { case (nk, cs) =>
+      val best = cs.maxBy(c => (c._3, -c._2))
+      nations(nk) -> ((best._2, best._4))
+    }
+    assert(rows.map(r => r._1 -> ((r._2, r._3))).toMap == want,
+      "lateral subquery must pick the per-nation argmax")
+  }
 }
