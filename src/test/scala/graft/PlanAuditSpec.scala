@@ -17,6 +17,25 @@ class PlanAuditSpec extends AnyFunSuite {
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
 
+  test("round-12 map-only generators shuffle nothing but their output sort") {
+    // llm_span_corruption is pure per-row array algebra: the ONLY exchange
+    // in its physical plan must be the final ORDER BY's range partitioning
+    // — any extra shuffle means the generator stopped being map-only
+    val span = plans("llm_span_corruption")
+    val exchanges = "Exchange ".r.findAllIn(span).size
+    assert(exchanges <= 1, s"llm_span_corruption plans $exchanges exchanges")
+    assert(!span.contains("SinglePartition"),
+      "llm_span_corruption degraded to a single partition")
+    // geo_tile_heatmap: map-side tile derivation, one bounded (zoom, tile)
+    // aggregate, one output sort — partial aggregation must survive so the
+    // shuffle carries tile counts, not points
+    val tile = plans("geo_tile_heatmap")
+    assert(!tile.contains("SinglePartition"),
+      "geo_tile_heatmap degraded to a single partition")
+    assert(tile.contains("partial_count"),
+      "geo_tile_heatmap lost its map-side partial aggregation")
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = plans.collect {
       case (n, p) if p.contains("CartesianProduct") => n
