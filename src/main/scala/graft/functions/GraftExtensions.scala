@@ -44,6 +44,14 @@ object GraftExtensions {
         WinnowFps(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("hilbertkey"),
+      new ExpressionInfo(classOf[HilbertKey].getName, "hilbertkey"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"hilbertkey expects 3 arguments, got ${children.length}")
+        HilbertKey(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cascade_sigs"),
       new ExpressionInfo(classOf[CascadeSigs].getName, "cascade_sigs"),
       (children: Seq[Expression]) => {

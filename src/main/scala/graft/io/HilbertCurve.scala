@@ -26,9 +26,24 @@ import org.apache.spark.sql.functions._
 object HilbertCurve {
 
   /** Append `out` = the Hilbert position of (`xc`, `yc`) on the
-    * 2^bits × 2^bits grid, one projection round per bit. */
+    * 2^bits × 2^bits grid — ONE call to the native codegen'd
+    * [[graft.functions.HilbertKey]] expression. The original per-bit
+    * `withColumns` fold (kept below as [[withHilbertKeyFold]] for the
+    * parity spec) planned bits² expression nodes and cost ~20 s of FIXED
+    * planner + codegen time per run at 11 bits (identical at sf0.1 and
+    * sf1 — pure overhead); the native expression carries one plan node
+    * and is bit-identical for every input, so the DuckDB per-bit CTE
+    * oracle is unchanged. */
   def withHilbertKey(df: DataFrame, xc: Column, yc: Column, bits: Int,
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    df.withColumn(out, call_function("hilbertkey",
+      xc.cast("long"), yc.cast("long"), lit(bits)))
+
+  /** The declarative per-bit projection chain the native expression
+    * replaced — retained so HilbertSpec can assert expression ≡ fold on a
+    * full grid (the cross-implementation parity gate). */
+  private[graft] def withHilbertKeyFold(df: DataFrame, xc: Column, yc: Column,
+      bits: Int, out: String): DataFrame = {
     val m = (1L << bits) - 1
     var d = df.withColumns(Map(
       "__hx" -> xc.cast("long").bitwiseAND(lit(m)),

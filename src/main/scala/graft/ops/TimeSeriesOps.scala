@@ -564,8 +564,12 @@ object TimeSeriesOps {
   /** Shared prune readout: `b` carries (event_id, user_id, doy) plus one
     * file-id column per layout; replays parquet footer min/max pruning of
     * 64 equal-count files per layout against the two band predicates. */
-  private def pruneReadoutOf(b: DataFrame,
+  private def pruneReadoutOf(b0: DataFrame,
       layouts: Seq[(String, Column)]): DataFrame = {
+    // one files() scan per layout re-derives b from the last ntile pass's
+    // range-persist (a full window + offset join per scan) — persist the
+    // assembled frame so the per-layout scans hit cached file-id rows
+    val b = graft.Caches.persist(b0)
     def files(layout: String, fid: Column) = b
       .groupBy(fid.as("file_id"))
       .agg(min($"user_id").as("u_lo"), max($"user_id").as("u_hi"),

@@ -30,6 +30,23 @@ class HilbertSpec extends AnyFunSuite {
     }
   }
 
+  test("native hilbertkey expression equals the per-bit projection fold") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // full 64x64 grid at 6 bits, plus out-of-range coords that must mask
+    val n = 64
+    val grid = ((for (x <- 0 until n; y <- 0 until n)
+      yield (x.toLong, y.toLong)) ++ Seq((64L, 1L), (200L, 300L)))
+      .toDF("x", "y")
+    val native = HilbertCurve.withHilbertKey(grid, col("x"), col("y"), 6, "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fold = HilbertCurve.withHilbertKeyFold(grid, col("x"), col("y"), 6, "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(native == fold, "native expression must replay the fold exactly")
+    // and it resolves from SQL text (the extension registration)
+    val viaSql = spark.sql("SELECT hilbertkey(3L, 5L, 6)").collect().head.getLong(0)
+    assert(viaSql == fold((3L, 5L)))
+  }
+
   test("hilbert prune readout is internally consistent and layout-invariant") {
     // sf0.01: the 40-49 user band is empty at sf0.001 (only ~15 users)
     val rows = ops.TimeSeriesOps.hilbertPrune.run(spark, "/root/testdata/sf0.01")
