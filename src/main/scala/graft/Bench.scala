@@ -24,8 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    run exceeds 4× its own warm-up (the warm-up is the same plan run
   *    seconds earlier — a 4× gap on a quiet box is implausible) and is
   *    above a 0.2 s floor (tiny queries jitter harmlessly), the query is
-  *    re-timed ONCE, both samples land in the artifact under `retimed`,
-  *    and the reported per-query value is the minimum of the two;
+  *    re-timed TWICE more, all three samples land in the artifact under
+  *    `retimed`, and the reported per-query value is their MEDIAN
+  *    (round-13: min-of-2 removed transient slowness but kept transient
+  *    fastness — a one-sided bias that could ratchet the committed clean
+  *    baseline optimistically across rounds);
   *  - per-query warm-up seconds land under `warmups` (round-8 verdict):
   *    sustained contention slows warm-up and timed run EQUALLY, so the 4×
   *    trigger structurally can't fire on it — recording the warm-ups makes
@@ -59,16 +62,29 @@ object Bench {
     // 3 min for the load to settle under the gate before sampling the
     // value the contended label is derived from. Both readings land in
     // the artifact so the wait is auditable.
+    // round-13 (ADVICE): the gate floors at 1.0 so boxes with < 16 cores
+    // don't spin the full settle wait against a sub-1.0 threshold no idle
+    // Unix box ever meets; the divisor is env-tunable for other profiles.
+    val gateDiv = sys.env.getOrElse("GRAFT_BENCH_LOAD_DIV", "16").toDouble
+    val gate = math.max(1.0, cores / gateDiv)
     val loadRaw = loadavg1
     var loadAtStart = loadRaw
     var settleWait = 0
-    while (loadAtStart > cores / 16.0 && settleWait < 180) {
+    while (loadAtStart > gate && settleWait < 180) {
       Thread.sleep(15000)
       settleWait += 15
       loadAtStart = loadavg1
     }
     val wall0 = System.nanoTime()
-    val retimed = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    // round-13 (ADVICE): a retime reports the MEDIAN of three samples, not
+    // the min of two — min-of-2 removed transient slowness but kept
+    // transient fastness, and because the healed artifact later becomes
+    // the committed clean baseline, per-query numbers could ratchet
+    // optimistically across rounds. The median is one-sided-bias-free;
+    // all samples land in the artifact under `retimed`.
+    val retimed = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    def median3(a: Double, b: Double, c: Double): Double =
+      Seq(a, b, c).sorted.apply(1)
     // per-query warm-up seconds: SUSTAINED machine contention slows warm-up
     // and timed run equally, so the 4x retimer structurally cannot catch it
     // — but a warm-up far above the committed clean run's on identical code
@@ -96,8 +112,11 @@ object Bench {
           val r0 = System.nanoTime()
           force(fn(spark, sfDir))
           val dt2 = (System.nanoTime() - r0) / 1e9
-          retimed += ((name, dt, dt2))
-          name -> math.min(dt, dt2)
+          val r1 = System.nanoTime()
+          force(fn(spark, sfDir))
+          val dt3 = (System.nanoTime() - r1) / 1e9
+          retimed += ((name, Seq(dt, dt2, dt3)))
+          name -> median3(dt, dt2, dt3)
         } else name -> dt
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -138,15 +157,19 @@ object Bench {
           val r0 = System.nanoTime()
           force(SparkEntry.queries(name)(spark, sfDir))
           val dt2 = (System.nanoTime() - r0) / 1e9
+          val r1 = System.nanoTime()
+          force(SparkEntry.queries(name)(spark, sfDir))
+          val dt3 = (System.nanoTime() - r1) / 1e9
           Caches.release(); System.gc()
-          retimed += ((name, dt, dt2))
-          name -> math.min(dt, dt2)
+          retimed += ((name, Seq(dt, dt2, dt3)))
+          name -> median3(dt, dt2, dt3)
         } catch { case _: Throwable => name -> dt }
       } else name -> dt
     }
     val qs = healed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val rt = retimed.map { case (k, a, b) => s"\"" + k + s"\":[$a,$b]" }
+    val rt = retimed.map { case (k, ss) =>
+      s"\"" + k + "\":" + ss.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val wus = warmups.map { case (k, v) => s"\"" + k + s"\":$v" }
       .mkString("{", ",", "}")
@@ -159,7 +182,7 @@ object Bench {
     // committed clean baseline. cores/16 (was cores/8): rounds 10 AND 11
     // both started at loadavg 3.77-3.99 against the old 4.0 threshold,
     // passed as "clean" by a hair, and were visibly 2-10x noisy per-lane.
-    val contended = loadAtStart > cores / 16.0
+    val contended = loadAtStart > gate
     val fj = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

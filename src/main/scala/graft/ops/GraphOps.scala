@@ -733,8 +733,11 @@ object GraphOps {
       .orderBy($"p1", $"p2")
   }
 
-  private val KTrussK = 3
-  private val KTrussOracleRounds = 8 // margin over the observed fixpoint
+  private[graft] val KTrussK = 3
+  // margin over the observed fixpoint; GraphOpsSpec asserts the slack
+  // mechanically (last unrolled oracle round must be a no-op), so the
+  // constant re-validates when the test data changes (round-13 ADVICE)
+  private[graft] val KTrussOracleRounds = 8
 
   /** The truss peeling loop unrolled to materialized CTEs — the
     * [[kcoreCtes]] technique verbatim: rounds past the fixpoint are
@@ -1832,8 +1835,11 @@ object GraphOps {
 
   // ------------------------------------------------- landmark closeness
 
-  private val ClosenessLandmarks = 8
-  private val ClosenessMaxHops = 24
+  private[graft] val ClosenessLandmarks = 8
+  // hop caps: GraphOpsSpec asserts landmark eccentricity stays strictly
+  // below each cap (slack, not truncation) so a testdata change that
+  // deepens the graph fails the spec, not the oracle compare (round-13)
+  private[graft] val ClosenessMaxHops = 24
 
   /** Landmark closeness centrality: exact BFS distances from [[ClosenessLandmarks]]
     * hash-chosen landmark nodes (smallest portable-md5 of the id — a
@@ -1879,7 +1885,7 @@ object GraphOps {
           .otherwise(0L).as("closeness_ppm"))
   }
 
-  private val StressMaxHops = 12
+  private[graft] val StressMaxHops = 12
 
   /** Landmark STRESS centrality (Shimbel 1953) — for each node, the
     * number of shortest paths from the landmark sources that pass THROUGH

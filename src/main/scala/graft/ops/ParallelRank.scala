@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   *  2. per-partition `row_number()` / running `sum()` — a window
   *     PARTITIONED by the range-partition id, fully parallel.
   *  3. per-partition counts/totals (one bounded row per partition) are
-  *     offset via a tiny triangular self-join — NOT a window, so even the
-  *     bounded offset pass plans zero single-partition exchanges — and
-  *     broadcast back; global rank = partition offset + local rank.
+  *     offset via a two-level exclusive prefix (block-partitioned window
+  *     + block-total triangular join — see [[exclusivePrefix]]; no empty
+  *     partitionSpec anywhere, so even the bounded offset pass plans zero
+  *     single-partition exchanges) and broadcast back; global rank =
+  *     partition offset + local rank.
   *
   * The result is bit-identical to the global window (the oracle keeps the
   * plain `OVER (ORDER BY …)` form), but the big frame only ever crosses
@@ -47,17 +49,53 @@ object ParallelRank {
     graft.Caches.persist(
       df.repartitionByRange(order: _*).withColumn("__pid", spark_partition_id()))
 
+  /** Offset-block width for [[exclusivePrefix]]: per-partition rows are
+    * grouped into blocks of this many partition ids. */
+  private val OffsetBlock = 1024
+
+  /** Exclusive prefix sums over the per-partition frame `per` (one row
+    * per `__pid`, carrying the total columns named in `cols._1`): for
+    * each partition and each total, the sum over partitions strictly
+    * before it, emitted under `cols._2`.
+    *
+    * Two-level, window-free at the GLOBAL level: within a block of
+    * [[OffsetBlock]] partition ids the prefix is a block-PARTITIONED
+    * window (bounded frame, never an empty partitionSpec — the
+    * registry-wide plan audit stays clean); across blocks the ≤
+    * P/[[OffsetBlock]] block totals offset via a tiny triangular join.
+    * Replaces the round-12 single-level triangular join whose O(P²)
+    * joined rows got quadratic at cluster-scale shuffle-partition counts
+    * (P in the thousands, flagged by round-12 ADVICE): this form is
+    * O(P + (P/B)²) — at P = 100k that is 100k window rows plus a
+    * 97²-pair join, effectively linear. Bit-identical: integer/decimal
+    * sums reassociated across blocks only. */
+  private def exclusivePrefix(per: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    val blk = per.withColumn("__blk", expr(s"__pid DIV $OffsetBlock"))
+    val wIn = Window.partitionBy($"__blk").orderBy($"__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBlock = cols.foldLeft(blk) { case (d, (c, out)) =>
+      d.withColumn(s"__in$out", coalesce(sum(col(c)).over(wIn), lit(0L)))
+    }
+    val btAggs = cols.map { case (c, out) => sum(col(c)).as(s"__bt$out") }
+    val bt = blk.groupBy($"__blk").agg(btAggs.head, btAggs.tail: _*)
+    val before = bt.select(($"__blk".as("__bblk") +:
+      cols.map { case (_, out) => col(s"__bt$out").as(s"__bb$out") }): _*)
+    val boAggs = cols.map { case (_, out) =>
+      coalesce(sum(col(s"__bb$out")), lit(0L)).as(s"__bo$out") }
+    val blockOff = bt.join(broadcast(before), $"__bblk" < $"__blk", "left")
+      .groupBy($"__blk").agg(boAggs.head, boAggs.tail: _*)
+    val joined = inBlock.join(broadcast(blockOff), Seq("__blk"))
+    cols.foldLeft(joined) { case (d, (_, out)) =>
+      d.withColumn(out, col(s"__in$out") + col(s"__bo$out"))
+    }.drop(("__blk" +: cols.flatMap { case (_, out) =>
+      Seq(s"__in$out", s"__bt$out", s"__bo$out") }): _*)
+  }
+
   /** Exclusive prefix totals over the per-partition frame `per`
     * (`__pid`, `__n`): for each partition, the sum of all `__n` strictly
-    * before it. A triangular broadcast join over ≤|shuffle partitions|
-    * rows — deliberately not a window, so the helper itself introduces no
-    * single-partition exchange anywhere in the plan. */
-  private def prefixOffsets(per: DataFrame): DataFrame = {
-    val before = per.select($"__pid".as("__bpid"), $"__n".as("__bn"))
-    per.join(broadcast(before), $"__bpid" < $"__pid", "left")
-      .groupBy($"__pid")
-      .agg(max($"__n").as("__n"), coalesce(sum($"__bn"), lit(0L)).as("__off"))
-  }
+    * before it. */
+  private def prefixOffsets(per: DataFrame): DataFrame =
+    exclusivePrefix(per, Seq("__n" -> "__off")).select($"__pid", $"__n", $"__off")
 
   /** `out` := `row_number() OVER (ORDER BY order…)` (1-based, BIGINT),
     * computed partition-parallel. */
@@ -118,12 +156,8 @@ object ParallelRank {
     // one total per accumulator per partition (≤|shuffle partitions| rows)
     val aggs = is.map(i => sum(col(s"__v$i")).as(s"__t$i"))
     val per = r.groupBy($"__pid").agg(aggs.head, aggs.tail: _*)
-    // exclusive prefix of every accumulator via one triangular join
-    val before = per.select(($"__pid".as("__bpid") +:
-      is.map(i => col(s"__t$i").as(s"__b$i"))): _*)
-    val offAggs = is.map(i => coalesce(sum(col(s"__b$i")), lit(0L)).as(s"__off$i"))
-    val off = per.join(broadcast(before), $"__bpid" < $"__pid", "left")
-      .groupBy($"__pid").agg(offAggs.head, offAggs.tail: _*)
+    // exclusive prefix of every accumulator in one two-level pass
+    val off = exclusivePrefix(per, is.map(i => s"__t$i" -> s"__off$i"))
     val win = Window.partitionBy($"__pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = is.foldLeft(r) { (d, i) =>

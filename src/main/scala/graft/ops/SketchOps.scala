@@ -121,16 +121,105 @@ object SketchOps {
       .limit(20)
   }
 
-  /** Mergeable HLL sketch COLUMNS (Apache DataSketches via Spark 4's
-    * `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`): per-type
-    * user sketches built once, then UNIONED into a global distinct
-    * estimate without touching the raw data again — the store-now,
+  /** Register count (2^6) for [[hllRegisters]] / [[hllUnion]]. */
+  private val HllM = 64
+
+  /** Power table for the HLL harmonic sum, scaled by 2^55 so EVERY term
+    * is an exact integer: register value m contributes 2^(55−m). m ranges
+    * 0..55 (ρ = 1 + leading zeros of a 54-bit suffix, so ρ ≤ 55), and the
+    * all-zero-suffix case m = 55 contributes exactly 1 — round-13 ADVICE
+    * fix: the previous 2^54 scaling truncated that (rare) register's
+    * 0.5 term to 0, deviating slightly from textbook HLL. Max possible
+    * sum = 64·2^55 = 2^61, comfortably inside BIGINT. */
+  private val HllTerms: IndexedSeq[Long] = (0 to 55).map(k => 1L << (55 - k))
+
+  /** The final estimate expression over the 2^55-scaled harmonic sum:
+    * α₆₄·m²·2^55 / Σ, quantized to millis — textually identical in both
+    * engines (the repo's one-float-expression-at-the-end rule). */
+  private val HllEstSql = "floor(0.7213 / (1 + 1.079 / 64) * 4096 * " +
+    "36028797018963968.0 / sum_t * 1000 + 0.5)"
+
+  /** HLL UNION over the exact-register sketches — the store-now,
     * merge-later pattern that makes distinct-count dashboards O(sketch
-    * bytes) instead of O(data) at 100 TB. Rows-only (sketch estimates have
-    * no ANSI oracle); the spec bounds per-type and unioned estimates
-    * against exact counts. */
-  val hllUnion: QueryDef = QueryDef.rowsOnly("sketch_hll_union") { (spark, dir) =>
-    val perType = Tables.events(spark, dir)
+    * bytes) instead of O(data) at 100 TB: per-type register arrays are
+    * built once ([[hllRegisterAgg]], the identical object `stream_hll`
+    * maintains incrementally), and the global ("ALL") sketch is their
+    * per-register MAX — no second pass over the raw data. Because the
+    * registers are exact integer objects under the portable md5 hash,
+    * the WHOLE readout including the unioned estimate is ORACLE-BACKED
+    * (round-13: re-routed from the opaque DataSketches `hll_union_agg`
+    * binary, which DuckDB cannot replay — SketchOpsSpec still checks
+    * this estimate against the DataSketches one within HLL error).
+    * `exact_users` rides along as test-SF instrumentation (it shuffles
+    * every key — drop it at scale).
+    *
+    * Scale shape: one corpus pass builds ≤ 64 rows per type; the union
+    * is a 64-row aggregate; everything downstream is type-domain-sized. */
+  val hllUnion: QueryDef = QueryDef(
+    "sketch_hll_union",
+    s"""WITH h AS (SELECT event_type,
+       |                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |           FROM events),
+       |jw AS (SELECT event_type, h % $HllM AS j, h // $HllM AS w FROM h),
+       |r AS (SELECT event_type, j,
+       |             max(1 + list_sum(list_transform(${(0 to 53).map(1L << _).mkString("[", ", ", "]")},
+       |                   p -> CASE WHEN w < p THEN 1 ELSE 0 END))) AS m
+       |      FROM jw GROUP BY 1, 2),
+       |ra AS (SELECT * FROM r
+       |       UNION ALL
+       |       SELECT 'ALL' AS event_type, j, max(m) AS m FROM r GROUP BY j),
+       |tn AS (SELECT DISTINCT event_type FROM events
+       |       UNION ALL SELECT 'ALL'),
+       |reg AS (SELECT tn.event_type, g.j, coalesce(ra.m, 0) AS m
+       |        FROM tn
+       |        CROSS JOIN (SELECT unnest(range(0, $HllM)) AS j) g
+       |        LEFT JOIN ra ON ra.event_type = tn.event_type AND ra.j = g.j),
+       |s AS (SELECT event_type,
+       |             sum(${HllTerms.mkString("[", ", ", "]")}[CAST(m AS INT) + 1]) AS sum_t,
+       |             sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS n_zero
+       |      FROM reg GROUP BY 1),
+       |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+       |      FROM events GROUP BY 1
+       |      UNION ALL
+       |      SELECT 'ALL', count(DISTINCT user_id) FROM events)
+       |SELECT s.event_type, CAST(s.sum_t AS BIGINT) AS sum_t,
+       |       CAST(s.n_zero AS BIGINT) AS n_zero,
+       |       CAST($HllEstSql AS BIGINT) AS est_milli,
+       |       CAST(x.exact_users AS BIGINT) AS exact_users
+       |FROM s JOIN x USING (event_type) ORDER BY s.event_type""".stripMargin,
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).select($"event_type", $"user_id")
+    val regs = graft.Caches.persist(hllRegisterAgg(ev))
+    val sparse = regs.unionByName(
+      regs.groupBy($"j").agg(max($"m").as("m"))
+        .select(lit("ALL").as("event_type"), $"j", $"m"))
+    val names = ev.select($"event_type").distinct()
+      .unionByName(spark.range(1).select(lit("ALL").as("event_type")))
+    val full = names
+      .select($"event_type", explode(sequence(lit(0L), lit(HllM - 1L))).as("j"))
+      .join(sparse, Seq("event_type", "j"), "left")
+      .withColumn("m", coalesce($"m", lit(0L)))
+    val s = full.groupBy($"event_type")
+      .agg(
+        sum(element_at(array(HllTerms.map(lit): _*), ($"m" + 1).cast("int")))
+          .as("sum_t"),
+        sum(when($"m" === 0, 1L).otherwise(0L)).as("n_zero"))
+    val x = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+      .unionByName(ev.agg(countDistinct($"user_id").as("exact_users"))
+        .select(lit("ALL").as("event_type"), $"exact_users"))
+    s.join(x, "event_type")
+      .select($"event_type", $"sum_t", $"n_zero",
+        expr(s"CAST($HllEstSql AS BIGINT)").as("est_milli"), $"exact_users")
+      .orderBy($"event_type")
+  }
+
+  /** The DataSketches form of the same union (Spark 4's `hll_sketch_agg`
+    * / `hll_union_agg` / `hll_sketch_estimate`) — kept as the spec's
+    * cross-check: SketchOpsSpec asserts [[hllUnion]]'s register-exact
+    * estimates agree with these opaque-binary ones within HLL error. */
+  private[graft] def hllUnionDatasketches(events: DataFrame): DataFrame = {
+    val perType = events
       .groupBy($"event_type")
       .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
     val global = perType
@@ -143,20 +232,17 @@ object SketchOps {
       .orderBy($"event_type")
   }
 
-  /** Register count (2^6) for [[hllRegisters]]. */
-  private val HllM = 64
-
   /** Textbook HyperLogLog (Flajolet et al. 2007) built DECLARATIVELY and
     * — like [[cmsTopk]], unusually for a sketch — ORACLE-BACKED: under
     * the portable md5 hash the register array is an exact integer object
     * (register j = max over hashed keys with low bits j of the
     * leading-zero rank of the remaining 54 bits), so both engines compute
     * it bit-identically. The harmonic-mean denominator Σ 2^−M[j] is
-    * rescaled by 2^54 into an exact BIGINT sum (every term is a register
-    * lookup in a 56-entry power table — no float before the shuffle, the
-    * repo-wide quantize-then-sum rule), and the one float expression —
-    * α·m²·2^54/Σ, quantized to millis — sits at the very end, textually
-    * identical in both engines. Emitted next to the exact distinct count
+    * rescaled by 2^55 into an exact BIGINT sum ([[HllTerms]] — every term
+    * is a register lookup in a 56-entry power table, no float before the
+    * shuffle, the repo-wide quantize-then-sum rule), and the one float
+    * expression — α·m²·2^55/Σ, quantized to millis ([[HllEstSql]]) — sits
+    * at the very end, textually identical in both engines. Emitted next to the exact distinct count
     * so the row is its own error readout; `n_zero` is the input to the
     * linear-counting small-range correction a production deployment
     * layers on below 2.5m.
@@ -168,9 +254,8 @@ object SketchOps {
     * key); drop it at scale. */
   val hllRegisters: QueryDef = {
     val powers = (0 to 53).map(1L << _)
-    val terms = (0 to 54).map(k => 1L << (54 - k)) :+ 0L
-    val estSql = "floor(0.7213 / (1 + 1.079 / 64) * 4096 * " +
-      "18014398509481984.0 / sum_t * 1000 + 0.5)"
+    val terms = HllTerms
+    val estSql = HllEstSql
     QueryDef(
       "sketch_hll_registers",
       s"""WITH h AS (SELECT event_type,

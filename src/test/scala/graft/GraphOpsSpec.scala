@@ -608,6 +608,66 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(capped(1L) == ((2L, 1L)) && capped(2L) == ((3L, 2L)),
       s"hop cap must bound the BFS: $capped")
   }
+
+  test("oracle unroll constants keep slack over the observed fixpoint/eccentricity") {
+    // Round-13 ADVICE: KTrussOracleRounds / StressMaxHops / ClosenessMaxHops
+    // are empirical margins over the CURRENT test data; this test re-derives
+    // the bound mechanically so a testdata regeneration that deepens the
+    // graph fails HERE (with the new value in the message) instead of as an
+    // opaque oracle hash mismatch. Driver-side replay is fine in a spec —
+    // the sf0.01 co-occurrence graph is ~3.4k edges.
+    val sf01 = "/root/testdata/sf0.01"
+    val edges = GraphOps.cooccurEdges(io.Tables.lineitem(spark, sf01))
+      .select("p1", "p2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    // landmark eccentricity: same 8 smallest-md5 landmark rule as the lanes
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val lms = adj.keys.toSeq.sortBy(id => (h60(id.toString), id))
+      .take(GraphOps.ClosenessLandmarks)
+    val ecc = lms.map { lm =>
+      var seen = Set(lm); var frontier = Set(lm); var d = 0
+      while (frontier.nonEmpty) {
+        val nf = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        if (nf.nonEmpty) d += 1
+        seen ++= nf; frontier = nf
+      }
+      d
+    }.max
+    assert(ecc < GraphOps.StressMaxHops,
+      s"landmark eccentricity $ecc leaves no slack under StressMaxHops " +
+        s"${GraphOps.StressMaxHops} — re-derive the cap")
+    assert(ecc < GraphOps.ClosenessMaxHops,
+      s"landmark eccentricity $ecc leaves no slack under ClosenessMaxHops " +
+        s"${GraphOps.ClosenessMaxHops}")
+    // k-truss peel fixpoint: productive rounds must stay strictly below the
+    // oracle unroll (the last unrolled CTE round is a no-op)
+    var e = edges.toSet
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 64) {
+      val byP1 = e.groupBy(_._1)
+      val support = collection.mutable.Map.empty[(Long, Long), Int]
+      for ((a, b) <- e; (_, c) <- byP1.getOrElse(b, Set.empty)
+           if e.contains((a, c))) {
+        support((a, b)) = support.getOrElse((a, b), 0) + 1
+        support((b, c)) = support.getOrElse((b, c), 0) + 1
+        support((a, c)) = support.getOrElse((a, c), 0) + 1
+      }
+      val next = e.filter(support.getOrElse(_, 0) >= GraphOps.KTrussK - 2)
+      changed = next != e
+      if (changed) rounds += 1
+      e = next
+    }
+    assert(rounds < GraphOps.KTrussOracleRounds,
+      s"k-truss needs $rounds productive peel rounds — KTrussOracleRounds " +
+        s"${GraphOps.KTrussOracleRounds} leaves no no-op margin")
+  }
 }
 
 /** Collects jaccardLinksOf output as (a,b) -> (n_common, jaccard). */

@@ -136,7 +136,21 @@ class PackingOpsSpec extends AnyFunSuite {
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"),
         call_function("md5hash60", col("doc_id").cast("string")).as("h"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val expected = hashed.groupBy(_._3 % 32).toSeq.flatMap { case (shard, g) =>
+    val expected = ffdReplay(hashed)
+    val out = ops.PackingOps.packFfdOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == expected)
+    // no (shard, bin) ever exceeds the context window
+    out.groupBy(t => (t._2, t._3)).foreach { case (sb, g) =>
+      assert(g.map(_._4).sum <= 2048L, s"bin $sb overflows") }
+  }
+
+  /** Driver-side FFD replay including the corpus-derived shard count:
+    * ns = max(1, ceil(n_docs / 256)), shard = h % ns, per-shard first-fit
+    * in (len DESC, h, doc_id) order. */
+  private def ffdReplay(hashed: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+    val ns = math.max(1L, math.ceil(hashed.size / 256.0).toLong)
+    hashed.groupBy(_._3 % ns).toSeq.flatMap { case (shard, g) =>
       val sorted = g.sortBy(t => (-t._2, t._3, t._1))
       val loads = collection.mutable.ArrayBuffer.empty[Long]
       sorted.map { case (id, n, _) =>
@@ -146,11 +160,29 @@ class PackingOpsSpec extends AnyFunSuite {
         (id, shard, bin.toLong, n)
       }
     }.sortBy(_._1)
+  }
+
+  test("FFD shard count derives from the corpus: bounded per-shard lists at any size") {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    import org.apache.spark.sql.functions._
+    // 600 docs -> ns = ceil(600/256) = 3 shards; 16 docs (test above) -> 1
+    val docs = (0 until 600).map { i =>
+      (i.toLong, Seq.fill(10 + i % 90)("w").mkString(" "))
+    }.toDF("doc_id", "text")
     val out = ops.PackingOps.packFfdOf(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(out.toSeq == expected)
-    // no (shard, bin) ever exceeds the context window
-    out.groupBy(t => (t._2, t._3)).foreach { case (sb, g) =>
-      assert(g.map(_._4).sum <= 2048L, s"bin $sb overflows") }
+    val shards = out.map(_._2).distinct.sorted
+    assert(shards.forall(s => s >= 0 && s < 3),
+      s"shard ids must lie in [0, ceil(600/256)): ${shards.toSeq}")
+    assert(shards.length == 3, "600 docs must fan out across all 3 derived shards")
+    // per-shard doc count bounded near the target (hash-uniform split)
+    out.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.length < 2 * 256, s"shard $s holds ${g.length} docs — unbounded") }
+    // and the full assignment still matches the driver-side replay
+    val hashed = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"),
+        call_function("md5hash60", col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == ffdReplay(hashed))
   }
 }
