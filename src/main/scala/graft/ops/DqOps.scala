@@ -545,8 +545,16 @@ object DqOps {
       |FROM cand WHERE levenshtein(w1, w2) <= 1
       |ORDER BY id1, id2""".stripMargin,
   ) { (spark, dir) =>
-    val v = Tables.customer(spark, dir)
-      .select($"c_custkey".as("id"), $"c_name".as("w"))
+    typoCandidates(Tables.customer(spark, dir))
+      .filter(levenshtein($"w1", $"w2") <= 1)
+      .select($"id1", $"id2", $"w1", $"w2")
+      .orderBy($"id1", $"id2")
+  }
+
+  /** The SymSpell deletion-variant candidate pairs — extracted so
+    * [[typoPairStats]] counts EXACTLY the pairs the verify stage sees. */
+  private def typoCandidates(customer: DataFrame): DataFrame = {
+    val v = customer.select($"c_custkey".as("id"), $"c_name".as("w"))
     val del = v
       .select($"id", $"w", explode(sequence(lit(0), lit(30))).as("i"))
       .filter($"i" <= length($"w"))
@@ -559,9 +567,30 @@ object DqOps {
       .select($"a.id".as("id1"), $"a.w".as("w1"),
         $"b.id".as("id2"), $"b.w".as("w2"))
       .distinct()
-      .filter(levenshtein($"w1", $"w2") <= 1)
-      .select($"id1", $"id2", $"w1", $"w2")
-      .orderBy($"id1", $"id2")
+  }
+
+  /** Pair-density instrumentation for the SymSpell blocking lane
+    * (round-12 verdict item 3, same shape as
+    * `llm_neardup_pair_stats`): distinct variant-collision candidate
+    * pairs vs ED≤1-verified pairs, so a scale rehearsal can tell
+    * output growth (both counts grow together under replication) from
+    * a blocking regression (candidates explode alone). The oracle
+    * replays the ENGINE's deletion-variant blocking verbatim. */
+  val typoPairStats: QueryDef = QueryDef(
+    "dq_typo_pair_stats",
+    """WITH v AS (SELECT c_custkey AS id, c_name AS w FROM customer),
+      |del AS (SELECT id, w,
+      |               CASE WHEN i = 0 THEN w
+      |                    ELSE concat(substr(w, 1, i - 1), substr(w, i + 1, 100)) END AS variant
+      |        FROM v JOIN (SELECT unnest(range(0, 31)) AS i) n ON n.i <= len(w)),
+      |cand AS (SELECT DISTINCT a.id AS id1, a.w AS w1, b.id AS id2, b.w AS w2
+      |         FROM del a JOIN del b ON a.variant = b.variant AND a.id < b.id)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM cand
+      |        WHERE levenshtein(w1, w2) <= 1) AS n_pairs""".stripMargin,
+  ) { (spark, dir) =>
+    val cand = graft.Caches.persist(typoCandidates(Tables.customer(spark, dir)))
+    LlmTextOps.pairStats(cand, cand.filter(levenshtein($"w1", $"w2") <= 1))
   }
 
   /** Approximate FUNCTIONAL-DEPENDENCY mining over a fixed candidate set —
@@ -868,5 +897,6 @@ object DqOps {
   val all: Seq[QueryDef] =
     Seq(pkUnique, fkOrphans, snapshotDiff, psiDrift, kAnonymity,
       lDiversity, tCloseness, scd2Build, scd2Lookup, benford, typoPairs,
+      typoPairStats,
       fdMine, ruleCheck, snmPairs, recordLinkage, goldenRecord)
 }

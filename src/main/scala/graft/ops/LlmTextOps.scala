@@ -630,18 +630,25 @@ object LlmTextOps {
           size($"fg").as("n")))
   }
 
-  private[graft] def neardupPlan(docsShRaw: DataFrame): DataFrame = {
-    val ordered = rarestFirst(docsShRaw)
+  /** The Jaccard prefix-filter candidate pairs over a rarest-first-ordered
+    * frame — extracted so the pair-density instrumentation
+    * ([[neardupPairStats]]) counts EXACTLY the pairs the verify stage
+    * sees. */
+  private def neardupCandidatesFrom(ordered: DataFrame): DataFrame = {
     // prefix length p = n - ceil(0.8n) + 1; ceil(4n/5) = floor((4n+4)/5)
     val pref = ordered
       .withColumn("p", $"n" - floor(($"n" * 4 + 4) / lit(5)).cast("int") + 1)
       .select($"doc_id", explode(slice($"sh", lit(1), $"p")).as("g"))
-    val candidates = pref.as("a")
+    pref.as("a")
       .join(pref.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(candidates, ordered.select($"doc_id", $"sh"))
+  }
+
+  private[graft] def neardupPlan(docsShRaw: DataFrame): DataFrame = {
+    val ordered = rarestFirst(docsShRaw)
+    verifyJaccard(neardupCandidatesFrom(ordered), ordered.select($"doc_id", $"sh"))
   }
 
   /** Exact-Jaccard verification of candidate pairs at t = 0.8 (integer
@@ -695,21 +702,27 @@ object LlmTextOps {
     (spark, dir) => containmentPlan(docShingles(spark, dir))
   }
 
-  private[graft] def containmentPlan(docsShRaw: DataFrame): DataFrame = {
-    val ordered = rarestFirst(docsShRaw)
+  /** The containment prefix×postings candidate pairs over a rarest-first
+    * frame — extracted for [[containmentPairStats]]. */
+  private def containmentCandidatesFrom(ordered: DataFrame): DataFrame = {
     // containment prefix bound: p = n - ceil(0.8n) + 1 (identical algebra
     // to the Jaccard prefix — both need one of the first n-⌈t·n⌉+1 keys)
     val pref = ordered
       .withColumn("p", $"n" - floor(($"n" * 4 + 4) / lit(5)).cast("int") + 1)
       .select($"doc_id", $"n", explode(slice($"sh", lit(1), $"p")).as("g"))
     val postings = ordered.select($"doc_id", $"n", explode($"sh").as("g"))
-    val candidates = pref.as("a")
+    pref.as("a")
       .join(postings.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id")
           && (col("a.n") < col("b.n")
               || (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
       .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"))
       .distinct()
+  }
+
+  private[graft] def containmentPlan(docsShRaw: DataFrame): DataFrame = {
+    val ordered = rarestFirst(docsShRaw)
+    val candidates = containmentCandidatesFrom(ordered)
     candidates
       .join(ordered.select($"doc_id".as("doc_small"), $"sh".as("sha"), $"n".as("n_small")),
         "doc_small")
@@ -721,6 +734,86 @@ object LlmTextOps {
         round(expr("CAST(inter * 1000000L DIV n_small AS DOUBLE)") / 1000000.0, 6)
           .as("containment"))
       .orderBy($"doc_small", $"doc_big")
+  }
+
+  /** 1-row (n_candidates, n_pairs) readout shared by the pair-density
+    * instrumentation lanes — two bounded aggregates crossed as broadcast
+    * scalars. */
+  private[graft] def pairStats(cand: DataFrame, verified: DataFrame): DataFrame =
+    cand.agg(count(lit(1)).cast("long").as("n_candidates"))
+      .crossJoin(broadcast(
+        verified.agg(count(lit(1)).cast("long").as("n_pairs"))))
+
+  /** DuckDB replay of the rarest-first prefix blocking (the ENGINE's
+    * candidate generator, not the naive oracle): global shingle
+    * frequency, per-doc (f, g)-ordered shingle list, prefix
+    * p = n − ⌈0.8n⌉ + 1. Shared by both `*_pair_stats` oracles. */
+  private val prefixBlockingCte: String =
+    """e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |f AS (SELECT g, count(*) AS f FROM e GROUP BY g),
+      |ord AS (SELECT e.doc_id, list(e.g ORDER BY f.f, e.g) AS shl,
+      |               count(*) AS n
+      |        FROM e JOIN f ON f.g = e.g GROUP BY e.doc_id),
+      |pref AS (SELECT doc_id, n,
+      |                unnest(list_slice(shl, 1, n - (4 * n + 4) // 5 + 1)) AS g
+      |         FROM ord)""".stripMargin
+
+  /** Pair-density instrumentation for the Jaccard prefix-filter family
+    * (round-12 verdict item 3): `n_candidates` = distinct pairs the
+    * blocking stage emits, `n_pairs` = pairs surviving exact verify —
+    * the readout that makes a scale rehearsal diagnosable: under ScaleUp
+    * replication true duplicate-cluster sizes grow ~linearly and pair
+    * counts ~quadratically, so superlinear lane cost with n_candidates
+    * tracking n_pairs is OUTPUT growth; n_candidates exploding while
+    * n_pairs doesn't is a candidate-generation regression. The oracle
+    * replays the ENGINE's blocking exactly (rarest-first prefix), not
+    * the naive all-pairs form, so the candidate count itself is
+    * hash-checked cross-engine. `llm_rouge_pairs`/`llm_lcs_pairs`
+    * consume this lane's verified pair list, so one readout covers all
+    * three. */
+  val neardupPairStats: QueryDef = QueryDef(
+    "llm_neardup_pair_stats",
+    shingleCte + ",\n" + prefixBlockingCte +
+      """,
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |         FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |ver AS (SELECT a.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |        WHERE len(list_intersect(a.s, b.s)) * 5
+        |              >= (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 4)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_pairs""".stripMargin,
+  ) { (spark, dir) =>
+    val ordered = rarestFirst(docShingles(spark, dir))
+    val cand = graft.Caches.persist(neardupCandidatesFrom(ordered))
+    pairStats(cand, verifyJaccard(cand, ordered.select($"doc_id", $"sh")))
+  }
+
+  /** [[neardupPairStats]]'s sibling for the asymmetric containment lane:
+    * candidates = prefix(small) × postings collisions under the
+    * (n, doc_id) direction rule, pairs = exact-containment survivors. */
+  val containmentPairStats: QueryDef = QueryDef(
+    "llm_containment_pair_stats",
+    shingleCte + ",\n" + prefixBlockingCte +
+      """,
+        |post AS (SELECT doc_id, n, unnest(shl) AS g FROM ord),
+        |cand AS (SELECT DISTINCT a.doc_id AS ds, b.doc_id AS db
+        |         FROM pref a JOIN post b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |          AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))),
+        |ver AS (SELECT a.doc_id FROM sh a JOIN sh b
+        |          ON a.doc_id <> b.doc_id
+        |         AND (len(a.s) < len(b.s) OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id))
+        |        WHERE len(list_intersect(a.s, b.s)) * 5 >= len(a.s) * 4)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_pairs""".stripMargin,
+  ) { (spark, dir) =>
+    val ordered = rarestFirst(docShingles(spark, dir))
+    val cand = graft.Caches.persist(containmentCandidatesFrom(ordered))
+    val ver = cand
+      .join(ordered.select($"doc_id".as("doc_small"), $"sh".as("sha"),
+        $"n".as("n_small")), "doc_small")
+      .join(ordered.select($"doc_id".as("doc_big"), $"sh".as("shb")), "doc_big")
+      .filter(size(array_intersect($"sha", $"shb")) * 5 >= $"n_small" * 4)
+    pairStats(cand, ver)
   }
 
   /** MinHash permutation family: ONE md5 base hash per shingle (the
@@ -2806,7 +2899,8 @@ object LlmTextOps {
     exactDedup, normDedup, fingerprint, winnow, winnowPairs, winnowNative,
     textStats,
     tokenCount, quality, langId, langIdEval, vocabTopK, idf, pmiColloc, repetition,
-    entropy, neardupJaccard, containment, minhashSig, minhashLsh, minhashSweep,
+    entropy, neardupJaccard, containment, neardupPairStats,
+    containmentPairStats, minhashSig, minhashLsh, minhashSweep,
     simhash, simhashPairs,
     dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,
     dupChunks, cdcChunks, dupSpans, despanApply, suffixRepeats, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
