@@ -1635,6 +1635,108 @@ object GraphOps {
       .orderBy($"part")
   }
 
+  /** Coarsening levels beyond the fine pass for [[louvainMultilevel]].
+    * FIXED (not converge-until-stable) for the same reason every
+    * iterative lane here runs synchronous fixed rounds: a data-dependent
+    * level count is irreproducible across engines, while levels past the
+    * fixpoint are exact no-ops (a stable assignment contracts to the
+    * identity supergraph, on which further local moves change nothing) —
+    * so the fixed unroll equals the fixpoint whenever it is reached, and
+    * the spec asserts exactly that on the planted fixture. */
+  private val MultiLevels = 2
+
+  /** FULL multi-level Louvain (Blondel et al. 2008 §2 iterated): the
+    * [[louvainCoarsen]] contract-and-move step applied [[MultiLevels]]
+    * times — fine pass ([[LouvainRounds]] rounds), then per level:
+    * contract communities to supernodes (inter-community weights sum to
+    * supergraph edges, intra-community weights to self-loops) and rerun
+    * [[CoarseRounds]] local-move rounds on the supergraph, projecting
+    * back down through the level maps at the end. This is the published
+    * hierarchy: each level merges communities the previous level left
+    * locally optimal as individuals.
+    *
+    * Scale shape: each contraction is one edge-list join per endpoint to
+    * the vertex-sized assignment plus a (comm-pair)-keyed sum, and every
+    * level's graph is at most community-count-sized — the frames SHRINK
+    * geometrically, so the whole hierarchy costs little more than the
+    * fine pass ([[louvainAssignOf]]'s audited shape throughout). */
+  val louvainMultilevel: QueryDef = QueryDef(
+    "graph_louvain_multilevel",
+    louvainCtes(LouvainRounds) +
+      s""",
+         |ce AS MATERIALIZED (
+         |  SELECT least(a.comm, b.comm) AS p1, greatest(a.comm, b.comm) AS p2,
+         |         CAST(sum(e.w) AS BIGINT) AS w
+         |  FROM wpairs e JOIN cm$LouvainRounds a ON a.node = e.p1
+         |       JOIN cm$LouvainRounds b ON b.node = e.p2
+         |  GROUP BY 1, 2),
+         |und2 AS MATERIALIZED (SELECT p1 AS u, p2 AS v, w FROM ce
+         |        UNION ALL SELECT p2, p1, w FROM ce),
+         |deg2 AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS dg FROM und2 GROUP BY u),
+         |km0 AS MATERIALIZED (SELECT u AS node, u AS comm FROM deg2)""".stripMargin +
+      (1 to CoarseRounds)
+        .map(louvainRoundCte(_, "und2", "deg2", "km", skipSelf = true))
+        .mkString +
+      s""",
+         |ce2 AS MATERIALIZED (
+         |  SELECT least(a.comm, b.comm) AS p1, greatest(a.comm, b.comm) AS p2,
+         |         CAST(sum(e.w) AS BIGINT) AS w
+         |  FROM ce e JOIN km$CoarseRounds a ON a.node = e.p1
+         |       JOIN km$CoarseRounds b ON b.node = e.p2
+         |  GROUP BY 1, 2),
+         |und3 AS MATERIALIZED (SELECT p1 AS u, p2 AS v, w FROM ce2
+         |        UNION ALL SELECT p2, p1, w FROM ce2),
+         |deg3 AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS dg FROM und3 GROUP BY u),
+         |jm0 AS MATERIALIZED (SELECT u AS node, u AS comm FROM deg3)""".stripMargin +
+      (1 to CoarseRounds)
+        .map(louvainRoundCte(_, "und3", "deg3", "jm", skipSelf = true))
+        .mkString +
+      s"""
+         |SELECT c.node AS part, j.comm AS community, s.comm_size
+         |FROM cm$LouvainRounds c
+         |JOIN km$CoarseRounds k ON k.node = c.comm
+         |JOIN jm$CoarseRounds j ON j.node = k.comm
+         |JOIN (SELECT j2.comm, CAST(count(*) AS BIGINT) AS comm_size
+         |      FROM cm$LouvainRounds c2
+         |      JOIN km$CoarseRounds k2 ON k2.node = c2.comm
+         |      JOIN jm$CoarseRounds j2 ON j2.node = k2.comm
+         |      GROUP BY 1) s ON s.comm = j.comm
+         |ORDER BY part""".stripMargin,
+  ) { (spark, dir) =>
+    louvainMultilevelOf(cooccurEdges(Tables.lineitem(spark, dir)),
+      LouvainRounds, CoarseRounds, MultiLevels)
+  }
+
+  /** [[louvainMultilevel]] over any canonical weighted `(p1, p2, w)` edge
+    * list — fixture seam. `levels = 1` reproduces [[louvainCoarsenOf]]
+    * exactly (the spec pins this). */
+  private[graft] def louvainMultilevelOf(wp: DataFrame, rounds: Int,
+      coarseRounds: Int, levels: Int): DataFrame = {
+    var assign = graft.Caches.persist(louvainAssignOf(wp, rounds))
+    var proj = assign.select($"node", $"comm".as("community"))
+    var graph = wp
+    for (_ <- 1 to levels) {
+      val ce = graph
+        .join(assign.select($"node".as("p1"), $"comm".as("c1")), "p1")
+        .join(assign.select($"node".as("p2"), $"comm".as("c2")), "p2")
+        .select(least($"c1", $"c2").as("p1"), greatest($"c1", $"c2").as("p2"),
+          $"w")
+        .groupBy($"p1", $"p2").agg(sum($"w").as("w"))
+      val km = graft.Caches.persist(
+        louvainAssignOf(ce, coarseRounds, skipSelf = true))
+      proj = proj
+        .join(km.select($"node".as("community"), $"comm".as("nc")), "community")
+        .select($"node", $"nc".as("community"))
+      graph = ce
+      assign = km
+    }
+    proj
+      .withColumn("comm_size",
+        count(lit(1)).over(Window.partitionBy($"community")))
+      .select($"node".as("part"), $"community", $"comm_size")
+      .orderBy($"part")
+  }
+
   // ------------------------------------------ strongly connected components
 
   /** Caps for [[sccOf]]'s three nested loops. Trim/color/confirm rounds are
@@ -2055,10 +2157,105 @@ object GraphOps {
       .orderBy($"node")
   }
 
+  /** Condensation DAG of [[scc]] + longest-path depth: contract every
+    * SCC to one supernode (edges = distinct cross-SCC pairs — acyclic by
+    * construction), then per supernode its in/out degree in the DAG and
+    * its DEPTH (the longest path, in edges, from any source SCC) — the
+    * "how deep does part succession chain" readout, and the standard
+    * scheduling/topology layer on top of an SCC decomposition
+    * (Tarjan's condensation; depth = longest-path DP over the DAG).
+    *
+    * Computed by max-relaxation to fixpoint: `d(v) = max(d(u) + 1)` over
+    * DAG in-edges, iterated — on a DAG the per-node max only grows and is
+    * bounded by the depth, so `sum(d)` is strictly monotone and an
+    * unchanged sum IS the fixpoint ([[sccOf]]'s coloring argument). A
+    * cycle in the "DAG" (impossible unless the SCC partition were wrong)
+    * would blow through [[MaxSccInner]] and THROW — the loud-failure
+    * convention doubling as a structural self-check on [[sccOf]].
+    *
+    * Scale shape: the condensation frame is SCC-count-sized; each
+    * relaxation round is one equi-join on the supernode key + a keyed
+    * max — vertex-sized state, never path enumeration. The oracle
+    * replays depth as a recursive CTE over the (quadratic, test-SF-only)
+    * closure-derived SCC table. */
+  val sccCondense: QueryDef = QueryDef(
+    "graph_scc_condense",
+    scc.oracle.get
+      .replaceFirst("(?s)\nSELECT scc\\.id.*$", "") +
+      """,
+        |dag AS MATERIALIZED (
+        |  SELECT DISTINCT a.scc_id AS s, b.scc_id AS t
+        |  FROM e JOIN scc a ON a.id = e.src JOIN scc b ON b.id = e.dst
+        |  WHERE a.scc_id <> b.scc_id),
+        |lp AS (SELECT scc_id AS id, 0 AS d FROM sz
+        |       UNION
+        |       SELECT dag.t, lp.d + 1 FROM lp JOIN dag ON dag.s = lp.id),
+        |dep AS (SELECT id, max(d) AS depth FROM lp GROUP BY id),
+        |outd AS (SELECT s, count(*) AS c FROM dag GROUP BY s),
+        |ind AS (SELECT t, count(*) AS c FROM dag GROUP BY t)
+        |SELECT sz.scc_id, sz.n_members,
+        |       CAST(coalesce(ind.c, 0) AS BIGINT) AS in_deg,
+        |       CAST(coalesce(outd.c, 0) AS BIGINT) AS out_deg,
+        |       CAST(dep.depth AS BIGINT) AS depth
+        |FROM sz
+        |LEFT JOIN outd ON outd.s = sz.scc_id
+        |LEFT JOIN ind ON ind.t = sz.scc_id
+        |JOIN dep ON dep.id = sz.scc_id
+        |ORDER BY sz.scc_id""".stripMargin,
+  ) { (spark, dir) =>
+    sccCondenseOf(brandSuccessorEdges(
+      Tables.lineitem(spark, dir), Tables.part(spark, dir)))
+  }
+
+  /** [[sccCondense]] over any directed (src, dst) edge list — fixture
+    * seam. */
+  private[graft] def sccCondenseOf(edges0: DataFrame): DataFrame = {
+    import graft.Caches.{localCheckpoint, persist}
+    val e = persist(edges0.select($"src", $"dst").distinct())
+    val sccs = persist(sccOf(e))
+    val dag = persist(
+      e.join(sccs.select($"node".as("src"), $"scc_id".as("sa")), "src")
+        .join(sccs.select($"node".as("dst"), $"scc_id".as("sb")), "dst")
+        .filter($"sa" =!= $"sb")
+        .select($"sa".as("csrc"), $"sb".as("cdst")).distinct()
+        .repartition($"csrc"))
+    val comps = sccs.groupBy($"scc_id").agg(max($"n_members").as("n_members"))
+    var d = localCheckpoint(comps.select($"scc_id".as("id"), lit(0L).as("d")))
+    var dSum = 0L
+    var stable = false
+    var r = 0
+    while (!stable && r < MaxSccInner) {
+      val next = localCheckpoint(
+        d.unionAll(
+          dag.join(d.select($"id".as("id_"), $"d"), $"csrc" === $"id_")
+            .select($"cdst".as("id"), ($"d" + 1L).as("d")))
+          .groupBy($"id").agg(max($"d").as("d")))
+      val nSum = next.agg(sum($"d")).head.getLong(0)
+      stable = nSum == dSum
+      d = next
+      dSum = nSum
+      r += 1
+    }
+    if (!stable) throw new IllegalStateException(
+      s"sccCondenseOf depth relaxation did not stabilize in $MaxSccInner " +
+        "rounds — the condensation is not acyclic (sccOf invariant broken)")
+    val outd = dag.groupBy($"csrc").agg(count(lit(1)).as("out_deg"))
+    val ind = dag.groupBy($"cdst").agg(count(lit(1)).as("in_deg"))
+    comps
+      .join(ind.select($"cdst".as("scc_id"), $"in_deg"), Seq("scc_id"), "left")
+      .join(outd.select($"csrc".as("scc_id"), $"out_deg"), Seq("scc_id"), "left")
+      .join(d.select($"id".as("scc_id"), $"d".as("depth")), "scc_id")
+      .select($"scc_id", $"n_members",
+        coalesce($"in_deg", lit(0L)).as("in_deg"),
+        coalesce($"out_deg", lit(0L)).as("out_deg"),
+        $"depth")
+      .orderBy($"scc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, personalizedPageRank, bfsLevels,
       adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore, ktruss,
       labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks,
-      assortativity, sssp, louvainPass, louvainFull, louvainCoarsen, scc,
-      closeness, stress)
+      assortativity, sssp, louvainPass, louvainFull, louvainCoarsen,
+      louvainMultilevel, scc, sccCondense, closeness, stress)
 }

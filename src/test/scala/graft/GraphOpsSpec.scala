@@ -668,6 +668,54 @@ class GraphOpsSpec extends AnyFunSuite {
       s"k-truss needs $rounds productive peel rounds — KTrussOracleRounds " +
         s"${GraphOps.KTrussOracleRounds} leaves no no-op margin")
   }
+
+  test("multi-level Louvain: level 1 == coarsen, levels refine hierarchically, fixpoint is a no-op") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // two 4-cliques bridged weakly, and that pattern twice with a medium
+    // bridge between the pattern instances: the fine pass finds the
+    // cliques, coarsening can merge bridged cliques once they act as
+    // single nodes
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b, 3L)
+    val edges = (clique(1L to 4L) ++ clique(5L to 8L) ++
+      clique(11L to 14L) ++ clique(15L to 18L) ++
+      Seq((4L, 5L, 2L), (14L, 15L, 2L), (8L, 11L, 1L)))
+      .toDF("p1", "p2", "w")
+    // one coarsening level must reproduce louvainCoarsenOf exactly
+    val ml1 = GraphOps.louvainMultilevelOf(edges, 4, 2, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val co = GraphOps.louvainCoarsenOf(edges, 4, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ml1 == co, "levels=1 must equal the single coarsen pass")
+    // two levels: every level-1 community maps WHOLLY into one level-2
+    // community (the hierarchy property), and communities only merge
+    val ml2 = GraphOps.louvainMultilevelOf(edges, 4, 2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val l1 = ml1.map(t => (t._1, t._2)).toMap
+    l1.groupBy(_._2).values.foreach { grp =>
+      val l2s = grp.keys.map(ml2).toSet
+      assert(l2s.size == 1, s"level-1 community split at level 2: $grp -> $l2s")
+    }
+    assert(ml2.values.toSet.size <= l1.values.toSet.size)
+    // a third level on this small graph is past the fixpoint: exact no-op
+    val ml3 = GraphOps.louvainMultilevelOf(edges, 4, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ml3 == ml2, "level past the fixpoint must be a no-op")
+  }
+
+  test("SCC condensation: DAG depth, degrees and member counts on a planted chain") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // 3-cycle {1,2,3} -> 3-cycle {4,5,6} -> singleton 7
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (6L, 7L)).toDF("src", "dst")
+    val rows = GraphOps.sccCondenseOf(edges).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set(1L, 4L, 7L), s"scc ids: ${rows.keySet}")
+    assert(rows(1L) == ((3L, 0L, 1L, 0L)), s"source SCC: ${rows(1L)}")
+    assert(rows(4L) == ((3L, 1L, 1L, 1L)), s"middle SCC: ${rows(4L)}")
+    assert(rows(7L) == ((1L, 1L, 0L, 2L)), s"sink singleton: ${rows(7L)}")
+  }
 }
 
 /** Collects jaccardLinksOf output as (a,b) -> (n_common, jaccard). */
