@@ -2362,6 +2362,218 @@ object EmbeddingOps {
       .orderBy($"q_id")
   }
 
+  /** Beam width for [[annHnswBeam]] (HNSW's `ef_search`). Small and FIXED
+    * so the oracle can carry the beam as a bounded list and join each
+    * member slot explicitly. */
+  private val BeamEf = 4
+
+  /** HNSW search with a layer-0 BEAM (ef_search = [[BeamEf]]) — the
+    * quality knob [[annHnsw]]'s pure greedy walk lacks: descend layers
+    * 2→1 greedily exactly as before, then on layer 0 iterate a
+    * SYNCHRONOUS beam — `B ← top-ef of (B ∪ neighbors(B))` under the
+    * (sim DESC, node) total order — to fixpoint. Each step the ranked
+    * beam improves lexicographically or stops, so the iteration
+    * terminates and is a pure function of (graph, query): the
+    * deterministic, engine-replayable form of Malkov & Yashunin's
+    * ef-search (their heap+visited formulation is visit-order-dependent;
+    * this one re-expands settled members into already-seen candidates,
+    * trading idempotent re-joins for reproducibility). Emits the final
+    * beam — top-[[BeamEf]] found per query, ranked.
+    *
+    * Scale: per round the frontier join touches |queries|·ef·K edges
+    * (broadcast frontier, edges cached pre-partitioned on src), and
+    * rounds are bounded by the walk cap — same per-query cost shape as
+    * [[annHnsw]] times ef.
+    *
+    * Oracle: the beam is a bounded LIST of (−sim, node) structs carried
+    * through a recursive CTE — each of the ≤[[BeamEf]] member slots
+    * LEFT-joins the per-(query, node) neighbor-list table, and the next
+    * beam is `list_slice(list_sort(list_distinct(…)), 1, ef)`; recursion
+    * stops when the beam is unchanged (or at the shared hop cap). */
+  val annHnswBeam: QueryDef = QueryDef(
+    "llm_ann_hnsw_beam",
+    annHnsw.oracle.get
+      .replaceFirst("(?s)\nSELECT w\\.q_id.*$", "") +
+      s""",
+         |qknn0 AS (SELECT s2.q_id, k.src,
+         |                 list(struct_pack(ns := -s2.sim, n := CAST(k.dst AS BIGINT))
+         |                      ORDER BY k.dst) AS cs
+         |          FROM knn0 k JOIN qs s2 ON s2.node = k.dst
+         |          GROUP BY 1, 2),
+         |beams AS (
+         |  SELECT t1.q_id, 0 AS rnd,
+         |         [struct_pack(ns := -s.sim, n := CAST(t1.node AS BIGINT))] AS beam
+         |  FROM t1 JOIN qs s ON s.q_id = t1.q_id AND s.node = t1.node
+         |  UNION ALL
+         |  SELECT q_id, rnd + 1, nb FROM (
+         |    -- dedup structs by sort + adjacent-filter (list_distinct is
+         |    -- unimplemented for STRUCT lists in DuckDB)
+         |    SELECT q_id, rnd, beam,
+         |           list_slice(list_filter(srt, (x, i) -> i = 1 OR x <> srt[i-1]),
+         |                      1, $BeamEf) AS nb
+         |    FROM (
+         |      SELECT b.q_id, b.rnd, b.beam,
+         |             list_sort(b.beam
+         |               || coalesce(k1.cs, CAST([] AS STRUCT(ns DOUBLE, n BIGINT)[]))
+         |               || coalesce(k2.cs, CAST([] AS STRUCT(ns DOUBLE, n BIGINT)[]))
+         |               || coalesce(k3.cs, CAST([] AS STRUCT(ns DOUBLE, n BIGINT)[]))
+         |               || coalesce(k4.cs, CAST([] AS STRUCT(ns DOUBLE, n BIGINT)[]))) AS srt
+         |      FROM beams b
+         |      LEFT JOIN qknn0 k1 ON k1.q_id = b.q_id AND k1.src = struct_extract(b.beam[1], 'n')
+         |      LEFT JOIN qknn0 k2 ON k2.q_id = b.q_id AND k2.src = struct_extract(b.beam[2], 'n')
+         |      LEFT JOIN qknn0 k3 ON k3.q_id = b.q_id AND k3.src = struct_extract(b.beam[3], 'n')
+         |      LEFT JOIN qknn0 k4 ON k4.q_id = b.q_id AND k4.src = struct_extract(b.beam[4], 'n')
+         |      WHERE b.rnd < $GraphHopCap))
+         |  WHERE nb <> beam),
+         |fb AS (SELECT q_id, beam FROM (
+         |         SELECT q_id, beam,
+         |                row_number() OVER (PARTITION BY q_id ORDER BY rnd DESC) AS rk
+         |         FROM beams) WHERE rk = 1)
+         |SELECT q_id, CAST(beam_rank AS BIGINT) AS beam_rank,
+         |       struct_extract(be, 'n') AS node,
+         |       round(-struct_extract(be, 'ns'), 6) AS sim
+         |FROM (SELECT q_id, generate_subscripts(beam, 1) AS beam_rank,
+         |             unnest(beam) AS be
+         |      FROM fb)
+         |ORDER BY q_id, beam_rank""".stripMargin,
+  ) { (spark, dir) => annHnswBeamOf(vectors(spark, dir)) }
+
+  /** [[annHnswBeam]] over any (vec_id, v, nrm) frame — fixture seam. */
+  private[graft] def annHnswBeamOf(e: DataFrame): DataFrame = {
+    val b = graft.Caches.persist(e)
+    val nodes = graft.Caches.persist(
+      b.filter($"vec_id" >= NQueries).withColumn("lvl", hnswLvl))
+    val layerEdges = (0 to HnswTop).map { l =>
+      l -> graft.Caches.persist(
+        navGraphOf(nodes.filter($"lvl" >= l)).repartition($"src"))
+    }.toMap
+    val entry = nodes.agg(coalesce(
+      min(when($"lvl" >= 2, $"vec_id")),
+      min(when($"lvl" >= 1, $"vec_id")),
+      min($"vec_id")).as("e"))
+    val q = b.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    var state = q.crossJoin(broadcast(entry))
+      .join(nodes.select($"vec_id".as("e"), $"v".as("ev")), "e")
+      .select($"q_id", $"qv", $"e".as("cur"),
+        call_function("cosine_sim", $"qv", $"ev").as("s"))
+    (HnswTop to 1 by -1).foreach { l =>
+      val (_, term) = hnswLayerWalk(layerEdges(l), nodes, state, l)
+      state = term
+    }
+    var beam = graft.Caches.localCheckpoint(
+      state.select($"q_id", $"cur".as("node"), $"s"))
+    var stable = false
+    var r = 0
+    while (!stable && r < GraphHopCap) {
+      val grown = beam.select($"q_id", $"node")
+        .unionAll(layerEdges(0)
+          .join(broadcast(beam.select($"q_id", $"node".as("src"))), "src")
+          .select($"q_id", $"dst".as("node")))
+        .distinct()
+      val next = graft.Caches.localCheckpoint(
+        grown
+          .join(broadcast(q), "q_id")
+          .join(nodes.select($"vec_id".as("node"), $"v".as("nv")), "node")
+          .select($"q_id", $"node",
+            call_function("cosine_sim", $"qv", $"nv").as("s"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"s".desc, $"node")))
+          .filter($"rk" <= BeamEf)
+          .select($"q_id", $"node", $"s"))
+      stable = next.join(beam, Seq("q_id", "node"), "left_anti").isEmpty
+      beam = next
+      r += 1
+    }
+    beam
+      .withColumn("beam_rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"s".desc, $"node")).cast("long"))
+      .select($"q_id", $"beam_rank", $"node", round($"s", 6).as("sim"))
+      .orderBy($"q_id", $"beam_rank")
+  }
+
+  /** INCREMENTAL index maintenance for the ANN navigation graph — the
+    * streaming-ANN story: the newest ~20% of vectors (vec_id ≥
+    * ⌊max·4/5⌋, a data-derived broadcast scalar) arrive as an insert
+    * batch against an index built over the older 80%. Delta work only:
+    * ONE bucketed candidate join keyed on the batch (|batch| probe rows,
+    * never a re-scan of the base pairs), giving (a) each new node's
+    * out-edges = top-K of its candidates over base∪batch and (b)
+    * BACK-LINKS — base nodes re-rank their adjacency as top-K of
+    * (existing top-K edges ∪ candidate edges to new nodes).
+    *
+    * The readout IS the invariant that makes batch insert safe: because
+    * a base node's dropped candidates (beyond its old top-K) can never
+    * re-enter the merged top-K, the incrementally maintained graph is
+    * EDGE-FOR-EDGE IDENTICAL to a full rebuild — the oracle computes the
+    * rebuild from scratch, so the hash match proves insertion-order
+    * independence. (True HNSW insert is order-dependent because its
+    * candidates come from graph descent; bucket-LSH candidates make the
+    * construction confluent. The layered variant repeats this per
+    * level.)
+    *
+    * Scale: the delta join is |batch|·bucket-density; the base index is
+    * read, not recomputed — the 100 TB maintenance path. */
+  val annInsert: QueryDef = QueryDef(
+    "llm_ann_insert",
+    vecCte +
+      s"""
+         |, b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM e),
+         |nodes AS (SELECT * FROM b WHERE vec_id >= $NQueries),
+         |cand AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+         |                ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS s
+         |         FROM nodes x JOIN nodes y
+         |           ON x.vec_id <> y.vec_id
+         |          AND bit_count(xor(x.bucket, y.bucket)) <= 1)
+         |SELECT src, dst, CAST(rk AS BIGINT) AS r
+         |FROM (SELECT src, dst,
+         |             row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rk
+         |      FROM cand)
+         |WHERE rk <= $AnnGraphK ORDER BY src, r""".stripMargin,
+  ) { (spark, dir) => annInsertOf(vectors(spark, dir)) }
+
+  /** [[annInsert]] over any (vec_id, v, nrm) frame — fixture seam. The
+    * Spark side is the INCREMENTAL construction; equality with the
+    * oracle's full rebuild is the lane's claim. */
+  private[graft] def annInsertOf(e: DataFrame): DataFrame = {
+    val nodes = graft.Caches.persist(
+      e.filter($"vec_id" >= NQueries).withColumn("bucket", bucketCol))
+    val split = nodes.agg(floor(max($"vec_id") * 4 / 5).cast("long").as("split"))
+    val tagged = graft.Caches.persist(
+      nodes.crossJoin(broadcast(split))
+        .withColumn("is_new", $"vec_id" >= $"split").drop("split"))
+    val base = tagged.filter(!$"is_new")
+    val batch = tagged.filter($"is_new")
+    // (x, y) pairs with bucket-hamming ≤ 1, y drawn from `probe`, scored
+    def scoredPairs(left: DataFrame, probe: DataFrame): DataFrame = {
+      val p = probe.select($"vec_id".as("y_id"), $"v".as("yv"),
+        explode(array($"bucket" +: (0 until NPlanes)
+          .map(j => $"bucket".bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+      left.join(p, Seq("bucket"))
+        .filter($"vec_id" =!= $"y_id")
+        .select($"vec_id".as("src"), $"is_new".as("src_new"),
+          $"y_id".as("dst"),
+          call_function("cosine_sim", $"v", $"yv").as("s"))
+    }
+    def topK(adj: DataFrame): DataFrame = adj
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"src").orderBy($"s".desc, $"dst")))
+      .filter($"rk" <= AnnGraphK)
+    // the pre-existing base index (scores retained for the merge)
+    val baseAdj = topK(scoredPairs(base, base)).select($"src", $"dst", $"s")
+    // ONE delta join keyed on the batch: (any node, new node) candidates
+    val delta = graft.Caches.persist(scoredPairs(tagged, batch))
+    // new nodes' own edges: flip the delta so every (new, any) pair appears
+    val newOut = delta.select($"dst".as("src"), $"src".as("dst"), $"s")
+    // base nodes re-rank (old top-K ∪ backlink candidates); dst sets are
+    // disjoint (old edges point at base, backlinks at new), so no dups
+    val backlinks = delta.filter(!$"src_new").select($"src", $"dst", $"s")
+    topK(baseAdj.unionAll(backlinks))
+      .select($"src", $"dst", $"rk".cast("long").as("r"))
+      .unionAll(topK(newOut).select($"src", $"dst", $"rk".cast("long").as("r")))
+      .orderBy($"src", $"r")
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
@@ -2370,5 +2582,6 @@ object EmbeddingOps {
       embedDedupCluster, semDedup, embedStats, embedCentroid, embedQuantize,
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
       annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower,
-      annGraph, annGraphRecall, annHnsw, annHnswRecall)
+      annGraph, annGraphRecall, annHnsw, annHnswRecall, annHnswBeam,
+      annInsert)
 }

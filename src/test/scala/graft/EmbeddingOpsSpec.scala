@@ -674,4 +674,65 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(out(0L)._3 <= 500000L, "boundary vec drags cell 0's min down")
     assert(out(0L)._4 > 900000L, "cell 0 still has tight members")
   }
+
+  test("HNSW beam: ranked ef-set per query, improves on the seed, deterministic") {
+    val rows = EmbeddingOps.annHnswBeam.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.foreach { case (q, rs) =>
+      // contiguous ranks 1..ef, sims non-increasing, members distinct
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length),
+        s"q$q beam ranks not contiguous")
+      val sims = rs.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"q$q beam not rank-ordered by sim")
+      assert(rs.map(_._3).distinct.length == rs.length,
+        s"q$q beam has duplicate members")
+    }
+    // the beam's best can only improve on the layer-0 seed = the greedy
+    // descent's layer-1 terminal (the beam update always keeps its best)
+    val hnsw = EmbeddingOps.annHnsw.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    val seed = hnsw.filter(_._2 == 1L).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.maxBy(_._3)._4 }
+    byQ.foreach { case (q, rs) =>
+      val best = rs.find(_._2 == 1L).get._4
+      assert(best >= seed(q) - 1e-9,
+        s"q$q beam best $best below its seed ${seed(q)}")
+    }
+    // pure function of the corpus
+    val rerun = EmbeddingOps.annHnswBeam.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rerun.toSeq == rows.toSeq)
+  }
+
+  test("ANN incremental insert equals a full rebuild (order independence) and derives its split") {
+    import org.apache.spark.sql.functions._
+    // engine-side rebuild for comparison: the registered oracle proves the
+    // same equality in DuckDB; this pins it at a second SF in-process
+    val sf0 = "/root/testdata/sf0.001"
+    val e = graft.io.Tables.embeddings(spark, sf0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val inc = EmbeddingOps.annInsertOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // split = floor(max_id * 4/5); new nodes are ids >= split
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val split = maxId * 4 / 5
+    assert(split > 5L && split < maxId, s"derived split $split must be interior")
+    assert(inc.map(_._1).distinct.count(_ >= split) == (maxId - split + 1),
+      "every inserted node must appear as a source")
+    // rebuild from scratch over ALL nodes via the nav-graph construction:
+    // pair sets must agree per source with identical ranks
+    val rebuilt = EmbeddingOps.navGraphOf(
+        e.select(col("vec_id"), col("v")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val incPairs = inc.map(t => (t._1, t._2))
+    assert(incPairs.toSet == rebuilt.toSet,
+      s"incremental index diverges from rebuild: ${(incPairs.toSet diff rebuilt.toSet).take(5)} / ${(rebuilt.toSet diff incPairs.toSet).take(5)}")
+    // ranks contiguous per src
+    inc.groupBy(_._1).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length), s"src $s ranks") }
+  }
 }
