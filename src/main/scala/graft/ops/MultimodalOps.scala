@@ -478,6 +478,163 @@ object MultimodalOps {
       .select($"doc_a", $"doc_b", $"hamming")
   }
 
+  /** Quantized DCT-II basis for [[phash]]: CL[u·8+x] =
+    * round(cos(π·(2x+1)·u/16)·10⁶) — the 8×8 type-II DCT cosines as ppm
+    * integers, embedded as the SAME literals in both engines so the
+    * transform is exact integer algebra end-to-end (the repo's
+    * quantize-before-shuffle rule applied to a signal transform). */
+  private val DctPpm: IndexedSeq[Long] =
+    for (u <- 0 until 8; x <- 0 until 8)
+      yield math.round(math.cos(math.Pi * (2 * x + 1) * u / 16.0) * 1e6)
+
+  /** Perceptual hash (pHash, the DCT dedup classic — Zauner 2010 /
+    * the pHash.org algorithm) over the media payload: the first 64
+    * decoded "luma" samples form an 8×8 block [STUB: byte values of the
+    * decoded payload text — a real deployment decodes pixels and
+    * downsamples to 8×8; the transform below is unchanged], a separable
+    * 2-D DCT-II over the [[DctPpm]] integer basis yields 64 coefficients,
+    * and bit i = 1 iff AC coefficient i exceeds the AC MEAN — compared
+    * exactly as 63·F[i] > ΣAC, no division — giving a 63-bit hash that
+    * survives small per-sample perturbations (the property byte-exact
+    * md5 dedup lacks for lossy re-encodes).
+    *
+    * Scale shape: map-only — two 8×8 integer matrix passes per row, no
+    * shuffle except the output sort. Coefficients stay < 2⁶⁰ (255 · 8 ·
+    * 10⁶ per pass, twice), the mean compare < 2⁶³. */
+  val phash: QueryDef = {
+    val cl = DctPpm.mkString("[", ", ", "]")
+    val p2 = (0 until 63).map(1L << _).mkString("[", ", ", "]")
+    QueryDef(
+      "mm_phash",
+      s"""WITH px AS MATERIALIZED (SELECT doc_id,
+         |                   [CASE WHEN length(text) > k THEN ascii(substr(text, k + 1, 1))
+         |                         ELSE 0 END for k in range(0, 64)] AS p
+         |            FROM documents),
+         |g AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         [list_sum([p[8 * x + (i % 8) + 1] * ($cl)[(i // 8) * 8 + x + 1]
+         |                    for x in range(0, 8)]) for i in range(0, 64)] AS g
+         |  FROM px),
+         |f AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         [list_sum([g[(i // 8) * 8 + y + 1] * ($cl)[(i % 8) * 8 + y + 1]
+         |                    for y in range(0, 8)]) for i in range(0, 64)] AS f
+         |  FROM g),
+         |h AS MATERIALIZED (SELECT doc_id, f, list_sum(f[2:64]) AS sumac FROM f)
+         |SELECT doc_id,
+         |       CAST(list_sum([CASE WHEN f[i + 1] * 63 > sumac THEN ($p2)[i]
+         |                           ELSE 0 END for i in range(1, 64)]) AS BIGINT) AS phash
+         |FROM h ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      phashOf(mediaTable(spark, dir)).orderBy($"doc_id")
+    }
+  }
+
+  /** Evaluate-once let-binding for column expressions: `value` becomes a
+    * lambda variable of a single-element `transform`, so `body` can
+    * reference it hundreds of times while the interpreter computes it
+    * ONCE per row. Staged `withColumn` chains do NOT give this here —
+    * CollapseProject merges them and the inlined 64-element array
+    * rebuilds (string split included) re-evaluate per element access,
+    * which turned the 8×8 DCT into combinatorial work (observed: one
+    * task pinned for 13+ min at sf0.01 before this binding). */
+  private def bindOnce(value: org.apache.spark.sql.Column)(
+      body: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    element_at(transform(array(value), body), 1)
+
+  /** Per-doc 63-bit perceptual hash over any `(doc_id, payload)` frame —
+    * the [[phash]] body, extracted for [[phashPairs]] and the replay
+    * spec. One map-only projection; every stage is [[bindOnce]]-bound. */
+  private[graft] def phashOf(media: DataFrame): DataFrame = {
+    val clLit = array(DctPpm.map(lit): _*)
+    val p2Lit = array((0 until 63).map(k => lit(1L << k)): _*)
+    val asciiF = org.apache.spark.sql.functions.ascii _ // local ascii() shadows it
+    val hash =
+      bindOnce(split(decode($"payload", "UTF-8"), "")) { cs =>
+        bindOnce(transform(sequence(lit(0), lit(63)),
+          k => when(size(cs) > k, asciiF(element_at(cs, k + 1)))
+            .otherwise(0).cast("long"))) { px =>
+          bindOnce(transform(sequence(lit(0), lit(63)), i => {
+            val u = shiftright(i, 3)
+            val y = i.bitwiseAND(lit(7))
+            (0 until 8).map(x =>
+              element_at(px, lit(8 * x) + y + 1) *
+                element_at(clLit, u * 8 + lit(x) + 1)).reduce(_ + _)
+          })) { g =>
+            bindOnce(transform(sequence(lit(0), lit(63)), i => {
+              val u = shiftright(i, 3)
+              val v = i.bitwiseAND(lit(7))
+              (0 until 8).map(y =>
+                element_at(g, u * 8 + lit(y) + 1) *
+                  element_at(clLit, v * 8 + lit(y) + 1)).reduce(_ + _)
+            })) { f =>
+              bindOnce(aggregate(slice(f, 2, 63), lit(0L), _ + _)) { sumac =>
+                aggregate(sequence(lit(1), lit(63)), lit(0L),
+                  (acc, i) => acc + when(element_at(f, i + 1) * 63L > sumac,
+                    element_at(p2Lit, i)).otherwise(0L))
+              }
+            }
+          }
+        }
+      }
+    media.select($"doc_id", hash.as("phash"))
+  }
+
+  /** Near-dup pairs under the perceptual hash: hamming ≤ 1 via the same
+    * 2-band blocking as [[simhashPayload]] (a ≤1-bit difference must
+    * leave one 32-bit half intact, so the band equi-join is lossless) —
+    * the lossy-re-encode dedup readout next to the byte-exact and
+    * gram-simhash lanes. Band join shuffles (band, half) keys, never
+    * payloads. */
+  val phashPairs: QueryDef = QueryDef(
+    "mm_phash_pairs",
+    phash.oracle.get
+      .replaceFirst("(?s)\nSELECT doc_id.*$", "") +
+      """,
+        |ph AS (SELECT doc_id,
+        |              CAST(list_sum([CASE WHEN f[i + 1] * 63 > sumac THEN ([""".stripMargin +
+      (0 until 63).map(1L << _).mkString(", ") +
+      """])[i]
+        |                            ELSE 0 END for i in range(1, 64)]) AS BIGINT) AS phash
+        |       FROM h),
+        |bd AS (SELECT doc_id, phash, b AS band,
+        |              CASE WHEN b = 0 THEN phash & 4294967295
+        |                   ELSE (phash >> 32) & 4294967295 END AS v
+        |       FROM ph, unnest([0, 1]) AS t(b))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM bd a JOIN bd b
+        |  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  ) { (spark, dir) =>
+    phashPairsOf(mediaTable(spark, dir)).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[phashPairs]]' mining body over any `(doc_id, payload)` frame —
+    * fixture seam. */
+  private[graft] def phashPairsOf(media: DataFrame): DataFrame = {
+    val ph = phashOf(media)
+    val bd = ph.select($"doc_id", $"phash",
+      explode(array(
+        struct(lit(0L).as("band"),
+          $"phash".bitwiseAND(lit(4294967295L)).as("v")),
+        struct(lit(1L).as("band"),
+          shiftright($"phash", 32).bitwiseAND(lit(4294967295L)).as("v"))))
+        .as("bv"))
+      .select($"doc_id", $"phash", $"bv.band".as("band"), $"bv.v".as("v"))
+    bd.as("a")
+      .join(bd.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
+      .filter($"hamming" <= 1)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
+
   /** Frame-level containment between binary assets: pairs of payloads
     * sharing ≥ 3 identical aligned frames ([[frames]]' 32-byte slices) —
     * the video-dedup primitive ("these two files contain the same scenes")
@@ -558,5 +715,5 @@ object MultimodalOps {
   val all: Seq[QueryDef] =
     Seq(bytesStats, metaFilter, frameSample, decodeMeta, features,
       payloadDedup, crossmodalFetch, shardAssign, simhashPayload,
-      sharedFrames, neardupCluster)
+      phash, phashPairs, sharedFrames, neardupCluster)
 }

@@ -217,4 +217,47 @@ class MultimodalOpsSpec extends AnyFunSuite {
     for (d <- inPairs)
       assert(out(d) == find(d), s"doc $d component label")
   }
+
+  test("pHash: engine hash replays exactly in plain JVM DCT; dup payloads pair at hamming 0") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again ok"),
+      (3L, "a completely different sentence with other words entirely here"),
+      (4L, "short one"), // < 64 chars -> zero padding path
+    ).toDF("doc_id", "text")
+    val media = docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val got = MultimodalOps.phashOf(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent JVM replay of the quantized 8x8 DCT-II
+    val cl = (for (u <- 0 until 8; x <- 0 until 8)
+      yield math.round(math.cos(math.Pi * (2 * x + 1) * u / 16.0) * 1e6)).toArray
+    def replay(text: String): Long = {
+      val px = (0 until 64).map(k =>
+        if (k < text.length) text.charAt(k).toLong else 0L).toArray
+      val g = Array.tabulate(64) { i =>
+        val u = i >> 3; val y = i & 7
+        (0 until 8).map(x => px(8 * x + y) * cl(u * 8 + x)).sum
+      }
+      val f = Array.tabulate(64) { i =>
+        val u = i >> 3; val v = i & 7
+        (0 until 8).map(y => g(u * 8 + y) * cl(v * 8 + y)).sum
+      }
+      val sumac = f.drop(1).sum
+      (1 until 64).map(i => if (f(i) * 63L > sumac) 1L << (i - 1) else 0L).sum
+    }
+    docs.collect().foreach { r =>
+      val (id, t) = (r.getLong(0), r.getString(1))
+      assert(got(id) == replay(t), s"doc $id pHash must replay exactly")
+    }
+    assert(got(1L) == got(2L), "identical payloads share the pHash")
+    assert(got(1L) != got(3L), "different payloads differ")
+    // pairs: the identical pair surfaces at hamming 0 through the band join
+    val pairs = MultimodalOps.phashPairsOf(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)), s"dup pair missing: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
 }
