@@ -2492,6 +2492,75 @@ object EmbeddingOps {
       .orderBy($"q_id", $"beam_rank")
   }
 
+  /** Recall readout for [[annHnswBeam]] — the ef-pays-for-itself
+    * companion to `llm_ann_hnsw_recall`: per query, the beam's best
+    * member, its EXACT rank under the (sim DESC, vec_id) total order,
+    * hit@[[TopK]] for that single best, and `beam_hit_topk` — whether ANY
+    * beam member lands in the exact top-[[TopK]] (the recall an ef-deep
+    * result list actually delivers to a reranker). Read next to the
+    * greedy lane's hit@k, the delta is what ef=4 buys. Exact ranks
+    * priced like every recall lane: queries broadcast, one linear
+    * scan. */
+  val annHnswBeamRecall: QueryDef = QueryDef(
+    "llm_ann_hnsw_beam_recall",
+    annHnswBeam.oracle.get
+      .replaceFirst("(?s)\nSELECT q_id.*$", "") +
+      s""",
+         |bm AS (SELECT q_id, struct_extract(be, 'n') AS node,
+         |              -struct_extract(be, 'ns') AS sim
+         |       FROM (SELECT q_id, unnest(beam) AS be FROM fb)),
+         |rnk AS (SELECT b.q_id, b.node,
+         |               1 + sum(CASE WHEN x.sim > b.sim
+         |                         OR (x.sim = b.sim AND x.node < b.node)
+         |                        THEN 1 ELSE 0 END) AS r
+         |        FROM bm b JOIN qs x ON x.q_id = b.q_id
+         |        GROUP BY b.q_id, b.node, b.sim),
+         |best AS (SELECT q_id, node AS found_id, r AS rank_exact FROM (
+         |           SELECT q_id, node, r,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY r, node) AS rk
+         |           FROM rnk) WHERE rk = 1),
+         |anyk AS (SELECT q_id,
+         |                max(CASE WHEN r <= $TopK THEN 1 ELSE 0 END) AS beam_hit
+         |         FROM rnk GROUP BY q_id)
+         |SELECT b.q_id, b.found_id, CAST(b.rank_exact AS BIGINT) AS rank_exact,
+         |       CAST(CASE WHEN b.rank_exact <= $TopK THEN 1 ELSE 0 END AS BIGINT) AS hit_topk,
+         |       CAST(a.beam_hit AS BIGINT) AS beam_hit_topk
+         |FROM best b JOIN anyk a USING (q_id)
+         |ORDER BY b.q_id""".stripMargin,
+  ) { (spark, dir) => annHnswBeamRecallOf(vectors(spark, dir)) }
+
+  /** [[annHnswBeamRecall]] over any (vec_id, v, nrm) frame. */
+  private[graft] def annHnswBeamRecallOf(e: DataFrame): DataFrame = {
+    val beam = graft.Caches.persist(
+      annHnswBeamOf(e).select($"q_id", $"node"))
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val sims = graft.Caches.persist(
+      e.filter($"vec_id" >= NQueries)
+        .join(broadcast(q))
+        .select($"q_id", $"vec_id".as("node"),
+          call_function("cosine_sim", $"qv", $"v").as("sim")))
+    // exact rank of every beam member: one broadcast-pairs linear scan
+    val ranks = beam.join(sims, Seq("q_id", "node"))
+      .join(sims.select($"q_id", $"node".as("x_node"), $"sim".as("x_sim")), "q_id")
+      .groupBy($"q_id", $"node")
+      .agg((sum(when($"x_sim" > $"sim" ||
+          ($"x_sim" === $"sim" && $"x_node" < $"node"), 1L)
+        .otherwise(0L)) + 1L).as("r"))
+    val best = ranks
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"r", $"node")))
+      .filter($"rk" === 1)
+      .select($"q_id", $"node".as("found_id"), $"r".as("rank_exact"))
+    val anyk = ranks.groupBy($"q_id")
+      .agg(max(when($"r" <= TopK, 1L).otherwise(0L)).as("beam_hit_topk"))
+    best.join(anyk, "q_id")
+      .select($"q_id", $"found_id", $"rank_exact",
+        when($"rank_exact" <= TopK, 1L).otherwise(0L).as("hit_topk"),
+        $"beam_hit_topk")
+      .orderBy($"q_id")
+  }
+
   /** INCREMENTAL index maintenance for the ANN navigation graph — the
     * streaming-ANN story: the newest ~20% of vectors (vec_id ≥
     * ⌊max·4/5⌋, a data-derived broadcast scalar) arrive as an insert
@@ -2583,5 +2652,5 @@ object EmbeddingOps {
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
       annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower,
       annGraph, annGraphRecall, annHnsw, annHnswRecall, annHnswBeam,
-      annInsert)
+      annHnswBeamRecall, annInsert)
 }

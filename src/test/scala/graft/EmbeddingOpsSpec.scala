@@ -707,6 +707,22 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(rerun.toSeq == rows.toSeq)
   }
 
+  test("beam recall readout is consistent with the beam and dominates its own best") {
+    val rec = EmbeddingOps.annHnswBeamRecall.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rec.map(_._1).toSet == (0L until 5L).toSet)
+    val beam = EmbeddingOps.annHnswBeam.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    rec.foreach { case (q, found, rank, hit, beamHit) =>
+      assert(beam(q).contains(found), s"q$q recall found_id not in the beam")
+      assert(rank >= 1)
+      assert(hit == (if (rank <= 10) 1L else 0L), s"q$q hit flag")
+      // the any-member flag dominates the single-best flag
+      assert(beamHit >= hit, s"q$q beam_hit must dominate hit")
+    }
+  }
+
   test("ANN incremental insert equals a full rebuild (order independence) and derives its split") {
     import org.apache.spark.sql.functions._
     // engine-side rebuild for comparison: the registered oracle proves the
