@@ -49,8 +49,10 @@ object ParallelRank {
     graft.Caches.persist(
       df.repartitionByRange(order: _*).withColumn("__pid", spark_partition_id()))
 
-  /** Offset-block width for [[exclusivePrefix]]: per-partition rows are
-    * grouped into blocks of this many partition ids. */
+  /** Offset-block width for [[exclusivePrefix]]'s large-P form: per-
+    * partition rows are grouped into blocks of this many partition ids,
+    * and it doubles as the P threshold below which the single
+    * triangular join is used instead. */
   private val OffsetBlock = 1024
 
   /** Exclusive prefix sums over the per-partition frame `per` (one row
@@ -58,37 +60,58 @@ object ParallelRank {
     * each partition and each total, the sum over partitions strictly
     * before it, emitted under `cols._2`.
     *
-    * Two-level, window-free at the GLOBAL level: within a block of
-    * [[OffsetBlock]] partition ids the prefix is a block-PARTITIONED
-    * window (bounded frame, never an empty partitionSpec — the
-    * registry-wide plan audit stays clean); across blocks the ≤
-    * P/[[OffsetBlock]] block totals offset via a tiny triangular join.
-    * Replaces the round-12 single-level triangular join whose O(P²)
-    * joined rows got quadratic at cluster-scale shuffle-partition counts
-    * (P in the thousands, flagged by round-12 ADVICE): this form is
-    * O(P + (P/B)²) — at P = 100k that is 100k window rows plus a
-    * 97²-pair join, effectively linear. Bit-identical: integer/decimal
-    * sums reassociated across blocks only. */
+    * Two forms, chosen at PLAN TIME from the session's shuffle-partition
+    * setting (P is bounded by that config — `repartitionByRange` with no
+    * explicit count uses it):
+    *
+    *  - P ≤ [[OffsetBlock]] (every local run, most clusters): ONE
+    *    triangular broadcast join — ≤ P²/2 ≤ 512k joined rows of two
+    *    ints, and crucially a single extra stage. The round-13 two-level
+    *    rewrite applied unconditionally cost 2-3 extra tiny stages per
+    *    call and tripled the ntile-chain lanes at sf0.1 (olap_rfm
+    *    2.0→6.5 s, a4_hilbert_prune ~10→35 s) — stage-scheduling
+    *    overhead dominates 32-row frames.
+    *  - P > [[OffsetBlock]] (cluster-scale P in the thousands, the
+    *    round-12 ADVICE case where O(P²) really is millions of rows):
+    *    two-level — a block-PARTITIONED window (no empty partitionSpec
+    *    anywhere, the registry-wide plan audit stays clean) plus a
+    *    triangular join over the ≤ P/[[OffsetBlock]] block totals,
+    *    O(P + (P/B)²).
+    *
+    * Bit-identical either way: integer/decimal sums reassociated only. */
   private def exclusivePrefix(per: DataFrame, cols: Seq[(String, String)]): DataFrame = {
-    val blk = per.withColumn("__blk", expr(s"__pid DIV $OffsetBlock"))
-    val wIn = Window.partitionBy($"__blk").orderBy($"__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val inBlock = cols.foldLeft(blk) { case (d, (c, out)) =>
-      d.withColumn(s"__in$out", coalesce(sum(col(c)).over(wIn), lit(0L)))
+    val p = scala.util.Try(
+      per.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(200)
+    if (p <= OffsetBlock) {
+      val before = per.select(($"__pid".as("__bpid") +:
+        cols.map { case (c, out) => col(c).as(s"__bb$out") }): _*)
+      val offAggs = cols.map { case (c, out) =>
+        coalesce(sum(col(s"__bb$out")), lit(0L)).as(out) }
+      val keep = cols.map { case (c, _) => max(col(c)).as(c) }
+      per.join(broadcast(before), $"__bpid" < $"__pid", "left")
+        .groupBy($"__pid").agg((keep ++ offAggs).head, (keep ++ offAggs).tail: _*)
+    } else {
+      val blk = per.withColumn("__blk", expr(s"__pid DIV $OffsetBlock"))
+      val wIn = Window.partitionBy($"__blk").orderBy($"__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inBlock = cols.foldLeft(blk) { case (d, (c, out)) =>
+        d.withColumn(s"__in$out", coalesce(sum(col(c)).over(wIn), lit(0L)))
+      }
+      val btAggs = cols.map { case (c, out) => sum(col(c)).as(s"__bt$out") }
+      val bt = blk.groupBy($"__blk").agg(btAggs.head, btAggs.tail: _*)
+      val before = bt.select(($"__blk".as("__bblk") +:
+        cols.map { case (_, out) => col(s"__bt$out").as(s"__bb$out") }): _*)
+      val boAggs = cols.map { case (_, out) =>
+        coalesce(sum(col(s"__bb$out")), lit(0L)).as(s"__bo$out") }
+      val blockOff = bt.join(broadcast(before), $"__bblk" < $"__blk", "left")
+        .groupBy($"__blk").agg(boAggs.head, boAggs.tail: _*)
+      val joined = inBlock.join(broadcast(blockOff), Seq("__blk"))
+      cols.foldLeft(joined) { case (d, (_, out)) =>
+        d.withColumn(out, col(s"__in$out") + col(s"__bo$out"))
+      }.drop(("__blk" +: cols.flatMap { case (_, out) =>
+        Seq(s"__in$out", s"__bt$out", s"__bo$out") }): _*)
     }
-    val btAggs = cols.map { case (c, out) => sum(col(c)).as(s"__bt$out") }
-    val bt = blk.groupBy($"__blk").agg(btAggs.head, btAggs.tail: _*)
-    val before = bt.select(($"__blk".as("__bblk") +:
-      cols.map { case (_, out) => col(s"__bt$out").as(s"__bb$out") }): _*)
-    val boAggs = cols.map { case (_, out) =>
-      coalesce(sum(col(s"__bb$out")), lit(0L)).as(s"__bo$out") }
-    val blockOff = bt.join(broadcast(before), $"__bblk" < $"__blk", "left")
-      .groupBy($"__blk").agg(boAggs.head, boAggs.tail: _*)
-    val joined = inBlock.join(broadcast(blockOff), Seq("__blk"))
-    cols.foldLeft(joined) { case (d, (_, out)) =>
-      d.withColumn(out, col(s"__in$out") + col(s"__bo$out"))
-    }.drop(("__blk" +: cols.flatMap { case (_, out) =>
-      Seq(s"__in$out", s"__bt$out", s"__bo$out") }): _*)
   }
 
   /** Exclusive prefix totals over the per-partition frame `per`
