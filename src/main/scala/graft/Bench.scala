@@ -65,7 +65,10 @@ object Bench {
     // round-13 (ADVICE): the gate floors at 1.0 so boxes with < 16 cores
     // don't spin the full settle wait against a sub-1.0 threshold no idle
     // Unix box ever meets; the divisor is env-tunable for other profiles.
-    val gateDiv = sys.env.getOrElse("GRAFT_BENCH_LOAD_DIV", "16").toDouble
+    // Try-parse: a malformed env value must degrade to the default, not
+    // kill the whole capture before any query runs (round-13 ADVICE).
+    val gateDiv = scala.util.Try(
+      sys.env.getOrElse("GRAFT_BENCH_LOAD_DIV", "16").toDouble).getOrElse(16.0)
     val gate = math.max(1.0, cores / gateDiv)
     val loadRaw = loadavg1
     var loadAtStart = loadRaw
@@ -80,8 +83,17 @@ object Bench {
     // the min of two — min-of-2 removed transient slowness but kept
     // transient fastness, and because the healed artifact later becomes
     // the committed clean baseline, per-query numbers could ratchet
-    // optimistically across rounds. The median is one-sided-bias-free;
-    // all samples land in the artifact under `retimed`.
+    // optimistically across rounds. The median is one-sided-bias-free
+    // w.r.t. the quantity being estimated; all samples land in the
+    // artifact under `retimed`.
+    // Residual warm-state bias (round-14, documenting the round-13 ADVICE
+    // follow-up): the extra samples run back-to-back on warm intra-query
+    // caches — DELIBERATELY, because the triggering sample `dt` itself ran
+    // warm (after a warm-up, before any release), so warm retime samples
+    // estimate the SAME quantity the normal timed run measures. Releasing
+    // caches between samples would instead time cold rebuilds the normal
+    // path never times, biasing retimed queries SLOW relative to their
+    // committed anchors.
     val retimed = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
     def median3(a: Double, b: Double, c: Double): Double =
       Seq(a, b, c).sorted.apply(1)
@@ -95,7 +107,15 @@ object Bench {
     // field, mirroring Verify's queries.json manifest, so a crash can never
     // read as merely "a fast query" in the artifact.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset run (local iteration + the sf10 top-lane probe): a
+    // comma-separated name list restricts the sweep; the artifact records
+    // the filter under `only` so a subset capture can never be mistaken
+    // for a full-registry baseline.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       try {
         // warm-up: JIT + codegen + file-footer caches; intra-query persists
         // stay cached so the timed run measures warm-cache steady state
@@ -186,6 +206,8 @@ object Bench {
     val fj = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        only.map(s => "\"only\":" + s.toSeq.sorted.map("\"" + _ + "\"")
+          .mkString("[", ",", "]") + ",").getOrElse("") +
         s""""retimed":$rt,"warmups":$wus,"failed":$fj,"sf":"$sfDir","cores":$cores,""" +
         s""""loadavg1":$loadAtStart,"loadavg1_raw":$loadRaw,""" +
         s""""settle_wait_s":$settleWait,"loadavg1_end":$loadavg1,""" +

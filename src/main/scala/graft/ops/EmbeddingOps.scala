@@ -2581,8 +2581,14 @@ object EmbeddingOps {
     * construction confluent. The layered variant repeats this per
     * level.)
     *
-    * Scale: the delta join is |batch|·bucket-density; the base index is
-    * read, not recomputed — the 100 TB maintenance path. */
+    * Scale: the delta join is |batch|·bucket-density. In THIS lane the
+    * base adjacency is reconstructed in-lane (`baseAdj` below re-runs the
+    * base-to-base bucket join) because the registry contract makes every
+    * query self-contained — so the benchmarked number includes a rebuild
+    * the 100 TB maintenance path would not pay; there the base index is a
+    * persisted input and only the delta join + re-rank run. The
+    * rebuild-equality claim (oracle hash match) is independent of where
+    * the base adjacency comes from. */
   val annInsert: QueryDef = QueryDef(
     "llm_ann_insert",
     vecCte +

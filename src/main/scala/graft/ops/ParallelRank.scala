@@ -80,9 +80,14 @@ object ParallelRank {
     *
     * Bit-identical either way: integer/decimal sums reassociated only. */
   private def exclusivePrefix(per: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    // fallback = the frame's ACTUAL partition count, not a constant: an
+    // unparsable conf value (e.g. "auto" on AQE-coarsening builds) must not
+    // silently select the O(P²) triangular join at cluster-scale P
+    // (round-13 ADVICE; both branches are bit-identical, so this is
+    // performance-only either way)
     val p = scala.util.Try(
       per.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-      .getOrElse(200)
+      .getOrElse(per.rdd.getNumPartitions)
     if (p <= OffsetBlock) {
       val before = per.select(($"__pid".as("__bpid") +:
         cols.map { case (c, out) => col(c).as(s"__bb$out") }): _*)

@@ -33,6 +33,35 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("packing bucket count derives from the corpus: bounded per-bucket lists") {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    import org.apache.spark.sql.functions._
+    // 600 docs -> nb = ceil(600/256) = 3 buckets (the FFD shard recipe)
+    val docs = (0 until 600).map { i =>
+      (i.toLong, Seq.fill(10 + i % 90)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = ops.PackingOps.packOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val buckets = out.map(_._2).distinct.sorted
+    assert(buckets.forall(b => b >= 0 && b < 3),
+      s"bucket ids must lie in [0, ceil(600/256)): ${buckets.toSeq}")
+    assert(buckets.length == 3, "600 docs must fan out across all 3 derived buckets")
+    // per-bucket doc count bounded near the target (hash-uniform split)
+    out.groupBy(_._2).foreach { case (b, g) =>
+      assert(g.length < 2 * 256, s"bucket $b holds ${g.length} docs — unbounded") }
+    // layout stays dense within every derived bucket (same invariant as the
+    // sf run above: starts tile the token stream with no holes)
+    out.groupBy(_._2).foreach { case (bucket, ds) =>
+      val starts = ds.map(d => (d._3 * 2048 + d._4, d._5)).sortBy(_._1)
+      starts.sliding(2).foreach {
+        case Array((s1, n1), (s2, _)) =>
+          assert(s2 == s1 + n1, s"hole in bucket $bucket: $s1+$n1 != $s2")
+        case _ =>
+      }
+      assert(starts.head._1 == 0L, s"bucket $bucket must start at offset 0")
+    }
+  }
+
   test("decontamination flags exactly the docs sharing a 4-gram with the eval set") {
     import spark.implicits.{newLongEncoder, newProductEncoder, localSeqToDatasetHolder}
     // doc 97*2=194 is "eval" (id % 97 == 0); doc 1 shares its 4-gram, doc 2

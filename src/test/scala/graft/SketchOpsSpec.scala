@@ -49,9 +49,16 @@ class SketchOpsSpec extends AnyFunSuite {
       assert(math.abs(est - exact) <= 0.4 * exact,
         s"$t union-lane estimate $est too far from exact $exact")
     }
-    // union can never exceed the sum of the per-type estimates
-    val partsSum = (rows - "ALL").values.map(_._1).sum
-    assert(rows("ALL")._1 <= partsSum)
+    // TRUE invariant of register-max union: every union register dominates
+    // the corresponding register of each part, and the harmonic-mean
+    // estimator is monotone in the registers, so est(ALL) >= est(part) for
+    // every part. (est(ALL) <= sum of part estimates is NOT an invariant —
+    // complementary per-type register patterns can push the union estimate
+    // past the sum — so asserting it could fail spuriously on a testdata
+    // regeneration; round-13 ADVICE.)
+    val partsMax = (rows - "ALL").values.map(_._1).max
+    assert(rows("ALL")._1 >= partsMax,
+      s"union estimate ${rows("ALL")._1} below a part estimate $partsMax")
     // and the register-exact estimates agree with the opaque DataSketches
     // union (lgK=14, rsd ~0.8%) within the COMBINED error — dominated by
     // our m=64 sketch's 13% rsd; 3 sigma again
