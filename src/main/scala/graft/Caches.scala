@@ -93,4 +93,54 @@ object Caches {
     s.rdds.foreach(_.unpersist(blocking = false))
     s.rdds.clear()
   }
+
+  // ------------------------------------------------- cross-query memo
+
+  /** (key, frame, backing checkpoint RDD) per memo name. */
+  private val memos = scala.collection.mutable.Map
+    .empty[String, (String, DataFrame, Option[org.apache.spark.rdd.RDD[_]])]
+
+  /** A frame computed ONCE and shared across REGISTRY QUERIES — the seam
+    * the per-query [[release]] contract deliberately cannot express.
+    * `graph_scc` and `graph_scc_condense` both need the identical SCC
+    * partition of the identical edge set (the round-13 verdict's "one
+    * partition computed twice" item, 11% of the clean bench); the second
+    * query reuses the first's frame instead of re-running the
+    * coloring+confirmation rounds.
+    *
+    * Semantics: `build` runs inside a fresh [[scoped]] block (its
+    * intra-construction persists release immediately) and the survivor is
+    * an EAGER `localCheckpoint` — materialized, lineage-free blocks — so
+    * releasing the construction's caches afterwards cannot strand a lazy
+    * plan. The result is stat-less per the [[localCheckpoint]] rationale.
+    * Memoization is sound only because every memoized build is a
+    * DETERMINISTIC function of `key` (callers key on the session + input
+    * dir); a key change unpersists the stale frame, so at most one frame
+    * per name is ever live — callers memo only vertex-sized frames, never
+    * corpus-sized ones. On a real cluster the same seam would be a
+    * reliable `checkpoint()` to durable storage (executor loss cannot
+    * recompute a lineage-free local checkpoint).
+    *
+    * Thread-safe via a coarse lock: concurrent callers of the same name
+    * serialize, which is exactly the compute-once semantics wanted. */
+  def memo(name: String, key: String)(build: => DataFrame): DataFrame =
+    memos.synchronized {
+      memos.get(name) match {
+        case Some((k, df, _)) if k == key => df
+        case prev =>
+          prev.foreach(_._3.foreach(_.unpersist(blocking = false)))
+          var rdd: Option[org.apache.spark.rdd.RDD[_]] = None
+          val df = scoped {
+            val cp = build.localCheckpoint()
+            cp.queryExecution.logical match {
+              case l: org.apache.spark.sql.execution.LogicalRDD =>
+                rdd = Some(l.rdd)
+              case _ => ()
+            }
+            org.apache.spark.sql.GraftShim.withoutOriginStats(cp)
+          }
+          memos(name) = (key, df, rdd)
+          df
+      }
+    }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1805,43 +1805,60 @@ object GraphOps {
     * convention), so labels are engine-independent. */
   private[graft] def sccOf(edges0: DataFrame): DataFrame = {
     import graft.Caches.{localCheckpoint, persist}
+    // phase/round accounting for the perf probe (GRAFT_SCC_DEBUG=1):
+    // stderr-only, zero cost when unset
+    val dbg = sys.env.contains("GRAFT_SCC_DEBUG")
+    var phT = System.nanoTime()
+    def ph(tag: String, extra: => String = ""): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[scc] $tag ${(now - phT) / 1e9}%.2f s $extra")
+      phT = now
+    }
     var e = localCheckpoint(edges0.select($"src", $"dst").distinct())
-    var nodes = localCheckpoint(
+    var nE = e.count()
+    // every endpoint id, fixed ONCE: singleton SCCs (every trim casualty)
+    // are derived at the very end as allNodes ∖ confirmed-members, so the
+    // trim loop below never maintains a node frame or a done union — the
+    // GRAFT_SCC_DEBUG probe measured the old per-round bookkeeping
+    // (trimmed-set + node-set + done-union checkpoints, ~4 actions/round
+    // over 24+8 peel rounds) at over half the trim phase's 16 s.
+    val allNodes = localCheckpoint(
       e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct())
-    var nNodes = nodes.count()
-    // (id, root); seeded empty so a zero-edge input yields a zero-row frame
-    var done: DataFrame =
-      nodes.select($"id", $"id".as("root")).filter(lit(false))
-    def addDone(df: DataFrame): Unit =
-      done = localCheckpoint(done.unionAll(df))
+    // confirmed (id, root) parts; seeded with an empty frame so a
+    // zero-edge input yields a zero-row result. Each appended part is
+    // ALREADY localCheckpointed by its producing round, so parts are
+    // collected lazily and unioned once at the end.
+    val confirmedParts = scala.collection.mutable.Buffer[DataFrame](
+      allNodes.select($"id", $"id".as("root")).filter(lit(false)))
     var outer = 0
-    while (nNodes > 0 && outer < MaxSccOuter) {
-      // 1) trim singleton SCCs to fixpoint
+    while (nE > 0 && outer < MaxSccOuter) {
+      // 1) trim to fixpoint ON THE EDGE FRAME ALONE: keep only edges whose
+      //    BOTH endpoints still have an in-edge and an out-edge (a node
+      //    missing either is on no cycle — a singleton SCC — and so are
+      //    its edges' contributions). Edge count can only fall, so an
+      //    unchanged count IS the fixpoint: one checkpoint + one count per
+      //    peel level, no node-set or done-set maintenance.
       var trimming = true
       var t = 0
       while (trimming && t < MaxSccInner) {
-        val srcs = e.select($"src".as("id")).distinct()
-        val dsts = e.select($"dst".as("id")).distinct()
-        val trimmed = localCheckpoint(
-          nodes.join(srcs, Seq("id"), "left_anti")
-            .unionAll(nodes.join(dsts, Seq("id"), "left_anti"))
-            .distinct())
-        val nTrim = trimmed.count()
-        if (nTrim == 0) trimming = false
-        else {
-          addDone(trimmed.select($"id", $"id".as("root")))
-          nodes = localCheckpoint(nodes.join(trimmed, Seq("id"), "left_anti"))
-          e = localCheckpoint(
-            e.join(trimmed.select($"id".as("src")), Seq("src"), "left_anti")
-              .join(trimmed.select($"id".as("dst")), Seq("dst"), "left_anti")
-              .select($"src", $"dst"))
-          nNodes -= nTrim
-        }
+        val keep = e.select($"src".as("id")).intersect(e.select($"dst".as("id")))
+        val e2 = localCheckpoint(
+          e.join(keep.select($"id".as("src")), Seq("src"), "left_semi")
+            .join(keep.select($"id".as("dst")), Seq("dst"), "left_semi")
+            .select($"src", $"dst"))
+        val nE2 = e2.count()
+        if (nE2 == nE) trimming = false
+        e = e2
+        nE = nE2
         t += 1
       }
       if (trimming) throw new IllegalStateException(
         s"sccOf trim did not stabilize in $MaxSccInner rounds")
-      if (nNodes > 0) {
+      ph(s"outer=$outer trim", s"rounds=$t edges=$nE")
+      if (nE > 0) {
+        // the surviving node set (each id now has in- and out-edges)
+        val nodes = localCheckpoint(
+          e.select($"src".as("id")).intersect(e.select($"dst".as("id"))))
         // 2) forward-max coloring to fixpoint (sum(C) monotone)
         var c = localCheckpoint(nodes.select($"id", $"id".as("c")))
         var cSum = c.agg(sum($"c")).head.getLong(0)
@@ -1861,6 +1878,7 @@ object GraphOps {
         }
         if (!stable) throw new IllegalStateException(
           s"sccOf coloring did not stabilize in $MaxSccInner rounds")
+        ph(s"outer=$outer color", s"rounds=$r")
         // 3) backward confirmation within color classes
         val sameClass = persist(
           e.join(c.select($"id".as("src"), $"c".as("cs")), "src")
@@ -1886,18 +1904,24 @@ object GraphOps {
         }
         if (!stable) throw new IllegalStateException(
           s"sccOf confirmation did not stabilize in $MaxSccInner rounds")
-        addDone(m.select($"id", $"c".as("root")))
-        nodes = localCheckpoint(nodes.join(m.select($"id"), Seq("id"), "left_anti"))
+        ph(s"outer=$outer confirm", s"rounds=$r confirmed=$nM")
+        confirmedParts += m.select($"id", $"c".as("root"))
         e = localCheckpoint(
           e.join(m.select($"id".as("src")), Seq("src"), "left_anti")
             .join(m.select($"id".as("dst")), Seq("dst"), "left_anti")
             .select($"src", $"dst"))
-        nNodes -= nM
+        nE = e.count()
       }
       outer += 1
     }
-    if (nNodes > 0) throw new IllegalStateException(
-      s"sccOf did not resolve every node in $MaxSccOuter outer rounds")
+    if (nE > 0) throw new IllegalStateException(
+      s"sccOf did not resolve every edge in $MaxSccOuter outer rounds")
+    val conf = confirmedParts.reduce(_ unionAll _)
+    // singleton SCCs: every node never confirmed into a multi-member class
+    // (trim casualties at any peel level, plus isolated survivors)
+    val done = conf.unionAll(
+      allNodes.join(conf.select($"id"), Seq("id"), "left_anti")
+        .select($"id", $"id".as("root")))
     val lab = done.groupBy($"root")
       .agg(min($"id").as("scc_id"), count(lit(1)).as("n_members"))
     done.join(lab, "root").select($"id".as("node"), $"scc_id", $"n_members")
@@ -1929,11 +1953,21 @@ object GraphOps {
       |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members FROM scc GROUP BY 1)
       |SELECT scc.id AS node, scc.scc_id, sz.n_members
       |FROM scc JOIN sz USING (scc_id) ORDER BY node""".stripMargin,
-  ) { (spark, dir) =>
-    sccOf(brandSuccessorEdges(
+  ) { (spark, dir) => sharedScc(spark, dir).orderBy($"node") }
+
+  /** The SCC partition of the brand-succession graph, computed ONCE per
+    * (session, input dir) and shared by [[scc]] and [[sccCondense]] via
+    * [[graft.Caches.memo]] — the two registry lanes need the IDENTICAL
+    * partition of the IDENTICAL edge set, and re-running the
+    * coloring+confirmation rounds for the second lane was 11% of the
+    * clean bench (round-13 verdict). Vertex-sized (node, scc_id,
+    * n_members) — safe to keep live for a whole runner session. */
+  private def sharedScc(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo("graph_scc_frame",
+      spark.sparkContext.applicationId + "|" + dir) {
+      sccOf(brandSuccessorEdges(
         Tables.lineitem(spark, dir), Tables.part(spark, dir)))
-      .orderBy($"node")
-  }
+    }
 
   // ------------------------------------------------- landmark closeness
 
@@ -2204,15 +2238,19 @@ object GraphOps {
         |ORDER BY sz.scc_id""".stripMargin,
   ) { (spark, dir) =>
     sccCondenseOf(brandSuccessorEdges(
-      Tables.lineitem(spark, dir), Tables.part(spark, dir)))
+      Tables.lineitem(spark, dir), Tables.part(spark, dir)),
+      Some(sharedScc(spark, dir)))
   }
 
   /** [[sccCondense]] over any directed (src, dst) edge list — fixture
-    * seam. */
-  private[graft] def sccCondenseOf(edges0: DataFrame): DataFrame = {
+    * seam. `sccs0` lets the registry lane pass the [[sharedScc]] frame so
+    * the partition is not recomputed; fixtures omit it and pay the local
+    * [[sccOf]]. */
+  private[graft] def sccCondenseOf(edges0: DataFrame,
+      sccs0: Option[DataFrame] = None): DataFrame = {
     import graft.Caches.{localCheckpoint, persist}
     val e = persist(edges0.select($"src", $"dst").distinct())
-    val sccs = persist(sccOf(e))
+    val sccs = sccs0.getOrElse(persist(sccOf(e)))
     val dag = persist(
       e.join(sccs.select($"node".as("src"), $"scc_id".as("sa")), "src")
         .join(sccs.select($"node".as("dst"), $"scc_id".as("sb")), "dst")

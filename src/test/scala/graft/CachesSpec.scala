@@ -33,6 +33,28 @@ class CachesSpec extends AnyFunSuite {
       "runner A's own release did not drop its persist")
   }
 
+  test("memo computes once per key, survives release(), rebuilds on key change") {
+    var builds = 0
+    def build() = { builds += 1; spark.range(0, 10).toDF("v") }
+    val a = Caches.memo("caches-spec-memo", "k1")(build())
+    assert(builds == 1)
+    assert(a.count() == 10)
+    Caches.release() // the per-query release must NOT drop the memo
+    val b = Caches.memo("caches-spec-memo", "k1")(build())
+    assert(builds == 1, "same key must reuse, not rebuild")
+    assert(b.count() == 10, "memoized frame must stay readable after release()")
+    val c = Caches.memo("caches-spec-memo", "k2")(build())
+    assert(builds == 2, "key change must rebuild")
+    assert(c.count() == 10)
+    // intra-build persists are scoped: they release when the build ends
+    val inner = spark.range(0, 5).toDF("w")
+    Caches.memo("caches-spec-memo2", "k") {
+      Caches.persist(inner); inner.count(); inner
+    }
+    assert(inner.storageLevel == StorageLevel.NONE,
+      "memo build scope did not release the construction's persist")
+  }
+
   test("scoped {} releases only its own registrations, even nested") {
     val outer = spark.range(0, 100).toDF("v")
     Caches.persist(outer)
