@@ -260,4 +260,70 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
       "unrelated doc must not pair")
   }
+
+  test("PGM decode parses header fields out of the bytes; malformed -> NULLs") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // a planted 4x8 image with known raster bytes, plus a malformed payload
+    val raster = (0 until 32).map(k => ('A' + (k % 26)).toChar).mkString
+    val good = s"P5\n4 8\n127\n$raster"
+    val media = Seq(
+      (1L, good.getBytes("UTF-8")),
+      (2L, "NOTPGM at all".getBytes("UTF-8")),
+    ).toDF("doc_id", "payload")
+    val rows = MultimodalOps.pgmDecodeOf(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val g = rows(1L)
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4), g.getLong(5)) ==
+      ((4L, 8L, 127L, 32L, raster.map(_.toLong).sum)),
+      "planted PGM must parse to its known header + raster checksum")
+    val b = rows(2L)
+    assert(b.isNullAt(1) && b.isNullAt(2) && b.isNullAt(3) && b.isNullAt(4) && b.isNullAt(5),
+      "malformed payload must decode to NULL fields, not throw")
+  }
+
+  test("PGM pHash: engine-built payloads parse back; 8x8 identity-downsample replays in JVM") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // 8x8 image: wb = hb = 1, so the downsample is the identity and the
+    // hash must equal a driver-side DCT over the raw raster bytes
+    val px = (0 until 64).map(k => (32 + (k * 37) % 96).toChar)
+    val payload = s"P5\n8 8\n127\n${px.mkString}".getBytes("UTF-8")
+    val media = Seq((1L, payload)).toDF("doc_id", "payload")
+    val got = MultimodalOps.phashPgmOf(media).collect().head.getLong(1)
+    val cl = (for (u <- 0 until 8; x <- 0 until 8)
+      yield math.round(math.cos(math.Pi * (2 * x + 1) * u / 16.0) * 1e6)).toArray
+    val p = px.map(_.toLong).toArray
+    val g2 = Array.tabulate(64) { i =>
+      val u = i >> 3; val y = i & 7
+      (0 until 8).map(x => p(8 * x + y) * cl(u * 8 + x)).sum
+    }
+    val f2 = Array.tabulate(64) { i =>
+      val u = i >> 3; val v = i & 7
+      (0 until 8).map(y => g2(u * 8 + y) * cl(v * 8 + y)).sum
+    }
+    val sumac = f2.drop(1).sum
+    val want = (1 until 64).map(i => if (f2(i) * 63L > sumac) 1L << (i - 1) else 0L).sum
+    assert(got == want, "PGM pHash must replay the raw-raster DCT exactly")
+  }
+
+  test("PGM downsample block-averages: constant blocks survive, checker means split") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // 16x16 image (wb = hb = 2): each output pixel is the mean of a 2x2
+    // tile. Plant tile (0,0) = {40,40,40,40} and tile (0,1) = {40,120,
+    // 40,120} -> means 40 and 80; equality with an 8x8 image carrying
+    // those means directly proves the downsample is the block mean.
+    val w = 16; val h = 16
+    val base = Array.fill(w * h)(40)
+    // tile (row 0, col 1) covers raster cols 2-3, rows 0-1
+    base(2 * 1 + 0 * w + 1) = 120 // (row 0, col 3)
+    base(2 * 1 + 1 * w + 1) = 120 // (row 1, col 3)
+    val big = s"P5\n$w $h\n127\n${base.map(_.toChar).mkString}".getBytes("UTF-8")
+    val means = Array.fill(64)(40)
+    means(1) = 80
+    val small = s"P5\n8 8\n127\n${means.map(_.toChar).mkString}".getBytes("UTF-8")
+    val media = Seq((1L, big), (2L, small)).toDF("doc_id", "payload")
+    val hs = MultimodalOps.phashPgmOf(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L),
+      "16x16 block-mean downsample must hash like the 8x8 image of its means")
+  }
 }
