@@ -2438,8 +2438,10 @@ object EmbeddingOps {
          |ORDER BY q_id, beam_rank""".stripMargin,
   ) { (spark, dir) => annHnswBeamOf(vectors(spark, dir)) }
 
-  /** [[annHnswBeam]] over any (vec_id, v, nrm) frame — fixture seam. */
-  private[graft] def annHnswBeamOf(e: DataFrame): DataFrame = {
+  /** [[annHnswBeam]] over any (vec_id, v, nrm) frame — fixture seam.
+    * `ef` parameterizes the beam width (default [[BeamEf]] = the
+    * registered lane; [[annHnswEfSweep]] sweeps it). */
+  private[graft] def annHnswBeamOf(e: DataFrame, ef: Int = BeamEf): DataFrame = {
     val b = graft.Caches.persist(e)
     val nodes = graft.Caches.persist(
       b.filter($"vec_id" >= NQueries).withColumn("lvl", hnswLvl))
@@ -2479,7 +2481,7 @@ object EmbeddingOps {
             call_function("cosine_sim", $"qv", $"nv").as("s"))
           .withColumn("rk", row_number().over(
             Window.partitionBy($"q_id").orderBy($"s".desc, $"node")))
-          .filter($"rk" <= BeamEf)
+          .filter($"rk" <= ef)
           .select($"q_id", $"node", $"s"))
       stable = next.join(beam, Seq("q_id", "node"), "left_anti").isEmpty
       beam = next
@@ -2529,10 +2531,10 @@ object EmbeddingOps {
          |ORDER BY b.q_id""".stripMargin,
   ) { (spark, dir) => annHnswBeamRecallOf(vectors(spark, dir)) }
 
-  /** [[annHnswBeamRecall]] over any (vec_id, v, nrm) frame. */
-  private[graft] def annHnswBeamRecallOf(e: DataFrame): DataFrame = {
-    val beam = graft.Caches.persist(
-      annHnswBeamOf(e).select($"q_id", $"node"))
+  /** Exact rank of every (q_id, node) in `beamNodes` under the
+    * (sim DESC, vec_id) total order — one broadcast-queries linear scan,
+    * shared by [[annHnswBeamRecallOf]] and [[annHnswEfSweepOf]]. */
+  private def beamExactRanks(e: DataFrame, beamNodes: DataFrame): DataFrame = {
     val q = e.filter($"vec_id" < NQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     val sims = graft.Caches.persist(
@@ -2540,13 +2542,20 @@ object EmbeddingOps {
         .join(broadcast(q))
         .select($"q_id", $"vec_id".as("node"),
           call_function("cosine_sim", $"qv", $"v").as("sim")))
-    // exact rank of every beam member: one broadcast-pairs linear scan
-    val ranks = beam.join(sims, Seq("q_id", "node"))
+    beamNodes.join(sims, Seq("q_id", "node"))
       .join(sims.select($"q_id", $"node".as("x_node"), $"sim".as("x_sim")), "q_id")
       .groupBy($"q_id", $"node")
       .agg((sum(when($"x_sim" > $"sim" ||
           ($"x_sim" === $"sim" && $"x_node" < $"node"), 1L)
         .otherwise(0L)) + 1L).as("r"))
+  }
+
+  /** [[annHnswBeamRecall]] over any (vec_id, v, nrm) frame. */
+  private[graft] def annHnswBeamRecallOf(e: DataFrame): DataFrame = {
+    val beam = graft.Caches.persist(
+      annHnswBeamOf(e).select($"q_id", $"node"))
+    // exact rank of every beam member: one broadcast-pairs linear scan
+    val ranks = beamExactRanks(e, beam)
     val best = ranks
       .withColumn("rk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"r", $"node")))
@@ -2559,6 +2568,103 @@ object EmbeddingOps {
         when($"rank_exact" <= TopK, 1L).otherwise(0L).as("hit_topk"),
         $"beam_hit_topk")
       .orderBy($"q_id")
+  }
+
+  /** Beam widths swept by [[annHnswEfSweep]]; includes [[BeamEf]] so the
+    * registered beam lane's operating point sits on the curve. */
+  private val SweepEfs = Seq(1, 2, 4, 8)
+
+  /** One ef's oracle chain: a [[annHnswBeam]]-shaped recursive beam with
+    * `ef` member slots, its final beam, exact ranks, and the aggregated
+    * readout row. The slot joins generalize the 4-slot form. */
+  private def efChainSql(ef: Int): String = {
+    val empty = "CAST([] AS STRUCT(ns DOUBLE, n BIGINT)[])"
+    val slots = (1 to ef)
+      .map(j => s"               || coalesce(k$j.cs, $empty)")
+      .mkString("\n")
+    val joins = (1 to ef)
+      .map(j => s"      LEFT JOIN qknn0 k$j ON k$j.q_id = b.q_id AND k$j.src = struct_extract(b.beam[$j], 'n')")
+      .mkString("\n")
+    // slots/joins are substituted AFTER stripMargin: their lines begin
+    // with "|| coalesce" and stripMargin would eat the first pipe
+    s"""beams$ef AS (
+       |  SELECT t1.q_id, 0 AS rnd,
+       |         [struct_pack(ns := -s.sim, n := CAST(t1.node AS BIGINT))] AS beam
+       |  FROM t1 JOIN qs s ON s.q_id = t1.q_id AND s.node = t1.node
+       |  UNION ALL
+       |  SELECT q_id, rnd + 1, nb FROM (
+       |    SELECT q_id, rnd, beam,
+       |           list_slice(list_filter(srt, (x, i) -> i = 1 OR x <> srt[i-1]),
+       |                      1, $ef) AS nb
+       |    FROM (
+       |      SELECT b.q_id, b.rnd, b.beam,
+       |             list_sort(b.beam
+       |@SLOTS@) AS srt
+       |      FROM beams$ef b
+       |@JOINS@
+       |      WHERE b.rnd < $GraphHopCap))
+       |  WHERE nb <> beam),
+       |fb$ef AS (SELECT q_id, beam FROM (
+       |         SELECT q_id, beam,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY rnd DESC) AS rk
+       |         FROM beams$ef) WHERE rk = 1),
+       |bm$ef AS (SELECT q_id, struct_extract(be, 'n') AS node,
+       |                 -struct_extract(be, 'ns') AS sim
+       |          FROM (SELECT q_id, unnest(beam) AS be FROM fb$ef)),
+       |rnk$ef AS (SELECT b.q_id, b.node,
+       |                  1 + sum(CASE WHEN x.sim > b.sim
+       |                            OR (x.sim = b.sim AND x.node < b.node)
+       |                           THEN 1 ELSE 0 END) AS r
+       |           FROM bm$ef b JOIN qs x ON x.q_id = b.q_id
+       |           GROUP BY b.q_id, b.node, b.sim),
+       |rd$ef AS (SELECT CAST($ef AS BIGINT) AS ef,
+       |                 CAST(count(*) AS BIGINT) AS n_queries,
+       |                 CAST(sum(CASE WHEN mr <= $TopK THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_topk,
+       |                 CAST(sum(mr) AS BIGINT) AS best_rank_sum
+       |          FROM (SELECT q_id, min(r) AS mr FROM rnk$ef GROUP BY q_id))""".stripMargin
+      .replace("@SLOTS@", slots)
+      .replace("@JOINS@", joins)
+  }
+
+  /** ef-search SWEEP — the recall-vs-cost curve the [[annHnswBeam]] lane's
+    * single operating point (ef = [[BeamEf]]) sits on: for each
+    * ef ∈ {1, 2, 4, 8}, run the identical deterministic beam search and
+    * report queries hit@[[TopK]] (any beam member in the exact top-10)
+    * plus the summed exact rank of each query's best member. ef = 1
+    * degenerates to a greedy layer-0 walk; the curve shows what each
+    * doubling of per-round work (|Q|·ef·K edges) buys in recall. (No
+    * monotonicity is CLAIMED — a wider synchronous beam usually but not
+    * provably dominates; the sweep exists precisely to measure it. The
+    * spec pins the ef = [[BeamEf]] row to agree with the registered
+    * beam-recall lane.)
+    *
+    * The oracle replays EVERY sweep point: one recursive beam CTE per ef
+    * (slot joins generalized from the 4-slot beam oracle), exact ranks
+    * against the broadcast query set, aggregated to one row per ef. */
+  val annHnswEfSweep: QueryDef = QueryDef(
+    "llm_ann_hnsw_ef_sweep",
+    annHnswBeam.oracle.get
+      .replaceFirst("(?s)\nbeams AS \\(.*$", "") + "\n" +
+      SweepEfs.map(efChainSql).mkString(",\n") + "\n" +
+      SweepEfs.map(ef => s"SELECT * FROM rd$ef").mkString("", " UNION ALL ", "") +
+      " ORDER BY ef",
+  ) { (spark, dir) => annHnswEfSweepOf(vectors(spark, dir)) }
+
+  /** [[annHnswEfSweep]] over any (vec_id, v, nrm) frame — fixture seam. */
+  private[graft] def annHnswEfSweepOf(e: DataFrame): DataFrame = {
+    val b = graft.Caches.persist(e)
+    SweepEfs.map { ef =>
+      val beam = graft.Caches.persist(
+        annHnswBeamOf(b, ef).select($"q_id", $"node"))
+      val perQ = beamExactRanks(b, beam)
+        .groupBy($"q_id").agg(min($"r").as("mr"))
+      perQ.agg(
+        count(lit(1)).as("n_queries"),
+        sum(when($"mr" <= TopK, 1L).otherwise(0L)).as("n_hit_topk"),
+        sum($"mr").as("best_rank_sum"))
+        .select(lit(ef.toLong).as("ef"), $"n_queries", $"n_hit_topk",
+          $"best_rank_sum")
+    }.reduce(_ unionAll _).orderBy($"ef")
   }
 
   /** INCREMENTAL index maintenance for the ANN navigation graph — the
@@ -2649,6 +2755,88 @@ object EmbeddingOps {
       .orderBy($"src", $"r")
   }
 
+  /** Tombstone fraction for [[annDelete]]: vec_id % 7 = 0 (~14% of the
+    * index) is deleted — large enough that repairs are non-trivial, small
+    * enough that the repair set stays delta-sized. */
+  private val DeleteMod = 7
+
+  /** ANN index DELETE maintenance — the lifecycle companion to
+    * [[annInsert]]: tombstone a batch, drop its out-edges (source rows of
+    * deleted nodes), and REPAIR only the AFFECTED survivors — nodes whose
+    * top-K contained a deleted neighbor — by re-running candidate
+    * generation for exactly those sources against the surviving set (one
+    * bucket join keyed on the affected set). Unaffected survivors keep
+    * their edges untouched: their old top-K was the best of a SUPERSET of
+    * the surviving candidates and contained no tombstone, so it is still
+    * the best — which is why the oracle's FROM-SCRATCH rebuild over the
+    * survivors must match edge-for-edge, and the hash match PROVES the
+    * repair rule loses nothing.
+    *
+    * Scale: the repair join is |affected|·bucket-density and affected is
+    * bounded by K·|deleted| sources — delta-sized, the 100 TB tombstone
+    * path. (As with [[annInsert]], the pre-delete base adjacency is
+    * reconstructed in-lane because registry queries are self-contained;
+    * in production it is the persisted index.) */
+  val annDelete: QueryDef = QueryDef(
+    "llm_ann_delete",
+    vecCte +
+      s"""
+         |, b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM e),
+         |nodes AS (SELECT * FROM b WHERE vec_id >= $NQueries AND vec_id % $DeleteMod <> 0),
+         |cand AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+         |                ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS s
+         |         FROM nodes x JOIN nodes y
+         |           ON x.vec_id <> y.vec_id
+         |          AND bit_count(xor(x.bucket, y.bucket)) <= 1)
+         |SELECT src, dst, CAST(rk AS BIGINT) AS r
+         |FROM (SELECT src, dst,
+         |             row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rk
+         |      FROM cand)
+         |WHERE rk <= $AnnGraphK ORDER BY src, r""".stripMargin,
+  ) { (spark, dir) => annDeleteOf(vectors(spark, dir)) }
+
+  /** [[annDelete]] over any (vec_id, v, nrm) frame — fixture seam. The
+    * Spark side is the INCREMENTAL tombstone+repair; equality with the
+    * oracle's survivor rebuild is the lane's claim. */
+  private[graft] def annDeleteOf(e: DataFrame): DataFrame = {
+    val nodes = graft.Caches.persist(
+      e.filter($"vec_id" >= NQueries).withColumn("bucket", bucketCol))
+    val live = graft.Caches.persist(nodes.filter($"vec_id" % DeleteMod =!= 0))
+    def pairs(left: DataFrame, probe: DataFrame): DataFrame = {
+      val p = probe.select($"vec_id".as("y_id"), $"v".as("yv"),
+        explode(array($"bucket" +: (0 until NPlanes)
+          .map(j => $"bucket".bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+      left.join(p, Seq("bucket"))
+        .filter($"vec_id" =!= $"y_id")
+        .select($"vec_id".as("src"), $"y_id".as("dst"),
+          call_function("cosine_sim", $"v", $"yv").as("s"))
+    }
+    def topK(adj: DataFrame): DataFrame = adj
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"src").orderBy($"s".desc, $"dst")))
+      .filter($"rk" <= AnnGraphK)
+    // the pre-delete index over base ∪ tombstoned (scores retained)
+    val baseAdj = graft.Caches.persist(
+      topK(pairs(nodes, nodes)).select($"src", $"dst", $"s"))
+    // tombstone pass 1: deleted sources vanish with their out-edges
+    val liveAdj = baseAdj
+      .join(live.select($"vec_id".as("src")), Seq("src"), "left_semi")
+    // affected = survivors that LOST a top-K neighbor to a tombstone
+    val affected = graft.Caches.persist(liveAdj
+      .join(live.select($"vec_id".as("dst")), Seq("dst"), "left_anti")
+      .select($"src").distinct())
+    // unaffected survivors: adjacency unchanged (re-rank is a no-op
+    // renumbering of the identical ≤K edge set)
+    val keep = liveAdj.join(affected, Seq("src"), "left_anti")
+    // delta repair: ONE bucket join keyed on the affected sources
+    val repair = pairs(
+      nodes.join(affected.select($"src".as("vec_id")), Seq("vec_id"), "left_semi"),
+      live)
+    topK(keep).select($"src", $"dst", $"rk".cast("long").as("r"))
+      .unionAll(topK(repair).select($"src", $"dst", $"rk".cast("long").as("r")))
+      .orderBy($"src", $"r")
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
@@ -2658,5 +2846,5 @@ object EmbeddingOps {
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
       annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower,
       annGraph, annGraphRecall, annHnsw, annHnswRecall, annHnswBeam,
-      annHnswBeamRecall, annInsert)
+      annHnswBeamRecall, annHnswEfSweep, annInsert, annDelete)
 }

@@ -1644,9 +1644,11 @@ object LlmTextOps {
     cdcChunksOf(Tables.documents(spark, dir))
   }
 
-  /** The CDC pipeline over any `(doc_id, text)` frame — extracted for the
-    * insertion-robustness spec. */
-  private[graft] def cdcChunksOf(documents: DataFrame): DataFrame = {
+  /** The CDC chunk frame `(doc_id, ck, n_toks, h)` over any
+    * `(doc_id, text)` frame — the cut rule + per-chunk digest, shared by
+    * [[cdcChunks]] and the streaming ingest twin
+    * ([[graft.streaming.StreamingOps]] `stream_cdc_dedup`). */
+  private[graft] def cdcChunkFrameOf(documents: DataFrame): DataFrame = {
     val w = Window.partitionBy($"doc_id").orderBy($"i")
     val p = documents
       .select($"doc_id", posexplode(tokens))
@@ -1657,11 +1659,17 @@ object LlmTextOps {
         1L).otherwise(0L))
     val c = p.withColumn("ck", coalesce(
       sum($"bnd").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val ch = c.groupBy($"doc_id", $"ck")
+    c.groupBy($"doc_id", $"ck")
       .agg(count(lit(1)).as("n_toks"),
         portableHash(array_join(
           transform(array_sort(collect_list(struct($"i", $"tok"))),
             s => s.getField("tok")), " ")).as("h"))
+  }
+
+  /** The CDC pipeline over any `(doc_id, text)` frame — extracted for the
+    * insertion-robustness spec. */
+  private[graft] def cdcChunksOf(documents: DataFrame): DataFrame = {
+    val ch = cdcChunkFrameOf(documents)
     val fr = ch.groupBy($"h").agg(count(lit(1)).as("n"))
     ch.join(fr, "h")
       .groupBy($"doc_id")

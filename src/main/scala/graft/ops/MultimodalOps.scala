@@ -652,6 +652,59 @@ object MultimodalOps {
       .select($"doc_a", $"doc_b", $"hamming")
   }
 
+  /** Hamming ≤ 2 pairs under the perceptual hash — the wider-radius
+    * companion to [[phashPairs]]: 3 bands of 21 bits over the 63-bit hash,
+    * lossless by pigeonhole (2 differing bits can touch at most 2 bands,
+    * so one band always survives intact), the standard multi-band
+    * radius/band tradeoff (bands ≥ radius+1). Wider radius ⇒ denser
+    * candidate sets than the ≤1 lane — still (band, value)-keyed
+    * equi-joins, hashes not payloads on the wire. */
+  val phashPairs2: QueryDef = QueryDef(
+    "mm_phash_pairs2",
+    phash.oracle.get
+      .replaceFirst("(?s)\nSELECT doc_id.*$", "") +
+      """,
+        |ph AS (SELECT doc_id,
+        |              CAST(list_sum([CASE WHEN f[i + 1] * 63 > sumac THEN ([""".stripMargin +
+      (0 until 63).map(1L << _).mkString(", ") +
+      """])[i]
+        |                            ELSE 0 END for i in range(1, 64)]) AS BIGINT) AS phash
+        |       FROM h),
+        |bd AS (SELECT doc_id, phash, b AS band,
+        |              (phash >> (21 * b)) & 2097151 AS v
+        |       FROM ph, unnest([0, 1, 2]) AS t(b))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM bd a JOIN bd b
+        |  ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  ) { (spark, dir) =>
+    phashPairs2Of(mediaTable(spark, dir)).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[phashPairs2]]' mining body over any `(doc_id, payload)` frame —
+    * fixture seam. */
+  private[graft] def phashPairs2Of(media: DataFrame): DataFrame = {
+    val ph = phashOf(media)
+    val bd = ph.select($"doc_id", $"phash",
+      explode(array((0 until 3).map(b => struct(
+        lit(b.toLong).as("band"),
+        shiftright($"phash", 21 * b).bitwiseAND(lit(2097151L)).as("v"))): _*))
+        .as("bv"))
+      .select($"doc_id", $"phash", $"bv.band".as("band"), $"bv.v".as("v"))
+    bd.as("a")
+      .join(bd.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")).cast("long"))
+      .filter($"hamming" <= 2)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
+
   // ------------------------------------------------ real binary format: PGM
 
   /** Header pattern of a binary PGM (netpbm "P5"): magic, width, height,
@@ -911,6 +964,6 @@ object MultimodalOps {
   val all: Seq[QueryDef] =
     Seq(bytesStats, metaFilter, frameSample, decodeMeta, features,
       payloadDedup, crossmodalFetch, shardAssign, simhashPayload,
-      phash, phashPairs, sharedFrames, neardupCluster,
+      phash, phashPairs, phashPairs2, sharedFrames, neardupCluster,
       pgmDecode, phashPgm)
 }

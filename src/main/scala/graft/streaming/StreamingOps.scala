@@ -606,6 +606,69 @@ object StreamingOps {
       .orderBy($"doc_id")
   }
 
+  /** Typed CDC chunk row for [[cdcDedupStream]]. */
+  final case class CdcChunkRow(h: Long, doc_id: Long, ck: Long)
+
+  /** STREAMING CDC-chunk dedup — the ingest-gate twin of
+    * `llm_cdc_chunks`: documents arrive as a stream, each is cut by the
+    * SAME content-defined rule (`LlmTextOps.cdcChunkFrameOf` — shared code
+    * path, the §2.10 design), and state per chunk DIGEST is the anchor
+    * (first document ever to present that chunk's content). Every later
+    * arrival of a known digest emits a collision row — the "this incoming
+    * doc is mostly chunks we already store" signal a 100 TB ingest gate
+    * acts on before the document ever lands.
+    *
+    * State is one long per distinct chunk digest (the deduplicated chunk
+    * store's keyspace — exactly what a production CDC store keeps anyway);
+    * within a batch groups fold in (doc_id, ck) order so the batch twin
+    * (all groups complete in one batch) is the relational min-anchor form
+    * the oracle replays. The spec proves a two-batch split carries
+    * anchors across the boundary. */
+  def cdcDedupStream(chunks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val rowEnc: Encoder[CdcChunkRow] = Encoders.product[CdcChunkRow]
+    implicit val stEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    chunks.select($"h", $"doc_id", $"ck").as[CdcChunkRow]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[CdcChunkRow], state: GroupState[Long]) =>
+          val sorted = rows.toArray.sortBy(r => (r.doc_id, r.ck))
+          val anchor = state.getOption
+            .map(a => math.min(a, sorted.head.doc_id))
+            .getOrElse(sorted.head.doc_id)
+          state.update(anchor)
+          sorted.iterator.filter(_.doc_id != anchor)
+            .map(r => (r.doc_id, r.ck, anchor))
+      }
+      .toDF("doc_id", "ck", "anchor_id")
+  }
+
+  /** Batch twin of [[cdcDedupStream]]: per colliding document, how many of
+    * its CDC chunks already existed under another anchor and the lowest
+    * anchor hit. Oracle = the llm_cdc_chunks chunk CTEs + relational
+    * min-anchor semantics. */
+  val cdcDedup: QueryDef = QueryDef(
+    "stream_cdc_dedup",
+    LlmTextOps.cdcChunks.oracle.get
+      .replaceFirst("(?s)\nfr AS .*$", "") +
+      """
+        |an AS (SELECT h, min(doc_id) AS anchor_id FROM ch GROUP BY h),
+        |co AS (SELECT ch.doc_id, an.anchor_id
+        |       FROM ch JOIN an USING (h) WHERE ch.doc_id <> an.anchor_id)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks,
+        |       min(anchor_id) AS anchor_id
+        |FROM co GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    cdcDedupStream(LlmTextOps.cdcChunkFrameOf(Tables.documents(spark, dir)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_chunks"), min($"anchor_id").as("anchor_id"))
+      .orderBy($"doc_id")
+  }
+
   /** Typed rows for the streaming EWMA. */
   final case class EwmaEvent(user_id: Long, event_id: Long, tus: Long, vc: Long)
   final case class EwmaOut(user_id: Long, event_id: Long, ewma_q: Long,
@@ -859,5 +922,6 @@ object StreamingOps {
 
   val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
     customSession, enriched, attribution, cms, neardup, cdc, psi,
-    asofEnriched, ewmaStreamed, sampleNth, topk, keywordTagged, hll)
+    asofEnriched, ewmaStreamed, sampleNth, topk, keywordTagged, hll,
+    cdcDedup)
 }

@@ -751,4 +751,43 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     inc.groupBy(_._1).foreach { case (s, g) =>
       assert(g.map(_._3).sorted.toSeq == (1L to g.length), s"src $s ranks") }
   }
+
+  test("ANN delete: tombstones vanish, repair equals a survivor rebuild") {
+    import org.apache.spark.sql.functions._
+    val sf0 = "/root/testdata/sf0.001"
+    val e = graft.io.Tables.embeddings(spark, sf0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val out = EmbeddingOps.annDeleteOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // no tombstoned id survives on either edge end
+    assert(out.forall(t => t._1 % 7 != 0 && t._2 % 7 != 0),
+      "a tombstoned node leaked into the repaired index")
+    // engine-side survivor rebuild (the oracle proves the same in DuckDB)
+    val rebuilt = EmbeddingOps.navGraphOf(
+        e.filter(col("vec_id") % 7 =!= 0).select(col("vec_id"), col("v")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(t => (t._1, t._2)).toSet == rebuilt.toSet,
+      "incremental tombstone repair diverges from the survivor rebuild")
+    // ranks contiguous per src
+    out.groupBy(_._1).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length), s"src $s ranks") }
+  }
+
+  test("ef sweep: constant query set, sane ranks, ef=4 row matches the beam-recall lane") {
+    val rows = EmbeddingOps.annHnswEfSweep.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L), "one row per swept ef")
+    rows.foreach { case (ef, nq, hit, rksum) =>
+      assert(nq == 5L, s"ef=$ef query count")
+      assert(hit >= 0L && hit <= nq, s"ef=$ef hit range")
+      assert(rksum >= nq, s"ef=$ef best ranks are >= 1 each")
+    }
+    // the ef=4 sweep point IS the registered beam lane's operating point
+    val rec = EmbeddingOps.annHnswBeamRecall.run(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(4))) // (rank_exact of best, beam_hit)
+    val at4 = rows.find(_._1 == 4L).get
+    assert(at4._3 == rec.map(_._2).sum, "ef=4 n_hit_topk == Σ beam_hit_topk")
+    assert(at4._4 == rec.map(_._1).sum, "ef=4 best_rank_sum == Σ rank_exact")
+  }
 }

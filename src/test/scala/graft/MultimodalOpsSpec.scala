@@ -261,6 +261,24 @@ class MultimodalOpsSpec extends AnyFunSuite {
       "unrelated doc must not pair")
   }
 
+  test("pHash hamming<=2 pairs: 3-band blocking loses nothing vs brute force") {
+    val media = MultimodalOps.mediaTable(spark, sf)
+    val hs = MultimodalOps.phashOf(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    val got = MultimodalOps.phashPairs2Of(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"band blocking must be lossless at radius 2: missing ${(brute diff got).take(5)}, extra ${(got diff brute).take(5)}")
+    // and it strictly contains the <=1 lane
+    val r1 = MultimodalOps.phashPairsOf(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r1.subsetOf(got), "radius-2 pairs must contain every radius-1 pair")
+  }
+
   test("PGM decode parses header fields out of the bytes; malformed -> NULLs") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // a planted 4x8 image with known raster bytes, plus a malformed payload

@@ -12,6 +12,8 @@ import graft.streaming.StreamingOps
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class CdcRow(h: Long, doc_id: Long, ck: Long)
+
 /** Batch ≡ stream equality on a bounded slice: the same transform function
   * (StreamingOps.tumblingAgg / dedupCount) is driven once as a batch plan
   * and once through MemoryStream + a memory sink, and the final answers must
@@ -657,6 +659,60 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(d1.getLong(1) == 2L && d1.getLong(2) == 5L &&
       d1.getString(3) == terms.head,
       s"doc 1 must accumulate cross-batch hits: $d1")
+  }
+
+  test("streaming CDC dedup carries chunk anchors across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val stream = MemoryStream[CdcRow]
+    // doc 1 presents digests 100, 200 in batch 1; doc 2 re-presents 100 in
+    // batch 2 (must flag with the BATCH-1 anchor — state carried), docs
+    // 2 and 3 both present 300 within batch 2 (anchor = within-batch min)
+    stream.addData(CdcRow(100L, 1L, 0L), CdcRow(200L, 1L, 1L))
+    val q = StreamingOps.cdcDedupStream(stream.toDF()).writeStream
+      .format("memory").queryName("cdc_dedup_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      stream.addData(CdcRow(100L, 2L, 0L), CdcRow(300L, 2L, 1L),
+        CdcRow(300L, 3L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cdc_dedup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 0L, 1L), (3L, 0L, 2L)),
+      s"anchor must persist across batches and min within a batch: $got")
+  }
+
+  test("streaming CDC dedup over doc-ordered batches equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    // chunk rows of the sf corpus, split into two DOC-ORDERED batches (the
+    // lane's arrival convention, like the EWMA twin's event-time order)
+    val chunks = LlmTextOps.cdcChunkFrameOf(io.Tables.documents(spark, sf))
+      .select($"h", $"doc_id", $"ck").collect()
+      .map(r => CdcRow(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(c => (c.doc_id, c.ck))
+    assert(chunks.nonEmpty)
+    val mid = chunks(chunks.length / 2).doc_id
+    val stream = MemoryStream[CdcRow]
+    stream.addData(chunks.filter(_.doc_id <= mid).toSeq)
+    val q = StreamingOps.cdcDedupStream(stream.toDF()).writeStream
+      .format("memory").queryName("cdc_dedup_sf").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      stream.addData(chunks.filter(_.doc_id > mid).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cdc_dedup_sf")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), min($"anchor_id").as("a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = StreamingOps.cdcDedup.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      "two doc-ordered micro-batches must equal the one-batch twin")
   }
 }
 
