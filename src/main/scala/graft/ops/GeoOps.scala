@@ -202,29 +202,41 @@ object GeoOps {
        |FROM ed t WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.eid = t.k AND r.node = t.eb)
        |ORDER BY a, b""".stripMargin,
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val pts = points(spark, dir)
-    val edges = graft.Caches.persist(
-      pairsOf(pts).select($"k1".as("a"), $"k2".as("b"), $"d2".as("w")))
+    // The candidate edge set is NEVER materialized (round-14 sf10 probe:
+    // at 1.5M points the fixed-radius graph has ~290 neighbors/point ≈
+    // 217M edges — persisting it plus a 2×-exploded per-component window
+    // OOM'd the 8 GB probe JVM). Borůvka only ever needs each component's
+    // MINIMUM incident edge, so every round re-derives the grid join with
+    // comp labels attached and collapses it map-side into one
+    // min(struct(w, a, b)) row per component — memory is bounded by the
+    // component count, the candidate stream never lands anywhere, and the
+    // (w, a, b) struct min IS the lexicographic tie order that makes the
+    // forest unique. CPU trade: the grid join re-runs once per ⌈log₂ n⌉
+    // round instead of being persisted — streaming work, not state.
+    val pts = graft.Caches.persist(points(spark, dir))
     var comp = graft.Caches.localCheckpoint(
       pts.select($"id", $"id".as("c")))
     var forest: DataFrame = null
     var done = false
     var round = 0
     while (!done && round < 20) { // ⌈log₂ n⌉ suffices; hard stop for safety
-      val e2 = edges
-        .join(comp.select($"id".as("a"), $"c".as("ca")), "a")
-        .join(comp.select($"id".as("b"), $"c".as("cb")), "b")
+      // grid-join candidates with component labels, cross-component only
+      val e2 = pairsOf(pts)
+        .join(comp.select($"id".as("k1"), $"c".as("ca")), "k1")
+        .join(comp.select($"id".as("k2"), $"c".as("cb")), "k2")
         .filter($"ca" =!= $"cb")
-      if (e2.isEmpty) done = true
+        .select($"k1".as("a"), $"k2".as("b"), $"d2".as("w"),
+          $"ca", $"cb")
+      // per-component minimum incident edge: partial aggregation collapses
+      // the candidate stream map-side — one surviving row per component
+      val picked = graft.Caches.localCheckpoint(
+        e2.select($"ca".as("comp"), struct($"w", $"a", $"b").as("e"))
+          .unionAll(e2.select($"cb".as("comp"), struct($"w", $"a", $"b").as("e")))
+          .groupBy($"comp").agg(min($"e").as("e"))
+          .select($"e.a".as("a"), $"e.b".as("b"), $"e.w".as("w"))
+          .distinct())
+      if (picked.isEmpty) done = true
       else {
-        val cand = e2.select($"ca".as("comp"), $"w", $"a", $"b")
-          .unionAll(e2.select($"cb".as("comp"), $"w", $"a", $"b"))
-        val picked = graft.Caches.localCheckpoint(
-          cand.withColumn("rk", row_number().over(
-              Window.partitionBy($"comp").orderBy($"w", $"a", $"b")))
-            .filter($"rk" === 1)
-            .select($"a", $"b", $"w").distinct())
         forest =
           if (forest == null) picked
           else graft.Caches.localCheckpoint(forest.unionAll(picked))
@@ -244,7 +256,8 @@ object GeoOps {
       }
       round += 1
     }
-    (if (forest == null) edges.limit(0) else forest)
+    (if (forest == null) pts.limit(0).select($"id".as("a"), $"id".as("b"), $"id".as("w"))
+     else forest)
       .select($"a", $"b", $"w").orderBy($"a", $"b")
   }
 
