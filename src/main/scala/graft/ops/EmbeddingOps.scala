@@ -2755,6 +2755,106 @@ object EmbeddingOps {
       .orderBy($"src", $"r")
   }
 
+  // --------------------------------------- corpus-derived LSH fan-out
+
+  /** Plane-pool bounds and target bucket density for [[annLshScaled]]:
+    * nb = smallest k in [4, 12] with n ≤ [[ScaledTarget]]·2^k, i.e. the
+    * bucket count grows with the corpus to hold ~[[ScaledTarget]] vectors
+    * per bucket. The round-14 sf10 probe recorded WHY: the fixed
+    * [[NPlanes]] = 4 (16 buckets) makes every bucket join quadratic in
+    * corpus size beyond ~100k vectors — this is the packing-lane
+    * fixed-fan-out fix ([[PackingOps.FfdShardTarget]] recipe) applied to
+    * the ANN family. Derived via an integer comparison LADDER, never a
+    * float log2 (a 1-ulp log2 difference at a power-of-two boundary would
+    * flip nb and change every bucket cross-engine). */
+  private val ScaledMinPlanes = 4
+  private val ScaledMaxPlanes = 12
+  private val ScaledTarget = 32L
+
+  /** Extended hyperplane pool from the SAME MINSTD stream as [[planes]]:
+    * the first [[NPlanes]] scaled planes are bit-identical to the fixed
+    * pool, so nb = 4 reproduces [[annLsh]]'s buckets exactly (spec-pinned
+    * at test SF, where n ≤ 32·2⁴ keeps nb at the floor). */
+  private val planesScaled: IndexedSeq[IndexedSeq[Double]] = {
+    val p = 2147483647L
+    val xs = Iterator.iterate(7L)(x => x * 48271L % p)
+      .drop(1).take(ScaledMaxPlanes * Dim).toIndexedSeq
+    (0 until ScaledMaxPlanes).map(j =>
+      (0 until Dim).map(d => xs(j * Dim + d).toDouble / p * 2.0 - 1.0))
+  }
+
+  private def planeScaledLit(j: Int): Column =
+    array(planesScaled(j).map(lit): _*)
+
+  /** Bucket id under the corpus-derived plane count `nb` (a column): one
+    * sign bit per ACTIVE plane, inactive planes contribute 0. */
+  private def scaledBucketCol(nb: Column): Column =
+    (0 until ScaledMaxPlanes)
+      .map(j => when(lit(j) < nb && dot($"v", planeScaledLit(j)) > 0,
+        lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Multi-probe sign-LSH top-k with a CORPUS-DERIVED plane count — the
+    * scale path for the ANN family's one remaining fixed fan-out
+    * constant: bucket count ≈ n / [[ScaledTarget]] (clamped to
+    * [2⁴, 2¹²]), derived as a 1-row broadcast so 10× more vectors means
+    * ~10× more buckets at the same per-bucket density instead of 10×
+    * denser buckets (whose equi-join is quadratic per bucket). Probes =
+    * own bucket + one flip per ACTIVE plane, so recall semantics match
+    * [[annLsh]] at every nb; at the test SFs n sits at the floor and the
+    * lane is bit-identical to [[annLsh]] (spec-pinned), while the oracle
+    * derives the identical nb in its `p` CTE. */
+  val annLshScaled: QueryDef = {
+    val ladder = (ScaledMinPlanes until ScaledMaxPlanes)
+      .map(k => s"WHEN count(*) <= ${ScaledTarget * (1L << k)} THEN $k")
+      .mkString(" ")
+    val bucketScaledSql = (0 until ScaledMaxPlanes)
+      .map(j => s"(CASE WHEN $j < p.nb AND ${dotSql("v", planesScaled(j).mkString("[", ", ", "]"))} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    QueryDef(
+      "llm_ann_lsh_scaled",
+      vecCte +
+        s"""
+           |, p AS (SELECT CASE $ladder ELSE $ScaledMaxPlanes END AS nb FROM e),
+           |b AS (SELECT vec_id, v, nrm, $bucketScaledSql AS bucket FROM e, p),
+           |q AS (SELECT * FROM b WHERE vec_id < $NQueries),
+           |s AS (SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+           |             ${dotSql("q.v", "b.v")} / (q.nrm * b.nrm) AS sim
+           |      FROM q JOIN b ON bit_count(xor(q.bucket, b.bucket)) <= 1
+           |                   AND q.vec_id <> b.vec_id),
+           |r AS (SELECT q_id, vec_id, sim,
+           |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+           |      FROM s)
+           |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
+           |FROM r WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
+    ) { (spark, dir) => annLshScaledOf(vectors(spark, dir)) }
+  }
+
+  /** [[annLshScaled]] over any (vec_id, v, nrm) frame — fixture seam. */
+  private[graft] def annLshScaledOf(e: DataFrame): DataFrame = {
+    // corpus-derived active-plane count: integer comparison ladder over a
+    // 1-row broadcast (see annLshScaled docs for why never float log2)
+    val nbCol = (ScaledMinPlanes until ScaledMaxPlanes)
+      .foldRight(lit(ScaledMaxPlanes): Column) { (k, acc) =>
+        when($"__n" <= lit(ScaledTarget * (1L << k)), lit(k)).otherwise(acc)
+      }
+    val n = e.agg(count(lit(1)).as("__n"))
+    val b = graft.Caches.persist(
+      e.crossJoin(broadcast(n)).withColumn("__nb", nbCol)
+        .withColumn("bucket", scaledBucketCol($"__nb")))
+    val p2 = array((0 until ScaledMaxPlanes).map(j => lit(1 << j)): _*)
+    val q = b.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"),
+        explode(concat(array($"bucket"),
+          transform(sequence(lit(0), $"__nb" - 1),
+            j => $"bucket".bitwiseXOR(element_at(p2, j + 1))))).as("bucket"))
+    val scored = b.join(broadcast(q), Seq("bucket"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        call_function("cosine_sim", $"qv", $"v").as("sim"))
+    rankTopK(scored)
+  }
+
   /** Tombstone fraction for [[annDelete]]: vec_id % 7 = 0 (~14% of the
     * index) is deleted — large enough that repairs are non-trivial, small
     * enough that the repair set stays delta-sized. */
@@ -2846,5 +2946,5 @@ object EmbeddingOps {
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
       annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower,
       annGraph, annGraphRecall, annHnsw, annHnswRecall, annHnswBeam,
-      annHnswBeamRecall, annHnswEfSweep, annInsert, annDelete)
+      annHnswBeamRecall, annHnswEfSweep, annInsert, annDelete, annLshScaled)
 }
