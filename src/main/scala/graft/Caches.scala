@@ -96,9 +96,9 @@ object Caches {
 
   // ------------------------------------------------- cross-query memo
 
-  /** (key, frame, backing checkpoint RDD) per memo name. */
+  /** (key, frame, RDDs the build left persisted) per memo name. */
   private val memos = scala.collection.mutable.Map
-    .empty[String, (String, DataFrame, Option[org.apache.spark.rdd.RDD[_]])]
+    .empty[String, (String, DataFrame, Seq[org.apache.spark.rdd.RDD[_]])]
 
   /** A frame computed ONCE and shared across REGISTRY QUERIES — the seam
     * the per-query [[release]] contract deliberately cannot express.
@@ -129,18 +129,28 @@ object Caches {
         case Some((k, df, _)) if k == key => df
         case prev =>
           prev.foreach(_._3.foreach(_.unpersist(blocking = false)))
-          var rdd: Option[org.apache.spark.rdd.RDD[_]] = None
+          // the backing blocks are tracked as the PERSISTED-RDD DELTA of
+          // the checkpoint step (a localCheckpoint can pin more than the
+          // final LogicalRDD), so a key change can drop every block the
+          // stale frame holds
+          var before: Set[Int] = Set.empty
           val df = scoped {
-            val cp = build.localCheckpoint()
-            cp.queryExecution.logical match {
-              case l: org.apache.spark.sql.execution.LogicalRDD =>
-                rdd = Some(l.rdd)
-              case _ => ()
-            }
-            org.apache.spark.sql.GraftShim.withoutOriginStats(cp)
+            val built = build
+            before = built.sparkSession.sparkContext
+              .getPersistentRDDs.keySet.toSet
+            org.apache.spark.sql.GraftShim.withoutOriginStats(
+              built.localCheckpoint())
           }
-          memos(name) = (key, df, rdd)
+          val after = df.sparkSession.sparkContext.getPersistentRDDs
+          val mine = (after.keySet -- before).toSeq.sorted.map(after(_))
+          memos(name) = (key, df, mine)
           df
       }
     }
+
+  /** Ids of the RDDs backing live memo frames — the documented survivors
+    * of [[release]], so block-leak assertions can subtract them. */
+  def memoRddIds: Set[Int] = memos.synchronized {
+    memos.values.flatMap(_._3.map(_.id)).toSet
+  }
 }

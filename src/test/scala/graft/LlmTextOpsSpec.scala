@@ -140,8 +140,13 @@ class LlmTextOpsSpec extends AnyFunSuite {
       .foreach { q =>
         q.run(spark, sf).write.format("noop").mode("overwrite").save()
         Caches.release()
-        assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-          s"${q.name} left persisted RDDs behind after release()")
+        // cross-query memo frames (Caches.memo) are the ONE documented
+        // survivor of release() — another suite's graph_scc build may be
+        // live in the shared session; everything else must be gone
+        val leaked =
+          spark.sparkContext.getPersistentRDDs.keySet -- Caches.memoRddIds
+        assert(leaked.isEmpty,
+          s"${q.name} left persisted RDDs behind after release(): $leaked")
       }
   }
 

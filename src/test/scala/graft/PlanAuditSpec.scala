@@ -175,15 +175,27 @@ class PlanAuditSpec extends AnyFunSuite {
     // input through one task (the scale bug a1_idgen is allowed to keep —
     // its global window ranks a 20-row top-k, after the limit).
     Seq("a4_lag_lead", "a4_moving_avg", "a4_sessionize", "a4_gap_fill",
-      "a2_ntile_quartiles", "a2_percent_rank", "llm_pack_sequences",
+      "a2_ntile_quartiles", "a2_percent_rank",
       "llm_sample_stratified", "a4_range_frame", "a4_positional_values",
       "typed_topk_group").foreach { n =>
       // (llm_tfidf_rank is excluded: its top-k window IS partitioned by
       // qid, but the corpus-size scalar subquery plans the same 1-row
-      // SinglePartition aggregate llm_idf is allowed.)
+      // SinglePartition aggregate llm_idf is allowed. llm_pack_sequences
+      // moved to the same class in round 14: its corpus-derived bucket
+      // count is a 1-row global count(*) broadcast — the window itself
+      // stays partitioned on the derived bucket, which the registry-wide
+      // logical audit below still proves.)
       assert(!plans(n).contains("SinglePartition"),
         s"$n plans a single-partition exchange")
     }
+    // llm_pack_sequences: the ONLY SinglePartition exchange allowed is the
+    // 1-row bucket-count aggregate; its prefix-sum window must still be
+    // hash-partitioned on the derived bucket key
+    val packPlan = plans("llm_pack_sequences")
+    assert(packPlan.contains("windowspecdefinition(bucket"),
+      "llm_pack_sequences window lost its bucket partitioning")
+    assert(packPlan.linesIterator.count(_.contains("SinglePartition")) <= 1,
+      "llm_pack_sequences plans more than the allowed 1-row count exchange")
   }
 
   test("registry-wide: unpartitioned windows only on documented bounded frames") {
