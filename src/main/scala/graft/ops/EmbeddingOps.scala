@@ -2005,7 +2005,9 @@ object EmbeddingOps {
         |       round(qs.sim, 6) AS sim
         |FROM walk w JOIN qs ON qs.q_id = w.q_id AND qs.node = w.node
         |ORDER BY w.q_id, w.hop""".stripMargin,
-  ) { (spark, dir) => annGraphOf(vectors(spark, dir)) }
+  ) { (spark, dir) =>
+    annGraphOf(vectors(spark, dir), Some(sharedHnswLayers(spark, dir)))
+  }
 
   /** Recall readout for [[annGraph]] — where does each walk actually LAND
     * on the exact similarity ranking? Per query: the terminal node, its
@@ -2036,13 +2038,16 @@ object EmbeddingOps {
          |       CAST(f.n_hops AS BIGINT) AS n_hops
          |FROM fs f JOIN rnk ON rnk.q_id = f.q_id
          |ORDER BY f.q_id""".stripMargin,
-  ) { (spark, dir) => annGraphRecallOf(vectors(spark, dir)) }
+  ) { (spark, dir) =>
+    annGraphRecallOf(vectors(spark, dir), Some(sharedHnswLayers(spark, dir)))
+  }
 
   /** [[annGraphRecall]] over any (vec_id, v, nrm) frame. The walk re-runs
     * the [[annGraphOf]] loop; the exact ranks come from one broadcast-
     * queries linear scan over the graph nodes. */
-  private[graft] def annGraphRecallOf(e: DataFrame): DataFrame = {
-    val term = annGraphOf(e)
+  private[graft] def annGraphRecallOf(e: DataFrame,
+      layers0: Option[DataFrame] = None): DataFrame = {
+    val term = annGraphOf(e, layers0)
       .withColumn("rk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"hop".desc)))
       .filter($"rk" === 1)
@@ -2102,13 +2107,18 @@ object EmbeddingOps {
       .filter($"rk" === 1 && $"snb" > $"s")
       .select($"q_id", $"qv", $"dst".as("cur"), $"snb".as("s"))
 
-  /** [[annGraph]] over any (vec_id, v, nrm) frame — fixture seam. */
-  private[graft] def annGraphOf(e: DataFrame): DataFrame = {
+  /** [[annGraph]] over any (vec_id, v, nrm) frame — fixture seam.
+    * `layers0` = the [[sharedHnswLayers]] frame; its layer-0 slice IS
+    * this lane's flat navigation graph. */
+  private[graft] def annGraphOf(e: DataFrame,
+      layers0: Option[DataFrame] = None): DataFrame = {
     val b = graft.Caches.persist(e)
     val nodes = b.filter($"vec_id" >= NQueries)
     // navigation graph cached keyed on src — every hop's frontier join
     // reuses the partitioning
-    val edges = graft.Caches.persist(navGraphOf(b).repartition($"src"))
+    val edges = layers0
+      .map(_.filter($"layer" === 0).select($"src", $"dst"))
+      .getOrElse(graft.Caches.persist(navGraphOf(b).repartition($"src")))
     val entry = nodes.agg(min($"vec_id").as("e"))
     val q = b.filter($"vec_id" < NQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
@@ -2147,6 +2157,49 @@ object EmbeddingOps {
     when(pmod(h, lit(16L)) === 0, 2).when(pmod(h, lit(4L)) === 0, 1)
       .otherwise(0)
   }
+
+  /** Layer-tagged navigation edges `(layer, src, dst)` — the
+    * [[navGraphOf]] kNN graph per layer l ∈ [0, [[HnswTop]]], computed
+    * ONCE per (session, input dir) and shared via [[graft.Caches.memo]]
+    * by the seven `llm_ann_graph*` / `llm_ann_hnsw*` registry lanes,
+    * which all search the IDENTICAL index over the IDENTICAL vector
+    * table (the SCC-frame seam applied to the ANN family — the ef sweep
+    * alone rebuilt the index once per sweep point, so one bench session
+    * paid the candidate join 8×). Vertex-sized: ≤ [[AnnGraphK]] edges
+    * per node per layer. On a real cluster this frame is the PERSISTED
+    * INDEX ARTIFACT every ANN serving / maintenance path reads instead
+    * of rebuilding — the memo is the single-JVM stand-in for that
+    * checkpointed table. Fixture seams pass no frame and build locally,
+    * so spec graphs stay self-contained. */
+  private def sharedHnswLayers(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo("ann_hnsw_layer_edges",
+      spark.sparkContext.applicationId + "|" + dir) {
+      hnswLayersOf(vectors(spark, dir))
+    }
+
+  /** The [[sharedHnswLayers]] build over any (vec_id, v, nrm) frame —
+    * layer l keeps the [[navGraphOf]] graph over nodes with lvl ≥ l;
+    * layer 0 is exactly [[annGraphOf]]'s flat navigation graph. */
+  private[graft] def hnswLayersOf(e: DataFrame): DataFrame = {
+    val nodes = e.filter($"vec_id" >= NQueries).withColumn("lvl", hnswLvl)
+    (0 to HnswTop).map { l =>
+      navGraphOf(nodes.filter($"lvl" >= l))
+        .select(lit(l).as("layer"), $"src", $"dst")
+    }.reduce(_ unionAll _)
+  }
+
+  /** Per-layer edge frames for the walk loops: slices of the shared
+    * layer-tagged frame when the registry lane passes one (memoized
+    * lineage-free blocks — no rebuild, no re-persist), the local
+    * [[navGraphOf]] build otherwise (fixture seams). */
+  private def hnswLayerEdges(nodes: DataFrame,
+      layers0: Option[DataFrame]): Map[Int, DataFrame] =
+    (0 to HnswTop).map { l =>
+      l -> layers0
+        .map(_.filter($"layer" === l).select($"src", $"dst"))
+        .getOrElse(graft.Caches.persist(
+          navGraphOf(nodes.filter($"lvl" >= l)).repartition($"src")))
+    }.toMap
 
   /** Greedy walk of ONE HNSW layer: the [[greedyStep]] loop with
     * FULL-state carry — unlike [[annGraphOf]]'s movers-only state, every
@@ -2264,17 +2317,17 @@ object EmbeddingOps {
          |JOIN qs ON qs.q_id = w.q_id AND qs.node = w.node
          |ORDER BY w.q_id, w.layer DESC, w.hop""".stripMargin)
       .replaceFirst("^WITH ", "WITH RECURSIVE "),
-  ) { (spark, dir) => annHnswOf(vectors(spark, dir)) }
+  ) { (spark, dir) =>
+    annHnswOf(vectors(spark, dir), Some(sharedHnswLayers(spark, dir)))
+  }
 
   /** [[annHnsw]] over any (vec_id, v, nrm) frame — fixture seam. */
-  private[graft] def annHnswOf(e: DataFrame): DataFrame = {
+  private[graft] def annHnswOf(e: DataFrame,
+      layers0: Option[DataFrame] = None): DataFrame = {
     val b = graft.Caches.persist(e)
     val nodes = graft.Caches.persist(
       b.filter($"vec_id" >= NQueries).withColumn("lvl", hnswLvl))
-    val layerEdges = (0 to HnswTop).map { l =>
-      l -> graft.Caches.persist(
-        navGraphOf(nodes.filter($"lvl" >= l)).repartition($"src"))
-    }.toMap
+    val layerEdges = hnswLayerEdges(nodes, layers0)
     val entry = nodes.agg(coalesce(
       min(when($"lvl" >= 2, $"vec_id")),
       min(when($"lvl" >= 1, $"vec_id")),
@@ -2329,11 +2382,14 @@ object EmbeddingOps {
          |FROM fs f JOIN rnk ON rnk.q_id = f.q_id
          |JOIN mv ON mv.q_id = f.q_id
          |ORDER BY f.q_id""".stripMargin,
-  ) { (spark, dir) => annHnswRecallOf(vectors(spark, dir)) }
+  ) { (spark, dir) =>
+    annHnswRecallOf(vectors(spark, dir), Some(sharedHnswLayers(spark, dir)))
+  }
 
   /** [[annHnswRecall]] over any (vec_id, v, nrm) frame. */
-  private[graft] def annHnswRecallOf(e: DataFrame): DataFrame = {
-    val walks = graft.Caches.persist(annHnswOf(e))
+  private[graft] def annHnswRecallOf(e: DataFrame,
+      layers0: Option[DataFrame] = None): DataFrame = {
+    val walks = graft.Caches.persist(annHnswOf(e, layers0))
     val term = walks.filter($"layer" === 0)
       .withColumn("rk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"hop".desc)))
@@ -2436,19 +2492,20 @@ object EmbeddingOps {
          |             unnest(beam) AS be
          |      FROM fb)
          |ORDER BY q_id, beam_rank""".stripMargin,
-  ) { (spark, dir) => annHnswBeamOf(vectors(spark, dir)) }
+  ) { (spark, dir) =>
+    annHnswBeamOf(vectors(spark, dir),
+      layers0 = Some(sharedHnswLayers(spark, dir)))
+  }
 
   /** [[annHnswBeam]] over any (vec_id, v, nrm) frame — fixture seam.
     * `ef` parameterizes the beam width (default [[BeamEf]] = the
     * registered lane; [[annHnswEfSweep]] sweeps it). */
-  private[graft] def annHnswBeamOf(e: DataFrame, ef: Int = BeamEf): DataFrame = {
+  private[graft] def annHnswBeamOf(e: DataFrame, ef: Int = BeamEf,
+      layers0: Option[DataFrame] = None): DataFrame = {
     val b = graft.Caches.persist(e)
     val nodes = graft.Caches.persist(
       b.filter($"vec_id" >= NQueries).withColumn("lvl", hnswLvl))
-    val layerEdges = (0 to HnswTop).map { l =>
-      l -> graft.Caches.persist(
-        navGraphOf(nodes.filter($"lvl" >= l)).repartition($"src"))
-    }.toMap
+    val layerEdges = hnswLayerEdges(nodes, layers0)
     val entry = nodes.agg(coalesce(
       min(when($"lvl" >= 2, $"vec_id")),
       min(when($"lvl" >= 1, $"vec_id")),
@@ -2529,7 +2586,10 @@ object EmbeddingOps {
          |       CAST(a.beam_hit AS BIGINT) AS beam_hit_topk
          |FROM best b JOIN anyk a USING (q_id)
          |ORDER BY b.q_id""".stripMargin,
-  ) { (spark, dir) => annHnswBeamRecallOf(vectors(spark, dir)) }
+  ) { (spark, dir) =>
+    annHnswBeamRecallOf(vectors(spark, dir),
+      Some(sharedHnswLayers(spark, dir)))
+  }
 
   /** Exact rank of every (q_id, node) in `beamNodes` under the
     * (sim DESC, vec_id) total order — one broadcast-queries linear scan,
@@ -2551,9 +2611,10 @@ object EmbeddingOps {
   }
 
   /** [[annHnswBeamRecall]] over any (vec_id, v, nrm) frame. */
-  private[graft] def annHnswBeamRecallOf(e: DataFrame): DataFrame = {
+  private[graft] def annHnswBeamRecallOf(e: DataFrame,
+      layers0: Option[DataFrame] = None): DataFrame = {
     val beam = graft.Caches.persist(
-      annHnswBeamOf(e).select($"q_id", $"node"))
+      annHnswBeamOf(e, layers0 = layers0).select($"q_id", $"node"))
     // exact rank of every beam member: one broadcast-pairs linear scan
     val ranks = beamExactRanks(e, beam)
     val best = ranks
@@ -2648,14 +2709,17 @@ object EmbeddingOps {
       SweepEfs.map(efChainSql).mkString(",\n") + "\n" +
       SweepEfs.map(ef => s"SELECT * FROM rd$ef").mkString("", " UNION ALL ", "") +
       " ORDER BY ef",
-  ) { (spark, dir) => annHnswEfSweepOf(vectors(spark, dir)) }
+  ) { (spark, dir) =>
+    annHnswEfSweepOf(vectors(spark, dir), Some(sharedHnswLayers(spark, dir)))
+  }
 
   /** [[annHnswEfSweep]] over any (vec_id, v, nrm) frame — fixture seam. */
-  private[graft] def annHnswEfSweepOf(e: DataFrame): DataFrame = {
+  private[graft] def annHnswEfSweepOf(e: DataFrame,
+      layers0: Option[DataFrame] = None): DataFrame = {
     val b = graft.Caches.persist(e)
     SweepEfs.map { ef =>
       val beam = graft.Caches.persist(
-        annHnswBeamOf(b, ef).select($"q_id", $"node"))
+        annHnswBeamOf(b, ef, layers0).select($"q_id", $"node"))
       val perQ = beamExactRanks(b, beam)
         .groupBy($"q_id").agg(min($"r").as("mr"))
       perQ.agg(
@@ -2937,6 +3001,69 @@ object EmbeddingOps {
       .orderBy($"src", $"r")
   }
 
+  /** SHARD-LOCAL index build + MERGE — the DISTRIBUTED-BUILD story for
+    * the navigation graph, completing the index lifecycle triple
+    * ([[annInsert]] = delta batches in, [[annDelete]] = tombstones out,
+    * merge = how the index is BUILT at 100 TB in the first place):
+    * vectors split into two shards by vec_id parity (stand-in for "the
+    * partition the vector lives on"), each shard builds its own top-K
+    * adjacency from WITHIN-shard bucket candidates only — the step a
+    * cluster runs data-local, touching no cross-partition vectors — and
+    * the merge re-ranks every node over (its shard-local top-K ∪
+    * cross-shard bucket candidates), ONE bucketed equi-join per shard
+    * pair per direction.
+    *
+    * The oracle is the FULL GLOBAL REBUILD ([[annInsert]]'s oracle
+    * verbatim — deliberately shared: both lanes claim rebuild-equality
+    * of a different incremental construction). The hash match proves
+    * merged == rebuilt edge-for-edge, sound for the insert lane's
+    * reason: a node's global top-K members from its OWN shard must
+    * already sit in its shard-local top-K (ranks only improve on a
+    * candidate subset), so dropping non-top-K local candidates before
+    * the merge can never lose a global edge, and cross-shard candidates
+    * are passed through unpruned.
+    *
+    * Scale: B shards ⇒ B data-local builds + bucket-keyed cross-shard
+    * joins (B·(B−1) directed pairs, or a tree of pairwise merges since
+    * merge is associative by the same argument); nothing all-pairs,
+    * nothing bigger than the vertex-sized adjacency in the re-rank. */
+  val annMerge: QueryDef = QueryDef("llm_ann_merge", annInsert.oracle.get) {
+    (spark, dir) => annMergeOf(vectors(spark, dir))
+  }
+
+  /** [[annMerge]] over any (vec_id, v, nrm) frame — fixture seam. The
+    * Spark side is the shard-local-then-merge construction; equality
+    * with the oracle's global rebuild is the lane's claim. */
+  private[graft] def annMergeOf(e: DataFrame): DataFrame = {
+    val nodes = graft.Caches.persist(
+      e.filter($"vec_id" >= NQueries).withColumn("bucket", bucketCol)
+        .withColumn("shard", pmod($"vec_id", lit(2L))))
+    def pairs(left: DataFrame, probe: DataFrame): DataFrame = {
+      val p = probe.select($"vec_id".as("y_id"), $"v".as("yv"),
+        explode(array($"bucket" +: (0 until NPlanes)
+          .map(j => $"bucket".bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+      left.join(p, Seq("bucket"))
+        .filter($"vec_id" =!= $"y_id")
+        .select($"vec_id".as("src"), $"y_id".as("dst"),
+          call_function("cosine_sim", $"v", $"yv").as("s"))
+    }
+    def topK(adj: DataFrame): DataFrame = adj
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"src").orderBy($"s".desc, $"dst")))
+      .filter($"rk" <= AnnGraphK)
+    val a = nodes.filter($"shard" === 0)
+    val b = nodes.filter($"shard" === 1)
+    // shard-local top-K adjacencies (scores retained for the merge re-rank)
+    val local = topK(pairs(a, a)).unionAll(topK(pairs(b, b)))
+      .select($"src", $"dst", $"s")
+    // cross-shard candidates, unpruned: one bucketed join per direction;
+    // dst sets are disjoint from local's (other shard vs own), no dups
+    val cross = pairs(a, b).unionAll(pairs(b, a))
+    topK(local.unionAll(cross))
+      .select($"src", $"dst", $"rk".cast("long").as("r"))
+      .orderBy($"src", $"r")
+  }
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
@@ -2946,5 +3073,6 @@ object EmbeddingOps {
       pqTrain, pqEncode, pqAdc, pqIvfAdc, pqRecall, annNdcg,
       annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower,
       annGraph, annGraphRecall, annHnsw, annHnswRecall, annHnswBeam,
-      annHnswBeamRecall, annHnswEfSweep, annInsert, annDelete, annLshScaled)
+      annHnswBeamRecall, annHnswEfSweep, annInsert, annDelete, annMerge,
+      annLshScaled)
 }

@@ -1502,8 +1502,25 @@ object GraphOps {
          |      FROM cm$LouvainRounds GROUP BY 1) s USING (comm)
          |ORDER BY part""".stripMargin,
   ) { (spark, dir) =>
-    louvainFullOf(cooccurEdges(Tables.lineitem(spark, dir)), LouvainRounds)
+    louvainFullOf(cooccurEdges(Tables.lineitem(spark, dir)), LouvainRounds,
+      Some(sharedLouvainFine(spark, dir)))
   }
+
+  /** The [[LouvainRounds]]-round fine-pass assignment over the mined
+    * co-occurrence graph, computed ONCE per (session, input dir) and
+    * shared by the `graph_louvain` / `graph_louvain_coarsen` /
+    * `graph_louvain_multilevel` registry lanes via [[graft.Caches.memo]]
+    * — all three run the IDENTICAL local-move rounds on the IDENTICAL
+    * edge set before diverging (flat readout / one contraction / the
+    * full hierarchy), the same one-partition-computed-thrice shape the
+    * SCC memo closed in round 14. Vertex-sized (node, comm). Fixture
+    * seams pass no frame and pay the local rounds. */
+  private def sharedLouvainFine(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo("graph_louvain_fine",
+      spark.sparkContext.applicationId + "|" + dir) {
+      louvainAssignOf(cooccurEdges(Tables.lineitem(spark, dir)),
+        LouvainRounds)
+    }
 
   /** The [[louvainFull]] local-move loop over any canonical weighted
     * `(p1, p2, w)` edge list (self-loops allowed when the list is a
@@ -1555,9 +1572,11 @@ object GraphOps {
   }
 
   /** [[louvainFull]] over any canonical weighted `(p1, p2, w)` edge list —
-    * extracted for the planted-two-clique spec. */
-  private[graft] def louvainFullOf(wp: DataFrame, rounds: Int): DataFrame =
-    louvainAssignOf(wp, rounds)
+    * extracted for the planted-two-clique spec. `fine0` = the
+    * [[sharedLouvainFine]] frame when the registry lane passes it. */
+  private[graft] def louvainFullOf(wp: DataFrame, rounds: Int,
+      fine0: Option[DataFrame] = None): DataFrame =
+    fine0.getOrElse(louvainAssignOf(wp, rounds))
       .withColumn("comm_size", count(lit(1)).over(Window.partitionBy($"comm")))
       .select($"node".as("part"), $"comm".as("community"), $"comm_size")
       .orderBy($"part")
@@ -1612,14 +1631,16 @@ object GraphOps {
          |ORDER BY part""".stripMargin,
   ) { (spark, dir) =>
     louvainCoarsenOf(cooccurEdges(Tables.lineitem(spark, dir)),
-      LouvainRounds, CoarseRounds)
+      LouvainRounds, CoarseRounds, Some(sharedLouvainFine(spark, dir)))
   }
 
   /** [[louvainCoarsen]] over any canonical weighted `(p1, p2, w)` edge
-    * list — fixture seam. */
+    * list — fixture seam. `fine0` = the [[sharedLouvainFine]] frame
+    * (already materialized, so it is not re-persisted). */
   private[graft] def louvainCoarsenOf(wp: DataFrame, rounds: Int,
-      coarseRounds: Int): DataFrame = {
-    val cm = graft.Caches.persist(louvainAssignOf(wp, rounds))
+      coarseRounds: Int, fine0: Option[DataFrame] = None): DataFrame = {
+    val cm = fine0.getOrElse(
+      graft.Caches.persist(louvainAssignOf(wp, rounds)))
     val ce = wp
       .join(cm.select($"node".as("p1"), $"comm".as("c1")), "p1")
       .join(cm.select($"node".as("p2"), $"comm".as("c2")), "p2")
@@ -1704,15 +1725,19 @@ object GraphOps {
          |ORDER BY part""".stripMargin,
   ) { (spark, dir) =>
     louvainMultilevelOf(cooccurEdges(Tables.lineitem(spark, dir)),
-      LouvainRounds, CoarseRounds, MultiLevels)
+      LouvainRounds, CoarseRounds, MultiLevels,
+      Some(sharedLouvainFine(spark, dir)))
   }
 
   /** [[louvainMultilevel]] over any canonical weighted `(p1, p2, w)` edge
     * list — fixture seam. `levels = 1` reproduces [[louvainCoarsenOf]]
-    * exactly (the spec pins this). */
+    * exactly (the spec pins this); `fine0` = the [[sharedLouvainFine]]
+    * frame (already materialized, so it is not re-persisted). */
   private[graft] def louvainMultilevelOf(wp: DataFrame, rounds: Int,
-      coarseRounds: Int, levels: Int): DataFrame = {
-    var assign = graft.Caches.persist(louvainAssignOf(wp, rounds))
+      coarseRounds: Int, levels: Int,
+      fine0: Option[DataFrame] = None): DataFrame = {
+    var assign = fine0.getOrElse(
+      graft.Caches.persist(louvainAssignOf(wp, rounds)))
     var proj = assign.select($"node", $"comm".as("community"))
     var graph = wp
     for (_ <- 1 to levels) {

@@ -961,9 +961,132 @@ object MultimodalOps {
       .select($"doc_id", $"cluster_id").orderBy($"doc_id")
   }
 
+  // ------------------------------------- real binary format: 16-bit PCM WAV
+
+  /** Samples per analysis window for [[wavEnergy]]. */
+  private val WavWin = 32
+
+  /** Deterministic 16-bit signed PCM mono WAV payload per document — the
+    * AUDIO sibling of [[pgmPayloadOf]], and the first lane whose payload
+    * carries TRUE binary sample bytes (the PGM raster is ASCII-range by
+    * construction; these bytes span the full 0..255 including the 16-bit
+    * two's-complement negatives). Canonical 44-byte RIFF/WAVE/fmt/data
+    * header via [[leBytes]], then n = 64 + (doc_id mod 3)·32 samples,
+    * s(k) = ((ascii(text[k mod len]) · 131 + k · 17 + doc_id) mod 4001)
+    * − 2000, each serialized as little-endian two's complement. Map-only;
+    * a production pipeline reads these bytes from object storage — the
+    * decode path below is identical either way. */
+  private[graft] def wavPcmPayloadOf(docs: DataFrame): DataFrame = {
+    val asciiF = org.apache.spark.sql.functions.ascii _
+    val n = lit(64L) + ($"doc_id" % 3L) * 32L
+    docs.filter(length($"text") > 0).select($"doc_id",
+      concat(
+        ascii("RIFF"), leBytes(lit(36L) + n * 2L, 4), ascii("WAVE"),
+        ascii("fmt "), leBytes(lit(16), 4),
+        leBytes(lit(1), 2), leBytes(lit(1), 2),          // PCM, mono
+        leBytes(lit(16000), 4), leBytes(lit(32000), 4),  // rate, byte rate
+        leBytes(lit(2), 2), leBytes(lit(16), 2),         // block align, bits
+        ascii("data"), leBytes(n * 2L, 4),
+        unhex(bindOnce(struct($"doc_id".as("id"), n.as("n"), $"text".as("t"),
+          length($"text").cast("long").as("ln"))) { c =>
+          array_join(transform(sequence(lit(0L), c.getField("n") - 1), k => {
+            val b = asciiF(c.getField("t").substr(
+              (k % c.getField("ln") + 1).cast("int"), lit(1))).cast("long")
+            val s = (b * 131L + k * 17L + c.getField("id")) % 4001L - 2000L
+            val u = pmod(s, lit(65536L))
+            concat(lpad(hex(u.bitwiseAND(lit(255L))), 2, "0"),
+              lpad(hex(shiftright(u, 8)), 2, "0"))
+          }), "")
+        })).as("payload"))
+  }
+
+  /** The PCM WAV media table over the corpus. */
+  private[graft] def wavPcmTable(spark: SparkSession, dir: String): DataFrame =
+    wavPcmPayloadOf(Tables.documents(spark, dir))
+
+  /** Windowed audio energy over REAL DECODED PCM: parse the RIFF header
+    * back OUT OF THE BYTES (magic checks + little-endian data length),
+    * reassemble each 16-bit two's-complement sample from its byte pair,
+    * then per [[WavWin]]-sample window the exact integer energy Σs², the
+    * peak max|s|, and a silence flag — the audio-pipeline primitives
+    * (VAD gating, silence trimming, loudness bucketing) over an actual
+    * binary audio format end-to-end. Samples are decoded ONCE into a
+    * lambda-bound array (the [[dctHash]] staged-collapse lesson); windows
+    * are emitted as precomputed structs so the explode re-evaluates
+    * nothing. Map-only at any scale; a malformed payload yields no rows
+    * (skip-malformed convention, spec-pinned).
+    *
+    * The oracle derives the identical windows ARITHMETICALLY from the
+    * sample definition (the [[decodeMeta]] convention — DuckDB cannot
+    * byte-address a Spark-written blob): the hash match proves the
+    * synth → little-endian bytes → parse round-trip inverts the layout
+    * exactly, since any off-by-one or sign error shifts every energy. */
+  val wavEnergy: QueryDef = QueryDef(
+    "mm_wav_energy",
+    s"""WITH raw AS (SELECT doc_id, text, length(text) AS ln,
+       |                    64 + (doc_id % 3) * 32 AS n
+       |             FROM documents WHERE length(text) > 0),
+       |sm AS (SELECT doc_id, n,
+       |       [ ((ascii(substr(text, CAST(1 + (k % ln) AS INT), 1)) * 131 + k * 17 + doc_id) % 4001) - 2000
+       |         for k in range(0, n)] AS s
+       |       FROM raw),
+       |wl AS (SELECT doc_id,
+       |       [ struct_pack(wi := w,
+       |           e := list_sum([x * x for x in list_slice(s, CAST(w * $WavWin + 1 AS INT), CAST(w * $WavWin + $WavWin AS INT))]),
+       |           p := list_max([abs(x) for x in list_slice(s, CAST(w * $WavWin + 1 AS INT), CAST(w * $WavWin + $WavWin AS INT))]))
+       |         for w in range(0, n // $WavWin)] AS ws
+       |       FROM sm),
+       |u AS (SELECT doc_id, unnest(ws) AS wq FROM wl)
+       |SELECT doc_id, CAST(struct_extract(wq, 'wi') AS BIGINT) AS win_id,
+       |       CAST(struct_extract(wq, 'e') AS BIGINT) AS energy,
+       |       CAST(struct_extract(wq, 'p') AS BIGINT) AS peak,
+       |       CAST(CASE WHEN struct_extract(wq, 'p') < 500 THEN 1 ELSE 0 END AS BIGINT) AS silent
+       |FROM u ORDER BY doc_id, win_id""".stripMargin,
+  ) { (spark, dir) =>
+    wavEnergyOf(wavPcmTable(spark, dir)).orderBy($"doc_id", $"win_id")
+  }
+
+  /** [[wavEnergy]] over any `(doc_id, payload)` frame — fixture seam. */
+  private[graft] def wavEnergyOf(media: DataFrame): DataFrame = {
+    val ok = decode($"payload".substr(lit(1), lit(4)), "US-ASCII") === "RIFF" &&
+      decode($"payload".substr(lit(9), lit(4)), "US-ASCII") === "WAVE" &&
+      decode($"payload".substr(lit(37), lit(4)), "US-ASCII") === "data"
+    val dataLen = (0 until 4).map { i =>
+      conv(hex($"payload".substr(lit(41 + i), lit(1))), 16, 10).cast("long") *
+        (1L << (8 * i))
+    }.reduce(_ + _)
+    val wins = bindOnce(struct(ok.as("ok"),
+      shiftright(dataLen, 1).as("ns"), $"payload".as("p"))) { c =>
+      val ns = c.getField("ns")
+      def byteAt(pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        conv(hex(c.getField("p").substr(pos.cast("int"), lit(1))), 16, 10)
+          .cast("long")
+      when(c.getField("ok") && ns >= WavWin,
+        bindOnce(transform(sequence(lit(0L), ns - 1), k => {
+          val u = byteAt(lit(45L) + k * 2L) + byteAt(lit(46L) + k * 2L) * 256L
+          u - when(u >= 32768L, lit(65536L)).otherwise(lit(0L))
+        })) { smp =>
+          transform(sequence(lit(0L), floor(ns / WavWin).cast("long") - 1), w =>
+            struct(w.as("win_id"),
+              aggregate(
+                slice(smp, (w * WavWin + 1L).cast("int"), lit(WavWin)),
+                lit(0L), (acc, x) => acc + x * x).as("energy"),
+              aggregate(
+                slice(smp, (w * WavWin + 1L).cast("int"), lit(WavWin)),
+                lit(0L), (acc, x) => greatest(acc, abs(x))).as("peak")))
+        })
+        .otherwise(array().cast(
+          "array<struct<win_id:bigint,energy:bigint,peak:bigint>>"))
+    }
+    media.select($"doc_id", explode(wins).as("wq"))
+      .select($"doc_id", $"wq.win_id".as("win_id"), $"wq.energy".as("energy"),
+        $"wq.peak".as("peak"),
+        when($"wq.peak" < 500L, 1L).otherwise(0L).as("silent"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(bytesStats, metaFilter, frameSample, decodeMeta, features,
       payloadDedup, crossmodalFetch, shardAssign, simhashPayload,
       phash, phashPairs, phashPairs2, sharedFrames, neardupCluster,
-      pgmDecode, phashPgm)
+      pgmDecode, phashPgm, wavEnergy)
 }

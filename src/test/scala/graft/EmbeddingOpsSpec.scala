@@ -820,4 +820,44 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(at4._3 == rec.map(_._2).sum, "ef=4 n_hit_topk == Σ beam_hit_topk")
     assert(at4._4 == rec.map(_._1).sum, "ef=4 best_rank_sum == Σ rank_exact")
   }
+
+  test("shared layer-tagged HNSW index slices equal the per-lane layer builds") {
+    import org.apache.spark.sql.functions._
+    val sf0 = "/root/testdata/sf0.001"
+    val e = graft.io.Tables.embeddings(spark, sf0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val layers = graft.Caches.persist(EmbeddingOps.hnswLayersOf(e))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(EmbeddingOps.annHnswOf(e, Some(layers))) ==
+      rows(EmbeddingOps.annHnswOf(e)), "greedy descent lane")
+    assert(rows(EmbeddingOps.annHnswBeamOf(e, layers0 = Some(layers))) ==
+      rows(EmbeddingOps.annHnswBeamOf(e)), "beam lane")
+    assert(rows(EmbeddingOps.annGraphOf(e, Some(layers))) ==
+      rows(EmbeddingOps.annGraphOf(e)), "flat-graph lane (layer-0 slice)")
+    graft.Caches.release()
+  }
+
+  test("ANN shard merge equals a full global rebuild (distributed-build soundness)") {
+    import org.apache.spark.sql.functions._
+    val sf0 = "/root/testdata/sf0.001"
+    val e = graft.io.Tables.embeddings(spark, sf0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val merged = EmbeddingOps.annMergeOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // both parity shards contribute sources (the merge is not degenerate)
+    assert(merged.map(_._1 % 2).distinct.sorted.toSeq == Seq(0L, 1L),
+      "both shards must contribute sources")
+    // engine-side global rebuild (the registered oracle proves the same
+    // equality in DuckDB at sf0.01; this pins it at a second SF)
+    val rebuilt = EmbeddingOps.navGraphOf(e.select(col("vec_id"), col("v")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(merged.map(t => (t._1, t._2)).toSet == rebuilt.toSet,
+      "shard-local build + merge diverges from the global rebuild")
+    // ranks contiguous per src
+    merged.groupBy(_._1).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length), s"src $s ranks") }
+  }
 }

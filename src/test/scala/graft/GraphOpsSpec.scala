@@ -716,6 +716,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows(4L) == ((3L, 1L, 1L, 1L)), s"middle SCC: ${rows(4L)}")
     assert(rows(7L) == ((1L, 1L, 0L, 2L)), s"sink singleton: ${rows(7L)}")
   }
+
+  test("shared Louvain fine pass reproduces the local build in all three lanes") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // the ring-of-triangles resolution-limit fixture again: the memoized
+    // fine assignment handed to each lane must be indistinguishable from
+    // the lane computing its own
+    val k = 10
+    val edges = (0 until k).flatMap { t =>
+      val b = 3 * t
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2), (b + 2, (b + 3) % (3 * k)))
+    }.map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong, 1L) }
+      .toDF("p1", "p2", "w")
+    val fine = graft.Caches.persist(GraphOps.louvainAssignOf(edges, 4))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(GraphOps.louvainFullOf(edges, 4, Some(fine))) ==
+      rows(GraphOps.louvainFullOf(edges, 4)), "flat lane")
+    assert(rows(GraphOps.louvainCoarsenOf(edges, 4, 2, Some(fine))) ==
+      rows(GraphOps.louvainCoarsenOf(edges, 4, 2)), "coarsen lane")
+    assert(rows(GraphOps.louvainMultilevelOf(edges, 4, 2, 2, Some(fine))) ==
+      rows(GraphOps.louvainMultilevelOf(edges, 4, 2, 2)), "multilevel lane")
+    graft.Caches.release()
+  }
 }
 
 /** Collects jaccardLinksOf output as (a,b) -> (n_common, jaccard). */

@@ -344,4 +344,48 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(hs(1L) == hs(2L),
       "16x16 block-mean downsample must hash like the 8x8 image of its means")
   }
+
+  test("WAV PCM energy: true-binary byte round-trip matches the sample definition; malformed -> no rows") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val texts = Map(2L -> "hello world", 7L -> "abc")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val media = MultimodalOps.wavPcmPayloadOf(docs)
+    // the payload is a byte-valid RIFF container with true binary samples
+    for ((id, b) <- media.orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))) {
+      val n = 64 + (id % 3) * 32
+      assert(new String(b, 0, 4, "US-ASCII") == "RIFF", s"doc $id magic")
+      assert(new String(b, 36, 4, "US-ASCII") == "data", s"doc $id data tag")
+      assert(b.length == 44 + 2 * n, s"doc $id length")
+      val dl = (b(40) & 255) | ((b(41) & 255) << 8) |
+        ((b(42) & 255) << 16) | ((b(43) & 255) << 24)
+      assert(dl == 2 * n, s"doc $id little-endian data length field")
+      // negative samples force high-bit bytes: this lane is the one whose
+      // payload is NOT ASCII-range by construction
+      assert(b.drop(44).exists(x => (x & 255) > 127),
+        s"doc $id must carry true binary (two's-complement) sample bytes")
+    }
+    val rows = MultimodalOps.wavEnergyOf(media)
+      .orderBy($"doc_id", $"win_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 0L), (2L, 1L), (2L, 2L), (2L, 3L), (7L, 0L), (7L, 1L), (7L, 2L)),
+      "window ids: n=128 -> 4 windows, n=96 -> 3")
+    // replay the sample definition in-process: the parsed energies must
+    // equal the arithmetic derivation (what the DuckDB oracle computes)
+    def sample(id: Long, text: String, k: Long): Long =
+      ((text.charAt((k % text.length).toInt).toLong * 131 + k * 17 + id) %
+        4001) - 2000
+    for (r <- rows) {
+      val (id, w) = (r.getLong(0), r.getLong(1))
+      val s = (w * 32 until (w + 1) * 32).map(k => sample(id, texts(id), k))
+      assert(r.getLong(2) == s.map(x => x * x).sum, s"energy doc $id win $w")
+      assert(r.getLong(3) == s.map(math.abs).max, s"peak doc $id win $w")
+      assert(r.getLong(4) ==
+        (if (s.map(math.abs).max < 500) 1L else 0L), s"silent doc $id win $w")
+    }
+    // malformed payload: skipped, not thrown
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(MultimodalOps.wavEnergyOf(bad).collect().isEmpty,
+      "malformed payload must yield no windows")
+  }
 }
