@@ -2315,10 +2315,115 @@ object GraphOps {
       .orderBy($"scc_id")
   }
 
+  // ------------------------------------------------- densest subgraph
+
+  /** Oracle unroll for [[densest]] — peel exhausts sf0.01's mined graph
+    * in far fewer rounds (the spec asserts slack); rounds past exhaustion
+    * contribute n_nodes = 0 rows the final filter drops, so any unroll ≥
+    * the actual depth replays the Spark loop exactly (the [[kcoreCtes]]
+    * soundness argument). */
+  private val DensestOracleRounds = 24
+
+  /** Densest-subgraph peeling readout — Charikar's greedy 2-approximation
+    * parallelized as Bahmani, Kumar & Vassilvitskii (2012): each round
+    * removes EVERY node whose degree is ≤ (1+ε)·(m/n)·2 with ε = 1/2,
+    * i.e. keep iff deg·n > 3m in EXACT INTEGERS (engine-identical, no
+    * float density crosses the engines), which shrinks the active set by
+    * ≥ 1/3 per round ⇒ O(log n) rounds. Per surviving round one readout
+    * row (round, n_nodes, n_edges, density_ppm = ⌊10⁶·m/n⌋) plus an
+    * `is_best` flag on the max-density round (ties to the earliest): that
+    * round's active set is the (2+2ε)-approximate densest subgraph — the
+    * "find the pathological hot community before it melts a shuffle"
+    * diagnostic next to [[kcore]]'s fixed-threshold peel.
+    *
+    * Scale shape: each round is one degree aggregation + two semi-joins
+    * on the shrinking edge set ([[kcoreOf]]'s audited peel shape), round
+    * count logarithmic in the vertex count; the density rule consumes the
+    * (n, m) scalars as a broadcast 1-row frame, never a driver literal in
+    * the plan. */
+  val densest: QueryDef = QueryDef(
+    "graph_densest",
+    {
+      val rounds = (0 until DensestOracleRounds).map { r =>
+        s"""pd$r AS (SELECT u, count(*) AS dg
+           |        FROM (SELECT p1 AS u FROM pe$r UNION ALL SELECT p2 FROM pe$r)
+           |        GROUP BY 1),
+           |ps$r AS (SELECT CAST($r AS BIGINT) AS round,
+           |                (SELECT count(*) FROM pd$r) AS n_nodes,
+           |                (SELECT count(*) FROM pe$r) AS m),
+           |pe${r + 1} AS MATERIALIZED (
+           |  SELECT e.p1, e.p2 FROM pe$r e
+           |  JOIN pd$r x ON x.u = e.p1 JOIN pd$r y ON y.u = e.p2
+           |  WHERE x.dg * (SELECT n_nodes FROM ps$r) > 3 * (SELECT m FROM ps$r)
+           |    AND y.dg * (SELECT n_nodes FROM ps$r) > 3 * (SELECT m FROM ps$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesSql,
+         |pe0 AS MATERIALIZED (SELECT p1, p2 FROM pairs),
+         |$rounds,
+         |allr AS (${(0 until DensestOracleRounds).map(r => s"SELECT * FROM ps$r").mkString(" UNION ALL ")}),
+         |nz AS (SELECT round, n_nodes, m AS n_edges,
+         |              m * 1000000 // n_nodes AS density_ppm
+         |       FROM allr WHERE n_nodes > 0),
+         |bb AS (SELECT max(density_ppm) AS bd FROM nz),
+         |bfr AS (SELECT min(round) AS br FROM nz WHERE density_ppm = (SELECT bd FROM bb))
+         |SELECT round, n_nodes, n_edges, CAST(density_ppm AS BIGINT) AS density_ppm,
+         |       CAST(CASE WHEN round = (SELECT br FROM bfr) THEN 1 ELSE 0 END AS BIGINT) AS is_best
+         |FROM nz ORDER BY round""".stripMargin
+    },
+  ) { (spark, dir) => densestOf(cooccurEdges(Tables.lineitem(spark, dir))) }
+
+  /** [[densest]] over any canonical (p1 < p2) edge list — fixture seam. */
+  private[graft] def densestOf(edges: DataFrame): DataFrame = {
+    import graft.Caches.localCheckpoint
+    var e = localCheckpoint(edges.select($"p1", $"p2"))
+    var out: Option[DataFrame] = None
+    var live = true
+    var r = 0
+    while (live && r < MaxPeelRounds) {
+      val deg = localCheckpoint(
+        e.select($"p1".as("u")).unionAll(e.select($"p2".as("u")))
+          .groupBy($"u").agg(count(lit(1)).as("dg")))
+      val st = localCheckpoint(
+        deg.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("m")))
+          .select(lit(r.toLong).as("round"), $"n_nodes", $"m"))
+      // 1-row loop-guard read (the kcoreOf convention); the peel rule
+      // itself consumes the scalars via the broadcast frame below
+      if (st.head().getLong(1) == 0L) live = false
+      else {
+        out = Some(out.map(_.unionAll(st)).getOrElse(st))
+        val keep = deg.crossJoin(broadcast(st))
+          .filter($"dg" * $"n_nodes" > lit(3L) * $"m")
+          .select($"u")
+        e = localCheckpoint(
+          e.join(keep.select($"u".as("p1")), Seq("p1"), "left_semi")
+            .join(keep.select($"u".as("p2")), Seq("p2"), "left_semi")
+            .select($"p1", $"p2"))
+        r += 1
+      }
+    }
+    if (live)
+      throw new IllegalStateException(
+        s"densestOf did not exhaust the graph after $MaxPeelRounds peeling " +
+          "rounds — refusing to emit a truncated readout")
+    val rows = out.getOrElse(
+      e.agg(count(lit(1)).as("m"))
+        .select(lit(0L).as("round"), lit(0L).as("n_nodes"), $"m").limit(0))
+    val dens = rows.select($"round", $"n_nodes", $"m".as("n_edges"),
+      expr("(m * 1000000) DIV n_nodes").as("density_ppm"))
+    val best = dens.agg(max($"density_ppm").as("bd"))
+    val bestRound = dens.join(broadcast(best), $"density_ppm" === $"bd")
+      .agg(min($"round").as("br"))
+    dens.crossJoin(broadcast(bestRound))
+      .select($"round", $"n_nodes", $"n_edges", $"density_ppm",
+        when($"round" === $"br", 1L).otherwise(0L).as("is_best"))
+      .orderBy($"round")
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, personalizedPageRank, bfsLevels,
       adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore, ktruss,
       labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks,
       assortativity, sssp, louvainPass, louvainFull, louvainCoarsen,
-      louvainMultilevel, scc, sccCondense, closeness, stress)
+      louvainMultilevel, scc, sccCondense, closeness, stress, densest)
 }

@@ -533,9 +533,21 @@ object MultimodalOps {
        |                         ELSE 0 END for k in range(0, 64)] AS p
        |            FROM documents),
        |""".stripMargin + dctTailSql,
-  ) { (spark, dir) =>
-    phashOf(mediaTable(spark, dir)).orderBy($"doc_id")
-  }
+  ) { (spark, dir) => sharedPhash(spark, dir).orderBy($"doc_id") }
+
+  /** The stub-luma perceptual-hash frame `(doc_id, phash)`, computed ONCE
+    * per (session, input dir) and shared by the `mm_phash` /
+    * `mm_phash_pairs` / `mm_phash_pairs2` registry lanes via
+    * [[graft.Caches.memo]] — all three derive pairs from the IDENTICAL
+    * 64-point DCT over the IDENTICAL payloads, and the DCT is the
+    * dominant per-row cost (the SCC-frame seam applied to the perceptual
+    * dedup family). Doc-count-sized, 16 bytes a row. Fixture seams pass
+    * no frame and compute locally. */
+  private def sharedPhash(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo("mm_phash_frame",
+      spark.sparkContext.applicationId + "|" + dir) {
+      phashOf(mediaTable(spark, dir))
+    }
 
   /** Evaluate-once let-binding for column expressions: `value` becomes a
     * lambda variable of a single-element `transform`, so `body` can
@@ -625,13 +637,15 @@ object MultimodalOps {
         |WHERE bit_count(xor(a.phash, b.phash)) <= 1
         |ORDER BY doc_a, doc_b""".stripMargin,
   ) { (spark, dir) =>
-    phashPairsOf(mediaTable(spark, dir)).orderBy($"doc_a", $"doc_b")
+    phashPairsOf(mediaTable(spark, dir), Some(sharedPhash(spark, dir)))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** [[phashPairs]]' mining body over any `(doc_id, payload)` frame —
-    * fixture seam. */
-  private[graft] def phashPairsOf(media: DataFrame): DataFrame = {
-    val ph = phashOf(media)
+    * fixture seam. `ph0` = the [[sharedPhash]] frame. */
+  private[graft] def phashPairsOf(media: DataFrame,
+      ph0: Option[DataFrame] = None): DataFrame = {
+    val ph = ph0.getOrElse(phashOf(media))
     val bd = ph.select($"doc_id", $"phash",
       explode(array(
         struct(lit(0L).as("band"),
@@ -680,13 +694,15 @@ object MultimodalOps {
         |WHERE bit_count(xor(a.phash, b.phash)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
   ) { (spark, dir) =>
-    phashPairs2Of(mediaTable(spark, dir)).orderBy($"doc_a", $"doc_b")
+    phashPairs2Of(mediaTable(spark, dir), Some(sharedPhash(spark, dir)))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** [[phashPairs2]]' mining body over any `(doc_id, payload)` frame —
-    * fixture seam. */
-  private[graft] def phashPairs2Of(media: DataFrame): DataFrame = {
-    val ph = phashOf(media)
+    * fixture seam. `ph0` = the [[sharedPhash]] frame. */
+  private[graft] def phashPairs2Of(media: DataFrame,
+      ph0: Option[DataFrame] = None): DataFrame = {
+    val ph = ph0.getOrElse(phashOf(media))
     val bd = ph.select($"doc_id", $"phash",
       explode(array((0 until 3).map(b => struct(
         lit(b.toLong).as("band"),

@@ -717,6 +717,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows(7L) == ((1L, 1L, 0L, 2L)), s"sink singleton: ${rows(7L)}")
   }
 
+  test("densest peel: star shell strips first, the clique core is the best round") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // K6 on nodes 0..5 (m = 15) plus 12 degree-1 leaves on node 0:
+    // round 0 sees n = 18, m = 27 (density 1.5) and the deg·n ≤ 3m rule
+    // strips the leaves; round 1 is the bare clique (density 2.5 = best);
+    // a clique always peels itself entirely, so round 2 is empty
+    val clique = for (a <- 0 until 6; b <- a + 1 until 6) yield (a.toLong, b.toLong)
+    val leaves = (6 until 18).map(l => (0L, l.toLong))
+    val edges = (clique ++ leaves).toDF("p1", "p2")
+    val rows = GraphOps.densestOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (0L, 18L, 27L, 1500000L, 0L),
+      (1L, 6L, 15L, 2500000L, 1L)), s"peel readout: ${rows.toSeq}")
+    val again = GraphOps.densestOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == again.toSeq, "peel must be deterministic")
+    // the oracle's fixed unroll keeps slack over the observed sf0.01 depth
+    val sfRows = GraphOps.densestOf(GraphOps.cooccurEdges(
+      graft.io.Tables.lineitem(spark, "/root/testdata/sf0.01"))).collect()
+    assert(sfRows.nonEmpty && sfRows.length + 6 <= 24,
+      s"oracle unroll must keep >=6 rounds of slack (observed ${sfRows.length})")
+  }
+
   test("shared Louvain fine pass reproduces the local build in all three lanes") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // the ring-of-triangles resolution-limit fixture again: the memoized
