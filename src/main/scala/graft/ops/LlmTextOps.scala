@@ -2598,6 +2598,123 @@ object LlmTextOps {
       .orderBy($"w")
   }
 
+  /** Longest piece the [[wordpiece]] vocabulary admits, and the corpus
+    * count below which a multi-char piece is dropped from it. */
+  private val WpMaxPiece = 6
+  private val WpMinCount = 3
+
+  /** WordPiece tokenization — the greedy LONGEST-MATCH-FIRST inference
+    * rule of Wu et al. 2016 (BERT's tokenizer), the third tokenizer
+    * family next to [[bpeEncode]] (merge replay) and [[unigramSegment]]
+    * (min-cost Viterbi): per word, repeatedly emit the longest vocabulary
+    * piece that prefixes the remainder, continuation pieces carrying the
+    * `##` mark. The vocabulary is self-mined so the oracle replays it
+    * exactly: every position-marked substring up to [[WpMaxPiece]] chars
+    * with corpus count ≥ [[WpMinCount]], plus ALL single-char pieces —
+    * which guarantees progress, so no UNK branch exists to diverge on.
+    * Per distinct word: count, piece count, and the space-joined piece
+    * string (a full-fidelity check — any greedy divergence changes it).
+    *
+    * Scale shape: vocab mining is one (piece)-keyed count over exploded
+    * substrings of DISTINCT words (bounded by |words|·L·[[WpMaxPiece]]);
+    * tokenization broadcasts the vocab as a map and runs per-word fold
+    * arithmetic, map-only — the [[unigramSegment]] shape with a greedy
+    * fold instead of a DP. The oracle factors greedy through a
+    * NON-recursive per-(word, pos) max-length table, then walks it with
+    * a recursive CTE (aggregates are barred from recursive parts). */
+  val wordpiece: QueryDef = QueryDef(
+    "llm_wordpiece",
+    s"""WITH RECURSIVE wt AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |occ AS (SELECT CASE WHEN s = 1 THEN substr(w, s, l)
+       |                    ELSE '##' || substr(w, s, l) END AS piece, l, wc
+       |        FROM wt,
+       |             unnest(range(1, len(w) + 1)) AS a(s),
+       |             unnest(range(1, $WpMaxPiece + 1)) AS b(l)
+       |        WHERE s + l - 1 <= len(w)),
+       |pc AS (SELECT piece, sum(wc) AS c, min(l) AS ml FROM occ GROUP BY 1),
+       |voc AS (SELECT piece FROM pc WHERE c >= $WpMinCount OR ml = 1),
+       |cand AS (SELECT wt.w, s - 1 AS pos, l
+       |         FROM wt,
+       |              unnest(range(1, len(w) + 1)) AS a(s),
+       |              unnest(range(1, $WpMaxPiece + 1)) AS b(l)
+       |         WHERE s + l - 1 <= len(w)
+       |           AND (CASE WHEN s = 1 THEN substr(w, s, l)
+       |                     ELSE '##' || substr(w, s, l) END)
+       |               IN (SELECT piece FROM voc)),
+       |g AS (SELECT w, pos, max(l) AS step FROM cand GROUP BY 1, 2),
+       |walk AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np, '' AS ps
+       |  FROM wt
+       |  UNION ALL
+       |  SELECT k.w, k.pos + g.step, k.np + 1,
+       |         k.ps || (CASE WHEN k.np = 0 THEN '' ELSE ' ' END) ||
+       |         (CASE WHEN k.pos = 0 THEN substr(k.w, 1, CAST(g.step AS INT))
+       |               ELSE '##' || substr(k.w, CAST(k.pos + 1 AS INT), CAST(g.step AS INT)) END)
+       |  FROM walk k JOIN g ON g.w = k.w AND g.pos = k.pos
+       |  WHERE k.pos < len(k.w))
+       |SELECT w, wt.wc, CAST(k.np AS BIGINT) AS n_pieces, k.ps AS pieces
+       |FROM walk k JOIN wt USING (w) WHERE k.pos = len(w)
+       |ORDER BY w""".stripMargin,
+  ) { (spark, dir) => wordpieceOf(Tables.documents(spark, dir)) }
+
+  /** [[wordpiece]] over any (doc_id, text) frame — fixture seam. */
+  private[graft] def wordpieceOf(docs: DataFrame): DataFrame = {
+    // evaluate-once let-binding (the MultimodalOps.bindOnce technique):
+    // the greedy step length feeds three fields of the fold state
+    def once(v: Column)(f: Column => Column): Column =
+      element_at(transform(array(v), f), 1)
+    val wt = graft.Caches.persist(
+      docs.select(explode(tokens).as("w")).filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("wc")))
+    val occ = wt.select($"wc", explode(flatten(transform(
+        sequence(lit(1), length($"w")),
+        s => transform(
+          sequence(lit(1), least(lit(WpMaxPiece), length($"w") - s + 1)),
+          l => struct(
+            when(s === 1, $"w".substr(s, l))
+              .otherwise(concat(lit("##"), $"w".substr(s, l))).as("piece"),
+            l.cast("long").as("l")))))).as("o"))
+      .select($"o.piece".as("piece"), $"o.l".as("l"), $"wc")
+    val voc = occ.groupBy($"piece")
+      .agg(sum($"wc").as("c"), min($"l").as("ml"))
+      .filter($"c" >= WpMinCount || $"ml" === 1)
+    val vmap = voc
+      .agg(map_from_entries(collect_list(struct($"piece", lit(1)))).as("vm"))
+    def pieceAt(pos: Column, l: Column): Column =
+      when(pos === 0L, $"w".substr(lit(1), l.cast("int")))
+        .otherwise(concat(lit("##"),
+          $"w".substr((pos + 1L).cast("int"), l.cast("int"))))
+    val dp = aggregate(
+      sequence(lit(1L), length($"w").cast("long")),
+      struct(lit(0L).as("pos"), lit(0L).as("np"), lit("").as("ps")),
+      (acc, i) => {
+        val pos = acc.getField("pos")
+        // the fold visits every char index; only the index at the current
+        // piece boundary acts, so each greedy step runs exactly once
+        when(i =!= pos + 1L, acc).otherwise(
+          once(aggregate(
+            sequence(least(lit(WpMaxPiece.toLong),
+              length($"w").cast("long") - pos), lit(1L), lit(-1L)),
+            lit(0L),
+            (b, l) => when(b > 0L, b).otherwise(
+              when(element_at($"vm", pieceAt(pos, l)).isNotNull, l)
+                .otherwise(lit(0L))))) { bl =>
+            struct((pos + bl).as("pos"), (acc.getField("np") + 1L).as("np"),
+              concat(acc.getField("ps"),
+                when(acc.getField("np") === 0L, lit(""))
+                  .otherwise(lit(" ")),
+                pieceAt(pos, bl)).as("ps"))
+          })
+      })
+    wt.crossJoin(broadcast(vmap))
+      .withColumn("r", dp)
+      .select($"w", $"wc", $"r.np".as("n_pieces"), $"r.ps".as("pieces"))
+      .orderBy($"w")
+  }
+
   /** Dictionary size for [[keywordTag]]. */
   private val TagDictK = 12
 
@@ -2912,7 +3029,7 @@ object LlmTextOps {
     simhash, simhashPairs,
     dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,
     dupChunks, cdcChunks, dupSpans, despanApply, suffixRepeats, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
-    unigramSegment,
+    unigramSegment, wordpiece,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
     phraseSearch, keywordTag, rakeKeywords, lmGreedyGen,
     spanCorruption, prefixReuse,

@@ -784,4 +784,25 @@ class LlmTextOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == want, s"prefix histogram mismatch: $got vs $want")
   }
+
+  test("wordpiece: longest-match greedy, ## continuations, rare pieces fall out of the vocab") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // corpus: aaab x3, ab x1, b x1 -> with MinCount = 3 the piece "ab"
+    // (count 1, length 2) is dropped, every substring of aaab survives,
+    // and single chars always stay; so greedy gives:
+    //   aaab -> [aaab]        (whole word is a vocab piece)
+    //   ab   -> [a, ##b]      ("ab" not in vocab; falls back to chars)
+    //   b    -> [b]
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab b"))
+      .toDF("doc_id", "text")
+    val rows = LlmTextOps.wordpieceOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      ("aaab", 3L, 1L, "aaab"),
+      ("ab", 1L, 2L, "a ##b"),
+      ("b", 1L, 1L, "b")), s"got: ${rows.toSeq}")
+    val again = LlmTextOps.wordpieceOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq == again.toSeq, "greedy must be deterministic")
+  }
 }
