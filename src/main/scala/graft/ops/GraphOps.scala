@@ -2015,7 +2015,10 @@ object GraphOps {
     * state k·|V|, frontier expansion an equi-join against the
     * src-partitioned cached edge list, rounds = eccentricity. The ppm
     * division is exact integer arithmetic, so rows hash-match. */
-  private[graft] def closenessOf(edges: DataFrame, nLm: Int,
+  /** Exact BFS distance table (lm, id, d) from [[ClosenessLandmarks]]
+    * hash-chosen landmark sources — the k·|V| frame [[closenessOf]] and
+    * [[harmonicOf]] aggregate differently. */
+  private def landmarkDistances(edges: DataFrame, nLm: Int,
       maxHops: Int): DataFrame = {
     val e = graft.Caches.persist(
       edges.select($"src", $"dst").repartition($"src"))
@@ -2039,12 +2042,56 @@ object GraphOps {
       frontier = nf.select($"lm", $"id")
       h += 1
     }
-    visited.groupBy($"id")
+    visited
+  }
+
+  private[graft] def closenessOf(edges: DataFrame, nLm: Int,
+      maxHops: Int): DataFrame =
+    landmarkDistances(edges, nLm, maxHops).groupBy($"id")
       .agg(count(lit(1)).as("n_lm"), sum($"d").as("sum_d"))
       .select($"id".as("node"), $"n_lm", $"sum_d",
         when($"sum_d" > 0, expr("n_lm * 1000000 DIV sum_d"))
           .otherwise(0L).as("closeness_ppm"))
+
+  /** Landmark HARMONIC centrality (Marchiori & Latora 2000; Boldi & Vigna
+    * 2014 argue it is the principled closeness on disconnected graphs:
+    * unreachable nodes contribute 0 instead of poisoning the mean):
+    * Σ 1/d over landmark sources, each term as an exact ⌊10⁶/d⌋ integer
+    * so accumulation order cannot flip the hash cross-engine. Same
+    * k·|V| BFS frame as [[closeness]], different aggregate. */
+  val harmonic: QueryDef = QueryDef(
+    "graph_harmonic",
+    s"""WITH RECURSIVE $edgesSql,
+       |und AS (SELECT p1 AS src, p2 AS dst FROM pairs
+       |        UNION ALL SELECT p2, p1 FROM pairs),
+       |lm AS (SELECT id AS lm FROM (SELECT DISTINCT src AS id FROM und)
+       |       ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT, id
+       |       LIMIT $ClosenessLandmarks),
+       |reach AS (SELECT lm, lm AS id, 0 AS d FROM lm
+       |          UNION
+       |          SELECT reach.lm, und.dst AS id, reach.d + 1
+       |          FROM reach JOIN und ON und.src = reach.id
+       |          WHERE reach.d < $ClosenessMaxHops),
+       |md AS (SELECT lm, id, min(d) AS d FROM reach GROUP BY 1, 2)
+       |SELECT id AS node, CAST(count(*) AS BIGINT) AS n_lm,
+       |       CAST(coalesce(sum(CASE WHEN d > 0 THEN 1000000 // d END), 0) AS BIGINT) AS harmonic_ppm
+       |FROM md GROUP BY id ORDER BY node""".stripMargin,
+  ) { (spark, dir) =>
+    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val edges = und.select($"p1".as("src"), $"p2".as("dst"))
+      .unionAll(und.select($"p2".as("src"), $"p1".as("dst")))
+    harmonicOf(edges, ClosenessLandmarks, ClosenessMaxHops)
+      .orderBy($"node")
   }
+
+  /** [[harmonic]] over any directed (src, dst) edge list — fixture seam. */
+  private[graft] def harmonicOf(edges: DataFrame, nLm: Int,
+      maxHops: Int): DataFrame =
+    landmarkDistances(edges, nLm, maxHops).groupBy($"id")
+      .agg(count(lit(1)).as("n_lm"),
+        sum(when($"d" > 0, expr("1000000 DIV d")).otherwise(0L))
+          .as("harmonic_ppm"))
+      .select($"id".as("node"), $"n_lm", $"harmonic_ppm")
 
   private[graft] val StressMaxHops = 12
 
@@ -2420,10 +2467,122 @@ object GraphOps {
       .orderBy($"round")
   }
 
+  // -------------------------------------------- maximal independent set
+
+  /** Oracle unroll for [[mis]] — the local-minimum peel empties sf0.01's
+    * mined graph in single-digit rounds (spec-asserted slack); empty
+    * rounds are no-ops. */
+  private val MisOracleRounds = 16
+
+  /** Maximal independent set by deterministic Luby-style symmetry
+    * breaking (Luby 1986, derandomized with a STATIC priority: the
+    * md5 portable hash of the node id, ties to the smaller id): each
+    * round selects every active node whose priority beats all its active
+    * neighbors — the local minima, at least one of which always exists,
+    * so every round makes progress — then removes the selected nodes AND
+    * their neighbors. With a static priority the synchronous rounds
+    * compute exactly the SEQUENTIAL greedy MIS of the hash order, so the
+    * output is a unique well-defined set (round structure invisible),
+    * which is what makes it engine-replayable. MIS is the classic
+    * symmetry-breaking primitive (scheduling conflict-free work,
+    * picking cluster exemplars, graph coloring's inner step).
+    *
+    * Scale shape: per round one neighbor-priority join + two anti-joins
+    * on the shrinking active set, O(log n) rounds with a well-mixed
+    * priority ([[kcoreOf]]'s audited peel shape); state is vertex-sized
+    * throughout. */
+  val mis: QueryDef = QueryDef(
+    "graph_mis",
+    {
+      val rounds = (0 until MisOracleRounds).map { r =>
+        s"""mb$r AS (SELECT e.src AS v, count(*) AS better
+           |        FROM me$r e
+           |        JOIN ma$r a ON a.node = e.dst
+           |        JOIN ma$r s ON s.node = e.src
+           |        WHERE a.h < s.h OR (a.h = s.h AND e.dst < e.src)
+           |        GROUP BY 1),
+           |ms$r AS (SELECT a.node FROM ma$r a
+           |        LEFT JOIN mb$r b ON b.v = a.node
+           |        WHERE coalesce(b.better, 0) = 0),
+           |mr$r AS (SELECT node FROM ms$r
+           |        UNION SELECT e.dst FROM me$r e JOIN ms$r s ON s.node = e.src),
+           |ma${r + 1} AS MATERIALIZED (
+           |  SELECT * FROM ma$r WHERE node NOT IN (SELECT node FROM mr$r)),
+           |me${r + 1} AS MATERIALIZED (
+           |  SELECT e.* FROM me$r e
+           |  JOIN ma${r + 1} x ON x.node = e.src
+           |  JOIN ma${r + 1} y ON y.node = e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesSql,
+         |ma0 AS MATERIALIZED (
+         |  SELECT id AS node, ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM (SELECT DISTINCT p1 AS id FROM pairs
+         |        UNION SELECT DISTINCT p2 FROM pairs)),
+         |me0 AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM pairs
+         |        UNION ALL SELECT p2, p1 FROM pairs),
+         |$rounds,
+         |mis AS (${(0 until MisOracleRounds).map(r => s"SELECT node FROM ms$r").mkString(" UNION ALL ")})
+         |SELECT a.node,
+         |       CAST(CASE WHEN m.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_mis
+         |FROM ma0 a LEFT JOIN mis m ON m.node = a.node
+         |ORDER BY a.node""".stripMargin
+    },
+  ) { (spark, dir) => misOf(cooccurEdges(Tables.lineitem(spark, dir))) }
+
+  /** [[mis]] over any canonical (p1 < p2) edge list — fixture seam. */
+  private[graft] def misOf(edges: DataFrame): DataFrame = {
+    import graft.Caches.localCheckpoint
+    val allNodes = localCheckpoint(
+      edges.select($"p1".as("id")).union(edges.select($"p2".as("id")))
+        .distinct()
+        .select($"id".as("node"),
+          call_function("md5hash60", $"id".cast("string")).as("h")))
+    var act = allNodes
+    var und = localCheckpoint(
+      edges.select($"p1".as("src"), $"p2".as("dst"))
+        .unionAll(edges.select($"p2".as("src"), $"p1".as("dst"))))
+    var mis: Option[DataFrame] = None
+    var live = true
+    var r = 0
+    while (live && r < MaxPeelRounds) {
+      if (act.isEmpty) live = false
+      else {
+        // active neighbors with strictly better (h, id) priority
+        val better = und
+          .join(act.select($"node".as("dst"), $"h".as("hd")), "dst")
+          .join(act.select($"node".as("src"), $"h".as("hs")), "src")
+          .filter($"hd" < $"hs" || ($"hd" === $"hs" && $"dst" < $"src"))
+          .select($"src".as("node")).distinct()
+        val sel = localCheckpoint(
+          act.join(better, Seq("node"), "left_anti").select($"node"))
+        mis = Some(mis.map(_.unionAll(sel)).getOrElse(sel))
+        val removed = sel
+          .unionAll(und.join(sel.select($"node".as("src")), Seq("src"),
+            "left_semi").select($"dst".as("node")))
+          .distinct()
+        act = localCheckpoint(act.join(removed, Seq("node"), "left_anti"))
+        und = localCheckpoint(
+          und.join(act.select($"node".as("src")), Seq("src"), "left_semi")
+            .join(act.select($"node".as("dst")), Seq("dst"), "left_semi")
+            .select($"src", $"dst"))
+        r += 1
+      }
+    }
+    if (live)
+      throw new IllegalStateException(
+        s"misOf did not exhaust the graph after $MaxPeelRounds rounds — " +
+          "refusing to emit a non-maximal set")
+    val m = mis.getOrElse(allNodes.select($"node").limit(0))
+    allNodes.join(m.select($"node", lit(1L).as("in_mis")), Seq("node"), "left")
+      .select($"node", coalesce($"in_mis", lit(0L)).as("in_mis"))
+      .orderBy($"node")
+  }
+
   val all: Seq[QueryDef] =
     Seq(triangles, degreeDist, pageRank, personalizedPageRank, bfsLevels,
       adamicAdar, adamicAdarCapped, clusterCoeff, components, kcore, ktruss,
       labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks,
       assortativity, sssp, louvainPass, louvainFull, louvainCoarsen,
-      louvainMultilevel, scc, sccCondense, closeness, stress, densest)
+      louvainMultilevel, scc, sccCondense, closeness, stress, densest,
+      harmonic, mis)
 }

@@ -741,6 +741,74 @@ class GraphOpsSpec extends AnyFunSuite {
       s"oracle unroll must keep >=6 rounds of slack (observed ${sfRows.length})")
   }
 
+  test("harmonic centrality: with every node a landmark the sums are exact") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // path 1-2-3: harmonic(2) = 1/1 + 1/1; harmonic(1) = 1/1 + 1/2
+    val und = Seq((1L, 2L), (2L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val rows = GraphOps.harmonicOf(und, nLm = 3, maxHops = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map(
+      1L -> ((3L, 1500000L)),
+      2L -> ((3L, 2000000L)),
+      3L -> ((3L, 1500000L))), s"got $rows")
+  }
+
+  test("MIS: independent, maximal, and equal to the sequential greedy of the hash order") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions.{array, call_function, explode}
+    // ring of 8 with two chords — enough structure that local minima
+    // fire in several rounds
+    val ring = (0 until 8).map(i => (i.toLong, ((i + 1) % 8).toLong))
+    val edges = (ring ++ Seq((0L, 4L), (1L, 5L)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("p1", "p2")
+    val out = GraphOps.misOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = (ring ++ Seq((0L, 4L), (1L, 5L)))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mis = out.filter(_._2 == 1L).keySet
+    // independence + maximality
+    assert(mis.forall(v => adj(v).intersect(mis).isEmpty), s"not independent: $mis")
+    assert(out.keySet.diff(mis).forall(v => adj(v).intersect(mis).nonEmpty),
+      s"not maximal: $mis")
+    // the synchronous rounds must equal the sequential greedy of the
+    // (md5 hash, id) order — the static-priority confluence claim
+    val h = edges.select(explode(array($"p1", $"p2")).as("id")).distinct()
+      .select($"id", call_function("md5hash60", $"id".cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val greedy = scala.collection.mutable.Set.empty[Long]
+    out.keySet.toSeq.sortBy(v => (h(v), v)).foreach { v =>
+      if (adj(v).intersect(greedy).isEmpty) greedy += v
+    }
+    assert(mis == greedy.toSet, s"parallel $mis vs sequential greedy $greedy")
+    // oracle unroll slack at the oracle SF: replay the synchronous peel
+    // in-process over the sf0.01 mined graph and count rounds
+    val sfEdges = GraphOps.cooccurEdges(
+      graft.io.Tables.lineitem(spark, "/root/testdata/sf0.01"))
+      .select($"p1", $"p2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sfAdj = sfEdges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sfH = GraphOps.cooccurEdges(
+      graft.io.Tables.lineitem(spark, "/root/testdata/sf0.01"))
+      .select(explode(array($"p1", $"p2")).as("id")).distinct()
+      .select($"id", call_function("md5hash60", $"id".cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var active = sfAdj.keySet
+    var rounds = 0
+    while (active.nonEmpty && rounds < 64) {
+      val lt = Ordering[(Long, Long)].lt _
+      val sel = active.filter(v => sfAdj(v).intersect(active)
+        .forall(u => lt((sfH(v), v), (sfH(u), u))))
+      active = active -- sel -- sel.flatMap(sfAdj)
+      rounds += 1
+    }
+    assert(rounds + 6 <= 16,
+      s"MIS oracle unroll must keep >=6 rounds of slack (observed $rounds)")
+  }
+
   test("shared Louvain fine pass reproduces the local build in all three lanes") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // the ring-of-triangles resolution-limit fixture again: the memoized
