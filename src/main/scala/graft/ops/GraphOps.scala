@@ -2467,6 +2467,95 @@ object GraphOps {
       .orderBy($"round")
   }
 
+  // ------------------------------------------------ coreness (h-index)
+
+  /** Oracle unroll for [[coreness]] — the h-index iteration reaches its
+    * fixpoint on sf0.01's mined graph in single-digit rounds
+    * (spec-asserted slack); rounds past the fixpoint are exact no-ops
+    * because the operator is monotone and idempotent at the fixpoint. */
+  private val CorenessOracleRounds = 16
+
+  /** FULL k-core decomposition — every node's CORENESS (the largest k
+    * whose k-core contains it), not just membership at one fixed k like
+    * [[kcore]]. Computed by the h-index iteration of Lü, Zhou, Zhang &
+    * Stanley 2016: start from c₀ = degree and repeat c(v) ← H-index of
+    * the neighbors' current values (the largest h with ≥ h neighbors at
+    * ≥ h); the sequence is non-increasing and converges exactly to the
+    * coreness. All-integer, synchronous, order-free — which is what
+    * makes it engine-replayable where the classic sequential peel
+    * (degeneracy ordering) is not. Coreness is the standard graph
+    * summary for "how deep in a dense region does this node sit"
+    * (influence estimation, community cores, graph sparsification).
+    *
+    * Scale shape: per round one equi-join of the edge list against the
+    * vertex-sized value frame plus a PARTITIONED window (per-src rank of
+    * neighbor values) and a keyed max — no global ordering anywhere;
+    * round count is bounded by the coreness range and observed
+    * single-digit. The fixpoint guard is a 1-row strictly-monotone sum
+    * read (the [[sccOf]] convention). */
+  val coreness: QueryDef = QueryDef(
+    "graph_coreness",
+    {
+      val rounds = (1 to CorenessOracleRounds).map { r =>
+        s"""hc$r AS MATERIALIZED (
+           |  SELECT src AS node, max(least(rk, c)) AS c
+           |  FROM (SELECT e.src, n.c,
+           |               row_number() OVER (PARTITION BY e.src
+           |                                  ORDER BY n.c DESC, e.dst) AS rk
+           |        FROM hue e JOIN hc${r - 1} n ON n.node = e.dst)
+           |  GROUP BY src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesSql,
+         |hue AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM pairs
+         |        UNION ALL SELECT p2, p1 FROM pairs),
+         |hc0 AS MATERIALIZED (SELECT src AS node, count(*) AS c
+         |        FROM hue GROUP BY 1),
+         |$rounds
+         |SELECT f.node, CAST(f.c AS BIGINT) AS coreness,
+         |       CAST(d.c AS BIGINT) AS degree
+         |FROM hc$CorenessOracleRounds f JOIN hc0 d ON d.node = f.node
+         |ORDER BY f.node""".stripMargin
+    },
+  ) { (spark, dir) => corenessOf(cooccurEdges(Tables.lineitem(spark, dir))) }
+
+  /** [[coreness]] over any canonical (p1 < p2) edge list — fixture seam. */
+  private[graft] def corenessOf(edges: DataFrame): DataFrame = {
+    import graft.Caches.localCheckpoint
+    val und = localCheckpoint(
+      edges.select($"p1".as("src"), $"p2".as("dst"))
+        .unionAll(edges.select($"p2".as("src"), $"p1".as("dst"))))
+    val deg = localCheckpoint(
+      und.groupBy($"src").agg(count(lit(1)).as("c"))
+        .select($"src".as("node"), $"c"))
+    var c = deg
+    // Σc strictly decreases every non-fixpoint round (values are
+    // non-increasing and bounded below by coreness), so an unchanged sum
+    // IS the fixpoint — the sccOf monotone-guard argument
+    var prevSum = -1L
+    var sum = c.agg(org.apache.spark.sql.functions.sum($"c")).head.getLong(0)
+    var r = 0
+    while (sum != prevSum && r < MaxPeelRounds) {
+      val next = localCheckpoint(
+        und.join(c.select($"node".as("dst"), $"c"), "dst")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"src").orderBy($"c".desc, $"dst")).cast("long"))
+          .groupBy($"src").agg(max(least($"rk", $"c")).as("c"))
+          .select($"src".as("node"), $"c"))
+      prevSum = sum
+      sum = next.agg(org.apache.spark.sql.functions.sum($"c")).head.getLong(0)
+      require(sum <= prevSum,
+        s"h-index iteration must be non-increasing ($prevSum -> $sum)")
+      c = next
+      r += 1
+    }
+    if (sum != prevSum)
+      throw new IllegalStateException(
+        s"corenessOf did not reach its fixpoint after $MaxPeelRounds rounds")
+    c.join(deg.select($"node", $"c".as("degree")), "node")
+      .select($"node", $"c".as("coreness"), $"degree")
+      .orderBy($"node")
+  }
+
   // -------------------------------------------- maximal independent set
 
   /** Oracle unroll for [[mis]] — the local-minimum peel empties sf0.01's
@@ -2584,5 +2673,5 @@ object GraphOps {
       labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks,
       assortativity, sssp, louvainPass, louvainFull, louvainCoarsen,
       louvainMultilevel, scc, sccCondense, closeness, stress, densest,
-      harmonic, mis)
+      harmonic, mis, coreness)
 }

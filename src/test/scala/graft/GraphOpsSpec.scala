@@ -809,6 +809,55 @@ class GraphOpsSpec extends AnyFunSuite {
       s"MIS oracle unroll must keep >=6 rounds of slack (observed $rounds)")
   }
 
+  test("coreness: h-index fixpoint equals the classic peel on a clique with a tail") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // K4 on 1..4 plus tail 4-5-6: coreness 3 inside the clique, 1 on the
+    // tail (node 5's second neighbor peels away at k = 1)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("p1", "p2")
+    val rows = GraphOps.corenessOf(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map(
+      1L -> ((3L, 3L)), 2L -> ((3L, 3L)), 3L -> ((3L, 3L)),
+      4L -> ((3L, 4L)), 5L -> ((1L, 2L)), 6L -> ((1L, 1L))), s"got $rows")
+    // oracle unroll slack at the oracle SF: replay the h-index iteration
+    // in-process over the sf0.01 mined graph and count rounds to fixpoint
+    val sfEdges = GraphOps.cooccurEdges(
+      graft.io.Tables.lineitem(spark, "/root/testdata/sf0.01"))
+      .select($"p1", $"p2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = sfEdges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def hIndex(vs: Seq[Long]): Long = {
+      val sorted = vs.sortBy(-_)
+      sorted.zipWithIndex.map { case (v, i) => math.min(v, i + 1L) }.max
+    }
+    var c = adj.view.mapValues(_.length.toLong).toMap
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 64) {
+      val next = adj.map { case (v, ns) => v -> hIndex(ns.map(c)) }
+      changed = next != c
+      if (changed) { c = next; rounds += 1 }
+    }
+    assert(rounds + 6 <= 16,
+      s"coreness oracle unroll must keep >=6 rounds of slack (observed $rounds)")
+    // and the fixpoint is the true coreness: sequential peel cross-check
+    val peel = scala.collection.mutable.Map(
+      adj.view.mapValues(_.length.toLong).toSeq: _*)
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    val live = scala.collection.mutable.Set(adj.keySet.toSeq: _*)
+    var k = 0L
+    while (live.nonEmpty) {
+      val victims = live.filter(v => peel(v) <= k)
+      if (victims.isEmpty) k += 1
+      else victims.foreach { v =>
+        core(v) = k; live -= v
+        adj(v).foreach(u => if (live(u)) peel(u) = peel(u) - 1)
+      }
+    }
+    assert(c == core.toMap, "h-index fixpoint must equal the peel coreness")
+  }
+
   test("shared Louvain fine pass reproduces the local build in all three lanes") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // the ring-of-triangles resolution-limit fixture again: the memoized
