@@ -2467,6 +2467,91 @@ object GraphOps {
       .orderBy($"round")
   }
 
+  // ------------------------------------------------ diameter double sweep
+
+  /** Diameter LOWER BOUND by the classic double sweep (Magnien, Latapy &
+    * Habib 2009): BFS from a deterministic start (min node id), BFS again
+    * from the farthest node found (ties to the smaller id) — the second
+    * eccentricity bounds the diameter from below and is exact on trees,
+    * at two BFS's cost where the exact diameter needs all-pairs. The
+    * "how many hops wide is this graph REALLY" planning readout (hop-cap
+    * sizing for the BFS/closeness lanes is exactly this number).
+    *
+    * Scale shape: two frontier-join BFS passes over the src-partitioned
+    * edge list ([[closenessOf]]'s audited shape), vertex-sized visited
+    * state, hop-capped at [[ClosenessMaxHops]] on both engines. */
+  val diameter: QueryDef = QueryDef(
+    "graph_diameter",
+    s"""WITH RECURSIVE $edgesSql,
+       |und AS (SELECT p1 AS src, p2 AS dst FROM pairs
+       |        UNION ALL SELECT p2, p1 FROM pairs),
+       |s0 AS (SELECT min(src) AS id FROM und),
+       |r1 AS (SELECT id, 0 AS d FROM s0
+       |       UNION
+       |       SELECT und.dst, r1.d + 1 FROM r1 JOIN und ON und.src = r1.id
+       |       WHERE r1.d < $ClosenessMaxHops),
+       |m1 AS (SELECT id, min(d) AS d FROM r1 GROUP BY id),
+       |f1 AS (SELECT min(id) AS id, max(d) AS d FROM m1
+       |       WHERE d = (SELECT max(d) FROM m1)),
+       |r2 AS (SELECT id, 0 AS d FROM (SELECT id FROM f1)
+       |       UNION
+       |       SELECT und.dst, r2.d + 1 FROM r2 JOIN und ON und.src = r2.id
+       |       WHERE r2.d < $ClosenessMaxHops),
+       |m2 AS (SELECT id, min(d) AS d FROM r2 GROUP BY id),
+       |f2 AS (SELECT min(id) AS id, max(d) AS d FROM m2
+       |       WHERE d = (SELECT max(d) FROM m2))
+       |SELECT CAST((SELECT id FROM s0) AS BIGINT) AS start_node,
+       |       CAST((SELECT id FROM f1) AS BIGINT) AS sweep1_node,
+       |       CAST((SELECT d FROM f1) AS BIGINT) AS sweep1_ecc,
+       |       CAST((SELECT id FROM f2) AS BIGINT) AS sweep2_node,
+       |       CAST((SELECT d FROM f2) AS BIGINT) AS diameter_lb""".stripMargin,
+  ) { (spark, dir) =>
+    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    diameterOf(und.select($"p1".as("src"), $"p2".as("dst"))
+      .unionAll(und.select($"p2".as("src"), $"p1".as("dst"))))
+  }
+
+  /** One BFS distance frame (id, d) from an explicit 1-row source. */
+  private def bfsFrom(e: DataFrame, src: DataFrame, maxHops: Int): DataFrame = {
+    import graft.Caches.localCheckpoint
+    var visited = localCheckpoint(src.select($"id", lit(0L).as("d")))
+    var frontier = visited.select($"id")
+    var h = 1
+    var n = frontier.count()
+    while (n > 0 && h <= maxHops) {
+      val nf = localCheckpoint(
+        e.join(frontier.select($"id".as("src")), "src")
+          .select($"dst".as("id")).distinct()
+          .join(visited.select($"id"), Seq("id"), "left_anti")
+          .select($"id", lit(h.toLong).as("d")))
+      n = nf.count()
+      if (n > 0) visited = localCheckpoint(visited.unionAll(nf))
+      frontier = nf.select($"id")
+      h += 1
+    }
+    visited
+  }
+
+  /** [[diameter]] over any directed (src, dst) edge list — fixture seam. */
+  private[graft] def diameterOf(edges: DataFrame): DataFrame = {
+    val e = graft.Caches.persist(
+      edges.select($"src", $"dst").repartition($"src"))
+    val start = e.agg(min($"src").as("id"))
+    def far(v: DataFrame): DataFrame = {
+      val mx = v.agg(max($"d").as("md"))
+      v.join(broadcast(mx), $"d" === $"md")
+        .agg(min($"id").as("fid"), min($"d").as("fd"))
+    }
+    val f1 = far(bfsFrom(e, start, ClosenessMaxHops))
+    val f2 = far(bfsFrom(e,
+      f1.select($"fid".as("id")), ClosenessMaxHops))
+    start.select($"id".as("start_node"))
+      .crossJoin(broadcast(f1.select($"fid".as("sweep1_node"),
+        $"fd".as("sweep1_ecc"))))
+      .crossJoin(broadcast(f2.select($"fid".as("sweep2_node"),
+        $"fd".as("diameter_lb"))))
+  }
+
   // ------------------------------------------------ coreness (h-index)
 
   /** Oracle unroll for [[coreness]] — the h-index iteration reaches its
@@ -2673,5 +2758,5 @@ object GraphOps {
       labelProp, modularity, hits, jaccardLinks, treeRollup, randomWalks,
       assortativity, sssp, louvainPass, louvainFull, louvainCoarsen,
       louvainMultilevel, scc, sccCondense, closeness, stress, densest,
-      harmonic, mis, coreness)
+      harmonic, mis, coreness, diameter)
 }

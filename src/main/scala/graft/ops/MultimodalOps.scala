@@ -1100,9 +1100,94 @@ object MultimodalOps {
         when($"wq.peak" < 500L, 1L).otherwise(0L).as("silent"))
   }
 
+  /** Zero-crossing-rate VOICED/UNVOICED gate for [[wavEnergy]]'s window: a
+    * window is flagged voiced when it is loud AND low-frequency-dominant. */
+  private val ZcrVoicedMax = 16L
+  private val PeakVoicedMin = 500L
+
+  /** Windowed ZERO-CROSSING RATE over the decoded PCM — the second classic
+    * frame feature next to [[wavEnergy]]'s energy/peak (together they are
+    * the textbook voiced/unvoiced detector: voiced speech is loud with few
+    * crossings, fricatives/noise cross often): per [[WavWin]]-sample
+    * window, the count of adjacent sign flips (0 counts as non-negative —
+    * an exact integer rule, no float epsilon to diverge on) plus the
+    * combined `voiced` flag (peak ≥ [[PeakVoicedMin]] AND zcr ≤
+    * [[ZcrVoicedMax]]). Same real byte-parse path as [[wavEnergy]];
+    * map-only at any scale; the oracle re-derives the samples
+    * arithmetically ([[decodeMeta]] convention). */
+  val wavZcr: QueryDef = QueryDef(
+    "mm_wav_zcr",
+    s"""WITH raw AS (SELECT doc_id, text, length(text) AS ln,
+       |                    64 + (doc_id % 3) * 32 AS n
+       |             FROM documents WHERE length(text) > 0),
+       |sm AS (SELECT doc_id, n,
+       |       [ ((ascii(substr(text, CAST(1 + (k % ln) AS INT), 1)) * 131 + k * 17 + doc_id) % 4001) - 2000
+       |         for k in range(0, n)] AS s
+       |       FROM raw),
+       |wl AS (SELECT doc_id,
+       |       [ struct_pack(wi := w,
+       |           z := list_sum([CASE WHEN (s[CAST(w * $WavWin + k AS INT)] < 0)
+       |                                   <> (s[CAST(w * $WavWin + k + 1 AS INT)] < 0)
+       |                               THEN 1 ELSE 0 END for k in range(1, $WavWin)]),
+       |           p := list_max([abs(x) for x in list_slice(s, CAST(w * $WavWin + 1 AS INT), CAST(w * $WavWin + $WavWin AS INT))]))
+       |         for w in range(0, n // $WavWin)] AS ws
+       |       FROM sm),
+       |u AS (SELECT doc_id, unnest(ws) AS wq FROM wl)
+       |SELECT doc_id, CAST(struct_extract(wq, 'wi') AS BIGINT) AS win_id,
+       |       CAST(struct_extract(wq, 'z') AS BIGINT) AS zcr,
+       |       CAST(CASE WHEN struct_extract(wq, 'p') >= $PeakVoicedMin
+       |                  AND struct_extract(wq, 'z') <= $ZcrVoicedMax
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS voiced
+       |FROM u ORDER BY doc_id, win_id""".stripMargin,
+  ) { (spark, dir) =>
+    wavZcrOf(wavPcmTable(spark, dir)).orderBy($"doc_id", $"win_id")
+  }
+
+  /** [[wavZcr]] over any `(doc_id, payload)` frame — fixture seam. Same
+    * parse skeleton as [[wavEnergyOf]]; the per-window struct carries the
+    * crossing count instead of the energy. */
+  private[graft] def wavZcrOf(media: DataFrame): DataFrame = {
+    val ok = decode($"payload".substr(lit(1), lit(4)), "US-ASCII") === "RIFF" &&
+      decode($"payload".substr(lit(9), lit(4)), "US-ASCII") === "WAVE" &&
+      decode($"payload".substr(lit(37), lit(4)), "US-ASCII") === "data"
+    val dataLen = (0 until 4).map { i =>
+      conv(hex($"payload".substr(lit(41 + i), lit(1))), 16, 10).cast("long") *
+        (1L << (8 * i))
+    }.reduce(_ + _)
+    val wins = bindOnce(struct(ok.as("ok"),
+      shiftright(dataLen, 1).as("ns"), $"payload".as("p"))) { c =>
+      val ns = c.getField("ns")
+      def byteAt(pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        conv(hex(c.getField("p").substr(pos.cast("int"), lit(1))), 16, 10)
+          .cast("long")
+      when(c.getField("ok") && ns >= WavWin,
+        bindOnce(transform(sequence(lit(0L), ns - 1), k => {
+          val u = byteAt(lit(45L) + k * 2L) + byteAt(lit(46L) + k * 2L) * 256L
+          u - when(u >= 32768L, lit(65536L)).otherwise(lit(0L))
+        })) { smp =>
+          transform(sequence(lit(0L), floor(ns / WavWin).cast("long") - 1), w =>
+            struct(w.as("win_id"),
+              aggregate(sequence(lit(1L), lit(WavWin - 1L)), lit(0L),
+                (acc, k) => acc + when(
+                  (element_at(smp, (w * WavWin + k).cast("int")) < 0) =!=
+                    (element_at(smp, (w * WavWin + k + 1L).cast("int")) < 0),
+                  1L).otherwise(0L)).as("zcr"),
+              aggregate(
+                slice(smp, (w * WavWin + 1L).cast("int"), lit(WavWin)),
+                lit(0L), (acc, x) => greatest(acc, abs(x))).as("peak")))
+        })
+        .otherwise(array().cast(
+          "array<struct<win_id:bigint,zcr:bigint,peak:bigint>>"))
+    }
+    media.select($"doc_id", explode(wins).as("wq"))
+      .select($"doc_id", $"wq.win_id".as("win_id"), $"wq.zcr".as("zcr"),
+        when($"wq.peak" >= PeakVoicedMin && $"wq.zcr" <= ZcrVoicedMax, 1L)
+          .otherwise(0L).as("voiced"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(bytesStats, metaFilter, frameSample, decodeMeta, features,
       payloadDedup, crossmodalFetch, shardAssign, simhashPayload,
       phash, phashPairs, phashPairs2, sharedFrames, neardupCluster,
-      pgmDecode, phashPgm, wavEnergy)
+      pgmDecode, phashPgm, wavEnergy, wavZcr)
 }

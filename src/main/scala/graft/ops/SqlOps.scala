@@ -177,7 +177,53 @@ object SqlOps {
     sqlQuery("sql_lateral_topn", text, text)
   }
 
+  /** Recursive CTE through the SQL-string surface (Spark 4's
+    * `WITH RECURSIVE`, SPARK-24497): generate a month SPINE from the
+    * order-date bounds and left-join a sparse monthly aggregate onto it —
+    * the calendar-gap-fill pattern every reporting layer needs, and the
+    * one monthly-rollup shape a plain GROUP BY cannot produce (months
+    * with zero qualifying orders must still appear; at sf0.01 the filter
+    * genuinely leaves a gap month, so the zero row is exercised). The
+    * dialects differ only in date arithmetic spelling (`add_months` /
+    * `date_format` vs `+ INTERVAL` / `strftime`); the recursion shape is
+    * identical. Scale: the recursion materializes one row per MONTH —
+    * driver-trivial — while the aggregate stays a keyed count over the
+    * fact table. */
+  val recursiveSpine: QueryDef = QueryDef(
+    "sql_recursive_spine",
+    """WITH RECURSIVE spine(m) AS (
+      |  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM spine
+      |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)),
+      |mo AS (SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_rich
+      |       FROM orders
+      |       WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+      |       GROUP BY 1)
+      |SELECT strftime(spine.m, '%Y-%m') AS month,
+      |       CAST(coalesce(mo.n_rich, 0) AS BIGINT) AS n_rich
+      |FROM spine LEFT JOIN mo ON mo.m = spine.m
+      |ORDER BY month""".stripMargin,
+  ) { (spark, dir) =>
+    registerViews(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT to_date(date_trunc('MONTH', min(o_orderdate))) FROM orders
+        |  UNION ALL
+        |  SELECT add_months(m, 1) FROM spine
+        |  WHERE m < (SELECT to_date(date_trunc('MONTH', max(o_orderdate))) FROM orders)),
+        |mo AS (SELECT to_date(date_trunc('MONTH', o_orderdate)) AS m,
+        |              count(*) AS n_rich
+        |       FROM orders
+        |       WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+        |       GROUP BY 1)
+        |SELECT date_format(spine.m, 'yyyy-MM') AS month,
+        |       CAST(coalesce(mo.n_rich, 0) AS BIGINT) AS n_rich
+        |FROM spine LEFT JOIN mo ON mo.m = spine.m
+        |ORDER BY month""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(topOrders, aggPricing, ddlView, catalogTables, nativeFunction,
-      existsCorrelated, scalarCorrelated, lateralTopN)
+      existsCorrelated, scalarCorrelated, lateralTopN, recursiveSpine)
 }

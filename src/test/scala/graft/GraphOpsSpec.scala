@@ -809,6 +809,19 @@ class GraphOpsSpec extends AnyFunSuite {
       s"MIS oracle unroll must keep >=6 rounds of slack (observed $rounds)")
   }
 
+  test("diameter double sweep: second sweep finds what the first underestimates") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // tree 5-2-3-4 with leaf 5 on node 2: BFS from min id (2) has
+    // eccentricity 2 (to 4), but the second sweep from 4 reaches 5 at
+    // distance 3 = the true diameter — the reason the double sweep exists
+    val und = Seq((2L, 3L), (3L, 4L), (2L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val r = GraphOps.diameterOf(und).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 4L, 2L, 5L, 3L)), s"double sweep: $r")
+  }
+
   test("coreness: h-index fixpoint equals the classic peel on a clique with a tail") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // K4 on 1..4 plus tail 4-5-6: coreness 3 inside the clique, 1 on the

@@ -388,4 +388,27 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(MultimodalOps.wavEnergyOf(bad).collect().isEmpty,
       "malformed payload must yield no windows")
   }
+
+  test("WAV zero-crossing rate replays the sample definition; voiced gate combines peak and zcr") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val texts = Map(2L -> "hello world", 7L -> "abc")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val rows = MultimodalOps.wavZcrOf(MultimodalOps.wavPcmPayloadOf(docs))
+      .orderBy($"doc_id", $"win_id").collect()
+    assert(rows.nonEmpty)
+    def sample(id: Long, text: String, k: Long): Long =
+      ((text.charAt((k % text.length).toInt).toLong * 131 + k * 17 + id) %
+        4001) - 2000
+    for (r <- rows) {
+      val (id, w) = (r.getLong(0), r.getLong(1))
+      val s = (w * 32 until (w + 1) * 32).map(k => sample(id, texts(id), k))
+      val zcr = s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong
+      assert(r.getLong(2) == zcr, s"zcr doc $id win $w")
+      val voiced = if (s.map(math.abs).max >= 500 && zcr <= 16) 1L else 0L
+      assert(r.getLong(3) == voiced, s"voiced doc $id win $w")
+    }
+    // malformed payload: skipped, not thrown
+    val bad = Seq((9L, Array[Byte](82, 73, 70))).toDF("doc_id", "payload")
+    assert(MultimodalOps.wavZcrOf(bad).collect().isEmpty)
+  }
 }
