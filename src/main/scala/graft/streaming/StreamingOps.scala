@@ -186,6 +186,80 @@ object StreamingOps {
         round($"raw_total", 2).as("total"))
   }
 
+  /** Lateness horizon for [[lateDataAgg]] (ms — Spark watermarks are
+    * millisecond-granular: event-time stats collect max(ts) in ms, so the
+    * model floors to ms before subtracting). */
+  private val LateDelayMs = 30L * 60 * 1000
+
+  /** RELATIONAL MODEL of watermark late-data semantics — the one
+    * streaming behavior the batch≡stream twins above cannot carry,
+    * because dropping is a property of the BATCH SCHEDULE, not the data.
+    * So the schedule is made data: batch id = event_id mod 3, and the
+    * model replays exactly what a 3-micro-batch run of
+    * `withWatermark(30 min) → 1h tumbling window → append` produces:
+    *
+    *  - watermark at batch b = ⌊max event-time over batches < b⌋ms − 30 min
+    *    (NULL for batch 0 — no watermark yet);
+    *  - a row is DROPPED iff its window END ≤ the watermark of ITS batch
+    *    (the state for that window is already finalized and evicted);
+    *  - a window is EMITTED iff its end ≤ the final watermark (append
+    *    mode ships a window exactly once, when the watermark passes it).
+    *
+    * StreamingOpsSpec drives the REAL engine — MemoryStream fed the same
+    * three batches under the same watermark — and asserts row-for-row
+    * equality with this model, so the drop and emission rules above are
+    * pinned against Spark's actual state-store behavior, and the DuckDB
+    * oracle replays them relationally. At 100 TB this model is also the
+    * capacity story: state ≤ (windows inside the horizon) × types,
+    * independent of stream length. */
+  def lateDataAgg(events: DataFrame): DataFrame = {
+    val b = events
+      .withColumn("batch", pmod($"event_id", lit(3L)))
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("wend_us",
+        unix_micros(window($"ts", "1 hour").getField("end")))
+    val mx = b.groupBy($"batch").agg(max($"ts_us").as("mx"))
+    val wm = mx.as("a")
+      .join(mx.as("p"), col("p.batch") < col("a.batch"), "left")
+      .groupBy(col("a.batch").as("batch"))
+      .agg(max(col("p.mx")).as("pmx"))
+      .select($"batch",
+        ((expr("pmx DIV 1000") - LateDelayMs) * 1000L).as("wm_us"))
+    val wmFinal = mx.agg(
+      ((expr("max(mx) DIV 1000") - LateDelayMs) * 1000L).as("wm_final_us"))
+    b.join(broadcast(wm), Seq("batch"))
+      .filter($"wm_us".isNull || $"wend_us" > $"wm_us")
+      .crossJoin(broadcast(wmFinal))
+      .filter($"wend_us" <= $"wm_final_us")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n_events", $"total")
+  }
+
+  val lateData: QueryDef = QueryDef(
+    "stream_late_data",
+    """WITH b AS (SELECT event_id % 3 AS batch, ts, event_type, value,
+      |                  epoch_us(ts) AS ts_us,
+      |                  epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS wend_us
+      |           FROM events),
+      |mx AS (SELECT batch, max(ts_us) AS mx FROM b GROUP BY 1),
+      |wm AS (SELECT a.batch, (max(p.mx) // 1000 - 1800000) * 1000 AS wm_us
+      |       FROM mx a LEFT JOIN mx p ON p.batch < a.batch
+      |       GROUP BY a.batch),
+      |wf AS (SELECT (max(mx) // 1000 - 1800000) * 1000 AS wm_final_us FROM mx),
+      |kept AS (SELECT b.* FROM b JOIN wm ON wm.batch = b.batch, wf
+      |         WHERE (wm.wm_us IS NULL OR b.wend_us > wm.wm_us)
+      |           AND b.wend_us <= wf.wm_final_us)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type, count(*) AS n_events, round(sum(value), 2) AS total
+      |FROM kept GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+  ) { (spark, dir) =>
+    lateDataAgg(Tables.events(spark, dir))
+      .orderBy($"window_start", $"event_type")
+  }
+
   // ------------------------------------------------- registered batch twins
 
   val tumbling: QueryDef = QueryDef(
@@ -923,5 +997,5 @@ object StreamingOps {
   val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
     customSession, enriched, attribution, cms, neardup, cdc, psi,
     asofEnriched, ewmaStreamed, sampleNth, topk, keywordTagged, hll,
-    cdcDedup)
+    cdcDedup, lateData)
 }

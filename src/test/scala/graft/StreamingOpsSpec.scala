@@ -89,6 +89,52 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"hour-10 window must finalize with the 2 on-time events, got $out")
   }
 
+  test("late-data model equals a real 3-micro-batch watermark stream") {
+    // the registered stream_late_data lane MODELS watermark semantics
+    // relationally (batch id = event_id mod 3); here the REAL engine runs
+    // the same schedule — MemoryStream fed those three batches under
+    // withWatermark(30 min), 1h tumbling window, append mode — and the
+    // final sink must equal the model row-for-row, pinning the drop rule
+    // (window end <= batch watermark) and the emission rule (window end
+    // <= final watermark) against Spark's actual state store.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val slice = boundedSlice()
+    val byBatch = slice.groupBy(_.event_id % 3)
+    val stream = MemoryStream[Ev]
+    val agg = StreamingOps.tumblingAgg(
+      stream.toDF().withWatermark("ts", "30 minutes"))
+    val q = agg.writeStream
+      .format("memory").queryName("late_model_out").outputMode("append")
+      .start()
+    try {
+      Seq(0L, 1L, 2L).foreach { b =>
+        stream.addData(byBatch.getOrElse(b, Nil).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("late_model_out")
+      .orderBy($"window_start", $"event_type").collect().map(_.toSeq).toSeq
+    val model = StreamingOps.lateDataAgg(
+      io.Tables.events(spark, sf)
+        .filter($"ts" < to_timestamp(lit("2024-01-03 00:00:00"))))
+      .orderBy($"window_start", $"event_type").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "the slice must finalize at least one window")
+    assert(streamed == model,
+      s"model diverges from the engine: engine-only=${streamed.diff(model).take(3)} model-only=${model.diff(streamed).take(3)}")
+    // and the schedule genuinely drops something: the no-watermark batch
+    // twin must count strictly more events than the late-data model
+    val full = StreamingOps.tumblingAgg(
+      io.Tables.events(spark, sf)
+        .filter($"ts" < to_timestamp(lit("2024-01-03 00:00:00"))))
+      .agg(sum($"n_events")).collect().head.getLong(0)
+    val kept = StreamingOps.lateDataAgg(
+      io.Tables.events(spark, sf)
+        .filter($"ts" < to_timestamp(lit("2024-01-03 00:00:00"))))
+      .agg(sum($"n_events")).collect().head.getLong(0)
+    assert(kept < full, s"model must drop late rows ($kept vs $full)")
+  }
+
   test("streaming count-min sketch state equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits.newProductEncoder
