@@ -43,6 +43,20 @@ object GraphOps {
       |                             AND b1.l_partkey < b2.l_partkey
       |          GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin
 
+  /** The mined co-occurrence graph, computed ONCE per (session, input
+    * dir) and shared by EVERY registry graph lane via
+    * [[graft.Caches.memo]] — 30 lanes each re-ran the basket explode +
+    * pair count over lineitem to derive the identical (p1, p2, w) frame.
+    * Edge-list-sized (support-thresholded pairs), orders of magnitude
+    * below the corpus; on a cluster this is the materialized graph table
+    * every analytics job reads instead of re-mining the fact table.
+    * Fixture seams keep taking an explicit edge frame. */
+  private def minedEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo("graph_cooccur_edges",
+      spark.sparkContext.applicationId + "|" + dir) {
+      cooccurEdges(Tables.lineitem(spark, dir))
+    }
+
   /** Triangle closure over a canonically-oriented (p1 < p2) edge list —
     * each triangle a<b<c emitted exactly once via two equi-joins.
     * Extracted so the fixture spec exercises the identical plan the
@@ -67,7 +81,7 @@ object GraphOps {
        |     JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
        |ORDER BY a, b, c""".stripMargin,
   ) { (spark, dir) =>
-    trianglesOf(cooccurEdges(Tables.lineitem(spark, dir)))
+    trianglesOf(minedEdges(spark, dir))
   }
 
   /** Degree distribution of the mined graph — how many parts have k
@@ -81,7 +95,7 @@ object GraphOps {
        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
   ) { (spark, dir) =>
-    val e = cooccurEdges(Tables.lineitem(spark, dir))
+    val e = minedEdges(spark, dir)
     e.select($"p1".as("p")).union(e.select($"p2".as("p")))
       .groupBy($"p").agg(count(lit(1)).as("degree"))
       .groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
@@ -196,7 +210,7 @@ object GraphOps {
     "graph_pagerank",
     pageRankSql(PrIters),
   ) { (spark, dir) =>
-    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val und = minedEdges(spark, dir)
     val edges = und.select($"p1".as("src"), $"p2".as("dst"))
       .union(und.select($"p2".as("src"), $"p1".as("dst")))
     pageRankOf(edges, PrIters)
@@ -286,7 +300,7 @@ object GraphOps {
     "graph_ppr",
     pprSql(PrIters),
   ) { (spark, dir) =>
-    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val und = minedEdges(spark, dir)
     val edges = und.select($"p1".as("src"), $"p2".as("dst"))
       .union(und.select($"p2".as("src"), $"p1".as("dst")))
     personalizedPageRankOf(edges, PrIters, PprSeeds)
@@ -348,7 +362,7 @@ object GraphOps {
        |UNION ALL SELECT id, CAST(3 AS BIGINT) FROM l3
        |ORDER BY part""".stripMargin,
   ) { (spark, dir) =>
-    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val und = minedEdges(spark, dir)
     val edges = und.select($"p1".as("src"), $"p2".as("dst"))
       .union(und.select($"p2".as("src"), $"p1".as("dst")))
     bfsLevelsOf(edges, 3)
@@ -390,7 +404,7 @@ object GraphOps {
        |       round(CAST(sq AS DOUBLE) / 1000000.0, 6) AS aa_score
        |FROM sc ORDER BY aa_score DESC, part_a, part_b LIMIT 20""".stripMargin,
   ) { (spark, dir) =>
-    adamicAdarOf(cooccurEdges(Tables.lineitem(spark, dir)))
+    adamicAdarOf(minedEdges(spark, dir))
   }
 
   /** The Adamic–Adar plan over any canonical (p1 < p2) edge list —
@@ -458,7 +472,7 @@ object GraphOps {
        |       round(CAST(sq AS DOUBLE) / 1000000.0, 6) AS aa_score, ch.n_capped_hubs
        |FROM sc, ch ORDER BY aa_score DESC, part_a, part_b LIMIT 20""".stripMargin,
   ) { (spark, dir) =>
-    adamicAdarCappedOf(cooccurEdges(Tables.lineitem(spark, dir)), AaHubCap)
+    adamicAdarCappedOf(minedEdges(spark, dir), AaHubCap)
   }
 
   /** The capped Adamic–Adar plan over any canonical (p1 < p2) edge list —
@@ -521,7 +535,7 @@ object GraphOps {
        |WHERE deg.degree >= 2
        |ORDER BY part""".stripMargin,
   ) { (spark, dir) =>
-    clusterCoeffOf(cooccurEdges(Tables.lineitem(spark, dir)))
+    clusterCoeffOf(minedEdges(spark, dir))
   }
 
   /** The clustering-coefficient plan over any canonical (p1 < p2) edge
@@ -566,7 +580,7 @@ object GraphOps {
        |SELECT comp AS component, CAST(count(*) AS BIGINT) AS n_nodes
        |FROM lbl GROUP BY comp ORDER BY n_nodes DESC, component""".stripMargin,
   ) { (spark, dir) =>
-    val e = cooccurEdges(Tables.lineitem(spark, dir))
+    val e = minedEdges(spark, dir)
     val nodes = e.select($"p1".as("doc_id"))
       .union(e.select($"p2".as("doc_id"))).distinct()
     LlmTextOps.clusterLsOf(
@@ -670,7 +684,7 @@ object GraphOps {
        |       coalesce(cd.core_degree, 0) AS core_degree
        |FROM verts v LEFT JOIN cd ON v.p = cd.p ORDER BY node""".stripMargin,
   ) { (spark, dir) =>
-    kcoreOf(cooccurEdges(Tables.lineitem(spark, dir)), KCoreK)
+    kcoreOf(minedEdges(spark, dir), KCoreK)
   }
 
   /** Per-edge triangle support over a canonical (p1 < p2) edge list: the
@@ -784,7 +798,7 @@ object GraphOps {
        |LEFT JOIN fs ON fs.x = p.p1 AND fs.y = p.p2
        |ORDER BY p.p1, p.p2""".stripMargin,
   ) { (spark, dir) =>
-    ktrussOf(cooccurEdges(Tables.lineitem(spark, dir)), KTrussK)
+    ktrussOf(minedEdges(spark, dir), KTrussK)
   }
 
   private val LpRounds = 4
@@ -860,7 +874,7 @@ object GraphOps {
        |FROM l$LpRounds l JOIN sz ON l.lbl = sz.lbl
        |ORDER BY node""".stripMargin,
   ) { (spark, dir) =>
-    labelPropOf(cooccurEdges(Tables.lineitem(spark, dir)), LpRounds)
+    labelPropOf(minedEdges(spark, dir), LpRounds)
   }
 
   /** MODULARITY of the [[labelProp]] partition — the number that says
@@ -900,7 +914,7 @@ object GraphOps {
        |       round(CAST(qt.q_e9 AS DOUBLE) / 1000000000.0, 6) AS q
        |FROM terms t, qt ORDER BY t.community""".stripMargin,
   ) { (spark, dir) =>
-    modularityOf(cooccurEdges(Tables.lineitem(spark, dir)), LpRounds)
+    modularityOf(minedEdges(spark, dir), LpRounds)
   }
 
   /** The modularity readout over any canonical (p1 < p2) edge list and
@@ -1037,7 +1051,7 @@ object GraphOps {
     "graph_hits",
     hitsSql(HitsIters),
   ) { (spark, dir) =>
-    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val und = minedEdges(spark, dir)
     hitsOf(und.select($"p1".as("src"), $"p2".as("dst")), HitsIters)
       .select($"id".as("part"), round($"h", 6).as("hub"),
         round($"a", 6).as("auth"))
@@ -1081,7 +1095,7 @@ object GraphOps {
        |       round(CAST(jq AS DOUBLE) / 1000000.0, 6) AS jaccard
        |FROM sc ORDER BY jaccard DESC, part_a, part_b LIMIT 20""".stripMargin,
   ) { (spark, dir) =>
-    jaccardLinksOf(cooccurEdges(Tables.lineitem(spark, dir)))
+    jaccardLinksOf(minedEdges(spark, dir))
   }
 
   /** The Jaccard link-prediction plan over any canonical (p1 < p2) edge
@@ -1199,7 +1213,7 @@ object GraphOps {
        |  WHERE w.step < 4)
        |SELECT seed, step, node FROM walk ORDER BY seed, step""".stripMargin,
   ) { (spark, dir) =>
-    val edges = cooccurEdges(Tables.lineitem(spark, dir))
+    val edges = minedEdges(spark, dir)
     val adj = graft.Caches.persist(
       edges.select($"p1".as("v"), $"p2".as("u"))
         .unionAll(edges.select($"p2".as("v"), $"p1".as("u")))
@@ -1247,7 +1261,7 @@ object GraphOps {
        |                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity
        |FROM m""".stripMargin,
   ) { (spark, dir) =>
-    val e = cooccurEdges(Tables.lineitem(spark, dir))
+    val e = minedEdges(spark, dir)
     val deg = e.select($"p1".as("p")).union(e.select($"p2".as("p")))
       .groupBy($"p").agg(count(lit(1)).as("degree"))
     val de = e
@@ -1333,7 +1347,7 @@ object GraphOps {
              |       ) GROUP BY node)""".stripMargin).mkString("\n")}
        |SELECT node AS part, d FROM d$SsspRounds ORDER BY part""".stripMargin,
   ) { (spark, dir) =>
-    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val und = minedEdges(spark, dir)
     val edges = und
       .select($"p1".as("src"), $"p2".as("dst"), expr("1000 DIV w").as("cost"))
       .unionAll(und
@@ -1381,7 +1395,7 @@ object GraphOps {
        |       CASE WHEN gain > 0 THEN gain ELSE 0 END AS gain2m2
        |FROM best WHERE rk = 1 ORDER BY part""".stripMargin,
   ) { (spark, dir) =>
-    louvainPassOf(cooccurEdges(Tables.lineitem(spark, dir)))
+    louvainPassOf(minedEdges(spark, dir))
   }
 
   /** The Louvain first pass over any canonical weighted `(p1, p2, w)` edge
@@ -1502,7 +1516,7 @@ object GraphOps {
          |      FROM cm$LouvainRounds GROUP BY 1) s USING (comm)
          |ORDER BY part""".stripMargin,
   ) { (spark, dir) =>
-    louvainFullOf(cooccurEdges(Tables.lineitem(spark, dir)), LouvainRounds,
+    louvainFullOf(minedEdges(spark, dir), LouvainRounds,
       Some(sharedLouvainFine(spark, dir)))
   }
 
@@ -1518,7 +1532,7 @@ object GraphOps {
   private def sharedLouvainFine(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.memo("graph_louvain_fine",
       spark.sparkContext.applicationId + "|" + dir) {
-      louvainAssignOf(cooccurEdges(Tables.lineitem(spark, dir)),
+      louvainAssignOf(minedEdges(spark, dir),
         LouvainRounds)
     }
 
@@ -1630,7 +1644,7 @@ object GraphOps {
          |      GROUP BY 1) s ON s.comm = k.comm
          |ORDER BY part""".stripMargin,
   ) { (spark, dir) =>
-    louvainCoarsenOf(cooccurEdges(Tables.lineitem(spark, dir)),
+    louvainCoarsenOf(minedEdges(spark, dir),
       LouvainRounds, CoarseRounds, Some(sharedLouvainFine(spark, dir)))
   }
 
@@ -1724,7 +1738,7 @@ object GraphOps {
          |      GROUP BY 1) s ON s.comm = j.comm
          |ORDER BY part""".stripMargin,
   ) { (spark, dir) =>
-    louvainMultilevelOf(cooccurEdges(Tables.lineitem(spark, dir)),
+    louvainMultilevelOf(minedEdges(spark, dir),
       LouvainRounds, CoarseRounds, MultiLevels,
       Some(sharedLouvainFine(spark, dir)))
   }
@@ -2077,7 +2091,7 @@ object GraphOps {
        |       CAST(coalesce(sum(CASE WHEN d > 0 THEN 1000000 // d END), 0) AS BIGINT) AS harmonic_ppm
        |FROM md GROUP BY id ORDER BY node""".stripMargin,
   ) { (spark, dir) =>
-    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val und = minedEdges(spark, dir)
     val edges = und.select($"p1".as("src"), $"p2".as("dst"))
       .unionAll(und.select($"p2".as("src"), $"p1".as("dst")))
     harmonicOf(edges, ClosenessLandmarks, ClosenessMaxHops)
@@ -2227,7 +2241,7 @@ object GraphOps {
     * broker/bottleneck readout [[closeness]] can't give: central-but-
     * peripheral-to-routes nodes score low here). */
   val stress: QueryDef = QueryDef("graph_stress", stressSql) { (spark, dir) =>
-    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val und = minedEdges(spark, dir)
     val edges = und.select($"p1".as("src"), $"p2".as("dst"))
       .unionAll(und.select($"p2".as("src"), $"p1".as("dst")))
     stressOf(edges, ClosenessLandmarks, StressMaxHops)
@@ -2256,7 +2270,7 @@ object GraphOps {
        |            ELSE 0 END AS BIGINT) AS closeness_ppm
        |FROM md GROUP BY id ORDER BY node""".stripMargin,
   ) { (spark, dir) =>
-    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val und = minedEdges(spark, dir)
     val edges = und.select($"p1".as("src"), $"p2".as("dst"))
       .unionAll(und.select($"p2".as("src"), $"p1".as("dst")))
     closenessOf(edges, ClosenessLandmarks, ClosenessMaxHops)
@@ -2417,7 +2431,7 @@ object GraphOps {
          |       CAST(CASE WHEN round = (SELECT br FROM bfr) THEN 1 ELSE 0 END AS BIGINT) AS is_best
          |FROM nz ORDER BY round""".stripMargin
     },
-  ) { (spark, dir) => densestOf(cooccurEdges(Tables.lineitem(spark, dir))) }
+  ) { (spark, dir) => densestOf(minedEdges(spark, dir)) }
 
   /** [[densest]] over any canonical (p1 < p2) edge list — fixture seam. */
   private[graft] def densestOf(edges: DataFrame): DataFrame = {
@@ -2506,7 +2520,7 @@ object GraphOps {
        |       CAST((SELECT id FROM f2) AS BIGINT) AS sweep2_node,
        |       CAST((SELECT d FROM f2) AS BIGINT) AS diameter_lb""".stripMargin,
   ) { (spark, dir) =>
-    val und = cooccurEdges(Tables.lineitem(spark, dir))
+    val und = minedEdges(spark, dir)
     diameterOf(und.select($"p1".as("src"), $"p2".as("dst"))
       .unionAll(und.select($"p2".as("src"), $"p1".as("dst"))))
   }
@@ -2601,7 +2615,7 @@ object GraphOps {
          |FROM hc$CorenessOracleRounds f JOIN hc0 d ON d.node = f.node
          |ORDER BY f.node""".stripMargin
     },
-  ) { (spark, dir) => corenessOf(cooccurEdges(Tables.lineitem(spark, dir))) }
+  ) { (spark, dir) => corenessOf(minedEdges(spark, dir)) }
 
   /** [[coreness]] over any canonical (p1 < p2) edge list — fixture seam. */
   private[graft] def corenessOf(edges: DataFrame): DataFrame = {
@@ -2701,7 +2715,7 @@ object GraphOps {
          |FROM ma0 a LEFT JOIN mis m ON m.node = a.node
          |ORDER BY a.node""".stripMargin
     },
-  ) { (spark, dir) => misOf(cooccurEdges(Tables.lineitem(spark, dir))) }
+  ) { (spark, dir) => misOf(minedEdges(spark, dir)) }
 
   /** [[mis]] over any canonical (p1 < p2) edge list — fixture seam. */
   private[graft] def misOf(edges: DataFrame): DataFrame = {

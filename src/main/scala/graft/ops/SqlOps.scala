@@ -206,12 +206,19 @@ object SqlOps {
       |ORDER BY month""".stripMargin,
   ) { (spark, dir) =>
     registerViews(spark, dir)
+    // the upper bound rides the recursion STATE (spine carries `hi`):
+    // a scalar subquery in the recursive term would re-aggregate orders
+    // once per iteration — 80 full scans, measured 12.3 s vs 0.5 s at
+    // sf0.1 — because each recursion step plans and runs as its own job
     spark.sql(
-      """WITH RECURSIVE spine(m) AS (
-        |  SELECT to_date(date_trunc('MONTH', min(o_orderdate))) FROM orders
+      """WITH RECURSIVE b AS (
+        |  SELECT to_date(date_trunc('MONTH', min(o_orderdate))) AS lo,
+        |         to_date(date_trunc('MONTH', max(o_orderdate))) AS hi
+        |  FROM orders),
+        |spine(m, hi) AS (
+        |  SELECT lo, hi FROM b
         |  UNION ALL
-        |  SELECT add_months(m, 1) FROM spine
-        |  WHERE m < (SELECT to_date(date_trunc('MONTH', max(o_orderdate))) FROM orders)),
+        |  SELECT add_months(m, 1), hi FROM spine WHERE m < hi),
         |mo AS (SELECT to_date(date_trunc('MONTH', o_orderdate)) AS m,
         |              count(*) AS n_rich
         |       FROM orders
