@@ -1396,11 +1396,79 @@ object StatsOps {
     }
   }
 
+  /** Label shuffles drawn by [[permTest]]. */
+  private val PermB = 16
+
+  /** EXACT permutation test (Fisher 1935 randomization form) for "do
+    * urgent orders carry more money than chance?": the observed statistic
+    * is the total price (in exact cents) of the URGENT group; each of
+    * [[PermB]] deterministic permutations re-deals the SAME group sizes
+    * by ranking rows under a per-permutation md5 hash and labeling the
+    * first n_a ranks "urgent". Unlike [[bootstrapCi]] (row resampling,
+    * one group) this is the two-group LABEL shuffle — the
+    * distribution-free significance test for a group contrast, reported
+    * as one row per permutation (stat_cents, ge_obs) so the p-value is
+    * (1 + Σ ge_obs) / (B + 1) at the reader.
+    *
+    * Scale shape: the only heavy operation is ONE [[ParallelRank]] range
+    * shuffle over the ×B-exploded fact rows — per-permutation ranks fall
+    * out of the single global order (rank − perm·n) because each
+    * permutation's block is contiguous and exactly n rows — never a
+    * B-partition window (a 16-way fan-out cap is precisely the
+    * anti-pattern the rank machinery exists to avoid); group sizes and
+    * the observed statistic ride a broadcast 1-row frame. */
+  val permTest: QueryDef = QueryDef(
+    "stats_perm_test",
+    s"""WITH pbase AS (SELECT o_orderkey,
+       |                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |                     (o_orderpriority = '1-URGENT') AS is_a
+       |              FROM orders),
+       |pst AS (SELECT count(*) AS n,
+       |               sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+       |               sum(CASE WHEN is_a THEN cents ELSE 0 END) AS obs
+       |        FROM pbase),
+       |pex AS (SELECT b.o_orderkey, b.cents, p.perm,
+       |               ('0x' || substr(md5(CAST(p.perm AS VARCHAR) || ':' || CAST(b.o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+       |        FROM pbase b, unnest(range(0, $PermB)) AS p(perm)),
+       |prk AS (SELECT perm, cents,
+       |               row_number() OVER (PARTITION BY perm ORDER BY h, o_orderkey) AS r
+       |        FROM pex)
+       |SELECT perm, CAST(sum(cents) AS BIGINT) AS stat_cents,
+       |       CAST(CASE WHEN sum(cents) >= (SELECT obs FROM pst) THEN 1 ELSE 0 END AS BIGINT) AS ge_obs
+       |FROM prk, pst WHERE r <= pst.n_a
+       |GROUP BY perm ORDER BY perm""".stripMargin,
+  ) { (spark, dir) => permTestOf(Tables.orders(spark, dir)) }
+
+  /** [[permTest]] over any (o_orderkey, o_totalprice, o_orderpriority)
+    * frame — fixture seam. */
+  private[graft] def permTestOf(orders: DataFrame): DataFrame = {
+    val base = graft.Caches.persist(orders.select($"o_orderkey",
+      round($"o_totalprice" * 100).cast("long").as("cents"),
+      ($"o_orderpriority" === "1-URGENT").as("is_a")))
+    val st = base.agg(count(lit(1)).as("n"),
+      sum(when($"is_a", 1L).otherwise(0L)).as("n_a"),
+      sum(when($"is_a", $"cents").otherwise(0L)).as("obs"))
+    val exploded = base.select($"o_orderkey", $"cents",
+      explode(sequence(lit(0L), lit(PermB - 1L))).as("perm"))
+      .withColumn("h", call_function("md5hash60",
+        concat($"perm".cast("string"), lit(":"),
+          $"o_orderkey".cast("string"))))
+    ParallelRank.withGlobalRank(exploded,
+        Seq($"perm", $"h", $"o_orderkey"), "grk")
+      .crossJoin(broadcast(st))
+      .filter($"grk" - $"perm" * $"n" <= $"n_a")
+      .groupBy($"perm")
+      .agg(sum($"cents").as("stat_cents"), max($"obs").as("obs"))
+      .select($"perm", $"stat_cents",
+        when($"stat_cents" >= $"obs", 1L).otherwise(0L).as("ge_obs"))
+      .orderBy($"perm")
+  }
+
   val all: Seq[QueryDef] =
     Seq(corrMoments, linreg, histogram, quantileBucket, profileOrders,
       madOutliers, chi2, ksTest, mannWhitney, targetEncode,
       weightedMedian, winsorize, cusumChange, autocorr, theilSen,
       bootstrapCi, weekdayAnova, kendallTau, spearman, runsTest,
       giniSegment, ljungBox, desForecast, seasonalDecompose, ebShrinkage,
-      hashedCross, woeEncode)
+      hashedCross, woeEncode, permTest)
 }

@@ -458,4 +458,34 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(iv == gap * woe, s"$cat iv term")
     }
   }
+
+  test("permutation test: every shuffle re-deals exact group sizes and replays in plain JVM") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val rows = Seq(
+      (1L, 100.00, "1-URGENT"), (2L, 250.50, "3-MEDIUM"),
+      (3L, 75.25, "1-URGENT"), (4L, 310.00, "5-LOW"),
+      (5L, 42.10, "2-HIGH"), (6L, 199.99, "1-URGENT"),
+      (7L, 512.00, "4-NOT SPECIFIED"), (8L, 61.75, "3-MEDIUM"))
+    val df = rows.toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    val out = StatsOps.permTestOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == (0L until 16L), "one row per permutation")
+    // independent JVM replay of the md5hash60 ranking and the statistic
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val cents = rows.map { case (k, p, _) => k -> math.round(p * 100) }.toMap
+    val nA = rows.count(_._3 == "1-URGENT")
+    val obs = rows.filter(_._3 == "1-URGENT").map(r => cents(r._1)).sum
+    for ((perm, stat, ge) <- out) {
+      val picked = rows.map(_._1)
+        .sortBy(id => (h60(s"$perm:$id"), id)).take(nA)
+      val want = picked.map(cents).sum
+      assert(stat == want, s"perm $perm statistic")
+      assert(ge == (if (stat >= obs) 1L else 0L), s"perm $perm ge_obs")
+    }
+  }
 }
