@@ -316,4 +316,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"),
       s"a1_recommend no longer reuses its basket exchange:\n$plan")
   }
+
+  test("every query is oracle-backed except the documented rows-only set") {
+    // the correctness gate only checks what has an oracle: a lane landing
+    // WITHOUT one silently downgrades itself to a rows-only check, so the
+    // exclusion set is pinned by name — growing it is a deliberate,
+    // reviewed act, never an omission. The four ref_* goldens are
+    // value-checked locally via tools/selfcheck.py REF_ORACLES (the
+    // driver's gate sees rows-only); the two approximate sketches carry
+    // Spark-internal binary state DuckDB cannot replay (bracketed by
+    // SketchOpsSpec against exact twins); a2_limit_peek is an unordered
+    // LIMIT by design.
+    val noOracle = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle == Set(
+      "a2_limit_peek",
+      "ref_scores_top10", "ref_tbl_top5_customers", "ref_users_search",
+      "ref_weather_monthly_max",
+      "sketch_approx_distinct", "sketch_approx_percentiles"),
+      s"undocumented oracle-less queries: ${noOracle.mkString(", ")}")
+  }
 }
