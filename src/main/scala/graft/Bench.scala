@@ -193,6 +193,12 @@ object Bench {
       .mkString("{", ",", "}")
     val wus = warmups.map { case (k, v) => s"\"" + k + s"\":$v" }
       .mkString("{", ",", "}")
+    // shared-frame build costs (Caches.memo): timed values exclude these
+    // (they land in the first toucher's warm-up); publishing them as a
+    // first-class field keeps cross-round anchors auditable.
+    val memoB = Caches.memoBuildSecs.toSeq.sorted
+      .map { case (k, v) => s"\"" + k + s"\":$v" }
+      .mkString("{", ",", "}")
     val total = healed.map(_._2).filter(_ >= 0).sum
     val elapsed = (System.nanoTime() - wall0) / 1e9
     // Contention self-label (round-9 verdict: two driver artifacts in a row
@@ -208,7 +214,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         only.map(s => "\"only\":" + s.toSeq.sorted.map("\"" + _ + "\"")
           .mkString("[", ",", "]") + ",").getOrElse("") +
-        s""""retimed":$rt,"warmups":$wus,"failed":$fj,"sf":"$sfDir","cores":$cores,""" +
+        s""""retimed":$rt,"warmups":$wus,"memo_build_s":$memoB,"failed":$fj,"sf":"$sfDir","cores":$cores,""" +
         s""""loadavg1":$loadAtStart,"loadavg1_raw":$loadRaw,""" +
         s""""settle_wait_s":$settleWait,"loadavg1_end":$loadavg1,""" +
         s""""contended":$contended,"elapsed_wall":$elapsed}"""

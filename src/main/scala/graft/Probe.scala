@@ -1,10 +1,35 @@
 package graft
 
-/** Dev scratch main — not part of the library surface. */
+/** Dev scratch main — not part of the library surface.
+  *
+  * Default mode: time each registry query named in `PROBE_QS` (comma list)
+  * against `PROBE_DIR`, after one warm-up query to absorb JIT/codegen.
+  * `PROBE_MODE=spine` instead runs the round-14 date-spine recursion
+  * microbenchmark (kept opt-in — round-14 ADVICE: replacing the generic
+  * prober silently broke PROBE_QS invocations).
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
     val dir = sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.1")
+    if (sys.env.get("PROBE_MODE").contains("spine")) spine(spark, dir)
+    else {
+      graft.SparkEntry.queries("llm_exact_dedup")(spark, dir).count()
+      Caches.release()
+      for (q <- sys.env.getOrElse("PROBE_QS", "a1_recommend_m2").split(",")) {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, dir).count()
+        println(f"PROBE $q rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        Caches.release()
+      }
+    }
+    spark.stop()
+  }
+
+  /** The recursion-state-bound A/B from round 14: the original spine
+    * recursion re-aggregates `orders` per step; the shipped form carries
+    * the bound in the recursion state. */
+  private def spine(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     graft.io.Tables.orders(spark, dir).createOrReplaceTempView("orders")
     def time(tag: String, sql: String): Unit = {
       val t0 = System.nanoTime()
@@ -32,6 +57,5 @@ object Probe {
     time("bounds", bounds)
     time("orig2", orig)
     time("bounds2", bounds)
-    spark.stop()
   }
 }

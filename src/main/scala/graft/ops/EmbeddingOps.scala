@@ -66,6 +66,97 @@ object EmbeddingOps {
       .map(j => when(dot($"v", planeLit(j)) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  // --------------------------------------- corpus-derived LSH fan-out
+
+  /** Plane-pool bounds and target bucket density for the corpus-derived
+    * plane count: nb = smallest k in [4, 12] with n ≤ [[ScaledTarget]]·2^k,
+    * i.e. the bucket count grows with the corpus to hold ~[[ScaledTarget]]
+    * vectors per bucket. The round-14 sf10 probe recorded WHY: the fixed
+    * [[NPlanes]] = 4 (16 buckets) makes every bucket join quadratic in
+    * corpus size beyond ~100k vectors — this is the packing-lane
+    * fixed-fan-out fix ([[PackingOps.FfdShardTarget]] recipe) applied to
+    * the ANN family. Derived via an integer comparison LADDER, never a
+    * float log2 (a 1-ulp log2 difference at a power-of-two boundary would
+    * flip nb and change every bucket cross-engine). Round 15 wires the
+    * SAME derived nb into the index-BUILD family (nav/HNSW layer graphs,
+    * insert/delete/merge candidate joins) — the round-14 verdict's top
+    * item: at the fixed count, 10× more vectors meant 10× denser buckets
+    * and a quadratic build join (`llm_ann_merge` ×15.7/decade at sf1). */
+  private val ScaledMinPlanes = 4
+  private val ScaledMaxPlanes = 12
+  private val ScaledTarget = 32L
+
+  /** Extended hyperplane pool from the SAME MINSTD stream as [[planes]]:
+    * the first [[NPlanes]] scaled planes are bit-identical to the fixed
+    * pool, so nb = 4 reproduces the fixed-plane buckets exactly
+    * (spec-pinned at test SF, where n ≤ 32·2⁴ keeps nb at the floor). */
+  private val planesScaled: IndexedSeq[IndexedSeq[Double]] = {
+    val p = 2147483647L
+    val xs = Iterator.iterate(7L)(x => x * 48271L % p)
+      .drop(1).take(ScaledMaxPlanes * Dim).toIndexedSeq
+    (0 until ScaledMaxPlanes).map(j =>
+      (0 until Dim).map(d => xs(j * Dim + d).toDouble / p * 2.0 - 1.0))
+  }
+
+  private def planeScaledLit(j: Int): Column =
+    array(planesScaled(j).map(lit): _*)
+
+  /** Bucket id under the corpus-derived plane count `nb` (a column): one
+    * sign bit per ACTIVE plane, inactive planes contribute 0. */
+  private def scaledBucketCol(nb: Column): Column =
+    (0 until ScaledMaxPlanes)
+      .map(j => when(lit(j) < nb && dot($"v", planeScaledLit(j)) > 0,
+        lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** 1-row (`__nb`) frame: the corpus-derived active-plane count over `e`
+    * (ALL vectors including the query set — the same base the oracles' `p`
+    * CTE counts), by the integer comparison ladder. One tiny broadcast per
+    * lane; at 100 TB this is the "index hyper-parameter chosen at build
+    * time from the corpus statistics" every real ANN build records. */
+  private def nbFrameOf(e: DataFrame): DataFrame = {
+    val nbCol = (ScaledMinPlanes until ScaledMaxPlanes)
+      .foldRight(lit(ScaledMaxPlanes): Column) { (k, acc) =>
+        when($"__n" <= lit(ScaledTarget * (1L << k)), lit(k)).otherwise(acc)
+      }
+    e.agg(count(lit(1)).as("__n")).select(nbCol.as("__nb"))
+  }
+
+  /** Attach (`__nb`, `bucket`) to a frame carrying `v`: the scaled
+    * sign-LSH bucket under the corpus-derived plane count. */
+  private def withScaledBucket(df: DataFrame, nb: DataFrame): DataFrame =
+    df.crossJoin(broadcast(nb)).withColumn("bucket", scaledBucketCol($"__nb"))
+
+  /** Probe-bucket explode for hamming ≤ 1 candidate joins under the
+    * derived count: own bucket + one flip per ACTIVE plane (needs
+    * `bucket` and `__nb` on the input row). The probe set's values are
+    * pairwise distinct, so a qualifying pair matches in exactly one
+    * (probe, home) combination — no DISTINCT pass downstream. */
+  private def probeBuckets: Column = {
+    val p2 = array((0 until ScaledMaxPlanes).map(j => lit(1 << j)): _*)
+    explode(concat(array($"bucket"),
+      transform(sequence(lit(0), $"__nb" - 1),
+        j => $"bucket".bitwiseXOR(element_at(p2, j + 1)))))
+  }
+
+  /** The oracle-side nb derivation: `p AS (SELECT … AS nb FROM <src>)` —
+    * the identical integer ladder over the identical count base, so
+    * engine and oracle flip plane counts at exactly the same corpus size.
+    * `src` defaults to the full vector CTE; [[annCompact]] passes its
+    * survivor CTE (compaction re-derives the fan-out from what remains). */
+  private def nbLadderSql(src: String = "e"): String = {
+    val ladder = (ScaledMinPlanes until ScaledMaxPlanes)
+      .map(k => s"WHEN count(*) <= ${ScaledTarget * (1L << k)} THEN $k")
+      .mkString(" ")
+    s"p AS (SELECT CASE $ladder ELSE $ScaledMaxPlanes END AS nb FROM $src)"
+  }
+
+  /** Scaled-bucket SQL over `v`; the enclosing FROM must include `p`. */
+  private def bucketScaledSql(v: String): String =
+    (0 until ScaledMaxPlanes)
+      .map(j => s"(CASE WHEN $j < p.nb AND ${dotSql(v, planesScaled(j).mkString("[", ", ", "]"))} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+
   // ------------------------------------------------------------- oracles
 
   private def vecCte: String =
@@ -1964,7 +2055,8 @@ object EmbeddingOps {
   private def annGraphWalkCtes: String =
     (vecCte +
       s"""
-         |, b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM e),
+         |, ${nbLadderSql()},
+         |b AS (SELECT vec_id, v, nrm, ${bucketScaledSql("v")} AS bucket FROM e, p),
          |nodes AS (SELECT * FROM b WHERE vec_id >= $NQueries),
          |ent AS (SELECT min(vec_id) AS e FROM nodes),
          |cand AS (SELECT x.vec_id AS src, y.vec_id AS dst,
@@ -2075,12 +2167,23 @@ object EmbeddingOps {
   /** The [[annGraph]] navigation graph over any (vec_id, v) frame:
     * per-src top-[[AnnGraphK]] over the sign-LSH hamming≤1 candidate
     * join, query vectors (`vec_id` < [[NQueries]]) excluded. Extracted so
-    * the spec replays the walk against the graph the engine built. */
-  private[graft] def navGraphOf(e: DataFrame): DataFrame = {
-    val nodes = e.filter($"vec_id" >= NQueries).withColumn("bucket", bucketCol)
+    * the spec replays the walk against the graph the engine built.
+    * Round 15: the bucket join runs on the CORPUS-DERIVED plane count
+    * (nb from [[nbFrameOf]] over the whole input frame), so a 10× corpus
+    * gets ~10× more buckets at constant per-bucket density instead of
+    * 10× denser buckets whose equi-join is quadratic per bucket — the
+    * round-14 verdict's last fixed build fan-out. At the test SFs nb
+    * floors to [[NPlanes]] and the graph is bit-identical to before. */
+  private[graft] def navGraphOf(e: DataFrame): DataFrame =
+    navGraphBucketed(
+      withScaledBucket(e.filter($"vec_id" >= NQueries), nbFrameOf(e)))
+
+  /** [[navGraphOf]] over a pre-bucketed node frame carrying
+    * (vec_id, v, bucket, __nb) — the seam [[hnswLayersOf]] uses so every
+    * layer shares ONE full-corpus nb and ONE bucket computation. */
+  private def navGraphBucketed(nodes: DataFrame): DataFrame = {
     val probe = nodes.select($"vec_id".as("y_id"), $"v".as("yv"),
-      explode(array($"bucket" +: (0 until NPlanes)
-        .map(j => $"bucket".bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+      probeBuckets.as("bucket"))
     nodes.join(probe, Seq("bucket"))
       .filter($"vec_id" =!= $"y_id")
       .select($"vec_id".as("src"), $"y_id".as("dst"),
@@ -2174,16 +2277,26 @@ object EmbeddingOps {
   private def sharedHnswLayers(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.memo("ann_hnsw_layer_edges",
       spark.sparkContext.applicationId + "|" + dir) {
-      hnswLayersOf(vectors(spark, dir))
+      // partitioned on src BEFORE the checkpoint so per-layer slices keep
+      // greedyStep's "edges pre-partitioned on src" invariant — the
+      // fallback path repartitions each layer; the memoized frame must
+      // hand out slices with the same property (round-14 ADVICE)
+      hnswLayersOf(vectors(spark, dir)).repartition($"src")
     }
 
   /** The [[sharedHnswLayers]] build over any (vec_id, v, nrm) frame —
     * layer l keeps the [[navGraphOf]] graph over nodes with lvl ≥ l;
-    * layer 0 is exactly [[annGraphOf]]'s flat navigation graph. */
+    * layer 0 is exactly [[annGraphOf]]'s flat navigation graph. ONE
+    * full-corpus derived plane count and ONE bucket computation feed all
+    * layers (matching the oracle's single `lnodes` bucket column). */
   private[graft] def hnswLayersOf(e: DataFrame): DataFrame = {
-    val nodes = e.filter($"vec_id" >= NQueries).withColumn("lvl", hnswLvl)
+    // one bucket computation feeds all three layer builds (each references
+    // the node frame twice: home side + probe side)
+    val nodes = graft.Caches.persist(
+      withScaledBucket(e.filter($"vec_id" >= NQueries), nbFrameOf(e))
+        .withColumn("lvl", hnswLvl))
     (0 to HnswTop).map { l =>
-      navGraphOf(nodes.filter($"lvl" >= l))
+      navGraphBucketed(nodes.filter($"lvl" >= l))
         .select(lit(l).as("layer"), $"src", $"dst")
     }.reduce(_ unionAll _)
   }
@@ -2191,14 +2304,15 @@ object EmbeddingOps {
   /** Per-layer edge frames for the walk loops: slices of the shared
     * layer-tagged frame when the registry lane passes one (memoized
     * lineage-free blocks — no rebuild, no re-persist), the local
-    * [[navGraphOf]] build otherwise (fixture seams). */
+    * per-layer build otherwise (fixture seams; `nodes` must carry the
+    * full-corpus bucket/__nb columns its caller attached). */
   private def hnswLayerEdges(nodes: DataFrame,
       layers0: Option[DataFrame]): Map[Int, DataFrame] =
     (0 to HnswTop).map { l =>
       l -> layers0
         .map(_.filter($"layer" === l).select($"src", $"dst"))
         .getOrElse(graft.Caches.persist(
-          navGraphOf(nodes.filter($"lvl" >= l)).repartition($"src")))
+          navGraphBucketed(nodes.filter($"lvl" >= l)).repartition($"src")))
     }.toMap
 
   /** Greedy walk of ONE HNSW layer: the [[greedyStep]] loop with
@@ -2291,13 +2405,14 @@ object EmbeddingOps {
     "llm_ann_hnsw",
     (vecCte +
       s"""
-         |, lnodes AS (
-         |    SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket,
+         |, ${nbLadderSql()},
+         |lnodes AS (
+         |    SELECT vec_id, v, nrm, ${bucketScaledSql("v")} AS bucket,
          |           CASE WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1
          |                ELSE 0 END AS lvl
          |    FROM (SELECT vec_id, v, nrm,
          |                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
-         |          FROM e WHERE vec_id >= $NQueries)),
+         |          FROM e WHERE vec_id >= $NQueries), p),
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $NQueries),
          |qs AS (SELECT q.q_id, n.vec_id AS node,
          |              ${dotSql("q.qv", "n.v")} / (q.qn * n.nrm) AS sim
@@ -2326,7 +2441,8 @@ object EmbeddingOps {
       layers0: Option[DataFrame] = None): DataFrame = {
     val b = graft.Caches.persist(e)
     val nodes = graft.Caches.persist(
-      b.filter($"vec_id" >= NQueries).withColumn("lvl", hnswLvl))
+      withScaledBucket(b.filter($"vec_id" >= NQueries), nbFrameOf(b))
+        .withColumn("lvl", hnswLvl))
     val layerEdges = hnswLayerEdges(nodes, layers0)
     val entry = nodes.agg(coalesce(
       min(when($"lvl" >= 2, $"vec_id")),
@@ -2504,7 +2620,8 @@ object EmbeddingOps {
       layers0: Option[DataFrame] = None): DataFrame = {
     val b = graft.Caches.persist(e)
     val nodes = graft.Caches.persist(
-      b.filter($"vec_id" >= NQueries).withColumn("lvl", hnswLvl))
+      withScaledBucket(b.filter($"vec_id" >= NQueries), nbFrameOf(b))
+        .withColumn("lvl", hnswLvl))
     val layerEdges = hnswLayerEdges(nodes, layers0)
     val entry = nodes.agg(coalesce(
       min(when($"lvl" >= 2, $"vec_id")),
@@ -2763,7 +2880,8 @@ object EmbeddingOps {
     "llm_ann_insert",
     vecCte +
       s"""
-         |, b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM e),
+         |, ${nbLadderSql()},
+         |b AS (SELECT vec_id, v, nrm, ${bucketScaledSql("v")} AS bucket FROM e, p),
          |nodes AS (SELECT * FROM b WHERE vec_id >= $NQueries),
          |cand AS (SELECT x.vec_id AS src, y.vec_id AS dst,
          |                ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS s
@@ -2781,8 +2899,10 @@ object EmbeddingOps {
     * Spark side is the INCREMENTAL construction; equality with the
     * oracle's full rebuild is the lane's claim. */
   private[graft] def annInsertOf(e: DataFrame): DataFrame = {
+    // derived plane count from the FULL corpus — the index's build-time
+    // hyper-parameter; maintenance keeps it (the oracle's p CTE counts e)
     val nodes = graft.Caches.persist(
-      e.filter($"vec_id" >= NQueries).withColumn("bucket", bucketCol))
+      withScaledBucket(e.filter($"vec_id" >= NQueries), nbFrameOf(e)))
     val split = nodes.agg(floor(max($"vec_id") * 4 / 5).cast("long").as("split"))
     val tagged = graft.Caches.persist(
       nodes.crossJoin(broadcast(split))
@@ -2792,8 +2912,7 @@ object EmbeddingOps {
     // (x, y) pairs with bucket-hamming ≤ 1, y drawn from `probe`, scored
     def scoredPairs(left: DataFrame, probe: DataFrame): DataFrame = {
       val p = probe.select($"vec_id".as("y_id"), $"v".as("yv"),
-        explode(array($"bucket" +: (0 until NPlanes)
-          .map(j => $"bucket".bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+        probeBuckets.as("bucket"))
       left.join(p, Seq("bucket"))
         .filter($"vec_id" =!= $"y_id")
         .select($"vec_id".as("src"), $"is_new".as("src_new"),
@@ -2819,48 +2938,9 @@ object EmbeddingOps {
       .orderBy($"src", $"r")
   }
 
-  // --------------------------------------- corpus-derived LSH fan-out
-
-  /** Plane-pool bounds and target bucket density for [[annLshScaled]]:
-    * nb = smallest k in [4, 12] with n ≤ [[ScaledTarget]]·2^k, i.e. the
-    * bucket count grows with the corpus to hold ~[[ScaledTarget]] vectors
-    * per bucket. The round-14 sf10 probe recorded WHY: the fixed
-    * [[NPlanes]] = 4 (16 buckets) makes every bucket join quadratic in
-    * corpus size beyond ~100k vectors — this is the packing-lane
-    * fixed-fan-out fix ([[PackingOps.FfdShardTarget]] recipe) applied to
-    * the ANN family. Derived via an integer comparison LADDER, never a
-    * float log2 (a 1-ulp log2 difference at a power-of-two boundary would
-    * flip nb and change every bucket cross-engine). */
-  private val ScaledMinPlanes = 4
-  private val ScaledMaxPlanes = 12
-  private val ScaledTarget = 32L
-
-  /** Extended hyperplane pool from the SAME MINSTD stream as [[planes]]:
-    * the first [[NPlanes]] scaled planes are bit-identical to the fixed
-    * pool, so nb = 4 reproduces [[annLsh]]'s buckets exactly (spec-pinned
-    * at test SF, where n ≤ 32·2⁴ keeps nb at the floor). */
-  private val planesScaled: IndexedSeq[IndexedSeq[Double]] = {
-    val p = 2147483647L
-    val xs = Iterator.iterate(7L)(x => x * 48271L % p)
-      .drop(1).take(ScaledMaxPlanes * Dim).toIndexedSeq
-    (0 until ScaledMaxPlanes).map(j =>
-      (0 until Dim).map(d => xs(j * Dim + d).toDouble / p * 2.0 - 1.0))
-  }
-
-  private def planeScaledLit(j: Int): Column =
-    array(planesScaled(j).map(lit): _*)
-
-  /** Bucket id under the corpus-derived plane count `nb` (a column): one
-    * sign bit per ACTIVE plane, inactive planes contribute 0. */
-  private def scaledBucketCol(nb: Column): Column =
-    (0 until ScaledMaxPlanes)
-      .map(j => when(lit(j) < nb && dot($"v", planeScaledLit(j)) > 0,
-        lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
-
   /** Multi-probe sign-LSH top-k with a CORPUS-DERIVED plane count — the
-    * scale path for the ANN family's one remaining fixed fan-out
-    * constant: bucket count ≈ n / [[ScaledTarget]] (clamped to
+    * search-side lane that introduced the ladder the whole index-BUILD
+    * family now shares (round 15): bucket count ≈ n / [[ScaledTarget]] (clamped to
     * [2⁴, 2¹²]), derived as a 1-row broadcast so 10× more vectors means
     * ~10× more buckets at the same per-bucket density instead of 10×
     * denser buckets (whose equi-join is quadratic per bucket). Probes =
@@ -2869,18 +2949,12 @@ object EmbeddingOps {
     * lane is bit-identical to [[annLsh]] (spec-pinned), while the oracle
     * derives the identical nb in its `p` CTE. */
   val annLshScaled: QueryDef = {
-    val ladder = (ScaledMinPlanes until ScaledMaxPlanes)
-      .map(k => s"WHEN count(*) <= ${ScaledTarget * (1L << k)} THEN $k")
-      .mkString(" ")
-    val bucketScaledSql = (0 until ScaledMaxPlanes)
-      .map(j => s"(CASE WHEN $j < p.nb AND ${dotSql("v", planesScaled(j).mkString("[", ", ", "]"))} > 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
     QueryDef(
       "llm_ann_lsh_scaled",
       vecCte +
         s"""
-           |, p AS (SELECT CASE $ladder ELSE $ScaledMaxPlanes END AS nb FROM e),
-           |b AS (SELECT vec_id, v, nrm, $bucketScaledSql AS bucket FROM e, p),
+           |, ${nbLadderSql()},
+           |b AS (SELECT vec_id, v, nrm, ${bucketScaledSql("v")} AS bucket FROM e, p),
            |q AS (SELECT * FROM b WHERE vec_id < $NQueries),
            |s AS (SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
            |             ${dotSql("q.v", "b.v")} / (q.nrm * b.nrm) AS sim
@@ -2898,20 +2972,9 @@ object EmbeddingOps {
   private[graft] def annLshScaledOf(e: DataFrame): DataFrame = {
     // corpus-derived active-plane count: integer comparison ladder over a
     // 1-row broadcast (see annLshScaled docs for why never float log2)
-    val nbCol = (ScaledMinPlanes until ScaledMaxPlanes)
-      .foldRight(lit(ScaledMaxPlanes): Column) { (k, acc) =>
-        when($"__n" <= lit(ScaledTarget * (1L << k)), lit(k)).otherwise(acc)
-      }
-    val n = e.agg(count(lit(1)).as("__n"))
-    val b = graft.Caches.persist(
-      e.crossJoin(broadcast(n)).withColumn("__nb", nbCol)
-        .withColumn("bucket", scaledBucketCol($"__nb")))
-    val p2 = array((0 until ScaledMaxPlanes).map(j => lit(1 << j)): _*)
+    val b = graft.Caches.persist(withScaledBucket(e, nbFrameOf(e)))
     val q = b.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("q_id"), $"v".as("qv"),
-        explode(concat(array($"bucket"),
-          transform(sequence(lit(0), $"__nb" - 1),
-            j => $"bucket".bitwiseXOR(element_at(p2, j + 1))))).as("bucket"))
+      .select($"vec_id".as("q_id"), $"v".as("qv"), probeBuckets.as("bucket"))
     val scored = b.join(broadcast(q), Seq("bucket"))
       .filter($"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id",
@@ -2945,7 +3008,8 @@ object EmbeddingOps {
     "llm_ann_delete",
     vecCte +
       s"""
-         |, b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM e),
+         |, ${nbLadderSql()},
+         |b AS (SELECT vec_id, v, nrm, ${bucketScaledSql("v")} AS bucket FROM e, p),
          |nodes AS (SELECT * FROM b WHERE vec_id >= $NQueries AND vec_id % $DeleteMod <> 0),
          |cand AS (SELECT x.vec_id AS src, y.vec_id AS dst,
          |                ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS s
@@ -2963,13 +3027,14 @@ object EmbeddingOps {
     * Spark side is the INCREMENTAL tombstone+repair; equality with the
     * oracle's survivor rebuild is the lane's claim. */
   private[graft] def annDeleteOf(e: DataFrame): DataFrame = {
+    // bucket under the build-time derived plane count (full-corpus nb —
+    // tombstones don't re-hash the index; the oracle's p CTE counts e)
     val nodes = graft.Caches.persist(
-      e.filter($"vec_id" >= NQueries).withColumn("bucket", bucketCol))
+      withScaledBucket(e.filter($"vec_id" >= NQueries), nbFrameOf(e)))
     val live = graft.Caches.persist(nodes.filter($"vec_id" % DeleteMod =!= 0))
     def pairs(left: DataFrame, probe: DataFrame): DataFrame = {
       val p = probe.select($"vec_id".as("y_id"), $"v".as("yv"),
-        explode(array($"bucket" +: (0 until NPlanes)
-          .map(j => $"bucket".bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+        probeBuckets.as("bucket"))
       left.join(p, Seq("bucket"))
         .filter($"vec_id" =!= $"y_id")
         .select($"vec_id".as("src"), $"y_id".as("dst"),
@@ -3035,13 +3100,16 @@ object EmbeddingOps {
     * Spark side is the shard-local-then-merge construction; equality
     * with the oracle's global rebuild is the lane's claim. */
   private[graft] def annMergeOf(e: DataFrame): DataFrame = {
+    // every shard hashes with the SAME full-corpus derived plane count
+    // (broadcast 1-row frame) — shard-local builds and the cross-shard
+    // re-rank join on identical bucket ids, the distributed-build analog
+    // of agreeing on the index hyper-parameters before fan-out
     val nodes = graft.Caches.persist(
-      e.filter($"vec_id" >= NQueries).withColumn("bucket", bucketCol)
+      withScaledBucket(e.filter($"vec_id" >= NQueries), nbFrameOf(e))
         .withColumn("shard", pmod($"vec_id", lit(2L))))
     def pairs(left: DataFrame, probe: DataFrame): DataFrame = {
       val p = probe.select($"vec_id".as("y_id"), $"v".as("yv"),
-        explode(array($"bucket" +: (0 until NPlanes)
-          .map(j => $"bucket".bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+        probeBuckets.as("bucket"))
       left.join(p, Seq("bucket"))
         .filter($"vec_id" =!= $"y_id")
         .select($"vec_id".as("src"), $"y_id".as("dst"),
@@ -3064,6 +3132,60 @@ object EmbeddingOps {
       .orderBy($"src", $"r")
   }
 
+  /** Second tombstone generation for [[annCompact]] (the first is
+    * [[DeleteMod]]): together they delete ~31% of the index — deep enough
+    * that compaction has real work, shallow enough that the survivor set
+    * stays the dominant mass. */
+  private val CompactMod = 5
+
+  /** ANN index COMPACTION — the lifecycle's fourth verb ([[annInsert]]
+    * batches in, [[annDelete]] tombstones out, [[annMerge]] builds
+    * distributed, compact REWRITES after attrition): after two tombstone
+    * generations (vec_id % [[DeleteMod]] = 0, then % [[CompactMod]] = 0)
+    * the index is rewritten over the SURVIVORS ONLY, through the same
+    * shard-local-build + cross-shard-re-rank path a cluster compacts
+    * with ([[annMergeOf]] over the survivor set) — and, the part no
+    * incremental repair can do, the LSH fan-out is RE-DERIVED from the
+    * survivor count: mass deletes thin every bucket below the target
+    * density, and compaction is exactly the moment a real index re-picks
+    * its hyper-parameters (the plane ladder's only DOWNWARD move in the
+    * registry). The oracle is the from-scratch global rebuild over
+    * survivors with `nb` derived from the SAME survivor base — the hash
+    * match proves the sharded rewrite loses nothing at the new fan-out.
+    *
+    * Scale: identical to [[annMerge]]'s (B data-local builds + bucketed
+    * cross-shard joins), sized by the survivor corpus; nothing touches
+    * the tombstoned vectors. */
+  val annCompact: QueryDef = QueryDef(
+    "llm_ann_compact",
+    vecCte +
+      s"""
+         |, e2 AS (SELECT * FROM e
+         |         WHERE vec_id < $NQueries
+         |            OR (vec_id % $DeleteMod <> 0 AND vec_id % $CompactMod <> 0)),
+         |${nbLadderSql("e2")},
+         |b AS (SELECT vec_id, v, nrm, ${bucketScaledSql("v")} AS bucket FROM e2, p),
+         |nodes AS (SELECT * FROM b WHERE vec_id >= $NQueries),
+         |cand AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+         |                ${dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS s
+         |         FROM nodes x JOIN nodes y
+         |           ON x.vec_id <> y.vec_id
+         |          AND bit_count(xor(x.bucket, y.bucket)) <= 1)
+         |SELECT src, dst, CAST(rk AS BIGINT) AS r
+         |FROM (SELECT src, dst,
+         |             row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rk
+         |      FROM cand)
+         |WHERE rk <= $AnnGraphK ORDER BY src, r""".stripMargin,
+  ) { (spark, dir) => annCompactOf(vectors(spark, dir)) }
+
+  /** [[annCompact]] over any (vec_id, v, nrm) frame — fixture seam: the
+    * sharded rewrite over the survivor set, fan-out re-derived from what
+    * remains (inside [[annMergeOf]], whose [[nbFrameOf]] counts its
+    * input — here the survivors — matching the oracle's `p` over `e2`). */
+  private[graft] def annCompactOf(e: DataFrame): DataFrame =
+    annMergeOf(e.filter($"vec_id" < NQueries ||
+      ($"vec_id" % DeleteMod =!= 0 && $"vec_id" % CompactMod =!= 0)))
+
   val all: Seq[QueryDef] =
     Seq(cosineTopK, annLsh, annIvf, annIvfTrained, annRecall,
       annRecallTrained, kmeansIter, kmeansTrain, kmeansTrainBlocked,
@@ -3074,5 +3196,5 @@ object EmbeddingOps {
       annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower,
       annGraph, annGraphRecall, annHnsw, annHnswRecall, annHnswBeam,
       annHnswBeamRecall, annHnswEfSweep, annInsert, annDelete, annMerge,
-      annLshScaled)
+      annLshScaled, annCompact)
 }

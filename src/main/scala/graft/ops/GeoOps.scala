@@ -36,10 +36,49 @@ import graft.io.Tables
   */
 object GeoOps {
 
-  /** 2° in micro-degrees: the radius AND the grid cell edge (cell = radius
-    * ⇒ 3×3 neighborhood suffices). */
+  /** 2° in micro-degrees: the BASE radius and grid cell edge (cell =
+    * radius ⇒ 3×3 neighborhood suffices) — the value the lanes use while
+    * the corpus sits at the ladder floor (all driver test SFs). Round 15:
+    * the EFFECTIVE radius is corpus-derived ([[radiusOf]]) — the fixed 2°
+    * made candidate volume grow with density² (geo_msf was 69% of the
+    * round-14 sf10 probe at 762 s), the spatial instance of the LSH
+    * fixed-fan-out class. */
   private val RadiusU = 2000000L
-  private val Radius2 = RadiusU * RadiusU
+
+  /** Radius ladder: halve the radius (quarter the cell area) each time the
+    * point count grows 4×, so expected neighbors-per-point — n·r²-
+    * proportional — stays within a constant band (GeoTarget/4, GeoTarget].
+    * [[GeoTarget]] = 20000 keeps every driver SF (≤15k customers at sf0.1)
+    * at the FLOOR: bench and correctness results are bit-identical to the
+    * fixed-radius lanes there, and only synthetic scale-ups shrink the
+    * radius — exactly like the ANN plane ladder, and like a production
+    * deployment that holds match density constant as the corpus grows.
+    * Integer comparison ladder, never a float log (engine and oracle must
+    * flip at exactly the same count). */
+  private val GeoTarget = 20000L
+  private val GeoMaxHalvings = 12
+
+  /** 1-row (`ru`) frame: the corpus-derived radius/cell edge over `pts` —
+    * smallest j ∈ [0, [[GeoMaxHalvings]]] with n ≤ GeoTarget·4^j gives
+    * ru = RadiusU >> j. Broadcast by every consumer. */
+  private[graft] def radiusOf(pts: DataFrame): DataFrame = {
+    val ruCol = (0 until GeoMaxHalvings)
+      .foldRight(lit(RadiusU >> GeoMaxHalvings): Column) { (j, acc) =>
+        when($"__n" <= lit(GeoTarget * (1L << (2 * j))), lit(RadiusU >> j))
+          .otherwise(acc)
+      }
+    pts.agg(count(lit(1)).as("__n")).select(ruCol.as("ru"))
+  }
+
+  /** Oracle-side radius derivation — the identical ladder over the
+    * identical count base (`pts`), as a 1-row `r` CTE. */
+  private def radiusLadderSql: String = {
+    val cases = (0 until GeoMaxHalvings)
+      .map(j => s"WHEN count(*) <= ${GeoTarget * (1L << (2 * j))} THEN ${RadiusU >> j}")
+      .mkString(" ")
+    // BIGINT cast: the CASE would otherwise type INT32 and ru*ru overflows
+    s"r AS (SELECT CAST(CASE $cases ELSE ${RadiusU >> GeoMaxHalvings} END AS BIGINT) AS ru FROM pts)"
+  }
 
   private def portableHash(c: Column): Column = call_function("md5hash60", c)
 
@@ -78,15 +117,23 @@ object GeoOps {
       .limit(10)
   }
 
-  /** Grid-bucketed candidate pairs within the radius — shared by
-    * [[gridPairs]] and [[cluster]]. One side explodes into its 3×3
-    * neighbor cells; the equi-join on (cell, cell) is the only wide
-    * operation, and the exact planar predicate prunes candidates. */
-  private[graft] def pairsOf(pts: DataFrame): DataFrame = {
+  /** Grid-bucketed candidate pairs within the derived radius — shared by
+    * [[gridPairs]], [[cluster]] and [[msf]]. One side explodes into its
+    * 3×3 neighbor cells; the equi-join on (cell, cell) is the only wide
+    * operation, and the exact planar predicate prunes candidates. The
+    * cell edge IS the derived radius (1-row broadcast), so candidate
+    * density per cell stays ~constant under corpus growth. */
+  private[graft] def pairsOf(pts: DataFrame): DataFrame =
+    pairsOf(pts, radiusOf(pts))
+
+  /** [[pairsOf]] with the derived-radius frame precomputed — [[msf]]
+    * re-derives the grid join once per Borůvka round and must not re-run
+    * the count ladder each time. */
+  private[graft] def pairsOf(pts: DataFrame, ru: DataFrame): DataFrame = {
     val shifts = for { dx <- -1 to 1; dy <- -1 to 1 }
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
-    val g = pts.select($"id", $"ux", $"uy",
-      expr(s"ux DIV $RadiusU").as("cx"), expr(s"uy DIV $RadiusU").as("cy"))
+    val g = pts.crossJoin(broadcast(ru)).select($"id", $"ux", $"uy", $"ru",
+      expr("ux DIV ru").as("cx"), expr("uy DIV ru").as("cy"))
     val probe = g
       .select($"id".as("id_a"), $"ux".as("xa"), $"uy".as("ya"),
         explode(array(shifts: _*)).as("s"), $"cx", $"cy")
@@ -96,7 +143,7 @@ object GeoOps {
       .filter($"id_a" < $"id")
       .withColumn("d2",
         ($"xa" - $"ux") * ($"xa" - $"ux") + ($"ya" - $"uy") * ($"ya" - $"uy"))
-      .filter($"d2" <= Radius2)
+      .filter($"d2" <= $"ru" * $"ru")
       .select($"id_a".as("k1"), $"id".as("k2"), $"d2")
   }
 
@@ -108,13 +155,15 @@ object GeoOps {
     * the quadratic join finds. */
   val gridPairs: QueryDef = QueryDef(
     "geo_grid_pairs",
-    s"""WITH $pointsSql
+    s"""WITH $pointsSql,
+       |$radiusLadderSql
        |SELECT a.id AS k1, b.id AS k2,
        |       (a.ux - b.ux) * (a.ux - b.ux) + (a.uy - b.uy) * (a.uy - b.uy) AS d2,
        |       CAST(floor(sqrt(CAST((a.ux - b.ux) * (a.ux - b.ux)
        |            + (a.uy - b.uy) * (a.uy - b.uy) AS DOUBLE)) / 1000) AS BIGINT) AS dist_mdeg
-       |FROM pts a JOIN pts b ON a.id < b.id
-       |WHERE (a.ux - b.ux) * (a.ux - b.ux) + (a.uy - b.uy) * (a.uy - b.uy) <= $Radius2
+       |FROM pts a, pts b, r
+       |WHERE a.id < b.id
+       |  AND (a.ux - b.ux) * (a.ux - b.ux) + (a.uy - b.uy) * (a.uy - b.uy) <= r.ru * r.ru
        |ORDER BY k1, k2""".stripMargin,
   ) { (spark, dir) =>
     pairsOf(points(spark, dir))
@@ -132,10 +181,12 @@ object GeoOps {
   val cluster: QueryDef = QueryDef(
     "geo_cluster",
     s"""WITH RECURSIVE $pointsSql,
+       |$radiusLadderSql,
        |p AS (SELECT a.id AS da, b.id AS db
-       |      FROM pts a JOIN pts b ON a.id < b.id
-       |      WHERE (a.ux - b.ux) * (a.ux - b.ux)
-       |            + (a.uy - b.uy) * (a.uy - b.uy) <= $Radius2),
+       |      FROM pts a, pts b, r
+       |      WHERE a.id < b.id
+       |        AND (a.ux - b.ux) * (a.ux - b.ux)
+       |            + (a.uy - b.uy) * (a.uy - b.uy) <= r.ru * r.ru),
        |e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db AS a, da AS b FROM p),
        |reach AS (
        |  SELECT id, id AS r FROM pts
@@ -186,11 +237,13 @@ object GeoOps {
   val msf: QueryDef = QueryDef(
     "geo_msf",
     s"""WITH RECURSIVE $pointsSql,
+       |$radiusLadderSql,
        |p AS (SELECT a.id AS ea, b.id AS eb,
        |             (a.ux - b.ux) * (a.ux - b.ux) + (a.uy - b.uy) * (a.uy - b.uy) AS w
-       |      FROM pts a JOIN pts b ON a.id < b.id
-       |      WHERE (a.ux - b.ux) * (a.ux - b.ux)
-       |            + (a.uy - b.uy) * (a.uy - b.uy) <= $Radius2),
+       |      FROM pts a, pts b, r
+       |      WHERE a.id < b.id
+       |        AND (a.ux - b.ux) * (a.ux - b.ux)
+       |            + (a.uy - b.uy) * (a.uy - b.uy) <= r.ru * r.ru),
        |ed AS (SELECT ea, eb, w, row_number() OVER (ORDER BY w, ea, eb) AS k FROM p),
        |e2 AS (SELECT k, ea AS u, eb AS v FROM ed UNION ALL SELECT k, eb, ea FROM ed),
        |reach AS (
@@ -214,6 +267,9 @@ object GeoOps {
     // forest unique. CPU trade: the grid join re-runs once per ⌈log₂ n⌉
     // round instead of being persisted — streaming work, not state.
     val pts = graft.Caches.persist(points(spark, dir))
+    // derived radius computed ONCE (1-row localCheckpoint): the per-round
+    // grid joins re-derive candidates but must not re-run the count ladder
+    val ru = graft.Caches.localCheckpoint(radiusOf(pts))
     var comp = graft.Caches.localCheckpoint(
       pts.select($"id", $"id".as("c")))
     var forest: DataFrame = null
@@ -221,7 +277,7 @@ object GeoOps {
     var round = 0
     while (!done && round < 20) { // ⌈log₂ n⌉ suffices; hard stop for safety
       // grid-join candidates with component labels, cross-component only
-      val e2 = pairsOf(pts)
+      val e2 = pairsOf(pts, ru)
         .join(comp.select($"id".as("k1"), $"c".as("ca")), "k1")
         .join(comp.select($"id".as("k2"), $"c".as("cb")), "k2")
         .filter($"ca" =!= $"cb")

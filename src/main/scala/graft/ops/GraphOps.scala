@@ -1553,14 +1553,25 @@ object GraphOps {
         .repartition($"v"))
     val deg = graft.Caches.persist(und.groupBy($"u").agg(sum($"w").as("dg")))
     val wEdges = if (skipSelf) und.filter($"u" =!= $"v") else und
+    // phase/round accounting for the perf probe (GRAFT_LOUVAIN_DEBUG=1):
+    // the sf10 scale question is whether the ×3.5-3.9/decade shape is
+    // round count (fixed here) or per-round edge/candidate volume —
+    // counts are extra actions, so they run only under the flag
+    val dbg = sys.env.contains("GRAFT_LOUVAIN_DEBUG")
+    def ph(tag: String, extra: => String = ""): Unit =
+      if (dbg) println(s"[louvain] $tag $extra")
+    if (dbg) ph("edges", s"und=${und.count()} deg=${deg.count()}")
     var cm = graft.Caches.localCheckpoint(
       deg.select($"u".as("node"), $"u".as("comm")))
     for (r <- 1 to rounds) {
+      val t0 = System.nanoTime()
       val tot = cm.join(deg, $"node" === $"u")
         .groupBy($"comm").agg(sum($"dg").as("tot"))
       val wnc = wEdges
         .join(cm.select($"node".as("v"), $"comm".as("cand")), "v")
         .groupBy($"u", $"cand").agg(sum($"w").as("wuc"))
+      if (dbg) ph(s"round=$r", s"cands=${wnc.count()} " +
+        f"tsofar=${(System.nanoTime() - t0) / 1e9}%.2f")
       val cand = wnc
         .unionAll(cm.select($"node".as("u"), $"comm".as("cand"),
           lit(0L).as("wuc")))
@@ -1581,6 +1592,8 @@ object GraphOps {
           .select($"u".as("node"),
             when($"u" % 2 === lit(r % 2), $"cand").otherwise($"own")
               .as("comm")))
+      if (dbg) ph(s"round=$r done",
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     cm
   }
@@ -2630,8 +2643,15 @@ object GraphOps {
     // Σc strictly decreases every non-fixpoint round (values are
     // non-increasing and bounded below by coreness), so an unchanged sum
     // IS the fixpoint — the sccOf monotone-guard argument
+    // coalesce: on an EMPTY edge frame (fixture seam; registry inputs are
+    // never empty) sum(c) is NULL and a bare getLong would NPE — read 0,
+    // which equals the next round's 0 and exits at the fixpoint with an
+    // empty readout (round-14 ADVICE)
+    def cSum(df: DataFrame): Long = df
+      .agg(coalesce(org.apache.spark.sql.functions.sum($"c"), lit(0L)))
+      .head.getLong(0)
     var prevSum = -1L
-    var sum = c.agg(org.apache.spark.sql.functions.sum($"c")).head.getLong(0)
+    var sum = cSum(c)
     var r = 0
     while (sum != prevSum && r < MaxPeelRounds) {
       val next = localCheckpoint(
@@ -2641,7 +2661,7 @@ object GraphOps {
           .groupBy($"src").agg(max(least($"rk", $"c")).as("c"))
           .select($"src".as("node"), $"c"))
       prevSum = sum
-      sum = next.agg(org.apache.spark.sql.functions.sum($"c")).head.getLong(0)
+      sum = cSum(next)
       require(sum <= prevSum,
         s"h-index iteration must be non-increasing ($prevSum -> $sum)")
       c = next

@@ -2715,6 +2715,113 @@ object LlmTextOps {
       .orderBy($"w")
   }
 
+  /** Tokenizer ROUND-TRIP / AGREEMENT eval — the cross-family readout the
+    * three tokenizer lanes ([[bpeEncode]] merge replay, [[unigramSegment]]
+    * min-cost Viterbi, [[wordpiece]] greedy longest-match) individually
+    * cannot produce: per distinct corpus word, the piece count under EACH
+    * tokenizer, a `roundtrip_ok` flag proving both piece SEQUENCES
+    * reconstruct the word exactly (BPE symbols concatenate back; WordPiece
+    * pieces re-join with `##` marks stripped — the lossless-segmentation
+    * invariant any deployed tokenizer must hold), and an `all_agree` flag
+    * marking words where all three land the same granularity — the
+    * fragmentation-comparison readout tokenizer papers tabulate.
+    *
+    * Scale shape: all three tokenizers are vocab-sized state broadcast
+    * over per-word fold arithmetic (their own lanes' audited shape); the
+    * agreement join is word-keyed over the DISTINCT-word table, orders of
+    * magnitude below corpus size. Oracle: the three oracle chains
+    * composed over ONE shared word table, joined on the word. */
+  val tokAgreement: QueryDef = QueryDef(
+    "llm_tok_agreement",
+    (bpeCtes(BpeMerges) +
+      s""",
+         |wtok AS (SELECT w, CAST(len(string_split(trim(t, '#'), '##')) AS BIGINT) AS bnp,
+         |                array_to_string(string_split(trim(t, '#'), '##'), '') AS bjoin
+         |         FROM rr$BpeMerges),
+         |uocc AS (SELECT substr(w, s, l) AS u, wc
+         |         FROM w0,
+         |              unnest(range(1, len(w) + 1)) AS a(s),
+         |              unnest(range(1, ${UniMaxPiece + 1})) AS b(l)
+         |         WHERE s + l - 1 <= len(w)),
+         |upc AS (SELECT u, sum(wc) AS c FROM uocc GROUP BY 1),
+         |utot AS (SELECT sum(c) AS t FROM upc),
+         |uvc AS (SELECT u, CAST(round(round(-ln(CAST(c AS DOUBLE) / utot.t), 6)
+         |                             * 1000000) AS BIGINT) AS cost
+         |        FROM upc, utot),
+         |upaths AS (
+         |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS np
+         |  FROM w0
+         |  UNION ALL
+         |  SELECT p.w, p.pos + l, p.c + uvc.cost, p.np + 1
+         |  FROM upaths p, unnest(range(1, ${UniMaxPiece + 1})) AS z(l), uvc
+         |  WHERE uvc.u = substr(p.w, p.pos + 1, l) AND p.pos + l <= len(p.w)),
+         |udone AS (SELECT w, c, np FROM upaths WHERE pos = len(w)),
+         |ubest AS (SELECT w, np AS unp FROM (
+         |            SELECT w, c, np,
+         |                   row_number() OVER (PARTITION BY w ORDER BY c, np) AS rk
+         |            FROM udone) WHERE rk = 1),
+         |wocc AS (SELECT CASE WHEN s = 1 THEN substr(w, s, l)
+         |                     ELSE '##' || substr(w, s, l) END AS piece, l, wc
+         |         FROM w0,
+         |              unnest(range(1, len(w) + 1)) AS a(s),
+         |              unnest(range(1, $WpMaxPiece + 1)) AS b(l)
+         |         WHERE s + l - 1 <= len(w)),
+         |wpc AS (SELECT piece, sum(wc) AS c, min(l) AS ml FROM wocc GROUP BY 1),
+         |wvoc AS (SELECT piece FROM wpc WHERE c >= $WpMinCount OR ml = 1),
+         |wcand AS (SELECT w0.w, s - 1 AS pos, l
+         |          FROM w0,
+         |               unnest(range(1, len(w) + 1)) AS a(s),
+         |               unnest(range(1, $WpMaxPiece + 1)) AS b(l)
+         |          WHERE s + l - 1 <= len(w)
+         |            AND (CASE WHEN s = 1 THEN substr(w, s, l)
+         |                      ELSE '##' || substr(w, s, l) END)
+         |                IN (SELECT piece FROM wvoc)),
+         |wg AS (SELECT w, pos, max(l) AS step FROM wcand GROUP BY 1, 2),
+         |wwalk AS (
+         |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np, '' AS ps
+         |  FROM w0
+         |  UNION ALL
+         |  SELECT k.w, k.pos + wg.step, k.np + 1,
+         |         k.ps || (CASE WHEN k.np = 0 THEN '' ELSE ' ' END) ||
+         |         (CASE WHEN k.pos = 0 THEN substr(k.w, 1, CAST(wg.step AS INT))
+         |               ELSE '##' || substr(k.w, CAST(k.pos + 1 AS INT), CAST(wg.step AS INT)) END)
+         |  FROM wwalk k JOIN wg ON wg.w = k.w AND wg.pos = k.pos
+         |  WHERE k.pos < len(k.w)),
+         |wdone AS (SELECT w, np AS wnp, ps FROM wwalk WHERE pos = len(w))
+         |SELECT w0.w, w0.wc, CAST(len(w0.w) AS BIGINT) AS n_chars,
+         |       wtok.bnp AS bpe_np, ubest.unp AS uni_np, wdone.wnp AS wp_np,
+         |       CAST(CASE WHEN wtok.bjoin = w0.w
+         |                  AND replace(wdone.ps, ' ##', '') = w0.w
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok,
+         |       CAST(CASE WHEN wtok.bnp = ubest.unp AND ubest.unp = wdone.wnp
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS all_agree
+         |FROM w0 JOIN wtok USING (w) JOIN ubest USING (w) JOIN wdone USING (w)
+         |ORDER BY w""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE "),
+  ) { (spark, dir) => tokAgreementOf(Tables.documents(spark, dir)) }
+
+  /** [[tokAgreement]] over any (doc_id, text) frame — fixture seam. The
+    * corpus frame is deliberately NOT persisted (corpus-sized caches are
+    * the anti-pattern the memo rule bars): each tokenizer's word-table
+    * mining is its own pruned text-column scan, and everything after is
+    * vocab-sized. */
+  private[graft] def tokAgreementOf(docs: DataFrame): DataFrame = {
+    val wp = wordpieceOf(docs)
+      .select($"w", $"wc", $"n_pieces".as("wp_np"), $"pieces")
+    val uni = unigramSegmentOf(docs).select($"w", $"n_pieces".as("uni_np"))
+    val bpe = bpeLoop(docs, BpeMerges)._2
+      .select($"w", size($"syms").cast("long").as("bpe_np"),
+        array_join($"syms", "").as("bjoin"))
+    wp.join(uni, "w").join(bpe, "w")
+      .select($"w", $"wc", length($"w").cast("long").as("n_chars"),
+        $"bpe_np", $"uni_np", $"wp_np",
+        when(regexp_replace($"pieces", " ##", "") === $"w" &&
+          $"bjoin" === $"w", 1L).otherwise(0L).as("roundtrip_ok"),
+        when($"bpe_np" === $"uni_np" && $"uni_np" === $"wp_np", 1L)
+          .otherwise(0L).as("all_agree"))
+      .orderBy($"w")
+  }
+
   /** Dictionary size for [[keywordTag]]. */
   private val TagDictK = 12
 
@@ -3029,7 +3136,7 @@ object LlmTextOps {
     simhash, simhashPairs,
     dedupCluster, dedupClusterLs, dedupKeepBest, dedupConsensus, incrementalDedup,
     dupChunks, cdcChunks, dupSpans, despanApply, suffixRepeats, chunkSplit, bpePairs, bpeTrain, bpeEncode, bpeEval,
-    unigramSegment, wordpiece,
+    unigramSegment, wordpiece, tokAgreement,
     filterCascade, filterCascadeNative, corpusPipeline, datasetCard,
     phraseSearch, keywordTag, rakeKeywords, lmGreedyGen,
     spanCorruption, prefixReuse,

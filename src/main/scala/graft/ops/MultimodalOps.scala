@@ -1185,9 +1185,144 @@ object MultimodalOps {
           .otherwise(0L).as("voiced"))
   }
 
+  // --------------------------------- real binary format: RLE byte stream
+
+  /** Deterministic run-length-encoded payload per document — the THIRD
+    * binary container family (round-14 verdict widening item): PGM is
+    * fixed-layout (header declares the raster size), WAV is a uniform
+    * sample stream; RLE exercises VARIABLE-LENGTH TOKEN PARSING, where
+    * the position of byte k+1's token depends on the CONTENT of byte k —
+    * the PackBits/TGA-RLE class no positional slice can decode. Format:
+    * `RL1\n` magic, then tokens — control byte c ∈ [1,63] opens a
+    * LITERAL run (the next c bytes are sample values), c ∈ [64,127] a
+    * REPEAT run (the next byte repeats c−62 times); c = 0 or a
+    * non-ASCII byte is malformed. Control and value bytes stay ≤ 127 by
+    * construction (single-byte chars on both engines — the high-bit
+    * binary box is ticked by the WAV lanes; THIS lane's claim is the
+    * data-dependent token walk). Token count, kinds, lengths, and
+    * values all derive from the document text, so construction is
+    * map-only in both engines. */
+  private[graft] def rlePayloadOf(docs: DataFrame): DataFrame = {
+    val asciiF = org.apache.spark.sql.functions.ascii _
+    docs.filter(length($"text") > 0).select($"doc_id",
+      encode(concat(lit("RL1\n"),
+        bindOnce(struct($"text".as("t"),
+          length($"text").cast("long").as("n"))) { c =>
+          val t = c.getField("t")
+          val n = c.getField("n")
+          array_join(transform(
+            sequence(lit(0L), lit(8L) + (n * 3L) % 57L - 1L),
+            j => bindOnce((asciiF(t.substr((j % n + 1L).cast("int"),
+                lit(1))).cast("long") * 37L + j * 11L) % 96L) { u =>
+              val rep = concat(
+                call_function("chr", lit(64L) + u % 60L),
+                call_function("chr", lit(32L) + (u * 5L + j) % 96L))
+              val lL = lit(1L) + u % 5L
+              val lits = concat(
+                call_function("chr", lL),
+                array_join(transform(sequence(lit(0L), lL - 1L),
+                  i => call_function("chr",
+                    lit(32L) + (u * 7L + j + i * 13L) % 96L)), ""))
+              when(u % 3L === 0L, rep).otherwise(lits)
+            }), "")
+        }), "UTF-8").as("payload"))
+  }
+
+  /** The RLE media table over the corpus. */
+  private[graft] def rleMediaTable(spark: SparkSession, dir: String): DataFrame =
+    rlePayloadOf(Tables.documents(spark, dir))
+
+  /** RLE stream decode: one sequential byte-automaton fold per payload —
+    * state (pending literal count, pending repeat count, totals) — that
+    * walks the self-delimiting token stream and reports run counts,
+    * expanded pixel count, luma sum, and an `ok` flag proving the stream
+    * was consumed EXACTLY (no dangling control, no partial run, no
+    * out-of-range byte). Map-only at any scale: the fold is one codegen'd
+    * higher-order aggregate per row; the payload never crosses a shuffle.
+    *
+    * The oracle is GENERATOR-SIDE: it never parses — it computes the
+    * expected readout in closed form from the construction formulas, so
+    * the hash match proves the byte-stream automaton consumed every
+    * token of every payload correctly (stronger independence than
+    * replaying the same parse). A malformed payload (bad magic, dangling
+    * control, truncated run, byte > 127) reports ok = 0 with the
+    * partial totals — spec-pinned. */
+  val rleDecode: QueryDef = QueryDef(
+    "mm_rle_decode",
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n
+       |           FROM documents WHERE length(text) > 0),
+       |tk AS (SELECT doc_id, j,
+       |              (ascii(substr(text, CAST(1 + (j % n) AS INT), 1)) * 37 + j * 11) % 96 AS u
+       |       FROM d, unnest(range(0, 8 + (n * 3) % 57)) AS z(j)),
+       |pt AS (SELECT doc_id,
+       |              CASE WHEN u % 3 = 0 THEN 1 ELSE 0 END AS isrep,
+       |              CASE WHEN u % 3 = 0 THEN 2 + (u % 60) ELSE 1 + (u % 5) END AS cnt,
+       |              CASE WHEN u % 3 = 0 THEN 2 ELSE 2 + (u % 5) END AS nb,
+       |              CASE WHEN u % 3 = 0
+       |                   THEN (2 + (u % 60)) * (32 + ((u * 5 + j) % 96))
+       |                   ELSE list_sum([32 + ((u * 7 + j + i * 13) % 96)
+       |                                  for i in range(0, 1 + (u % 5))])
+       |              END AS lsum
+       |       FROM tk)
+       |SELECT doc_id, CAST(4 + sum(nb) AS BIGINT) AS n_bytes,
+       |       CAST(sum(1 - isrep) AS BIGINT) AS lit_runs,
+       |       CAST(sum(isrep) AS BIGINT) AS rep_runs,
+       |       CAST(sum(cnt) AS BIGINT) AS n_pixels,
+       |       CAST(sum(lsum) AS BIGINT) AS luma_sum,
+       |       CAST(1 AS BIGINT) AS ok
+       |FROM pt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    rleDecodeOf(rleMediaTable(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** [[rleDecode]] over any `(doc_id, payload)` frame — fixture seam. */
+  private[graft] def rleDecodeOf(media: DataFrame): DataFrame = {
+    val asciiF = org.apache.spark.sql.functions.ascii _
+    val out = bindOnce(decode($"payload", "UTF-8")) { ss =>
+      val zero = struct(lit(0L).as("lit_rem"), lit(0L).as("pend"),
+        lit(0L).as("px"), lit(0L).as("luma"),
+        lit(0L).as("litr"), lit(0L).as("repr"), lit(0L).as("bad"))
+      import org.apache.spark.sql.Column
+      def next(a: Column, litRem: Column, pend: Column, px: Column,
+          luma: Column, litr: Column, repr: Column, bad: Column) =
+        struct(litRem.as("lit_rem"), pend.as("pend"), px.as("px"),
+          luma.as("luma"), litr.as("litr"), repr.as("repr"), bad.as("bad"))
+      val fin = aggregate(
+        // trailing zero-width split artifacts must not read as NUL bytes
+        filter(split(ss.substr(lit(5), length(ss)), ""),
+          ch => length(ch) > 0),
+        zero,
+        (a, ch) => bindOnce(asciiF(ch).cast("long")) { b =>
+          val (lr, pd) = (a.getField("lit_rem"), a.getField("pend"))
+          val (px, lm) = (a.getField("px"), a.getField("luma"))
+          val (ltr, rpr, bd) =
+            (a.getField("litr"), a.getField("repr"), a.getField("bad"))
+          when(pd > 0L, next(a, lr, lit(0L), px + pd, lm + pd * b, ltr, rpr, bd))
+            .when(lr > 0L, next(a, lr - 1L, pd, px + 1L, lm + b, ltr, rpr, bd))
+            .when(b >= 1L && b <= 63L, next(a, b, pd, px, lm, ltr + 1L, rpr, bd))
+            .when(b >= 64L && b <= 127L,
+              next(a, lr, b - 62L, px, lm, ltr, rpr + 1L, bd))
+            .otherwise(next(a, lr, pd, px, lm, ltr, rpr, lit(1L)))
+        })
+      struct(length(ss).cast("long").as("n_bytes"),
+        fin.getField("litr").as("lit_runs"),
+        fin.getField("repr").as("rep_runs"),
+        fin.getField("px").as("n_pixels"),
+        fin.getField("luma").as("luma_sum"),
+        when(ss.substr(lit(1), lit(4)) === "RL1\n" &&
+          fin.getField("lit_rem") === 0L && fin.getField("pend") === 0L &&
+          fin.getField("bad") === 0L, 1L).otherwise(0L).as("ok"))
+    }
+    media.select($"doc_id", out.as("o"))
+      .select($"doc_id", $"o.n_bytes".as("n_bytes"),
+        $"o.lit_runs".as("lit_runs"), $"o.rep_runs".as("rep_runs"),
+        $"o.n_pixels".as("n_pixels"), $"o.luma_sum".as("luma_sum"),
+        $"o.ok".as("ok"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(bytesStats, metaFilter, frameSample, decodeMeta, features,
       payloadDedup, crossmodalFetch, shardAssign, simhashPayload,
       phash, phashPairs, phashPairs2, sharedFrames, neardupCluster,
-      pgmDecode, phashPgm, wavEnergy, wavZcr)
+      pgmDecode, phashPgm, wavEnergy, wavZcr, rleDecode)
 }

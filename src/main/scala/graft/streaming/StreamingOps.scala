@@ -965,6 +965,62 @@ object StreamingOps {
     tagFinish(tagHits(docs, tagDict(docs))).orderBy($"doc_id")
   }
 
+  /** STREAMING BM25 indexing — the batch `llm_bm25_rank` pipeline split at
+    * its natural stream/serve seam: the INDEX STATE is the (doc_id,
+    * term)-keyed tf table, maintained as one streaming count aggregate
+    * (associative — every micro-batch of arriving documents folds in
+    * exactly like the batch count; state is postings-sized, the thing a
+    * streaming search indexer actually persists). EVERYTHING else BM25
+    * needs derives from that one state at read time: dl(doc) = Σ_w tf
+    * (the "document-length pipeline" — avgdl shifts live as documents
+    * arrive), df(w) = postings length, N and Σdl from the dl frame. */
+  def bm25Index(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+
+  /** Serve-time BM25 over the [[bm25Index]] state — the identical
+    * quantized scoring expression as the batch lane (k1 = 1.2, b = 0.75,
+    * 1e-6 BIGINT contributions), so the registered twin shares
+    * `llm_bm25_rank`'s oracle verbatim: same query terms, same top-k,
+    * same scores — proving the state-derived dl/df/avgdl equal the
+    * corpus-at-rest ones. */
+  def bm25Finish(tf0: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val tf = graft.Caches.persist(tf0)
+    // aliased join keys: the state table arrives as a memory-sink VIEW,
+    // whose self-joins the analyzer does not attribute-deduplicate the
+    // way file relations are — fresh output names on every derived side
+    val dl = graft.Caches.persist(
+      tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+        .select($"doc_id".as("dl_doc"), $"dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val dfreq = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+      .select($"w".as("df_w"), $"df")
+    val contrib = tf
+      .filter($"w".isin(terms: _*))
+      .join(broadcast(dfreq.filter($"df_w".isin(terms: _*))),
+        $"w" === $"df_w")
+      .join(dl, $"doc_id" === $"dl_doc")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id",
+        round(
+          round(log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)), 6)
+            * ($"tf" * 2.2)
+            / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" * $"n_docs" / $"sum_dl".cast("double")))
+            * 1000000).cast("long").as("cq"))
+    contrib.groupBy($"doc_id")
+      .agg(round(sum($"cq") / 1e6, 6).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(k)
+  }
+
+  val bm25Streamed: QueryDef = QueryDef(
+    "stream_bm25_rank",
+    graft.ops.RankingOps.bm25Rank.oracle.get,
+  ) { (spark, dir) =>
+    bm25Finish(bm25Index(Tables.documents(spark, dir)),
+      Seq("dup", "vector", "merge"), 20)
+  }
+
   /** Per-type distinct-user HLL registers maintained as a STREAMING
     * aggregate — the streaming twin of `sketch_hll_registers`: register j
     * of a type's sketch is `max(rho)` over the hashed users landing in j,
@@ -997,5 +1053,5 @@ object StreamingOps {
   val all: Seq[QueryDef] = Seq(tumbling, sliding, dedup, session, stateful,
     customSession, enriched, attribution, cms, neardup, cdc, psi,
     asofEnriched, ewmaStreamed, sampleNth, topk, keywordTagged, hll,
-    cdcDedup, lateData)
+    cdcDedup, lateData, bm25Streamed)
 }

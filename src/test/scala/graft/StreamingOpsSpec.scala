@@ -707,6 +707,46 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"doc 1 must accumulate cross-batch hits: $d1")
   }
 
+  test("streaming BM25: postings state accumulates; serve-time scores track the growing corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val terms = Seq("dup", "vector")
+    val b1 = Seq(SDoc(1L, "dup dup vector pad pad"),
+      SDoc(2L, "vector other words here"))
+    val b2 = Seq(SDoc(3L, "dup filler filler filler filler filler"),
+      SDoc(4L, "nothing relevant at all"))
+    val stream = MemoryStream[SDoc]
+    val q = StreamingOps.bm25Index(stream.toDF()).writeStream
+      .format("memory").queryName("bm25_tf").outputMode("complete")
+      .start()
+    def serve() = StreamingOps.bm25Finish(spark.table("bm25_tf"), terms, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val (mid, fin) = try {
+      stream.addData(b1); q.processAllAvailable()
+      val m = serve()
+      // each serve is its own "query" — drop its cached state snapshot so
+      // the next read sees the grown postings (the runner's release contract)
+      graft.Caches.release()
+      stream.addData(b2); q.processAllAvailable()
+      (m, serve())
+    } finally { q.stop(); graft.Caches.release() }
+    def batchOver(docs: Seq[SDoc]) = StreamingOps.bm25Finish(
+      StreamingOps.bm25Index(spark.createDataFrame(docs)), terms, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    // serve-time reads equal the batch pipeline over whatever has arrived
+    assert(mid == batchOver(b1), "mid-stream serve must equal batch over b1")
+    assert(fin == batchOver(b1 ++ b2), "final serve must equal the batch twin")
+    // the document-length pipeline is LIVE: doc 1's score after batch 2
+    // differs from its batch-1 score (N, df, avgdl all moved)
+    val d1mid = mid.find(_._1 == 1L).get._2
+    val d1fin = fin.find(_._1 == 1L).get._2
+    assert(d1mid != d1fin, "corpus growth must move serve-time scores")
+    // and the registered twin's scoring is the batch lane's, verbatim:
+    // same oracle string by construction
+    assert(StreamingOps.bm25Streamed.oracle ==
+      graft.ops.RankingOps.bm25Rank.oracle)
+  }
+
   test("streaming CDC dedup carries chunk anchors across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits.newProductEncoder
