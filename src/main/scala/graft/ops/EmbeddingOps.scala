@@ -83,7 +83,14 @@ object EmbeddingOps {
     * item: at the fixed count, 10× more vectors meant 10× denser buckets
     * and a quadratic build join (`llm_ann_merge` ×15.7/decade at sf1). */
   private val ScaledMinPlanes = 4
-  private val ScaledMaxPlanes = 12
+  // 16 (was 12): the round-15 sf10 probe caught the clamp — at 200k
+  // vectors the ladder wants 13 planes, and pinning at 12 lets bucket
+  // density grow linearly again (merge ×7.4/decade at the clamp vs ×1.5
+  // below it). 16 holds the target density to ~2M vectors; any fixed
+  // pool clamps somewhere — the pool size IS the documented scale bound,
+  // and nothing below the old thresholds changes (ladder rungs are
+  // identical for k < 12).
+  private val ScaledMaxPlanes = 16
   private val ScaledTarget = 32L
 
   /** Extended hyperplane pool from the SAME MINSTD stream as [[planes]]:
