@@ -2989,6 +2989,53 @@ object EmbeddingOps {
     rankTopK(scored)
   }
 
+  /** METADATA-FILTERED ANN search — the vector-DB staple the similarity
+    * family lacked: per query, the top-k most similar vectors SHARING the
+    * query's label (the "same tenant / same language / same modality"
+    * predicate every production vector search carries). PRE-FILTER
+    * semantics: the label predicate is applied to the multi-probe bucket
+    * candidates BEFORE ranking, so a match is both bucket-close and
+    * label-eligible — at ~10 labels the predicate keeps ~1/10 of each
+    * bucket, and the candidate join cost FALLS with selectivity (the
+    * pre-filter regime; a highly selective predicate would instead want
+    * a label-partitioned index or post-filtering with a larger probe set
+    * — the standard trade, documented not implemented, since the
+    * corpus-derived ladder already bounds per-bucket density). Runs on
+    * the same derived-nb buckets as [[annLshScaled]]; the oracle adds
+    * the one-line label equality to that lane's replay. */
+  val annFiltered: QueryDef = QueryDef(
+    "llm_ann_filtered",
+    vecCte +
+      s"""
+         |, ${nbLadderSql()},
+         |b AS (SELECT vec_id, label, v, nrm, ${bucketScaledSql("v")} AS bucket FROM e, p),
+         |q AS (SELECT * FROM b WHERE vec_id < $NQueries),
+         |s AS (SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+         |             ${dotSql("q.v", "b.v")} / (q.nrm * b.nrm) AS sim
+         |      FROM q JOIN b ON bit_count(xor(q.bucket, b.bucket)) <= 1
+         |                   AND q.vec_id <> b.vec_id
+         |                   AND q.label = b.label),
+         |r AS (SELECT q_id, vec_id, sim,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+         |      FROM s)
+         |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
+  ) { (spark, dir) => annFilteredOf(vectors(spark, dir)) }
+
+  /** [[annFiltered]] over any (vec_id, label, v, nrm) frame — fixture
+    * seam. */
+  private[graft] def annFilteredOf(e: DataFrame): DataFrame = {
+    val b = graft.Caches.persist(withScaledBucket(e, nbFrameOf(e)))
+    val q = b.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"label".as("q_label"),
+        probeBuckets.as("bucket"))
+    val scored = b.join(broadcast(q), Seq("bucket"))
+      .filter($"q_id" =!= $"vec_id" && $"label" === $"q_label")
+      .select($"q_id", $"vec_id",
+        call_function("cosine_sim", $"qv", $"v").as("sim"))
+    rankTopK(scored)
+  }
+
   /** Tombstone fraction for [[annDelete]]: vec_id % 7 = 0 (~14% of the
     * index) is deleted — large enough that repairs are non-trivial, small
     * enough that the repair set stays delta-sized. */
@@ -3203,5 +3250,5 @@ object EmbeddingOps {
       annMatryoshka, mmrRerank, hardNegatives, kcenterCoreset, pcaPower,
       annGraph, annGraphRecall, annHnsw, annHnswRecall, annHnswBeam,
       annHnswBeamRecall, annHnswEfSweep, annInsert, annDelete, annMerge,
-      annLshScaled, annCompact)
+      annLshScaled, annCompact, annFiltered)
 }

@@ -839,6 +839,31 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     graft.Caches.release()
   }
 
+  test("filtered ANN: every hit shares the query label, dominated by the unfiltered lane") {
+    import org.apache.spark.sql.functions._
+    val rows = EmbeddingOps.annFiltered.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val labels = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (q, v, _, _) =>
+      assert(labels(v) == labels(q), s"hit $v must share query $q's label") }
+    // ranks contiguous per query, sims non-increasing
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to g.length), s"q$q ranks")
+      assert(sorted.map(_._4).toSeq.reverse.sorted.reverse ==
+        sorted.map(_._4).toSeq, s"q$q sims non-increasing")
+    }
+    // the filtered top-1 can never beat the unfiltered top-1
+    val unf = EmbeddingOps.annLshScaled.run(spark, sf).collect()
+      .filter(_.getLong(2) == 1L)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.filter(_._3 == 1L).foreach { case (q, _, _, s) =>
+      assert(s <= unf(q) + 1e-9, s"q$q filtered top-1 beats unfiltered") }
+  }
+
   test("ANN compaction: survivors-only rewrite equals the survivor rebuild at the re-derived fan-out") {
     import org.apache.spark.sql.functions._
     val sf0 = "/root/testdata/sf0.001"
