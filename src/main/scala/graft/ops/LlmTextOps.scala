@@ -2062,7 +2062,14 @@ object LlmTextOps {
     * the BPE training/application state. */
   private def wordTable(docs: DataFrame): DataFrame =
     docs.select(explode(tokens).as("w"))
-      .filter(length($"w") > 0)
+      // the '#' guard: BPE symbol strings are '#'-delimited ('#s1##s2#'),
+      // so a corpus word containing a literal '#' would corrupt the
+      // oracle's trim/split replay AND the round-trip readout
+      // (llm_tok_agreement's roundtrip_ok). The synthetic corpus is
+      // alphabetic — this filter is a data no-op at every tested SF —
+      // but the delimiter convention is load-bearing, so the guard is
+      // structural on BOTH engines (oracle w0/hw0 mirror it).
+      .filter(length($"w") > 0 && !$"w".contains("#"))
       .groupBy($"w").agg(count(lit(1)).as("wc"))
       .select($"w", transform(sequence(lit(1), length($"w")),
         i => $"w".substr(i, lit(1))).as("syms"), $"wc")
@@ -2124,7 +2131,7 @@ object LlmTextOps {
       s"""hw0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
          |        FROM (SELECT unnest(string_split(text, ' ')) AS w
          |              FROM documents WHERE doc_id % 2 = 1)
-         |        WHERE len(w) > 0 GROUP BY w),
+         |        WHERE len(w) > 0 AND NOT contains(w, '#') GROUP BY w),
          |hr0 AS (SELECT w, '#' || array_to_string([w[i] for i in range(1, len(w)+1)], '##') || '#' AS t, wc
          |        FROM hw0),
          |${(1 to BpeMerges).map(i =>
@@ -2176,9 +2183,10 @@ object LlmTextOps {
     * rounds. Words are carried as boundary-anchored '#'-joined symbol
     * strings ('#s1##s2#…'), which makes DuckDB's left-to-right
     * non-overlapping `replace('#p1##p2#' → '#p1p2#')` exactly the greedy
-    * BPE merge — sound because the corpus vocabulary is purely alphabetic
-    * (asserted nothing contains '#'), so a pattern can never straddle a
-    * token boundary. */
+    * BPE merge — sound because w0 structurally excludes words containing
+    * '#' on BOTH engines (see [[wordTable]]: the guard is a data no-op on
+    * the alphabetic synthetic corpus but load-bearing for the delimiter
+    * convention), so a pattern can never straddle a token boundary. */
   private def bpeCtes(k: Int, srcWhere: String = ""): String = {
     val rounds = (1 to k).map { i =>
       s"""pc$i AS (SELECT u['p1'] AS p1, u['p2'] AS p2, CAST(sum(wc) AS BIGINT) AS n
@@ -2192,7 +2200,7 @@ object LlmTextOps {
     }.mkString(",\n")
     s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
        |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents$srcWhere)
-       |            WHERE len(w) > 0 GROUP BY w),
+       |            WHERE len(w) > 0 AND NOT contains(w, '#') GROUP BY w),
        |rr0 AS (SELECT w, '#' || array_to_string([w[i] for i in range(1, len(w)+1)], '##') || '#' AS t, wc
        |        FROM w0),
        |$rounds""".stripMargin

@@ -89,11 +89,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"ann graph build lost its bucket equi-join:\n$nav")
     // round 15: the build derives its plane count from the corpus, attached
     // as a crossJoin(broadcast(1-row)) — the registry's accepted broadcast-
-    // scalar shape. That single BNL is allowed; the CANDIDATE pairing must
-    // still never be a nested-loop, so any BNL beyond the __nb attach fails.
+    // scalar shape. The __nb attach appears EXACTLY TWICE in this plan:
+    // navGraphBucketed references the bucketed node frame on both the home
+    // and the probe side, and this direct (unpersisted, fixture-seam) call
+    // duplicates that subtree rather than reusing the exchange. Pinned to
+    // == 2 (round-15 ADVICE): at <= 2, a second unrelated nested-loop
+    // creeping into the build would pass silently; the CANDIDATE pairing
+    // itself must never be a nested-loop.
     val bnl = "BroadcastNestedLoop".r.findAllIn(nav).size
-    assert(bnl <= 2 && nav.contains("__nb"),
-      s"ann graph build may BNL only the 1-row derived-nb scalar:\n$nav")
+    assert(bnl == 2 && nav.contains("__nb"),
+      s"ann graph build may BNL only the 1-row derived-nb scalar " +
+        s"(expected exactly 2 = home+probe side attach, got $bnl):\n$nav")
     // any equi-join strategy is fine (tiny SFs may broadcast one side);
     // the key is that the pairing keys on bucket at all
     assert(nav.contains("Join") && nav.contains("bucket"),
