@@ -49,8 +49,9 @@ object EmbeddingOps {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** vec_id, v (double array), nrm (L2 norm). */
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  /** vec_id, v (double array), nrm (L2 norm). `private[graft]`: the
+    * streaming upsert twin derives its arrival stream from this frame. */
+  private[graft] def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
@@ -2958,6 +2959,25 @@ object EmbeddingOps {
       .orderBy($"src", $"r")
   }
 
+  /** The [[annLshScaled]] search replay — everything after the vector
+    * CTE (derived-nb ladder, buckets, hamming ≤ 1 candidate join, top-k)
+    * — shared verbatim by [[annLshScaled]] and the streaming upsert
+    * twin's oracle, which swaps in the RESOLVED-corpus CTE. */
+  private def lshScaledSearchSql: String =
+    s"""
+       |, ${nbLadderSql()},
+       |b AS (SELECT vec_id, v, nrm, ${bucketScaledSql("v")} AS bucket FROM e, p),
+       |q AS (SELECT * FROM b WHERE vec_id < $NQueries),
+       |s AS (SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+       |             ${dotSql("q.v", "b.v")} / (q.nrm * b.nrm) AS sim
+       |      FROM q JOIN b ON bit_count(xor(q.bucket, b.bucket)) <= 1
+       |                   AND q.vec_id <> b.vec_id),
+       |r AS (SELECT q_id, vec_id, sim,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |      FROM s)
+       |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
+       |FROM r WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin
+
   /** Multi-probe sign-LSH top-k with a CORPUS-DERIVED plane count — the
     * search-side lane that introduced the ladder the whole index-BUILD
     * family now shares (round 15): bucket count ≈ n / [[ScaledTarget]] (clamped to
@@ -2971,22 +2991,27 @@ object EmbeddingOps {
   val annLshScaled: QueryDef = {
     QueryDef(
       "llm_ann_lsh_scaled",
-      vecCte +
-        s"""
-           |, ${nbLadderSql()},
-           |b AS (SELECT vec_id, v, nrm, ${bucketScaledSql("v")} AS bucket FROM e, p),
-           |q AS (SELECT * FROM b WHERE vec_id < $NQueries),
-           |s AS (SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
-           |             ${dotSql("q.v", "b.v")} / (q.nrm * b.nrm) AS sim
-           |      FROM q JOIN b ON bit_count(xor(q.bucket, b.bucket)) <= 1
-           |                   AND q.vec_id <> b.vec_id),
-           |r AS (SELECT q_id, vec_id, sim,
-           |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
-           |      FROM s)
-           |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rank, round(sim, 6) AS sim
-           |FROM r WHERE rk <= $TopK ORDER BY q_id, rank""".stripMargin,
+      vecCte + lshScaledSearchSql,
     ) { (spark, dir) => annLshScaledOf(vectors(spark, dir)) }
   }
+
+  /** Oracle for the streaming upsert twin
+    * ([[graft.streaming.StreamingOps]] `stream_ann_upsert`): the
+    * RESOLVED corpus computed in CLOSED FORM — the seq-1 re-embeddings
+    * are exactly the `vec_id % 7 = 3` negations, so last-writer-wins
+    * resolution reduces to a CASE, never a replay of the upsert
+    * mechanics (the generator-side-oracle discipline: the hash match
+    * proves the streaming max_by state equals the closed form) — then
+    * the [[annLshScaled]] search replay over it, verbatim. */
+  private[graft] def annUpsertOracle: String =
+    """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |e1 AS (SELECT vec_id, label,
+      |              CASE WHEN vec_id % 7 = 3
+      |                   THEN list_transform(v, x -> -x) ELSE v END AS v
+      |       FROM e0),
+      |e AS (SELECT vec_id, label, v,
+      |             sqrt(list_sum([v[i]*v[i] for i in range(1, len(v)+1)])) AS nrm
+      |      FROM e1)""".stripMargin + lshScaledSearchSql
 
   /** [[annLshScaled]] over any (vec_id, v, nrm) frame — fixture seam. */
   private[graft] def annLshScaledOf(e: DataFrame): DataFrame = {

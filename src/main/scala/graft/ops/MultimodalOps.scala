@@ -1201,17 +1201,35 @@ object MultimodalOps {
     * binary box is ticked by the WAV lanes; THIS lane's claim is the
     * data-dependent token walk). Token count, kinds, lengths, and
     * values all derive from the document text, so construction is
-    * map-only in both engines. */
+    * map-only in both engines.
+    *
+    * Token VOLUME rides a corpus ladder (round-15 verdict item 5: the
+    * fixed `8 + (n·3) % 57` tokens/doc made this the single most
+    * expensive bench lane purely from generator-side payload bytes —
+    * 163.8 s at sf10): tokens/doc = max(3, base ÷ [[rleTokDivOf]]'s q),
+    * where q doubles each time the corpus doubles past
+    * [[RleTokFloor]] docs, so TOTAL token volume stays within a
+    * constant band (≤ RleTokFloor·64) instead of growing linearly.
+    * Every driver SF (≤50k docs at the sf1 rehearsal) sits at the q = 1
+    * floor — committed values are bit-identical there — and the oracle
+    * derives the identical q in its `lad` CTE. The decode CLAIM is
+    * untouched: the automaton still walks every self-delimiting token
+    * of every payload; only how many tokens a synthetic scale-up
+    * fabricates changes. */
   private[graft] def rlePayloadOf(docs: DataFrame): DataFrame = {
     val asciiF = org.apache.spark.sql.functions.ascii _
-    docs.filter(length($"text") > 0).select($"doc_id",
+    docs.filter(length($"text") > 0)
+      .crossJoin(broadcast(rleTokDivOf(docs)))
+      .select($"doc_id",
       encode(concat(lit("RL1\n"),
         bindOnce(struct($"text".as("t"),
-          length($"text").cast("long").as("n"))) { c =>
+          length($"text").cast("long").as("n"), $"q".as("q"))) { c =>
           val t = c.getField("t")
           val n = c.getField("n")
           array_join(transform(
-            sequence(lit(0L), lit(8L) + (n * 3L) % 57L - 1L),
+            sequence(lit(0L),
+              greatest(lit(3L), floor((lit(8L) + (n * 3L) % 57L)
+                / c.getField("q")).cast("long")) - 1L),
             j => bindOnce((asciiF(t.substr((j % n + 1L).cast("int"),
                 lit(1))).cast("long") * 37L + j * 11L) % 96L) { u =>
               val rep = concat(
@@ -1226,6 +1244,39 @@ object MultimodalOps {
               when(u % 3L === 0L, rep).otherwise(lits)
             }), "")
         }), "UTF-8").as("payload"))
+  }
+
+  /** Doc-count floor and step cap for the RLE token-volume ladder: all
+    * driver SFs sit at the floor (≤50k non-empty docs at the sf1
+    * rehearsal vs a 100k floor); the cap (q = 2¹²) only matters past
+    * ~205M documents, where tokens/doc has long since hit the 3 floor. */
+  private val RleTokFloor = 100000L
+  private val RleMaxHalvings = 12
+
+  /** 1-row (`q`) frame: the corpus-derived token divisor over `docs` —
+    * smallest j ∈ [0, [[RleMaxHalvings]]] with n_docs ≤ [[RleTokFloor]]·2^j
+    * gives q = 2^j (integer comparison ladder, never a float log — the
+    * [[graft.ops.GeoOps]] radius-ladder discipline; engine and oracle
+    * must flip at exactly the same corpus size). Count base = docs with
+    * non-empty text, the same base the oracle's `d` CTE counts. */
+  private[graft] def rleTokDivOf(docs: DataFrame): DataFrame = {
+    val qCol = (0 until RleMaxHalvings)
+      .foldRight(lit(1L << RleMaxHalvings): org.apache.spark.sql.Column) {
+        (j, acc) =>
+          when($"__n" <= lit(RleTokFloor * (1L << j)), lit(1L << j))
+            .otherwise(acc)
+      }
+    docs.filter(length($"text") > 0)
+      .agg(count(lit(1)).as("__n")).select(qCol.as("q"))
+  }
+
+  /** Oracle-side divisor derivation — the identical ladder over the
+    * identical count base (`d`), as a 1-row `lad` CTE. */
+  private def rleLadderSql: String = {
+    val cases = (0 until RleMaxHalvings)
+      .map(j => s"WHEN count(*) <= ${RleTokFloor * (1L << j)} THEN ${1L << j}")
+      .mkString(" ")
+    s"lad AS (SELECT CASE $cases ELSE ${1L << RleMaxHalvings} END AS q FROM d)"
   }
 
   /** The RLE media table over the corpus. */
@@ -1251,9 +1302,10 @@ object MultimodalOps {
     "mm_rle_decode",
     s"""WITH d AS (SELECT doc_id, text, length(text) AS n
        |           FROM documents WHERE length(text) > 0),
+       |$rleLadderSql,
        |tk AS (SELECT doc_id, j,
        |              (ascii(substr(text, CAST(1 + (j % n) AS INT), 1)) * 37 + j * 11) % 96 AS u
-       |       FROM d, unnest(range(0, 8 + (n * 3) % 57)) AS z(j)),
+       |       FROM d, lad, unnest(range(0, greatest(3, (8 + (n * 3) % 57) // q))) AS z(j)),
        |pt AS (SELECT doc_id,
        |              CASE WHEN u % 3 = 0 THEN 1 ELSE 0 END AS isrep,
        |              CASE WHEN u % 3 = 0 THEN 2 + (u % 60) ELSE 1 + (u % 5) END AS cnt,
@@ -1320,9 +1372,163 @@ object MultimodalOps {
         $"o.ok".as("ok"))
   }
 
+  /** Deterministic canonical-Huffman payload per document — the FOURTH
+    * binary container family (round-15 verdict widening item 4): PGM is
+    * fixed-layout, WAV a uniform sample stream, RLE a variable-length
+    * BYTE-token walk; Huffman exercises ENTROPY-CODED, BIT-level
+    * data-dependent consumption — the decoder cannot know where code
+    * i+1 starts without fully decoding code i, and codes are not byte
+    * aligned (the DEFLATE/JPEG class). Format: `HF1\n` magic, a 2-char
+    * base-64 symbol count m (chr(32+m÷64), chr(32+m%64)), then the
+    * bitstream packed 6 bits per char MSB-first (chr(32+bits) — chars
+    * stay in [32,95], single-byte on both engines; bit-packing IS the
+    * claim, the high-bit binary box is ticked by the WAV lanes). Code
+    * table: the canonical Huffman code for the length profile
+    * (1,2,3,4,5,6,7,7) — symbol k ∈ [0,6] encodes as k ones then a
+    * zero, symbol 7 as seven ones (comma code; prefix-free, maximal
+    * skew, so consumed bit counts genuinely vary per symbol). The
+    * stream is padded to a 6-bit boundary with 1-bits: a run of ≤5
+    * ones can never complete a code, and the decoder verifies every
+    * pad bit is 1. Symbols derive from the document text
+    * (k_j = (ascii(text[j mod n])·29 + j·13) mod 8), so construction
+    * is map-only in both engines. Payload is ~30 bytes/doc — no corpus
+    * ladder needed (the RLE lane carries the volume story). */
+  private[graft] def huffPayloadOf(docs: DataFrame): DataFrame = {
+    val asciiF = org.apache.spark.sql.functions.ascii _
+    docs.filter(length($"text") > 0).select($"doc_id",
+      encode(concat(lit("HF1\n"),
+        bindOnce(struct($"text".as("t"),
+          length($"text").cast("long").as("n"))) { c =>
+          val t = c.getField("t")
+          val n = c.getField("n")
+          bindOnce(lit(8L) + (n * 5L) % 48L) { m =>
+            val codes = array_join(transform(sequence(lit(0L), m - 1L),
+              j => bindOnce((asciiF(t.substr((j % n + 1L).cast("int"),
+                  lit(1))).cast("long") * 29L + j * 13L) % 8L) { k =>
+                when(k === 7L, lit("1111111"))
+                  .otherwise(concat(lit("1111111").substr(lit(1),
+                    k.cast("int")), lit("0")))
+              }), "")
+            val header = concat(
+              call_function("chr", lit(32L) + floor(m / 64L).cast("long")),
+              call_function("chr", lit(32L) + m % 64L))
+            concat(header, bindOnce(codes) { cs =>
+              bindOnce(concat(cs, lit("11111").substr(lit(1),
+                ((lit(6) - length(cs) % 6) % 6)))) { bb =>
+                array_join(transform(
+                  sequence(lit(0L), floor(length(bb) / 6).cast("long") - 1L),
+                  g => call_function("chr", lit(32L) +
+                    conv(bb.substr((g * 6L + 1L).cast("int"), lit(6)),
+                      2, 10).cast("long"))), "")
+              }
+            })
+          }
+        }), "UTF-8").as("payload"))
+  }
+
+  /** The Huffman media table over the corpus. */
+  private[graft] def huffMediaTable(spark: SparkSession, dir: String): DataFrame =
+    huffPayloadOf(Tables.documents(spark, dir))
+
+  /** Canonical-Huffman bitstream decode: one sequential BIT-automaton
+    * fold per payload — the per-char fold unrolls the 6 packed bits
+    * MSB-first (each intermediate state lambda-bound so the expression
+    * tree stays linear in bits) and the state (current ones-run, symbols
+    * decoded, value/position-weighted sums, code bits consumed, bad
+    * flag) walks the prefix-free code: a 0 terminates a code of symbol
+    * = ones-run length, the seventh consecutive 1 completes symbol 7,
+    * pad bits after the m-th symbol must all be 1. Map-only at any
+    * scale; the payload never crosses a shuffle.
+    *
+    * The oracle is GENERATOR-SIDE closed form (the [[rleDecode]]
+    * discipline): it never touches the bitstream — symbol values, code
+    * lengths, the position-weighted checksum (which pins decode ORDER,
+    * not just the multiset) and the packed byte count all come straight
+    * from the construction formulas, so the hash match proves the bit
+    * automaton consumed every code of every payload exactly. Malformed
+    * payloads (bad magic, truncated stream, 0-bit in the padding,
+    * out-of-alphabet char) report ok = 0 with partial totals —
+    * spec-pinned on hand-packed streams. */
+  val huffDecode: QueryDef = QueryDef(
+    "mm_huffman_decode",
+    """WITH d AS (SELECT doc_id, text, length(text) AS n
+      |           FROM documents WHERE length(text) > 0),
+      |tk AS (SELECT doc_id, j,
+      |              (ascii(substr(text, CAST(1 + (j % n) AS INT), 1)) * 29 + j * 13) % 8 AS k
+      |       FROM d, unnest(range(0, 8 + (n * 5) % 48)) AS z(j)),
+      |pt AS (SELECT doc_id, j, k,
+      |              CASE WHEN k = 7 THEN 7 ELSE k + 1 END AS cl
+      |       FROM tk)
+      |SELECT doc_id, CAST(6 + (sum(cl) + 5) // 6 AS BIGINT) AS n_bytes,
+      |       CAST(count(*) AS BIGINT) AS n_syms,
+      |       CAST(sum(k) AS BIGINT) AS value_sum,
+      |       CAST(sum((j + 1) * k) AS BIGINT) AS wsum,
+      |       CAST(sum(cl) AS BIGINT) AS bit_len,
+      |       CAST(1 AS BIGINT) AS ok
+      |FROM pt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    huffDecodeOf(huffMediaTable(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** [[huffDecode]] over any `(doc_id, payload)` frame — fixture seam. */
+  private[graft] def huffDecodeOf(media: DataFrame): DataFrame = {
+    val asciiF = org.apache.spark.sql.functions.ascii _
+    val out = bindOnce(decode($"payload", "UTF-8")) { ss =>
+      bindOnce((asciiF(ss.substr(lit(5), lit(1))).cast("long") - 32L) * 64L
+          + asciiF(ss.substr(lit(6), lit(1))).cast("long") - 32L) { m =>
+        import org.apache.spark.sql.Column
+        def st(o: Column, d: Column, v: Column, w: Column, bt: Column,
+            bd: Column) =
+          struct(o.as("ones"), d.as("dec"), v.as("vsum"), w.as("wsum"),
+            bt.as("bits"), bd.as("bad"))
+        val zero = st(lit(0L), lit(0L), lit(0L), lit(0L), lit(0L), lit(0L))
+        def step(s: Column, b: Column): Column = {
+          val (ones, dec) = (s.getField("ones"), s.getField("dec"))
+          val (vsum, wsum) = (s.getField("vsum"), s.getField("wsum"))
+          val (bits, bad) = (s.getField("bits"), s.getField("bad"))
+          when(dec >= m, // padding zone: every pad bit must be 1
+            st(ones, dec, vsum, wsum, bits,
+              when(b === 0L, lit(1L)).otherwise(bad)))
+            .when(b === 1L && ones === 6L, // seventh 1 completes symbol 7
+              st(lit(0L), dec + 1L, vsum + 7L, wsum + (dec + 1L) * 7L,
+                bits + 7L, bad))
+            .when(b === 1L, st(ones + 1L, dec, vsum, wsum, bits, bad))
+            .otherwise( // a 0 terminates: symbol = ones-run length
+              st(lit(0L), dec + 1L, vsum + ones, wsum + (dec + 1L) * ones,
+                bits + ones + 1L, bad))
+        }
+        val fin = aggregate(
+          filter(split(ss.substr(lit(7), length(ss)), ""),
+            ch => length(ch) > 0),
+          zero,
+          (a, ch) => bindOnce(asciiF(ch).cast("long") - 32L) { u =>
+            val a0 = st(a.getField("ones"), a.getField("dec"),
+              a.getField("vsum"), a.getField("wsum"), a.getField("bits"),
+              when(u < 0L || u > 63L, lit(1L)).otherwise(a.getField("bad")))
+            (0 to 5).foldLeft(a0: Column) { (s, i) =>
+              bindOnce(s)(sb =>
+                step(sb, shiftright(u, 5 - i).bitwiseAND(lit(1L))))
+            }
+          })
+        struct(length(ss).cast("long").as("n_bytes"),
+          fin.getField("dec").as("n_syms"),
+          fin.getField("vsum").as("value_sum"),
+          fin.getField("wsum").as("wsum"),
+          fin.getField("bits").as("bit_len"),
+          when(ss.substr(lit(1), lit(4)) === "HF1\n" &&
+            fin.getField("dec") === m && fin.getField("ones") === 0L &&
+            fin.getField("bad") === 0L, 1L).otherwise(0L).as("ok"))
+      }
+    }
+    media.select($"doc_id", out.as("o"))
+      .select($"doc_id", $"o.n_bytes".as("n_bytes"),
+        $"o.n_syms".as("n_syms"), $"o.value_sum".as("value_sum"),
+        $"o.wsum".as("wsum"), $"o.bit_len".as("bit_len"), $"o.ok".as("ok"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(bytesStats, metaFilter, frameSample, decodeMeta, features,
       payloadDedup, crossmodalFetch, shardAssign, simhashPayload,
       phash, phashPairs, phashPairs2, sharedFrames, neardupCluster,
-      pgmDecode, phashPgm, wavEnergy, wavZcr, rleDecode)
+      pgmDecode, phashPgm, wavEnergy, wavZcr, rleDecode, huffDecode)
 }

@@ -451,4 +451,59 @@ class MultimodalOpsSpec extends AnyFunSuite {
       litBytes >= 0 && litBytes <= r.getLong(4)
     }, "stream-identity accounting")
   }
+
+  test("RLE token ladder: driver SFs at the q=1 floor, divisor doubles with the corpus") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def q(n: Long): Long = MultimodalOps.rleTokDivOf(
+      spark.range(n).select($"id".as("doc_id"), lit("xy").as("text")))
+      .collect().head.getLong(0)
+    assert(q(5000) == 1L, "sf0.1-sized corpus floors at q=1")
+    assert(q(100000) == 1L, "floor boundary inclusive")
+    assert(q(100001) == 2L, "first doubling")
+    assert(q(250000) == 4L, "250k docs -> q=4")
+    // empty-text docs are not counted (the oracle's d CTE base)
+    val mixed = spark.range(100001).select($"id".as("doc_id"),
+      when($"id" === 0L, lit("")).otherwise(lit("xy")).as("text"))
+    assert(MultimodalOps.rleTokDivOf(mixed).collect().head.getLong(0) == 1L)
+  }
+
+  test("Huffman decode: hand-packed bitstream, bit-exact consumption, malformed flags") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def pay(s: String) = s.getBytes("UTF-8")
+    // symbols [2, 0, 7] → codes 110, 0, 1111111 → 11 bits, pad one 1-bit
+    // → "110011"=51→'S', "111111"=63→'_'; header m=3 → " #"
+    val good = "HF1\n #S_"
+    val magic = "XX1\n #S_"
+    // m=3 but only one packed char: "110011" decodes sym2, sym0, then a
+    // dangling 2-ones run — 2 of 3 symbols, ok must drop
+    val trunc = "HF1\n #S"
+    // m=2, symbols [2, 0] = "1100", then 0-bits where padding must be 1s:
+    // "110000"=48→'P'... chr(32+48)='P'
+    val padzero = "HF1\n \"P"
+    // '{' is ascii 123 → u=91, outside the 6-bit alphabet
+    val badchar = "HF1\n #{_"
+    val media = Seq((1L, pay(good)), (2L, pay(magic)), (3L, pay(trunc)),
+      (4L, pay(padzero)), (5L, pay(badchar))).toDF("doc_id", "payload")
+    val rows = MultimodalOps.huffDecodeOf(media).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (doc, n_bytes, n_syms, value_sum, wsum, bit_len, ok)
+    assert(rows(0) == ((1L, 8L, 3L, 9L, 23L, 11L, 1L)), s"good: ${rows(0)}")
+    assert(rows(1)._7 == 0L, "bad magic must flag ok=0")
+    assert(rows(2)._7 == 0L && rows(2)._3 == 2L,
+      "truncated stream: ok=0 with partial symbol count")
+    assert(rows(3)._7 == 0L && rows(3)._3 == 2L,
+      "0-bit in padding must flag ok=0 after a complete decode")
+    assert(rows(4)._7 == 0L, "out-of-alphabet char must flag ok=0")
+    // generated corpus payloads: every bitstream consumed exactly, and the
+    // packed length identity holds (bytes = 6 header + ceil(bits/6))
+    val gen = MultimodalOps.huffDecodeOf(
+      MultimodalOps.huffMediaTable(spark, sf)).collect()
+    assert(gen.nonEmpty)
+    assert(gen.forall(_.getLong(6) == 1L),
+      "every generated payload must decode ok")
+    assert(gen.forall(r => r.getLong(1) == 6 + (r.getLong(5) + 5) / 6),
+      "bit-packing length identity")
+    assert(gen.forall(_.getLong(2) >= 8L), "symbol count floor")
+  }
 }

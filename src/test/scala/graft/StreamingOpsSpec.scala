@@ -800,7 +800,52 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch,
       "two doc-ordered micro-batches must equal the one-batch twin")
   }
+  test("streaming ANN upsert: last-writer-wins state, serve tracks re-embeddings") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits.newProductEncoder
+    val e = graft.ops.EmbeddingOps.vectors(spark, sf)
+    val arr = StreamingOps.annArrivals(e).collect()
+      .map(r => VecArr(r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2), r.getDouble(3)))
+    val b1 = arr.filter(_.seq == 0L).toSeq // initial embeddings
+    val b2 = arr.filter(_.seq == 1L).toSeq // the re-embed upserts
+    assert(b2.nonEmpty, "the fixture must exercise at least one upsert")
+    val stream = MemoryStream[VecArr]
+    val q = StreamingOps.annUpsertState(stream.toDF()).writeStream
+      .format("memory").queryName("ann_state").outputMode("complete")
+      .start()
+    def serve() = graft.ops.EmbeddingOps.annLshScaledOf(
+        spark.table("ann_state"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (mid, fin) = try {
+      stream.addData(b1); q.processAllAvailable()
+      val m = serve()
+      graft.Caches.release() // next serve must see the grown state
+      stream.addData(b2); q.processAllAvailable()
+      (m, serve())
+    } finally { q.stop(); graft.Caches.release() }
+    def batchOver(rows: Seq[VecArr]) = {
+      val r = graft.ops.EmbeddingOps.annLshScaledOf(
+        StreamingOps.annUpsertState(spark.createDataFrame(rows)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      graft.Caches.release(); r
+    }
+    assert(mid == batchOver(b1),
+      "mid-stream serve must equal the batch search over arrived vectors")
+    assert(fin == batchOver(b1 ++ b2),
+      "final serve must equal the batch twin over all arrivals")
+    assert(mid != fin,
+      "re-embedding ~14% of the corpus must move some query's top-k")
+    // the registered twin runs the same pipeline over the parquet table
+    val twin = StreamingOps.annUpsert.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.Caches.release()
+    assert(twin == fin, "registered twin must equal the final serve")
+  }
 }
 
 /** Streamed document row for the keyword-tagging test. */
 case class SDoc(doc_id: Long, text: String)
+
+/** Streamed vector arrival for the ANN upsert test. */
+case class VecArr(vec_id: Long, seq: Long, v: Seq[Double], nrm: Double)
