@@ -119,13 +119,29 @@ object EmbeddingOps {
   private def planeScaledLit(j: Int): Column =
     array(planesScaled(j).map(lit): _*)
 
+  /** The whole scaled pool as one constant-folded 2-D literal, indexed by
+    * the fold in [[scaledBucketCol]]. */
+  private val planesScaledLit2d: Column =
+    array((0 until ScaledMaxPlanes).map(planeScaledLit): _*)
+
+  private val pow2Lit: Column =
+    array((0 until ScaledMaxPlanes).map(j => lit(1 << j)): _*)
+
   /** Bucket id under the corpus-derived plane count `nb` (a column): one
-    * sign bit per ACTIVE plane, inactive planes contribute 0. */
+    * sign bit per ACTIVE plane. ONE fold over the active prefix of the
+    * pool — per-row work is nb dots and the expression tree is constant
+    * in [[ScaledMaxPlanes]] (the round-15 30-term guarded-`when` chain
+    * billed every row for the inactive planes' branch walk and inflated
+    * every consumer plan: pool 16→30 alone cost the warm hnsw walk
+    * ×1.27 at sf0.1, round-16 A/B). Same dot, same element order, same
+    * left-to-right accumulation — buckets are bit-identical to the
+    * chain form, and the oracle's 30-branch guarded CASE sum
+    * ([[bucketScaledSql]]) is unchanged. */
   private def scaledBucketCol(nb: Column): Column =
-    (0 until ScaledMaxPlanes)
-      .map(j => when(lit(j) < nb && dot($"v", planeScaledLit(j)) > 0,
-        lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
+    aggregate(sequence(lit(0), nb - 1), lit(0),
+      (acc, j) => acc + when(
+        dot($"v", element_at(planesScaledLit2d, j + 1)) > 0,
+        element_at(pow2Lit, j + 1)).otherwise(lit(0)))
 
   /** 1-row (`__nb`) frame: the corpus-derived active-plane count over `e`
     * (ALL vectors including the query set — the same base the oracles' `p`
