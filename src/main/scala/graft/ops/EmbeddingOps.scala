@@ -3240,6 +3240,41 @@ object EmbeddingOps {
       .orderBy($"src", $"r")
   }
 
+  /** Dev-probe seam (driven by [[graft.AnnScaleProbe]], not a registry
+    * lane): the EXACT candidate-pair volume [[annMergeOf]]'s four bucket
+    * joins process over `e`, with the plane count optionally CLAMPED
+    * below the ladder to replay the historical 12-/16-plane pools. The
+    * joins run on `(vec_id, bucket)` ONLY — payload vectors never enter —
+    * so the count costs MBs of shuffle at sizes whose timed merge would
+    * spill past this box's disk (the timed legs price time-per-candidate;
+    * this seam proves the candidates-per-vector SHAPE across the old
+    * clamp). Returns one row: (n_nodes, nb, n_cands). */
+  private[graft] def annMergeCandCountOf(e: DataFrame,
+      clamp: Option[Int]): DataFrame = {
+    val nbF = clamp match {
+      case Some(c) => nbFrameOf(e).select(least($"__nb", lit(c)).as("__nb"))
+      case None => nbFrameOf(e)
+    }
+    val nodes = graft.Caches.persist(
+      withScaledBucket(e.filter($"vec_id" >= NQueries), nbF)
+        .withColumn("shard", pmod($"vec_id", lit(2L)))
+        .select($"vec_id", $"bucket", $"__nb", $"shard"))
+    def cands(left: DataFrame, probe: DataFrame): DataFrame = {
+      val p = probe.select($"vec_id".as("y_id"), probeBuckets.as("bucket"))
+      left.select($"vec_id", $"bucket").join(p, Seq("bucket"))
+        .filter($"vec_id" =!= $"y_id")
+        .select(lit(1L).as("one"))
+    }
+    val a = nodes.filter($"shard" === 0)
+    val b = nodes.filter($"shard" === 1)
+    cands(a, a).unionAll(cands(b, b)).unionAll(cands(a, b))
+      .unionAll(cands(b, a))
+      .agg(count(lit(1)).as("n_cands"))
+      .crossJoin(broadcast(
+        nodes.agg(count(lit(1)).as("n_nodes"), max($"__nb").as("nb"))))
+      .select($"n_nodes", $"nb", $"n_cands")
+  }
+
   /** Second tombstone generation for [[annCompact]] (the first is
     * [[DeleteMod]]): together they delete ~31% of the index — deep enough
     * that compaction has real work, shallow enough that the survivor set
