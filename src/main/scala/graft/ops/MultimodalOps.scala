@@ -561,6 +561,20 @@ object MultimodalOps {
       body: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
     element_at(transform(array(value), body), 1)
 
+  /** PROJECTION barrier for a multi-field struct readout: materialize `s`
+    * ONCE per row behind a Generate node (explode of a 1-element array).
+    * Without it, SimplifyExtractValueOps + CollapseProject inline one
+    * full copy of the struct expression into EVERY extracted output
+    * column — the decode lanes' whole payload automaton was generated
+    * and walked once PER FIELD (6×; round-16 sf0.1 probes measured
+    * mm_huffman_decode 16.6 → 5.3 s, mm_rle_decode 10.0 → 4.7 s,
+    * mm_pgm_decode 7.0 → 3.1 s from this barrier alone). [[bindOnce]]
+    * can't help at the top level because the final SELECT's columns are
+    * separate expression trees. */
+  private def evalOnce(df: DataFrame, key: org.apache.spark.sql.Column,
+      s: org.apache.spark.sql.Column): DataFrame =
+    df.select(key, explode(array(s)).as("o"))
+
   /** 8×8 integer DCT-II + AC-mean bit extraction over an ALREADY
     * lambda-bound 64-sample luma array — the transform half of [[phash]],
     * shared verbatim by the stub-luma [[phashOf]] and the PGM-decoded
@@ -825,7 +839,7 @@ object MultimodalOps {
         when(ok, aggregate(split(raster, ""), lit(0L),
           (acc, ch) => acc + asciiF(ch))).as("luma_sum"))
     }
-    media.select($"doc_id", out.as("o"))
+    evalOnce(media, $"doc_id", out)
       .select($"doc_id", $"o.width".as("width"), $"o.height".as("height"),
         $"o.maxval".as("maxval"), $"o.n_raster".as("n_raster"),
         $"o.luma_sum".as("luma_sum"))
@@ -1365,7 +1379,7 @@ object MultimodalOps {
           fin.getField("lit_rem") === 0L && fin.getField("pend") === 0L &&
           fin.getField("bad") === 0L, 1L).otherwise(0L).as("ok"))
     }
-    media.select($"doc_id", out.as("o"))
+    evalOnce(media, $"doc_id", out)
       .select($"doc_id", $"o.n_bytes".as("n_bytes"),
         $"o.lit_runs".as("lit_runs"), $"o.rep_runs".as("rep_runs"),
         $"o.n_pixels".as("n_pixels"), $"o.luma_sum".as("luma_sum"),
@@ -1520,7 +1534,7 @@ object MultimodalOps {
             fin.getField("bad") === 0L, 1L).otherwise(0L).as("ok"))
       }
     }
-    media.select($"doc_id", out.as("o"))
+    evalOnce(media, $"doc_id", out)
       .select($"doc_id", $"o.n_bytes".as("n_bytes"),
         $"o.n_syms".as("n_syms"), $"o.value_sum".as("value_sum"),
         $"o.wsum".as("wsum"), $"o.bit_len".as("bit_len"), $"o.ok".as("ok"))
