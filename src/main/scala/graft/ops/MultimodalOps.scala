@@ -1484,9 +1484,46 @@ object MultimodalOps {
     huffDecodeOf(huffMediaTable(spark, dir)).orderBy($"doc_id")
   }
 
+  /** Per-(carry, char) Huffman transition tables — the canonical-table
+    * decode every production inflater uses: for entry ones-run o ∈ [0,6]
+    * and 6-bit char value u, simulate the six bits MSB-first once at
+    * BUILD time and record (codes emitted e, Σ symbol values sv, Σ
+    * local-index-weighted values sw, Σ full code lengths bt — a code's
+    * length includes ones carried in from earlier chars, so summing bt
+    * over chars is exactly Σ len over codes however they straddle — and
+    * exit ones-run o2). The position-weighted checksum decomposes as
+    * wsum += dec·sv + sw, so one table step replaces six interpreted
+    * bit-steps (round-16: the bit-wise fold cost 154.9 s at sf10; the
+    * table form is the same automaton batched per char). */
+  private val huffTables: (Array[Long], Array[Long], Array[Long],
+      Array[Long], Array[Long]) = {
+    val n = 7 * 64
+    val (e, sv, sw, bt, o2) = (new Array[Long](n), new Array[Long](n),
+      new Array[Long](n), new Array[Long](n), new Array[Long](n))
+    for (o <- 0 to 6; u <- 0 until 64) {
+      var ones = o.toLong; var cnt = 0L; var vs = 0L; var ws = 0L
+      var bits = 0L
+      for (i <- 5 to 0 by -1) {
+        if (((u >> i) & 1) == 1) {
+          ones += 1
+          if (ones == 7) { cnt += 1; vs += 7; ws += cnt * 7; bits += 7
+            ones = 0 }
+        } else { cnt += 1; vs += ones; ws += cnt * ones; bits += ones + 1
+          ones = 0 }
+      }
+      val k = o * 64 + u
+      e(k) = cnt; sv(k) = vs; sw(k) = ws; bt(k) = bits; o2(k) = ones
+    }
+    (e, sv, sw, bt, o2)
+  }
+
   /** [[huffDecode]] over any `(doc_id, payload)` frame — fixture seam. */
   private[graft] def huffDecodeOf(media: DataFrame): DataFrame = {
     val asciiF = org.apache.spark.sql.functions.ascii _
+    val (eLit, svLit, swLit, btLit, o2Lit) = (
+      array(huffTables._1.map(lit): _*), array(huffTables._2.map(lit): _*),
+      array(huffTables._3.map(lit): _*), array(huffTables._4.map(lit): _*),
+      array(huffTables._5.map(lit): _*))
     val out = bindOnce(decode($"payload", "UTF-8")) { ss =>
       bindOnce((asciiF(ss.substr(lit(5), lit(1))).cast("long") - 32L) * 64L
           + asciiF(ss.substr(lit(6), lit(1))).cast("long") - 32L) { m =>
@@ -1516,13 +1553,38 @@ object MultimodalOps {
             ch => length(ch) > 0),
           zero,
           (a, ch) => bindOnce(asciiF(ch).cast("long") - 32L) { u =>
-            val a0 = st(a.getField("ones"), a.getField("dec"),
-              a.getField("vsum"), a.getField("wsum"), a.getField("bits"),
-              when(u < 0L || u > 63L, lit(1L)).otherwise(a.getField("bad")))
-            (0 to 5).foldLeft(a0: Column) { (s, i) =>
-              bindOnce(s)(sb =>
-                step(sb, shiftright(u, 5 - i).bitwiseAND(lit(1L))))
-            }
+            val (ones, dec) = (a.getField("ones"), a.getField("dec"))
+            val (vsum, wsum) = (a.getField("vsum"), a.getField("wsum"))
+            val (bits, bad) = (a.getField("bits"), a.getField("bad"))
+            // out-of-alphabet char: flag and skip (ok can never recover)
+            when(u < 0L || u > 63L, st(ones, dec, vsum, wsum, bits, lit(1L)))
+              // pure padding char after the m-th code: all six bits must
+              // be 1 — identical to six bit-steps in the padding zone
+              .when(dec >= m, st(ones, dec, vsum, wsum, bits,
+                when(u =!= 63L, lit(1L)).otherwise(bad)))
+              .otherwise(bindOnce(ones * 64L + u + 1L) { idx =>
+                bindOnce(element_at(eLit, idx.cast("int"))) { eC =>
+                  // fast path: every code this char completes lands at or
+                  // before the m-th — one table step. If the char ends
+                  // EXACTLY at m, any leftover ones are legal padding
+                  // (a 0 among them would have emitted another code and
+                  // pushed dec+e past m), so the carry resets.
+                  when(dec + eC <= m,
+                    st(when(dec + eC === m, lit(0L))
+                        .otherwise(element_at(o2Lit, idx.cast("int"))),
+                      dec + eC,
+                      vsum + element_at(svLit, idx.cast("int")),
+                      wsum + dec * element_at(svLit, idx.cast("int"))
+                        + element_at(swLit, idx.cast("int")),
+                      bits + element_at(btLit, idx.cast("int")), bad))
+                    // boundary/malformed: codes would cross the m-th
+                    // mid-char — walk this one char bit-wise
+                    .otherwise((0 to 5).foldLeft(a: Column) { (s, i) =>
+                      bindOnce(s)(sb =>
+                        step(sb, shiftright(u, 5 - i).bitwiseAND(lit(1L))))
+                    })
+                }
+              })
           })
         struct(length(ss).cast("long").as("n_bytes"),
           fin.getField("dec").as("n_syms"),
