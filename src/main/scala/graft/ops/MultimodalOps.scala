@@ -1405,17 +1405,23 @@ object MultimodalOps {
     * ones can never complete a code, and the decoder verifies every
     * pad bit is 1. Symbols derive from the document text
     * (k_j = (ascii(text[j mod n])·29 + j·13) mod 8), so construction
-    * is map-only in both engines. Payload is ~30 bytes/doc — no corpus
-    * ladder needed (the RLE lane carries the volume story). */
+    * is map-only in both engines. Symbol VOLUME rides the same corpus
+    * ladder as the RLE lane — m = max(2, base ÷ q) with q from
+    * [[rleTokDivOf]] over the identical count base (oracle-mirrored
+    * `lad` CTE), so total payload stays in a constant band; every
+    * driver SF sits at the q = 1 floor, bit-identical. */
   private[graft] def huffPayloadOf(docs: DataFrame): DataFrame = {
     val asciiF = org.apache.spark.sql.functions.ascii _
-    docs.filter(length($"text") > 0).select($"doc_id",
+    docs.filter(length($"text") > 0)
+      .crossJoin(broadcast(rleTokDivOf(docs)))
+      .select($"doc_id",
       encode(concat(lit("HF1\n"),
         bindOnce(struct($"text".as("t"),
-          length($"text").cast("long").as("n"))) { c =>
+          length($"text").cast("long").as("n"), $"q".as("q"))) { c =>
           val t = c.getField("t")
           val n = c.getField("n")
-          bindOnce(lit(8L) + (n * 5L) % 48L) { m =>
+          bindOnce(greatest(lit(2L), floor((lit(8L) + (n * 5L) % 48L)
+              / c.getField("q")).cast("long"))) { m =>
             val codes = array_join(transform(sequence(lit(0L), m - 1L),
               j => bindOnce((asciiF(t.substr((j % n + 1L).cast("int"),
                   lit(1))).cast("long") * 29L + j * 13L) % 8L) { k =>
@@ -1465,11 +1471,12 @@ object MultimodalOps {
     * spec-pinned on hand-packed streams. */
   val huffDecode: QueryDef = QueryDef(
     "mm_huffman_decode",
-    """WITH d AS (SELECT doc_id, text, length(text) AS n
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n
       |           FROM documents WHERE length(text) > 0),
+      |$rleLadderSql,
       |tk AS (SELECT doc_id, j,
       |              (ascii(substr(text, CAST(1 + (j % n) AS INT), 1)) * 29 + j * 13) % 8 AS k
-      |       FROM d, unnest(range(0, 8 + (n * 5) % 48)) AS z(j)),
+      |       FROM d, lad, unnest(range(0, greatest(2, (8 + (n * 5) % 48) // q))) AS z(j)),
       |pt AS (SELECT doc_id, j, k,
       |              CASE WHEN k = 7 THEN 7 ELSE k + 1 END AS cl
       |       FROM tk)
