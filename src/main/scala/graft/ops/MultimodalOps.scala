@@ -1230,10 +1230,13 @@ object MultimodalOps {
     * untouched: the automaton still walks every self-delimiting token
     * of every payload; only how many tokens a synthetic scale-up
     * fabricates changes. */
-  private[graft] def rlePayloadOf(docs: DataFrame): DataFrame = {
+  private[graft] def rlePayloadOf(docs: DataFrame): DataFrame =
+    rlePayloadOf(docs, rleTokDivOf(docs))
+
+  private[graft] def rlePayloadOf(docs: DataFrame, div: DataFrame): DataFrame = {
     val asciiF = org.apache.spark.sql.functions.ascii _
     docs.filter(length($"text") > 0)
-      .crossJoin(broadcast(rleTokDivOf(docs)))
+      .crossJoin(broadcast(div))
       .select($"doc_id",
       encode(concat(lit("RL1\n"),
         bindOnce(struct($"text".as("t"),
@@ -1293,9 +1296,19 @@ object MultimodalOps {
     s"lad AS (SELECT CASE $cases ELSE ${1L << RleMaxHalvings} END AS q FROM d)"
   }
 
+  /** Corpus token-divisor frame, memo-shared across the RLE / Huffman /
+    * LZ media-table builds in one session (round-16 ADVICE: each payload
+    * build re-aggregated the identical 1-row divisor, adding a full
+    * `documents` scan per lane). Keyed by dir; [[graft.Caches.memo]]
+    * localCheckpoints the 1-row frame so every lane after the first pays
+    * zero scans for it, and the build cost is priced in `memo_build_s`. */
+  private def tokDivFor(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo("mm_tok_div", dir)(
+      rleTokDivOf(Tables.documents(spark, dir)))
+
   /** The RLE media table over the corpus. */
   private[graft] def rleMediaTable(spark: SparkSession, dir: String): DataFrame =
-    rlePayloadOf(Tables.documents(spark, dir))
+    rlePayloadOf(Tables.documents(spark, dir), tokDivFor(spark, dir))
 
   /** RLE stream decode: one sequential byte-automaton fold per payload —
     * state (pending literal count, pending repeat count, totals) — that
@@ -1410,10 +1423,13 @@ object MultimodalOps {
     * [[rleTokDivOf]] over the identical count base (oracle-mirrored
     * `lad` CTE), so total payload stays in a constant band; every
     * driver SF sits at the q = 1 floor, bit-identical. */
-  private[graft] def huffPayloadOf(docs: DataFrame): DataFrame = {
+  private[graft] def huffPayloadOf(docs: DataFrame): DataFrame =
+    huffPayloadOf(docs, rleTokDivOf(docs))
+
+  private[graft] def huffPayloadOf(docs: DataFrame, div: DataFrame): DataFrame = {
     val asciiF = org.apache.spark.sql.functions.ascii _
     docs.filter(length($"text") > 0)
-      .crossJoin(broadcast(rleTokDivOf(docs)))
+      .crossJoin(broadcast(div))
       .select($"doc_id",
       encode(concat(lit("HF1\n"),
         bindOnce(struct($"text".as("t"),
@@ -1448,7 +1464,7 @@ object MultimodalOps {
 
   /** The Huffman media table over the corpus. */
   private[graft] def huffMediaTable(spark: SparkSession, dir: String): DataFrame =
-    huffPayloadOf(Tables.documents(spark, dir))
+    huffPayloadOf(Tables.documents(spark, dir), tokDivFor(spark, dir))
 
   /** Canonical-Huffman bitstream decode: one sequential BIT-automaton
     * fold per payload — the per-char fold unrolls the 6 packed bits
@@ -1598,9 +1614,17 @@ object MultimodalOps {
           fin.getField("vsum").as("value_sum"),
           fin.getField("wsum").as("wsum"),
           fin.getField("bits").as("bit_len"),
+          // round-16 ADVICE: the padding-zone bit check (every pad bit
+          // is 1) cannot see EXTRA all-ones chars appended past the one
+          // legal padded boundary char — the packed-length identity
+          // (bytes = 6 header + ceil(code bits / 6)) is what rejects
+          // them, so it is part of ok, not just a spec-side assert.
           when(ss.substr(lit(1), lit(4)) === "HF1\n" &&
             fin.getField("dec") === m && fin.getField("ones") === 0L &&
-            fin.getField("bad") === 0L, 1L).otherwise(0L).as("ok"))
+            fin.getField("bad") === 0L &&
+            length(ss).cast("long") === lit(6L) +
+              floor((fin.getField("bits") + 5L) / lit(6L)).cast("long"),
+            1L).otherwise(0L).as("ok"))
       }
     }
     evalOnce(media, $"doc_id", out)
@@ -1609,9 +1633,261 @@ object MultimodalOps {
         $"o.wsum".as("wsum"), $"o.bit_len".as("bit_len"), $"o.ok".as("ok"))
   }
 
+  // ------------------------- real binary format: LZ77 back-references
+
+  /** Deterministic LZ77-class payload per document — the FIFTH container
+    * consumption family (round-16 verdict widening item 4): PGM is
+    * fixed-layout, WAV a uniform sample stream, RLE a byte-token walk,
+    * Huffman entropy-coded bit-level; LZ exercises OUTPUT-HISTORY-
+    * DEPENDENT decode — copy tokens reference the decoder's OWN already-
+    * emitted output by (length, distance), the DEFLATE/LZ77 half no
+    * other family touches: the decoder cannot produce byte k of a copy
+    * without having materialized the bytes before it, including bytes
+    * the same copy just wrote (`dist=1, len>1` is the classic
+    * overlapping run every real inflater must get right byte-by-byte).
+    *
+    * Format: `LZ1\n` magic, a 2-char base-64 token count T
+    * (chr(32+T÷64), chr(32+T%64)), then tokens: `L<v>` appends literal
+    * char v; `C<l><dh><dl>` copies l = ascii(<l>)−32 ∈ [1,63] bytes
+    * from distance d = (ascii(<dh>)−32)·64 + ascii(<dl>)−32 ∈ [1,4095]
+    * back, byte-by-byte (source slides with the output, so d < l
+    * self-extends). All chars stay in [32,127] — single-byte on both
+    * engines; the high-bit binary box is ticked by the WAV lanes.
+    *
+    * Construction (map-only both engines): an 8-literal preamble
+    * P_i = 32 + (dh + i·17) mod 96 with dh = (ascii(text[1])·31) mod 96,
+    * then m ladder-volume tokens — u_j = (ascii(text[j mod n + 1])·23 +
+    * j·19) mod 96 picks per j a bare literal (u≡0 mod 3), a literal
+    * followed by an OVERLAPPING copy dist=1, len=2+u%6 (u≡1 — the copy
+    * reads bytes it itself wrote), or a literal followed by a LONG-RANGE
+    * copy of the first 1+u%4 preamble bytes, dist = current output
+    * length (u≡2 — distance grows with the document, exercising the
+    * far-history path). m = max(4, (8 + 7n mod 40) ÷ q) rides the same
+    * corpus ladder as the RLE/Huffman lanes ([[rleTokDivOf]]'s q,
+    * oracle-mirrored), so payload volume stays in a constant band;
+    * every driver SF sits at the q = 1 floor, bit-identical. */
+  private[graft] def lzPayloadOf(docs: DataFrame, div: DataFrame): DataFrame = {
+    val asciiF = org.apache.spark.sql.functions.ascii _
+    def chrOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      call_function("chr", c)
+    docs.filter(length($"text") > 0)
+      .crossJoin(broadcast(div))
+      .select($"doc_id",
+        encode(bindOnce(struct($"text".as("t"),
+          length($"text").cast("long").as("n"), $"q".as("q"))) { cc =>
+          val t = cc.getField("t")
+          val n = cc.getField("n")
+          bindOnce((asciiF(t.substr(lit(1), lit(1))).cast("long") * 31L)
+              % 96L) { dh =>
+            bindOnce(greatest(lit(4L), floor((lit(8L) + (n * 7L) % 40L)
+                / cc.getField("q")).cast("long"))) { m =>
+              val pre = array_join(transform(sequence(lit(0L), lit(7L)),
+                i => concat(lit("L"),
+                  chrOf(lit(32L) + (dh + i * 17L) % 96L))), "")
+              aggregate(sequence(lit(0L), m - 1L),
+                struct(pre.as("s"), lit(8L).as("off"), lit(8L).as("tk")),
+                (st, j) => bindOnce((asciiF(t.substr((j % n + 1L)
+                    .cast("int"), lit(1))).cast("long") * 23L + j * 19L)
+                    % 96L) { u =>
+                  bindOnce(chrOf(lit(32L) + (u * 5L + j) % 96L)) { cch =>
+                    val s0 = st.getField("s")
+                    val off = st.getField("off")
+                    val tk = st.getField("tk")
+                    val lC = lit(2L) + u % 6L
+                    val pC = lit(1L) + u % 4L
+                    // dist for the prefix copy = output length AFTER the
+                    // leading literal, so the source window starts at 0
+                    val dist = off + 1L
+                    val litTok = concat(lit("L"), cch)
+                    val copyO = concat(lit("C"), chrOf(lit(32L) + lC),
+                      lit(" !")) // dist 1: hi chr(32), lo chr(33)
+                    val copyP = concat(lit("C"), chrOf(lit(32L) + pC),
+                      chrOf(lit(32L) + floor(dist / 64L).cast("long")),
+                      chrOf(lit(32L) + dist % 64L))
+                    when(u % 3L === 0L,
+                      struct(concat(s0, litTok).as("s"),
+                        (off + 1L).as("off"), (tk + 1L).as("tk")))
+                      .when(u % 3L === 1L,
+                        struct(concat(s0, litTok, copyO).as("s"),
+                          (off + 1L + lC).as("off"), (tk + 2L).as("tk")))
+                      .otherwise(
+                        struct(concat(s0, litTok, copyP).as("s"),
+                          (off + 1L + pC).as("off"), (tk + 2L).as("tk")))
+                  }
+                },
+                st => concat(lit("LZ1\n"),
+                  chrOf(lit(32L) + floor(st.getField("tk") / 64L)
+                    .cast("long")),
+                  chrOf(lit(32L) + st.getField("tk") % 64L),
+                  st.getField("s")))
+            }
+          }
+        }, "UTF-8").as("payload"))
+  }
+
+  /** The LZ media table over the corpus. */
+  private[graft] def lzMediaTable(spark: SparkSession, dir: String): DataFrame =
+    lzPayloadOf(Tables.documents(spark, dir), tokDivFor(spark, dir))
+
+  /** LZ77 stream decode: one sequential token automaton per payload that
+    * MAINTAINS THE DECODED OUTPUT BUFFER as fold state — the only way to
+    * honor back-references — and applies each copy byte-by-byte (an
+    * inner fold over the copy length appending `out[len−dist]` as `out`
+    * grows, which is exactly the overlap semantics: dist=1 duplicates
+    * the last byte len times). Distances are bounds-checked against the
+    * CURRENT output length, so a reference past the start of history is
+    * malformed, not a crash. Map-only at any scale: output per doc is
+    * ladder-bounded (≤ ~400 bytes at the q=1 floor, shrinking with q),
+    * and the payload never crosses a shuffle.
+    *
+    * The oracle is GENERATOR-SIDE closed form (the [[rleDecode]]
+    * discipline): it never parses — token/copy counts, output length,
+    * output byte sum, and the position-weighted checksum (which pins
+    * RECONSTRUCTION ORDER of the buffer, not just its multiset) come
+    * straight from the construction formulas via a per-token prefix-sum
+    * window, so the hash match proves every back-reference resolved to
+    * exactly the right bytes at exactly the right positions. Malformed
+    * payloads (bad magic, unknown tag, zero/oversized length char,
+    * distance past start-of-history, truncated copy token, header/token
+    * count mismatch) report ok = 0 with partial totals — spec-pinned on
+    * hand-packed streams. */
+  val lzDecode: QueryDef = QueryDef(
+    "mm_lz_decode",
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n
+       |           FROM documents WHERE length(text) > 0),
+       |$rleLadderSql,
+       |tk AS (SELECT doc_id, j,
+       |              (ascii(substr(text, CAST(1 + (j % n) AS INT), 1)) * 23 + j * 19) % 96 AS u,
+       |              (ascii(substr(text, 1, 1)) * 31) % 96 AS dh
+       |       FROM d, lad, unnest(range(0, greatest(4, (8 + (n * 7) % 40) // q))) AS z(j)),
+       |pt AS (SELECT doc_id, j, dh, u % 3 AS md,
+       |              32 + ((u * 5 + j) % 96) AS c,
+       |              2 + (u % 6) AS l, 1 + (u % 4) AS p
+       |       FROM tk),
+       |ln AS (SELECT doc_id, j, md, c, l, p, dh,
+       |              CASE md WHEN 0 THEN 1 WHEN 1 THEN 1 + l ELSE 1 + p END AS len,
+       |              CASE md WHEN 0 THEN 2 ELSE 6 END AS enc,
+       |              CASE md WHEN 0 THEN 1 ELSE 2 END AS toks
+       |       FROM pt),
+       |o AS (SELECT *, 8 + COALESCE(SUM(len) OVER (PARTITION BY doc_id ORDER BY j
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |      FROM ln),
+       |w AS (SELECT doc_id, len, enc, toks, md,
+       |             list_sum([32 + ((dh + i * 17) % 96) for i in range(0, 8)]) AS pvs,
+       |             list_sum([(i + 1) * (32 + ((dh + i * 17) % 96)) for i in range(0, 8)]) AS pws,
+       |             CASE md WHEN 0 THEN c
+       |                     WHEN 1 THEN (1 + l) * c
+       |                     ELSE c + list_sum([32 + ((dh + i * 17) % 96) for i in range(0, p)])
+       |             END AS vs,
+       |             CASE md WHEN 0 THEN (off + 1) * c
+       |                     WHEN 1 THEN c * ((1 + l) * off + ((1 + l) * (2 + l)) // 2)
+       |                     ELSE (off + 1) * c
+       |                          + (off + 2) * list_sum([32 + ((dh + i * 17) % 96) for i in range(0, p)])
+       |                          + list_sum([i * (32 + ((dh + i * 17) % 96)) for i in range(0, p)])
+       |             END AS ws
+       |      FROM o)
+       |SELECT doc_id,
+       |       CAST(22 + sum(enc) AS BIGINT) AS n_bytes,
+       |       CAST(8 + sum(toks) AS BIGINT) AS n_toks,
+       |       CAST(sum(CASE WHEN md = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_copies,
+       |       CAST(8 + sum(len) AS BIGINT) AS out_len,
+       |       CAST(any_value(pvs) + sum(vs) AS BIGINT) AS value_sum,
+       |       CAST(any_value(pws) + sum(ws) AS BIGINT) AS wsum,
+       |       CAST(1 AS BIGINT) AS ok
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  ) { (spark, dir) =>
+    lzDecodeOf(lzMediaTable(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** [[lzDecode]] over any `(doc_id, payload)` frame — fixture seam. */
+  private[graft] def lzDecodeOf(media: DataFrame): DataFrame = {
+    val asciiF = org.apache.spark.sql.functions.ascii _
+    val out = bindOnce(decode($"payload", "UTF-8")) { ss =>
+      bindOnce((asciiF(ss.substr(lit(5), lit(1))).cast("long") - 32L) * 64L
+          + asciiF(ss.substr(lit(6), lit(1))).cast("long") - 32L) { tT =>
+        import org.apache.spark.sql.Column
+        // parser modes: 0 expect tag, 1 expect literal value, 2 expect
+        // copy length, 3 expect dist-hi, 4 expect dist-lo
+        def st(md: Column, pl: Column, ph: Column, tk: Column, cp: Column,
+            o: Column, bad: Column) =
+          struct(md.as("md"), pl.as("pl"), ph.as("ph"), tk.as("tk"),
+            cp.as("cp"), o.as("o"), bad.as("bad"))
+        val zero = st(lit(0L), lit(0L), lit(0L), lit(0L), lit(0L),
+          lit(""), lit(0L))
+        val fin = aggregate(
+          filter(split(ss.substr(lit(7), length(ss)), ""),
+            ch => length(ch) > 0),
+          zero,
+          (a, ch) => bindOnce(asciiF(ch).cast("long")) { b =>
+            val (md, pl, ph) = (a.getField("md"), a.getField("pl"),
+              a.getField("ph"))
+            val (tk, cp, o, bad) = (a.getField("tk"), a.getField("cp"),
+              a.getField("o"), a.getField("bad"))
+            when(md === 0L,
+              when(ch === "L", st(lit(1L), pl, ph, tk, cp, o, bad))
+                .when(ch === "C", st(lit(2L), pl, ph, tk, cp, o, bad))
+                .otherwise(st(lit(0L), pl, ph, tk, cp, o, lit(1L))))
+              .when(md === 1L, // literal value byte appends to history
+                st(lit(0L), pl, ph, tk + 1L, cp, concat(o, ch),
+                  when(b < 32L, lit(1L)).otherwise(bad)))
+              .when(md === 2L, // copy length: chr(32+l), l in [1,63]
+                st(lit(3L), b - 32L, ph, tk, cp, o,
+                  when(b <= 32L || b > 95L, lit(1L)).otherwise(bad)))
+              .when(md === 3L, // dist hi 6 bits
+                st(lit(4L), pl, b - 32L, tk, cp, o,
+                  when(b < 32L || b > 95L, lit(1L)).otherwise(bad)))
+              .otherwise( // dist lo: resolve and apply the copy
+                bindOnce(ph * 64L + b - 32L) { dist =>
+                  when(b >= 32L && b <= 95L && dist >= 1L &&
+                      dist <= length(o).cast("long") && pl >= 1L,
+                    st(lit(0L), lit(0L), lit(0L), tk + 1L, cp + 1L,
+                      // byte-by-byte: the source index is computed from
+                      // the GROWING buffer each step, so dist < len
+                      // self-extends exactly like a real inflater
+                      aggregate(sequence(lit(1L), pl), o,
+                        (oo, _) => concat(oo, oo.substr(
+                          (length(oo).cast("long") - dist + 1L)
+                            .cast("int"), lit(1)))),
+                      bad))
+                    .otherwise( // distance past start / zero len: flag,
+                      // skip the copy, keep walking tokens
+                      st(lit(0L), lit(0L), lit(0L), tk + 1L, cp + 1L, o,
+                        lit(1L)))
+                })
+          })
+        bindOnce(fin.getField("o")) { ostr =>
+          bindOnce(aggregate(
+            filter(split(ostr, ""), ch => length(ch) > 0),
+            struct(lit(0L).as("i"), lit(0L).as("vs"), lit(0L).as("ws")),
+            (a, ch) => bindOnce(asciiF(ch).cast("long")) { b =>
+              struct((a.getField("i") + 1L).as("i"),
+                (a.getField("vs") + b).as("vs"),
+                (a.getField("ws") + (a.getField("i") + 1L) * b).as("ws"))
+            })) { vf =>
+            struct(length(ss).cast("long").as("n_bytes"),
+              fin.getField("tk").as("n_toks"),
+              fin.getField("cp").as("n_copies"),
+              length(ostr).cast("long").as("out_len"),
+              vf.getField("vs").as("value_sum"),
+              vf.getField("ws").as("wsum"),
+              when(ss.substr(lit(1), lit(4)) === "LZ1\n" &&
+                fin.getField("md") === 0L && fin.getField("tk") === tT &&
+                fin.getField("bad") === 0L, 1L).otherwise(0L).as("ok"))
+          }
+        }
+      }
+    }
+    evalOnce(media, $"doc_id", out)
+      .select($"doc_id", $"o.n_bytes".as("n_bytes"),
+        $"o.n_toks".as("n_toks"), $"o.n_copies".as("n_copies"),
+        $"o.out_len".as("out_len"), $"o.value_sum".as("value_sum"),
+        $"o.wsum".as("wsum"), $"o.ok".as("ok"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(bytesStats, metaFilter, frameSample, decodeMeta, features,
       payloadDedup, crossmodalFetch, shardAssign, simhashPayload,
       phash, phashPairs, phashPairs2, sharedFrames, neardupCluster,
-      pgmDecode, phashPgm, wavEnergy, wavZcr, rleDecode, huffDecode)
+      pgmDecode, phashPgm, wavEnergy, wavZcr, rleDecode, huffDecode,
+      lzDecode)
 }

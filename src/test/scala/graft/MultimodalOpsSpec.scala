@@ -482,8 +482,13 @@ class MultimodalOpsSpec extends AnyFunSuite {
     val padzero = "HF1\n \"P"
     // '{' is ascii 123 → u=91, outside the 6-bit alphabet
     val badchar = "HF1\n #{_"
+    // round-16 ADVICE: an EXTRA all-ones char past the single padded
+    // boundary char satisfies the per-bit padding check (u==63) — the
+    // packed-length identity (bytes = 6 + ceil(bit_len/6)) must reject it
+    val overpad = good + "_"
     val media = Seq((1L, pay(good)), (2L, pay(magic)), (3L, pay(trunc)),
-      (4L, pay(padzero)), (5L, pay(badchar))).toDF("doc_id", "payload")
+      (4L, pay(padzero)), (5L, pay(badchar)), (6L, pay(overpad)))
+      .toDF("doc_id", "payload")
     val rows = MultimodalOps.huffDecodeOf(media).orderBy($"doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))
@@ -495,6 +500,8 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(rows(3)._7 == 0L && rows(3)._3 == 2L,
       "0-bit in padding must flag ok=0 after a complete decode")
     assert(rows(4)._7 == 0L, "out-of-alphabet char must flag ok=0")
+    assert(rows(5)._7 == 0L && rows(5)._3 == 3L,
+      "trailing extra all-ones pad char must fail the length identity")
     // generated corpus payloads: every bitstream consumed exactly, and the
     // packed length identity holds (bytes = 6 header + ceil(bits/6))
     val gen = MultimodalOps.huffDecodeOf(
@@ -505,5 +512,54 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(gen.forall(r => r.getLong(1) == 6 + (r.getLong(5) + 5) / 6),
       "bit-packing length identity")
     assert(gen.forall(_.getLong(2) >= 8L), "symbol count floor")
+  }
+
+  test("LZ decode: hand-packed back-references, overlap semantics, malformed flags") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def pay(s: String) = s.getBytes("UTF-8")
+    // T=3: LA, LB, then copy len=3 dist=2 — the classic self-extending
+    // walk: "AB" -> "ABA" -> "ABAB" -> "ABABA" (byte-by-byte, source
+    // slides with the output)
+    val good = "LZ1\n #LALBC# \""
+    // copy len=1 dist=5 with only 1 byte of history: past start-of-history
+    val diststart = "LZ1\n \"LAC! %"
+    // copy token truncated after the length char (no distance bytes)
+    val trunc = "LZ1\n \"LAC!"
+    val magic = "XZ1\n #LALBC# \""
+    // 'X' is not a token tag
+    val badtag = "LZ1\n !XA"
+    // dist=1 len=5 after one literal: the overlapping-run duplication
+    val overlap = "LZ1\n \"LQC% !"
+    // header declares 3 tokens, stream carries 2
+    val misc = "LZ1\n #LALB"
+    val media = Seq((1L, pay(good)), (2L, pay(diststart)), (3L, pay(trunc)),
+      (4L, pay(magic)), (5L, pay(badtag)), (6L, pay(overlap)),
+      (7L, pay(misc))).toDF("doc_id", "payload")
+    val rows = MultimodalOps.lzDecodeOf(media).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // (doc, n_bytes, n_toks, n_copies, out_len, value_sum, wsum, ok)
+    assert(rows(0) == ((1L, 14L, 3L, 1L, 5L, 327L, 981L, 1L)),
+      s"good: ${rows(0)}")
+    assert(rows(1)._8 == 0L && rows(1)._4 == 1L && rows(1)._5 == 1L,
+      "distance past start-of-history must flag ok=0 with partial totals")
+    assert(rows(2)._8 == 0L, "truncated copy token must flag ok=0")
+    assert(rows(3)._8 == 0L, "bad magic must flag ok=0")
+    assert(rows(4)._8 == 0L, "unknown token tag must flag ok=0")
+    assert(rows(5) == ((6L, 12L, 2L, 1L, 6L, 486L, 1701L, 1L)),
+      s"overlap: ${rows(5)}")
+    assert(rows(6)._8 == 0L, "header/token count mismatch must flag ok=0")
+    // generated corpus payloads: every back-reference resolved cleanly
+    val gen = MultimodalOps.lzDecodeOf(
+      MultimodalOps.lzMediaTable(spark, sf)).collect()
+    assert(gen.nonEmpty)
+    assert(gen.forall(_.getLong(7) == 1L),
+      "every generated payload must decode ok")
+    // stream identity: bytes = 6 header + 2 per literal + 4 per copy
+    assert(gen.forall(r =>
+      r.getLong(1) == 6 + 2 * r.getLong(2) + 2 * r.getLong(3)),
+      "token-encoding length identity")
+    assert(gen.forall(r => r.getLong(2) >= 12L && r.getLong(4) >= 12L),
+      "preamble + ladder-floor token count")
   }
 }
