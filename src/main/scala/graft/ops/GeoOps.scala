@@ -84,7 +84,7 @@ object GeoOps {
 
   /** Deterministic synthetic positions: shifted-non-negative micro-degrees
     * `ux ∈ [0, 360e6)`, `uy ∈ [0, 180e6)` hashed from the customer key. */
-  private def points(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def points(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir).select($"c_custkey".as("id"),
       (portableHash(concat(lit("lon|"), $"c_custkey".cast("string")))
         % 360000000L).as("ux"),

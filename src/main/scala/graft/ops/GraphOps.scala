@@ -126,6 +126,10 @@ object GraphOps {
     * which would double the logical plan each round — so that path
     * truncates every round, exactly as `LlmTextOps.clusterOf` does. */
   private[graft] def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
+    // Round-17: rank loop at the edge frame's materialized width
+    // ([[loopParts]]) — same task-launch-overhead finding as [[hitsOf]];
+    // the final (lazy) readout joins at the restored session width.
+    withLoopWidth(edges.sparkSession, loopParts(edges)) {
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     // cache the edge table hash-partitioned on src, the key of every
     // round's contributions join: the cached partitioning is reused by all
@@ -170,6 +174,7 @@ object GraphOps {
       else next
     }
     ranks
+    }
   }
 
   private val PrIters = 15
@@ -979,28 +984,38 @@ object GraphOps {
     // half-round, dst for the hub half-round), so cache one copy aligned
     // to each key: 2× edge storage buys zero edge shuffles across all
     // 2·iters half-rounds — only vertex-sized hub/auth tables move.
+    // Round-17: every loop shuffle runs at [[loopParts]] width (the edge
+    // frame's materialized size signal), the q-frame is checkpointed so
+    // the scalar total reads 1 vertex-sized block instead of re-running
+    // the edge join, and nn is a checkpointed leaf instead of 2·iters
+    // re-aggregations — together 17 s → ~5 s at sf0.1 (the round-16
+    // drift-watch item on this lane), values bit-identical.
+    val p = loopParts(edges)
     val eSrc = graft.Caches.persist(
-      edges.select($"src", $"dst").repartition($"src"))
+      edges.select($"src", $"dst").repartition(p, $"src"))
     val eDst = graft.Caches.persist(
-      edges.select($"src", $"dst").repartition($"dst"))
+      edges.select($"src", $"dst").repartition(p, $"dst"))
     val nodes = graft.Caches.persist(
-      eSrc.select($"src".as("id")).union(eSrc.select($"dst".as("id"))).distinct())
-    val nn = nodes.agg(count(lit(1)).as("nn"))
+      eSrc.select($"src".as("id")).union(eSrc.select($"dst".as("id")))
+        .distinct().repartition(p, $"id"))
+    val nn = graft.Caches.localCheckpoint(nodes.agg(count(lit(1)).as("nn")))
     var hub = nodes.select($"id", lit(1.0).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val aq = eSrc.join(hub.select($"id".as("src"), $"h"), "src")
-        .select($"dst".as("id"), round($"h" * 1e9).cast("long").as("cq"))
-        .groupBy($"id").agg(sum($"cq").as("q"))
+      val aq = graft.Caches.localCheckpoint(
+        eSrc.join(hub.select($"id".as("src"), $"h"), "src")
+          .select($"dst".as("id"), round($"h" * 1e9).cast("long").as("cq"))
+          .repartition(p, $"id").groupBy($"id").agg(sum($"cq").as("q")))
       val at = aq.agg(sum($"q").as("t"))
       auth = graft.Caches.localCheckpoint(
         nodes.join(aq, Seq("id"), "left")
           .crossJoin(broadcast(at)).crossJoin(broadcast(nn))
           .select($"id",
             (coalesce($"q", lit(0L)).cast("double") * $"nn" / $"t").as("a")))
-      val hq = eDst.join(auth.select($"id".as("dst"), $"a"), "dst")
-        .select($"src".as("id"), round($"a" * 1e9).cast("long").as("cq"))
-        .groupBy($"id").agg(sum($"cq").as("q"))
+      val hq = graft.Caches.localCheckpoint(
+        eDst.join(auth.select($"id".as("dst"), $"a"), "dst")
+          .select($"src".as("id"), round($"a" * 1e9).cast("long").as("cq"))
+          .repartition(p, $"id").groupBy($"id").agg(sum($"cq").as("q")))
       val ht = hq.agg(sum($"q").as("t"))
       hub = graft.Caches.localCheckpoint(
         nodes.join(hq, Seq("id"), "left")
@@ -1214,9 +1229,15 @@ object GraphOps {
        |SELECT seed, step, node FROM walk ORDER BY seed, step""".stripMargin,
   ) { (spark, dir) =>
     val edges = minedEdges(spark, dir)
+    // Round-17: the adjacency table is hash-partitioned at the edge
+    // frame's materialized width ([[loopParts]]) — each of the 4 hop
+    // joins then shuffles only the frontier, at that width, instead of
+    // 32-task near-empty stages (drift-watch lane; values unchanged).
+    val lw = loopParts(edges)
     val adj = graft.Caches.persist(
       edges.select($"p1".as("v"), $"p2".as("u"))
         .unionAll(edges.select($"p2".as("v"), $"p1".as("u")))
+        .repartition(lw, $"v")
         .groupBy($"v").agg(sort_array(collect_list($"u")).as("nbrs")))
     var walk = adj.select($"v".as("seed"), lit(0).as("step"), $"v".as("node"))
     var acc = walk
@@ -1544,6 +1565,14 @@ object GraphOps {
     * assignment after `rounds` parity-alternating rounds. */
   private[graft] def louvainAssignOf(wp: DataFrame, rounds: Int,
       skipSelf: Boolean = false): DataFrame = {
+    // Round-17: the whole local-move loop runs at the edge frame's
+    // materialized width ([[loopParts]]; the registry passes the memoized
+    // co-occurrence leaf) — at bench SF the graph is 1-2 blocks and the
+    // session-wide 32-task shuffles across rounds × ~6 stages were pure
+    // launch overhead (louvain-multilevel drift-watch lane); contraction
+    // frames plan lazily at the session width, so coarse passes keep
+    // their width. Values are width-independent.
+    withLoopWidth(wp.sparkSession, loopParts(wp)) {
     val mm = wp.agg(sum($"w").as("m"))
     // neighbor-keyed edge cache: the ONLY edge-sized join each round is on
     // v, so the cached partitioning is reused every round
@@ -1596,6 +1625,7 @@ object GraphOps {
         f"t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     cm
+    }
   }
 
   /** [[louvainFull]] over any canonical weighted `(p1, p2, w)` edge list —

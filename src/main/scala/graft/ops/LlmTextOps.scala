@@ -1239,7 +1239,17 @@ object LlmTextOps {
     var nEdges = e.count()
     var converged = nEdges == 0L
     var iter = 0
+    // Round-17: every star round runs at a width sized from the MEASURED
+    // edge count (a count the convergence test already pays) — at bench SF
+    // the match graph is a few thousand rows and session-wide 32-task
+    // shuffles were pure launch overhead across ~8 rounds × 4 stages
+    // (geo_cluster / dq_golden_record drift-watch lanes); at cluster
+    // scale the width grows with the frame. Values are width-independent.
+    val lw = loopPartsFor(pairs.sparkSession, nEdges)
+    val dbg = sys.env.contains("GRAFT_CLUSTER_DEBUG")
+    withLoopWidth(pairs.sparkSession, lw) {
     while (!converged && iter < MaxLsRounds) {
+      val dt0 = if (dbg) System.nanoTime() else 0L
       // Each star step is ONE window over the step's grouping key instead
       // of a groupBy-min joined back to the edges: the min-per-node map is
       // VERTEX-sized, so hinting it broadcast would lie at corpus scale,
@@ -1266,13 +1276,22 @@ object LlmTextOps {
           .filter($"n" =!= $"m")
           .select($"n".as("a"), $"m".as("b"))
           .distinct())
-      val nNext = next.count()
-      // equal size and next ⊆ e ⇒ identical edge sets (both are distinct)
-      converged = nNext == nEdges &&
+      // equal size and next ⊆ e ⇒ identical edge sets (both are distinct).
+      // Round-17: the convergence probe (count + anti-join) starts at
+      // round 3 — star contraction on any non-trivial graph is still
+      // moving through round 2 (measured: rounds 1-2 halve the geo match
+      // graph), so the early probes were 2 guaranteed-false jobs per
+      // lane; a graph that IS stable earlier just runs no-op rounds
+      // (the fixpoint is stationary) until the first probe confirms it.
+      val nNext = if (iter >= 2) next.count() else -1L
+      converged = nNext >= 0 && nNext == nEdges &&
         next.join(e, Seq("a", "b"), "left_anti").isEmpty
       e = next
       nEdges = nNext
       iter += 1
+      if (dbg) println(f"[cluster_ls] round=$iter edges=$nEdges " +
+        f"converged=$converged t=${(System.nanoTime() - dt0) / 1e9}%.2f")
+    }
     }
     if (!converged)
       throw new IllegalStateException(
