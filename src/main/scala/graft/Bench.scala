@@ -50,6 +50,51 @@ object Bench {
       .split("\\s+").head.toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Runnable/total process counts (4th /proc/loadavg field, "r/t"). */
+  private def procCounts: String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(3)
+    catch { case _: Throwable => "?" }
+
+  /** Mean "cpu MHz" across /proc/cpuinfo — frequency scaling is the one
+    * box-state dimension loadavg cannot see (a thermally-throttled or
+    * powersave-governed box runs every lane slow at loadavg 0). */
+  private def cpuMhz: Double =
+    try {
+      val xs = scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+        .filter(_.startsWith("cpu MHz")).map(_.split(":")(1).trim.toDouble)
+        .toSeq
+      if (xs.isEmpty) -1.0 else math.round(xs.sum / xs.size * 10) / 10.0
+    } catch { case _: Throwable => -1.0 }
+
+  /** In-capture drift canary (round-16 verdict item 5: the round burned
+    * real effort reconstructing box state across rounds AFTER the fact —
+    * pre-register it instead). Three cheap lanes spanning the main cost
+    * shapes — `q1_agg` (columnar scan + agg), `llm_simhash` (CPU-bound
+    * text hashing), `llm_minhash_lsh` (shuffle join) — run warm-up +
+    * timed TWICE per capture, immediately after settle and again after
+    * the sweep. A quiet box repeats within noise; an end/start ratio far
+    * from 1 quantifies in-capture drift INSIDE the artifact, so a
+    * contention window no gate caught is visible without cross-round
+    * archaeology. Memo-free lanes only (a memo build in the canary would
+    * bill its first toucher asymmetrically). */
+  private val CanaryLanes = Seq("q1_agg", "llm_simhash", "llm_minhash_lsh")
+
+  private def runCanary(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[(String, Double)] =
+    CanaryLanes.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        try {
+          force(fn(spark, sfDir)) // warm-up
+          val t0 = System.nanoTime()
+          force(fn(spark, sfDir))
+          val dt = (System.nanoTime() - t0) / 1e9
+          Caches.release(); System.gc()
+          name -> dt
+        } catch { case _: Throwable => name -> -1.0 }
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -73,10 +118,14 @@ object Bench {
     val loadRaw = loadavg1
     var loadAtStart = loadRaw
     var settleWait = 0
+    // the whole settle trajectory lands in the artifact (round-16 verdict
+    // item 5: pre-register box state instead of reconstructing it)
+    val loadSeries = scala.collection.mutable.ArrayBuffer(loadRaw)
     while (loadAtStart > gate && settleWait < 180) {
       Thread.sleep(15000)
       settleWait += 15
       loadAtStart = loadavg1
+      loadSeries += loadAtStart
     }
     val wall0 = System.nanoTime()
     // round-13 (ADVICE): a retime reports the MEDIAN of three samples, not
@@ -113,6 +162,10 @@ object Bench {
     // for a full-registry baseline.
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // start-of-capture canary (full-registry runs only — a subset probe
+    // is already a targeted instrument and shouldn't pay the ~10 s)
+    val canaryStart =
+      if (only.isEmpty) runCanary(spark, sfDir) else Seq.empty
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -186,6 +239,21 @@ object Bench {
         } catch { case _: Throwable => name -> dt }
       } else name -> dt
     }
+    // end-of-capture canary: same three lanes, same warm-up discipline —
+    // the start/end ratio quantifies in-capture drift inside the artifact
+    val canaryEnd =
+      if (only.isEmpty) runCanary(spark, sfDir) else Seq.empty
+    val canaryJson = {
+      def m(xs: Seq[(String, Double)]) = xs
+        .map { case (k, v) => s"\"" + k + s"\":$v" }.mkString("{", ",", "}")
+      val ratios = canaryStart.flatMap { case (k, s0) =>
+        canaryEnd.collectFirst { case (`k`, s1) if s0 > 0 && s1 > 0 =>
+          s1 / s0 }
+      }
+      val mx = if (ratios.isEmpty) -1.0
+        else math.round(ratios.max * 1000) / 1000.0
+      s"""{"start":${m(canaryStart)},"end":${m(canaryEnd)},"max_ratio":$mx}"""
+    }
     val qs = healed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rt = retimed.map { case (k, ss) =>
@@ -217,6 +285,9 @@ object Bench {
         s""""retimed":$rt,"warmups":$wus,"memo_build_s":$memoB,"failed":$fj,"sf":"$sfDir","cores":$cores,""" +
         s""""loadavg1":$loadAtStart,"loadavg1_raw":$loadRaw,""" +
         s""""settle_wait_s":$settleWait,"loadavg1_end":$loadavg1,""" +
+        s""""load_series":${loadSeries.mkString("[", ",", "]")},""" +
+        s""""cpu_mhz":$cpuMhz,"procs":"$procCounts",""" +
+        s""""canary":$canaryJson,""" +
         s""""contended":$contended,"elapsed_wall":$elapsed}"""
     println(line)
     // stdout is the driver's channel but is truncation-prone under sbt; the

@@ -143,6 +143,21 @@ object EmbeddingOps {
         dot($"v", element_at(planesScaledLit2d, j + 1)) > 0,
         element_at(pow2Lit, j + 1)).otherwise(lit(0)))
 
+  /** Sign-LSH bits over an arbitrary plane RANGE [from, to) of the scaled
+    * pool — the [[scaledBucketCol]] fold with a movable start, exposed
+    * package-private for [[graft.AnnScaleProbe]]'s two-level re-bucketing
+    * prototype (the documented LSH-forest escape hatch past the pool-30
+    * design bound: overfull level-1 prefixes get sub-bucketed on the NEXT
+    * `to − from` planes of the same MINSTD stream, so level-2 ids reuse
+    * the pool without new constants). Bit weights restart at 2⁰ relative
+    * to `from`, keeping any ≤30-plane range inside an INT32. Not on any
+    * registry path. */
+  private[graft] def probeBucketRange(from: Column, to: Column): Column =
+    aggregate(sequence(from, to - 1), lit(0),
+      (acc, j) => acc + when(
+        dot($"v", element_at(planesScaledLit2d, j + 1)) > 0,
+        element_at(pow2Lit, (j - from).cast("int") + 1)).otherwise(lit(0)))
+
   /** 1-row (`__nb`) frame: the corpus-derived active-plane count over `e`
     * (ALL vectors including the query set — the same base the oracles' `p`
     * CTE counts), by the integer comparison ladder. One tiny broadcast per
