@@ -15,6 +15,23 @@ object Probe {
     if (sys.env.get("PROBE_MODE").contains("spine")) spine(spark, dir)
     else if (sys.env.get("PROBE_MODE").contains("hits")) hitsAb(spark, dir)
     else if (sys.env.get("PROBE_MODE").contains("geocluster")) geoCl(spark, dir)
+    else if (sys.env.get("PROBE_MODE").contains("plans")) {
+      // dump explain("formatted") for each named registry query — the
+      // round-17 plans/r17/<q>_{before,after}.txt evidence files
+      val outDir = sys.env.getOrElse("PROBE_OUT", "/tmp/plans")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      val suffix = sys.env.getOrElse("PROBE_SUFFIX", "")
+      for (q <- sys.env.getOrElse("PROBE_QS", "").split(",")
+          .map(_.trim).filter(_.nonEmpty)) {
+        val df = graft.SparkEntry.queries(q)(spark, dir)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outDir, q + suffix + ".txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        println(s"PROBE plan written: $q")
+        Caches.release()
+      }
+    }
     else {
       graft.SparkEntry.queries("llm_exact_dedup")(spark, dir).count()
       Caches.release()

@@ -52,6 +52,38 @@ object GraftExtensions {
         HilbertKey(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      FunctionIdentifier("ascii_codes"),
+      new ExpressionInfo(classOf[AsciiCodes].getName, "ascii_codes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"ascii_codes expects 1 argument, got ${children.length}")
+        AsciiCodes(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("byte_vals"),
+      new ExpressionInfo(classOf[ByteVals].getName, "byte_vals"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"byte_vals expects 1 argument, got ${children.length}")
+        ByteVals(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dct_phash"),
+      new ExpressionInfo(classOf[DctPhash].getName, "dct_phash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"dct_phash expects 1 argument, got ${children.length}")
+        DctPhash(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lz_stream_decode"),
+      new ExpressionInfo(classOf[LzStreamDecode].getName, "lz_stream_decode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"lz_stream_decode expects 1 argument, got ${children.length}")
+        LzStreamDecode(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cascade_sigs"),
       new ExpressionInfo(classOf[CascadeSigs].getName, "cascade_sigs"),
       (children: Seq[Expression]) => {

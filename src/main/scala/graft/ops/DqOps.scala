@@ -554,19 +554,29 @@ object DqOps {
   /** The SymSpell deletion-variant candidate pairs — extracted so
     * [[typoPairStats]] counts EXACTLY the pairs the verify stage sees. */
   private def typoCandidates(customer: DataFrame): DataFrame = {
-    val v = customer.select($"c_custkey".as("id"), $"c_name".as("w"))
+    // Round-17 (guide §2.3, shuffle fewer bytes): the variant self-join
+    // and the candidate DISTINCT used to carry both full names through
+    // every exchange — but id → name is functional, so the names can be
+    // re-attached AFTER the id-pair dedup by two joins against the
+    // name table (AQE broadcasts it at bench scale; at corpus scale it
+    // is an ordinary keyed join). Candidate PAIRS are identical:
+    // distinct (id1, id2) ⇔ distinct (id1, w1, id2, w2).
+    val v = graft.Caches.persist(
+      customer.select($"c_custkey".as("id"), $"c_name".as("w")))
     val del = v
       .select($"id", $"w", explode(sequence(lit(0), lit(30))).as("i"))
       .filter($"i" <= length($"w"))
-      .select($"id", $"w",
+      .select($"id",
         expr("""CASE WHEN i = 0 THEN w
                ELSE concat(substring(w, 1, i - 1), substring(w, i + 1, 100)) END""")
           .as("variant"))
     del.as("a")
       .join(del.as("b"), $"a.variant" === $"b.variant" && $"a.id" < $"b.id")
-      .select($"a.id".as("id1"), $"a.w".as("w1"),
-        $"b.id".as("id2"), $"b.w".as("w2"))
+      .select($"a.id".as("id1"), $"b.id".as("id2"))
       .distinct()
+      .join(v.select($"id".as("id1"), $"w".as("w1")), "id1")
+      .join(v.select($"id".as("id2"), $"w".as("w2")), "id2")
+      .select($"id1", $"w1", $"id2", $"w2")
   }
 
   /** Pair-density instrumentation for the SymSpell blocking lane

@@ -255,33 +255,44 @@ object GeoOps {
        |FROM ed t WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.eid = t.k AND r.node = t.eb)
        |ORDER BY a, b""".stripMargin,
   ) { (spark, dir) =>
-    // The candidate edge set is NEVER materialized (round-14 sf10 probe:
-    // at 1.5M points the fixed-radius graph has ~290 neighbors/point ≈
-    // 217M edges — persisting it plus a 2×-exploded per-component window
-    // OOM'd the 8 GB probe JVM). Borůvka only ever needs each component's
-    // MINIMUM incident edge, so every round re-derives the grid join with
-    // comp labels attached and collapses it map-side into one
-    // min(struct(w, a, b)) row per component — memory is bounded by the
-    // component count, the candidate stream never lands anywhere, and the
-    // (w, a, b) struct min IS the lexicographic tie order that makes the
-    // forest unique. CPU trade: the grid join re-runs once per ⌈log₂ n⌉
-    // round instead of being persisted — streaming work, not state.
+    // Round-17: the candidate edge set IS materialized, once. The "never
+    // materialize" rule here dated from the round-14 fixed-radius probe
+    // (~290 neighbors/point ≈ 217M edges at 1.5M points, which OOM'd an
+    // 8 GB JVM) — but the round-15 radius LADDER made candidate density a
+    // constant band, so the grid join's output is corpus-LINEAR (≈ tens
+    // of bytes × n·band ≪ the per-round shuffles Borůvka pays anyway),
+    // and re-deriving the explode+join+distance pipeline once per
+    // ⌈log₂ n⌉ round was pure repeated CPU. Each round now re-labels the
+    // checkpointed (k1, k2, w) list with current components — Borůvka
+    // still only keeps each component's min(struct(w, a, b)) row, so
+    // loop STATE stays component-bounded; on a cluster the one-time
+    // candidate list is a reliable checkpoint instead.
     val pts = graft.Caches.persist(points(spark, dir))
-    // derived radius computed ONCE (1-row localCheckpoint): the per-round
-    // grid joins re-derive candidates but must not re-run the count ladder
+    // derived radius computed ONCE (1-row localCheckpoint): the grid join
+    // must not re-run the count ladder
     val ru = graft.Caches.localCheckpoint(radiusOf(pts))
+    val pairs0 = graft.Caches.localCheckpoint(
+      pairsOf(pts, ru).select($"k1", $"k2", $"d2".as("w")))
     var comp = graft.Caches.localCheckpoint(
       pts.select($"id", $"id".as("c")))
     var forest: DataFrame = null
     var done = false
     var round = 0
+    // Round-17: every Borůvka round — the re-derived grid join, the
+    // min-edge aggregate, and the nested star contraction — runs at the
+    // comp leaf's materialized width ([[loopParts]]): at bench SF the
+    // point set is 1-2 blocks and the ~10 rounds × (grid join + 4-stage
+    // contraction) at session width were pure task-launch overhead; at
+    // cluster scale the leaf arrives in many blocks and the cap keeps
+    // the full width. Values are width-independent (spec + oracle).
+    withLoopWidth(pts.sparkSession, loopParts(pairs0)) {
     while (!done && round < 20) { // ⌈log₂ n⌉ suffices; hard stop for safety
-      // grid-join candidates with component labels, cross-component only
-      val e2 = pairsOf(pts, ru)
+      // checkpointed candidates with component labels, cross-component only
+      val e2 = pairs0
         .join(comp.select($"id".as("k1"), $"c".as("ca")), "k1")
         .join(comp.select($"id".as("k2"), $"c".as("cb")), "k2")
         .filter($"ca" =!= $"cb")
-        .select($"k1".as("a"), $"k2".as("b"), $"d2".as("w"),
+        .select($"k1".as("a"), $"k2".as("b"), $"w",
           $"ca", $"cb")
       // per-component minimum incident edge: partial aggregation collapses
       // the candidate stream map-side — one surviving row per component
@@ -293,9 +304,12 @@ object GeoOps {
           .distinct())
       if (picked.isEmpty) done = true
       else {
+        // lazy union of already-checkpointed round outputs: re-
+        // checkpointing the accumulated forest each round re-materialized
+        // O(rounds²) rows for a frame only read once at the end (round-17)
         forest =
           if (forest == null) picked
-          else graft.Caches.localCheckpoint(forest.unionAll(picked))
+          else forest.unionAll(picked)
         // contract the component graph and relabel every point
         val compEdges = picked
           .join(comp.select($"id".as("a"), $"c".as("ca")), "a")
@@ -311,6 +325,7 @@ object GeoOps {
             .select($"id", $"cluster_id".as("c")))
       }
       round += 1
+    }
     }
     (if (forest == null) pts.limit(0).select($"id".as("a"), $"id".as("b"), $"id".as("w"))
      else forest)

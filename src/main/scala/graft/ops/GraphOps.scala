@@ -238,6 +238,10 @@ object GraphOps {
     * variant. */
   private[graft] def personalizedPageRankOf(
       edges: DataFrame, iters: Int, nSeeds: Int): DataFrame = {
+    // Round-17: teleport loop at the edge frame's materialized width
+    // ([[loopParts]]) — the [[pageRankOf]] arrangement; the final (lazy)
+    // readout joins at the restored session width.
+    withLoopWidth(edges.sparkSession, loopParts(edges)) {
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     // src-partitioned cache, the pageRankOf arrangement: edges never
     // re-shuffle across the teleport rounds
@@ -268,6 +272,7 @@ object GraphOps {
       else next
     }
     ranks.select($"id", $"rank")
+    }
   }
 
   private val PprSeeds = 3
@@ -325,6 +330,9 @@ object GraphOps {
     * (deterministic; callers pass both orientations for undirected
     * graphs). */
   private[graft] def bfsLevelsOf(edges: DataFrame, maxHops: Int): DataFrame = {
+    // Round-17: frontier rounds at the edge frame's materialized width
+    // ([[loopParts]] — the task-launch-overhead fix, values unchanged).
+    withLoopWidth(edges.sparkSession, loopParts(edges)) {
     val e = graft.Caches.persist(edges.select($"src", $"dst"))
     var visited = graft.Caches.localCheckpoint(
       e.agg(min($"src").as("id")).select($"id", lit(0L).as("level")))
@@ -339,6 +347,7 @@ object GraphOps {
       frontier = nf.select($"id")
     }
     visited
+    }
   }
 
   /** 3-hop BFS neighborhood of the co-occurrence graph's minimum part id —
@@ -620,6 +629,9 @@ object GraphOps {
     var nEdges = e.count()
     var converged = nEdges == 0L
     var iter = 0
+    // Round-17: peel rounds at a width sized from the MEASURED edge count
+    // (a count the loop guard already pays) — the clusterLsOf pattern.
+    withLoopWidth(edges.sparkSession, loopPartsFor(edges.sparkSession, nEdges)) {
     while (!converged && iter < MaxPeelRounds) {
       val deg = e.select($"a".as("p")).union(e.select($"b".as("p")))
         .groupBy($"p").agg(count(lit(1)).as("dg"))
@@ -633,6 +645,7 @@ object GraphOps {
       e = next
       nEdges = nNext
       iter += 1
+    }
     }
     if (!converged)
       throw new IllegalStateException(
@@ -725,6 +738,9 @@ object GraphOps {
     var nEdges = e.count()
     var converged = nEdges == 0L
     var iter = 0
+    // Round-17: truss peel rounds at the measured-edge-count width
+    // (the kcoreOf arrangement; values are width-independent).
+    withLoopWidth(edges.sparkSession, loopPartsFor(edges.sparkSession, nEdges)) {
     while (!converged && iter < MaxPeelRounds) {
       val sup = edgeSupportOf(e)
       val next = graft.Caches.localCheckpoint(
@@ -736,6 +752,7 @@ object GraphOps {
       e = next
       nEdges = nNext
       iter += 1
+    }
     }
     if (!converged)
       throw new IllegalStateException(
@@ -1183,6 +1200,9 @@ object GraphOps {
     var reach = graft.Caches.localCheckpoint(
       nodes.select($"des", $"des".as("anc"))
         .unionAll(parentEdges.select($"v".as("des"), $"u".as("anc"))))
+    // Round-17: doubling rounds at the first checkpoint's materialized
+    // width ([[loopParts]] — task-launch overhead; values unchanged).
+    withLoopWidth(spark, loopParts(jump)) {
     while (!jump.isEmpty) {
       val j2 = jump.as("a")
         .join(jump.as("b"), $"a.u" === $"b.v")
@@ -1192,6 +1212,7 @@ object GraphOps {
         reach.unionAll(
           reach.as("r").join(jump.as("j"), $"r.anc" === $"j.v")
             .select($"r.des".as("des"), $"j.u".as("anc"))))
+    }
     }
     reach.filter($"anc" <= 40)
       .join(nodes, "des")
@@ -1330,6 +1351,9 @@ object GraphOps {
     * (relax join + union), so lineage truncates per round like
     * [[bfsLevelsOf]]. */
   private[graft] def ssspOf(edges: DataFrame, rounds: Int): DataFrame = {
+    // Round-17: relaxation rounds at the edge frame's materialized width
+    // ([[loopParts]] — the task-launch-overhead fix, values unchanged).
+    withLoopWidth(edges.sparkSession, loopParts(edges)) {
     val e = graft.Caches.persist(
       edges.select($"src", $"dst", $"cost").repartition($"src"))
     var dist = graft.Caches.localCheckpoint(
@@ -1342,6 +1366,7 @@ object GraphOps {
           .groupBy($"node").agg(min($"d").as("d")))
     }
     dist
+    }
   }
 
   /** Single-source WEIGHTED shortest paths ([[SsspRounds]]-round
@@ -1797,6 +1822,11 @@ object GraphOps {
       graft.Caches.persist(louvainAssignOf(wp, rounds)))
     var proj = assign.select($"node", $"comm".as("community"))
     var graph = wp
+    // Round-17: coarse levels at the fine assignment's materialized width
+    // (the shared memo leaf when the registry passes it) — each level's
+    // graph is community-sized, so the nested louvainAssignOf loops
+    // inherit this width via their lazy-input no-op case.
+    withLoopWidth(wp.sparkSession, loopParts(assign)) {
     for (_ <- 1 to levels) {
       val ce = graph
         .join(assign.select($"node".as("p1"), $"comm".as("c1")), "p1")
@@ -1811,6 +1841,7 @@ object GraphOps {
         .select($"node", $"nc".as("community"))
       graph = ce
       assign = km
+    }
     }
     proj
       .withColumn("comm_size",
@@ -1913,6 +1944,11 @@ object GraphOps {
     val confirmedParts = scala.collection.mutable.Buffer[DataFrame](
       allNodes.select($"id", $"id".as("root")).filter(lit(false)))
     var outer = 0
+    // Round-17: every trim/color/confirm round at a width sized from the
+    // MEASURED edge count (paid above) — the clusterLsOf pattern; the
+    // final label readout plans lazily at the restored session width.
+    withLoopWidth(edges0.sparkSession,
+        loopPartsFor(edges0.sparkSession, nE)) {
     while (nE > 0 && outer < MaxSccOuter) {
       // 1) trim to fixpoint ON THE EDGE FRAME ALONE: keep only edges whose
       //    BOTH endpoints still have an in-edge and an out-edge (a node
@@ -1923,10 +1959,15 @@ object GraphOps {
       var trimming = true
       var t = 0
       while (trimming && t < MaxSccInner) {
-        val keep = e.select($"src".as("id")).intersect(e.select($"dst".as("id")))
+        // keep an edge iff its src still has an IN-edge and its dst an
+        // OUT-edge — equivalent to the old membership test against
+        // srcs ∩ dsts (an edge's src is trivially a src, its dst
+        // trivially a dst), minus the intersect's two extra exchanges
+        // per peel round (round-17: the trim fixpoint dominated the
+        // shared SCC frame's build at 24 rounds × ~6 exchanges).
         val e2 = localCheckpoint(
-          e.join(keep.select($"id".as("src")), Seq("src"), "left_semi")
-            .join(keep.select($"id".as("dst")), Seq("dst"), "left_semi")
+          e.join(e.select($"dst".as("src")), Seq("src"), "left_semi")
+            .join(e.select($"src".as("dst")), Seq("dst"), "left_semi")
             .select($"src", $"dst"))
         val nE2 = e2.count()
         if (nE2 == nE) trimming = false
@@ -1938,9 +1979,10 @@ object GraphOps {
         s"sccOf trim did not stabilize in $MaxSccInner rounds")
       ph(s"outer=$outer trim", s"rounds=$t edges=$nE")
       if (nE > 0) {
-        // the surviving node set (each id now has in- and out-edges)
-        val nodes = localCheckpoint(
-          e.select($"src".as("id")).intersect(e.select($"dst".as("id"))))
+        // the surviving node set: at the trim fixpoint every src is also
+        // a dst and vice versa, so srcs ∩ dsts = distinct srcs — one
+        // aggregation instead of an intersect (round-17)
+        val nodes = localCheckpoint(e.select($"src".as("id")).distinct())
         // 2) forward-max coloring to fixpoint (sum(C) monotone)
         var c = localCheckpoint(nodes.select($"id", $"id".as("c")))
         var cSum = c.agg(sum($"c")).head.getLong(0)
@@ -1995,6 +2037,7 @@ object GraphOps {
         nE = e.count()
       }
       outer += 1
+    }
     }
     if (nE > 0) throw new IllegalStateException(
       s"sccOf did not resolve every edge in $MaxSccOuter outer rounds")
@@ -2077,6 +2120,9 @@ object GraphOps {
     * [[harmonicOf]] aggregate differently. */
   private def landmarkDistances(edges: DataFrame, nLm: Int,
       maxHops: Int): DataFrame = {
+    // Round-17: the multi-source BFS runs at the edge frame's
+    // materialized width ([[loopParts]] — task-launch overhead fix).
+    withLoopWidth(edges.sparkSession, loopParts(edges)) {
     val e = graft.Caches.persist(
       edges.select($"src", $"dst").repartition($"src"))
     val lms = e.select($"src".as("id")).distinct()
@@ -2100,6 +2146,7 @@ object GraphOps {
       h += 1
     }
     visited
+    }
   }
 
   private[graft] def closenessOf(edges: DataFrame, nLm: Int,
@@ -2177,6 +2224,9 @@ object GraphOps {
     * rounds; never a path enumeration. */
   private[graft] def stressOf(edges: DataFrame, nLm: Int,
       maxHops: Int): DataFrame = {
+    // Round-17: both Brandes sweeps at the edge frame's materialized
+    // width ([[loopParts]] — task-launch overhead fix).
+    withLoopWidth(edges.sparkSession, loopParts(edges)) {
     val e = graft.Caches.persist(
       edges.select($"src", $"dst").repartition($"src"))
     val lms = e.select($"src".as("id")).distinct()
@@ -2229,6 +2279,7 @@ object GraphOps {
       .groupBy($"id")
       .agg(count(lit(1)).as("n_lm"), sum($"sig" * $"t").as("stress"))
       .select($"id".as("node"), $"n_lm", $"stress")
+    }
   }
 
   /** The [[stressOf]] oracle: the closeness min-dist recursion feeds
@@ -2391,6 +2442,10 @@ object GraphOps {
     var dSum = 0L
     var stable = false
     var r = 0
+    // Round-17: depth-relaxation rounds at the SCC frame's materialized
+    // width (the shared memo leaf when the registry passes it; fixture
+    // paths plan lazily at session width — the no-op case).
+    withLoopWidth(edges0.sparkSession, loopParts(sccs)) {
     while (!stable && r < MaxSccInner) {
       val next = localCheckpoint(
         d.unionAll(
@@ -2402,6 +2457,7 @@ object GraphOps {
       d = next
       dSum = nSum
       r += 1
+    }
     }
     if (!stable) throw new IllegalStateException(
       s"sccCondenseOf depth relaxation did not stabilize in $MaxSccInner " +
@@ -2483,6 +2539,9 @@ object GraphOps {
     var out: Option[DataFrame] = None
     var live = true
     var r = 0
+    // Round-17: peel rounds at the checkpointed edge leaf's materialized
+    // width ([[loopParts]] — task-launch overhead; values unchanged).
+    withLoopWidth(edges.sparkSession, loopParts(e)) {
     while (live && r < MaxPeelRounds) {
       val deg = localCheckpoint(
         e.select($"p1".as("u")).unionAll(e.select($"p2".as("u")))
@@ -2505,6 +2564,7 @@ object GraphOps {
             .select($"p1", $"p2"))
         r += 1
       }
+    }
     }
     if (live)
       throw new IllegalStateException(
@@ -2599,9 +2659,14 @@ object GraphOps {
       v.join(broadcast(mx), $"d" === $"md")
         .agg(min($"id").as("fid"), min($"d").as("fd"))
     }
-    val f1 = far(bfsFrom(e, start, ClosenessMaxHops))
-    val f2 = far(bfsFrom(e,
-      f1.select($"fid".as("id")), ClosenessMaxHops))
+    // Round-17: both BFS sweeps at the edge frame's materialized width
+    // ([[loopParts]] — task-launch overhead fix; values unchanged).
+    val (f1, f2) = withLoopWidth(edges.sparkSession, loopParts(edges)) {
+      val a = far(bfsFrom(e, start, ClosenessMaxHops))
+      val b = far(bfsFrom(e,
+        a.select($"fid".as("id")), ClosenessMaxHops))
+      (a, b)
+    }
     start.select($"id".as("start_node"))
       .crossJoin(broadcast(f1.select($"fid".as("sweep1_node"),
         $"fd".as("sweep1_ecc"))))
@@ -2683,6 +2748,9 @@ object GraphOps {
     var prevSum = -1L
     var sum = cSum(c)
     var r = 0
+    // Round-17: h-index rounds at the checkpointed undirected leaf's
+    // materialized width ([[loopParts]] — task-launch overhead fix).
+    withLoopWidth(edges.sparkSession, loopParts(und)) {
     while (sum != prevSum && r < MaxPeelRounds) {
       val next = localCheckpoint(
         und.join(c.select($"node".as("dst"), $"c"), "dst")
@@ -2696,6 +2764,7 @@ object GraphOps {
         s"h-index iteration must be non-increasing ($prevSum -> $sum)")
       c = next
       r += 1
+    }
     }
     if (sum != prevSum)
       throw new IllegalStateException(
@@ -2782,6 +2851,9 @@ object GraphOps {
     var mis: Option[DataFrame] = None
     var live = true
     var r = 0
+    // Round-17: symmetry-breaking rounds at the checkpointed undirected
+    // leaf's materialized width ([[loopParts]] — task-launch overhead).
+    withLoopWidth(edges.sparkSession, loopParts(und)) {
     while (live && r < MaxPeelRounds) {
       if (act.isEmpty) live = false
       else {
@@ -2805,6 +2877,7 @@ object GraphOps {
             .select($"src", $"dst"))
         r += 1
       }
+    }
     }
     if (live)
       throw new IllegalStateException(

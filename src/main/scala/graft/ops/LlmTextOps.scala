@@ -1154,6 +1154,12 @@ object LlmTextOps {
       docs.select($"doc_id", $"doc_id".as("cluster_id")))
     var changed = 1L
     var iter = 0
+    // Round-17: jump rounds at a width sized from the measured edge count
+    // (one extra count on the persisted union — amortized over the ~6
+    // jobs × log-diameter rounds it right-sizes; the clusterLsOf
+    // pattern). Values are width-independent.
+    withLoopWidth(pairs.sparkSession,
+        loopPartsFor(pairs.sparkSession, edges.count())) {
     while (changed > 0 && iter < MaxClusterRounds) {
       val nbrMin = edges
         .join(labels.select($"doc_id".as("a"), $"cluster_id".as("la")), "a")
@@ -1178,6 +1184,7 @@ object LlmTextOps {
         .filter($"cluster_id" < $"old").count()
       labels = next
       iter += 1
+    }
     }
     if (changed > 0)
       throw new IllegalStateException(

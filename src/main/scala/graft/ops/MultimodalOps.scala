@@ -581,7 +581,15 @@ object MultimodalOps {
     * [[phashPgmOf]] (the decode seam changes WHERE pixels come from, the
     * transform never changes). Callers must pass a [[bindOnce]]-bound
     * variable: `px` is referenced 8× per output coefficient. */
-  private def dctHash(px: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private def dctHash(px: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("dct_phash", px)
+
+  /** The pre-round-17 higher-order-function form of [[dctHash]] — kept
+    * verbatim as the A/B witness for the native expression (the
+    * HilbertKey native-equals-fold discipline): MultimodalOpsSpec pins
+    * `dct_phash(px) ≡ dctHashHof(px)` on decoded corpus rows, so the
+    * native transform can never drift from the oracle-mirrored fold. */
+  private[graft] def dctHashHof(px: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val clLit = array(DctPpm.map(lit): _*)
     val p2Lit = array((0 until 63).map(k => lit(1L << k)): _*)
     bindOnce(transform(sequence(lit(0), lit(63)), i => {
@@ -758,13 +766,18 @@ object MultimodalOps {
     docs.filter(length($"text") > 0).select($"doc_id",
       encode(concat(
         lit("P5\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n127\n"),
-        bindOnce(struct(w.as("w"), h.as("h"), $"text".as("t"),
+        // round-17: split text ONCE into a lambda-bound ascii-code array —
+        // the per-pixel substr re-scanned the document per sample (the
+        // phashPgmOf split-once lesson applied to the generator side;
+        // ascii(substr(t,i,1)) ≡ ascii of the i-th split char)
+        bindOnce(struct(w.as("w"), h.as("h"),
+          call_function("ascii_codes", $"text").as("tc"),
           length($"text").cast("long").as("n"))) { c =>
           array_join(transform(
             sequence(lit(0L), c.getField("w") * c.getField("h") - 1),
             k => call_function("chr",
-              lit(32L) + (asciiF(c.getField("t").substr(
-                (k % c.getField("n") + 1).cast("int"), lit(1))).cast("long")
+              lit(32L) + (element_at(c.getField("tc"),
+                (k % c.getField("n") + 1).cast("int"))
                 * 31L + k) % 96L)), "")
         }), "UTF-8").as("payload"))
   }
@@ -836,8 +849,10 @@ object MultimodalOps {
         when(ok, c.getField("ms").cast("long")).as("maxval"),
         when(ok, (length(c.getField("s")) - length(c.getField("hdr")))
           .cast("long")).as("n_raster"),
-        when(ok, aggregate(split(raster, ""), lit(0L),
-          (acc, ch) => acc + asciiF(ch))).as("luma_sum"))
+        // round-17: fold over the native code-point array instead of a
+        // per-character split (ascii_codes ≡ the split+ascii elements)
+        when(ok, aggregate(call_function("ascii_codes", raster), lit(0L),
+          (acc, x) => acc + x)).as("luma_sum"))
     }
     evalOnce(media, $"doc_id", out)
       .select($"doc_id", $"o.width".as("width"), $"o.height".as("height"),
@@ -888,11 +903,14 @@ object MultimodalOps {
           c.getField("hs").cast("long").as("h"),
           shiftright(c.getField("ws").cast("long"), 3).as("wb"),
           shiftright(c.getField("hs").cast("long"), 3).as("hb"),
-          // split ONCE into a char array: every tile read below is then an
+          // split ONCE into a code array: every tile read below is then an
           // O(1) element_at instead of a substr that re-scans the raster
-          // (measured 14.4 s → see COVERAGE for the split-once number)
-          split(c.getField("s").substr(length(c.getField("hdr")) + 1,
-            length(c.getField("s"))), "").as("rc"))) { d =>
+          // (measured 14.4 s → see COVERAGE for the split-once number);
+          // round-17: native ascii_codes — long elements, no per-char
+          // single-character strings
+          call_function("ascii_codes",
+            c.getField("s").substr(length(c.getField("hdr")) + 1,
+              length(c.getField("s")))).as("rc"))) { d =>
           val w = d.getField("w")
           val wb = d.getField("wb")
           val hb = d.getField("hb")
@@ -904,9 +922,9 @@ object MultimodalOps {
             // block mean: sum over the hb×wb tile, then exact integer DIV
             // (sums < 2^11, doubles exact — floor is engine-safe here)
             floor(aggregate(sequence(lit(0L), cnt - 1), lit(0L), (acc, a) =>
-              acc + asciiF(element_at(rc,
+              acc + element_at(rc,
                 (((u * hb + floor(a / wb).cast("long")) * w
-                  + v * wb + (a % wb)) + 1).cast("int"))).cast("long"))
+                  + v * wb + (a % wb)) + 1).cast("int")))
               / cnt).cast("long")
           })) { px => dctHash(px) }
         })
@@ -1017,11 +1035,14 @@ object MultimodalOps {
         leBytes(lit(16000), 4), leBytes(lit(32000), 4),  // rate, byte rate
         leBytes(lit(2), 2), leBytes(lit(16), 2),         // block align, bits
         ascii("data"), leBytes(n * 2L, 4),
-        unhex(bindOnce(struct($"doc_id".as("id"), n.as("n"), $"text".as("t"),
+        unhex(bindOnce(struct($"doc_id".as("id"), n.as("n"),
+          // round-17: split-once ascii codes (see pgmPayloadOf) — the
+          // per-sample substr re-scanned the document per sample
+          call_function("ascii_codes", $"text").as("tc"),
           length($"text").cast("long").as("ln"))) { c =>
           array_join(transform(sequence(lit(0L), c.getField("n") - 1), k => {
-            val b = asciiF(c.getField("t").substr(
-              (k % c.getField("ln") + 1).cast("int"), lit(1))).cast("long")
+            val b = element_at(c.getField("tc"),
+              (k % c.getField("ln") + 1).cast("int"))
             val s = (b * 131L + k * 17L + c.getField("id")) % 4001L - 2000L
             val u = pmod(s, lit(65536L))
             concat(lpad(hex(u.bitwiseAND(lit(255L))), 2, "0"),
@@ -1085,12 +1106,16 @@ object MultimodalOps {
       conv(hex($"payload".substr(lit(41 + i), lit(1))), 16, 10).cast("long") *
         (1L << (8 * i))
     }.reduce(_ + _)
+    // round-17: the per-byte conv(hex(substr)) idiom allocated a 1-byte
+    // binary + a hex string + a parsed number PER BYTE — byte_vals reads
+    // the payload once into a native long array (out-of-range element_at
+    // is null exactly where conv(hex('')) was)
     val wins = bindOnce(struct(ok.as("ok"),
-      shiftright(dataLen, 1).as("ns"), $"payload".as("p"))) { c =>
+      shiftright(dataLen, 1).as("ns"),
+      call_function("byte_vals", $"payload").as("bv"))) { c =>
       val ns = c.getField("ns")
       def byteAt(pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        conv(hex(c.getField("p").substr(pos.cast("int"), lit(1))), 16, 10)
-          .cast("long")
+        element_at(c.getField("bv"), pos.cast("int"))
       when(c.getField("ok") && ns >= WavWin,
         bindOnce(transform(sequence(lit(0L), ns - 1), k => {
           val u = byteAt(lit(45L) + k * 2L) + byteAt(lit(46L) + k * 2L) * 256L
@@ -1168,12 +1193,16 @@ object MultimodalOps {
       conv(hex($"payload".substr(lit(41 + i), lit(1))), 16, 10).cast("long") *
         (1L << (8 * i))
     }.reduce(_ + _)
+    // round-17: the per-byte conv(hex(substr)) idiom allocated a 1-byte
+    // binary + a hex string + a parsed number PER BYTE — byte_vals reads
+    // the payload once into a native long array (out-of-range element_at
+    // is null exactly where conv(hex('')) was)
     val wins = bindOnce(struct(ok.as("ok"),
-      shiftright(dataLen, 1).as("ns"), $"payload".as("p"))) { c =>
+      shiftright(dataLen, 1).as("ns"),
+      call_function("byte_vals", $"payload").as("bv"))) { c =>
       val ns = c.getField("ns")
       def byteAt(pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        conv(hex(c.getField("p").substr(pos.cast("int"), lit(1))), 16, 10)
-          .cast("long")
+        element_at(c.getField("bv"), pos.cast("int"))
       when(c.getField("ok") && ns >= WavWin,
         bindOnce(transform(sequence(lit(0L), ns - 1), k => {
           val u = byteAt(lit(45L) + k * 2L) + byteAt(lit(46L) + k * 2L) * 256L
@@ -1239,16 +1268,19 @@ object MultimodalOps {
       .crossJoin(broadcast(div))
       .select($"doc_id",
       encode(concat(lit("RL1\n"),
-        bindOnce(struct($"text".as("t"),
+        // round-17: split-once ascii codes (see pgmPayloadOf) — each
+        // token's substr re-scanned the document
+        bindOnce(struct(
+          call_function("ascii_codes", $"text").as("tc"),
           length($"text").cast("long").as("n"), $"q".as("q"))) { c =>
-          val t = c.getField("t")
+          val tc = c.getField("tc")
           val n = c.getField("n")
           array_join(transform(
             sequence(lit(0L),
               greatest(lit(3L), floor((lit(8L) + (n * 3L) % 57L)
                 / c.getField("q")).cast("long")) - 1L),
-            j => bindOnce((asciiF(t.substr((j % n + 1L).cast("int"),
-                lit(1))).cast("long") * 37L + j * 11L) % 96L) { u =>
+            j => bindOnce((element_at(tc, (j % n + 1L).cast("int"))
+                * 37L + j * 11L) % 96L) { u =>
               val rep = concat(
                 call_function("chr", lit(64L) + u % 60L),
                 call_function("chr", lit(32L) + (u * 5L + j) % 96L))
@@ -1366,12 +1398,13 @@ object MultimodalOps {
           luma: Column, litr: Column, repr: Column, bad: Column) =
         struct(litRem.as("lit_rem"), pend.as("pend"), px.as("px"),
           luma.as("luma"), litr.as("litr"), repr.as("repr"), bad.as("bad"))
+      // round-17: fold over the native code array — ascii_codes yields
+      // exactly the per-char codes the split+ascii form produced, with
+      // no zero-width artifacts and no per-char string allocation
       val fin = aggregate(
-        // trailing zero-width split artifacts must not read as NUL bytes
-        filter(split(ss.substr(lit(5), length(ss)), ""),
-          ch => length(ch) > 0),
+        call_function("ascii_codes", ss.substr(lit(5), length(ss))),
         zero,
-        (a, ch) => bindOnce(asciiF(ch).cast("long")) { b =>
+        (a, b) => {
           val (lr, pd) = (a.getField("lit_rem"), a.getField("pend"))
           val (px, lm) = (a.getField("px"), a.getField("luma"))
           val (ltr, rpr, bd) =
@@ -1432,15 +1465,17 @@ object MultimodalOps {
       .crossJoin(broadcast(div))
       .select($"doc_id",
       encode(concat(lit("HF1\n"),
-        bindOnce(struct($"text".as("t"),
+        // round-17: split-once ascii codes (see pgmPayloadOf)
+        bindOnce(struct(
+          call_function("ascii_codes", $"text").as("tc"),
           length($"text").cast("long").as("n"), $"q".as("q"))) { c =>
-          val t = c.getField("t")
+          val tc = c.getField("tc")
           val n = c.getField("n")
           bindOnce(greatest(lit(2L), floor((lit(8L) + (n * 5L) % 48L)
               / c.getField("q")).cast("long"))) { m =>
             val codes = array_join(transform(sequence(lit(0L), m - 1L),
-              j => bindOnce((asciiF(t.substr((j % n + 1L).cast("int"),
-                  lit(1))).cast("long") * 29L + j * 13L) % 8L) { k =>
+              j => bindOnce((element_at(tc, (j % n + 1L).cast("int"))
+                  * 29L + j * 13L) % 8L) { k =>
                 when(k === 7L, lit("1111111"))
                   .otherwise(concat(lit("1111111").substr(lit(1),
                     k.cast("int")), lit("0")))
@@ -1571,11 +1606,11 @@ object MultimodalOps {
               st(lit(0L), dec + 1L, vsum + ones, wsum + (dec + 1L) * ones,
                 bits + ones + 1L, bad))
         }
+        // round-17: fold over the native code array (see rleDecodeOf)
         val fin = aggregate(
-          filter(split(ss.substr(lit(7), length(ss)), ""),
-            ch => length(ch) > 0),
+          call_function("ascii_codes", ss.substr(lit(7), length(ss))),
           zero,
-          (a, ch) => bindOnce(asciiF(ch).cast("long") - 32L) { u =>
+          (a, b) => bindOnce(b - 32L) { u =>
             val (ones, dec) = (a.getField("ones"), a.getField("dec"))
             val (vsum, wsum) = (a.getField("vsum"), a.getField("wsum"))
             val (bits, bad) = (a.getField("bits"), a.getField("bad"))
@@ -1673,11 +1708,13 @@ object MultimodalOps {
     docs.filter(length($"text") > 0)
       .crossJoin(broadcast(div))
       .select($"doc_id",
-        encode(bindOnce(struct($"text".as("t"),
+        // round-17: split-once ascii codes (see pgmPayloadOf)
+        encode(bindOnce(struct(
+          call_function("ascii_codes", $"text").as("tc"),
           length($"text").cast("long").as("n"), $"q".as("q"))) { cc =>
-          val t = cc.getField("t")
+          val tc = cc.getField("tc")
           val n = cc.getField("n")
-          bindOnce((asciiF(t.substr(lit(1), lit(1))).cast("long") * 31L)
+          bindOnce((element_at(tc, 1) * 31L)
               % 96L) { dh =>
             bindOnce(greatest(lit(4L), floor((lit(8L) + (n * 7L) % 40L)
                 / cc.getField("q")).cast("long"))) { m =>
@@ -1686,8 +1723,8 @@ object MultimodalOps {
                   chrOf(lit(32L) + (dh + i * 17L) % 96L))), "")
               aggregate(sequence(lit(0L), m - 1L),
                 struct(pre.as("s"), lit(8L).as("off"), lit(8L).as("tk")),
-                (st, j) => bindOnce((asciiF(t.substr((j % n + 1L)
-                    .cast("int"), lit(1))).cast("long") * 23L + j * 19L)
+                (st, j) => bindOnce((element_at(tc, (j % n + 1L)
+                    .cast("int")) * 23L + j * 19L)
                     % 96L) { u =>
                   bindOnce(chrOf(lit(32L) + (u * 5L + j) % 96L)) { cch =>
                     val s0 = st.getField("s")
@@ -1799,8 +1836,24 @@ object MultimodalOps {
     lzDecodeOf(lzMediaTable(spark, dir)).orderBy($"doc_id")
   }
 
-  /** [[lzDecode]] over any `(doc_id, payload)` frame — fixture seam. */
-  private[graft] def lzDecodeOf(media: DataFrame): DataFrame = {
+  /** [[lzDecode]] over any `(doc_id, payload)` frame — fixture seam.
+    * Round-17: the automaton runs as the native `lz_stream_decode`
+    * expression (one code-point pass, int output buffer) instead of the
+    * per-char `aggregate` fold whose state carried the output buffer as
+    * a string — O(output) per row instead of O(output²) allocation
+    * churn. [[lzDecodeHofOf]] keeps the fold verbatim as the A/B witness
+    * (the HilbertKey native-equals-fold discipline; the spec pins both
+    * on the generated corpus and the hand-packed malformed fixtures). */
+  private[graft] def lzDecodeOf(media: DataFrame): DataFrame =
+    evalOnce(media, $"doc_id",
+      call_function("lz_stream_decode", decode($"payload", "UTF-8")))
+      .select($"doc_id", $"o.n_bytes".as("n_bytes"),
+        $"o.n_toks".as("n_toks"), $"o.n_copies".as("n_copies"),
+        $"o.out_len".as("out_len"), $"o.value_sum".as("value_sum"),
+        $"o.wsum".as("wsum"), $"o.ok".as("ok"))
+
+  /** The pre-round-17 higher-order-function automaton — A/B witness. */
+  private[graft] def lzDecodeHofOf(media: DataFrame): DataFrame = {
     val asciiF = org.apache.spark.sql.functions.ascii _
     val out = bindOnce(decode($"payload", "UTF-8")) { ss =>
       bindOnce((asciiF(ss.substr(lit(5), lit(1))).cast("long") - 32L) * 64L
@@ -1856,14 +1909,15 @@ object MultimodalOps {
                 })
           })
         bindOnce(fin.getField("o")) { ostr =>
+          // round-17: fold the readout sums over the native code array
           bindOnce(aggregate(
-            filter(split(ostr, ""), ch => length(ch) > 0),
+            call_function("ascii_codes", ostr),
             struct(lit(0L).as("i"), lit(0L).as("vs"), lit(0L).as("ws")),
-            (a, ch) => bindOnce(asciiF(ch).cast("long")) { b =>
+            (a, b) =>
               struct((a.getField("i") + 1L).as("i"),
                 (a.getField("vs") + b).as("vs"),
                 (a.getField("ws") + (a.getField("i") + 1L) * b).as("ws"))
-            })) { vf =>
+            )) { vf =>
             struct(length(ss).cast("long").as("n_bytes"),
               fin.getField("tk").as("n_toks"),
               fin.getField("cp").as("n_copies"),

