@@ -84,6 +84,22 @@ object GraftExtensions {
         LzStreamDecode(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("rle_stream_decode"),
+      new ExpressionInfo(classOf[RleStreamDecode].getName, "rle_stream_decode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"rle_stream_decode expects 1 argument, got ${children.length}")
+        RleStreamDecode(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("huff_stream_decode"),
+      new ExpressionInfo(classOf[HuffStreamDecode].getName, "huff_stream_decode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"huff_stream_decode expects 1 argument, got ${children.length}")
+        HuffStreamDecode(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cascade_sigs"),
       new ExpressionInfo(classOf[CascadeSigs].getName, "cascade_sigs"),
       (children: Seq[Expression]) => {

@@ -1386,8 +1386,21 @@ object MultimodalOps {
     rleDecodeOf(rleMediaTable(spark, dir)).orderBy($"doc_id")
   }
 
-  /** [[rleDecode]] over any `(doc_id, payload)` frame — fixture seam. */
-  private[graft] def rleDecodeOf(media: DataFrame): DataFrame = {
+  /** [[rleDecode]] over any `(doc_id, payload)` frame — fixture seam.
+    * Round-17: the token automaton runs as the native `rle_stream_decode`
+    * expression (one code-point pass) instead of the interpreted per-char
+    * struct-state fold; [[rleDecodeHofOf]] keeps the fold verbatim as the
+    * A/B witness (spec-pinned on corpus + malformed fixtures). */
+  private[graft] def rleDecodeOf(media: DataFrame): DataFrame =
+    evalOnce(media, $"doc_id",
+      call_function("rle_stream_decode", decode($"payload", "UTF-8")))
+      .select($"doc_id", $"o.n_bytes".as("n_bytes"),
+        $"o.lit_runs".as("lit_runs"), $"o.rep_runs".as("rep_runs"),
+        $"o.n_pixels".as("n_pixels"), $"o.luma_sum".as("luma_sum"),
+        $"o.ok".as("ok"))
+
+  /** The pre-round-17 higher-order-function automaton — A/B witness. */
+  private[graft] def rleDecodeHofOf(media: DataFrame): DataFrame = {
     val asciiF = org.apache.spark.sql.functions.ascii _
     val out = bindOnce(decode($"payload", "UTF-8")) { ss =>
       val zero = struct(lit(0L).as("lit_rem"), lit(0L).as("pend"),
@@ -1575,8 +1588,20 @@ object MultimodalOps {
     (e, sv, sw, bt, o2)
   }
 
-  /** [[huffDecode]] over any `(doc_id, payload)` frame — fixture seam. */
-  private[graft] def huffDecodeOf(media: DataFrame): DataFrame = {
+  /** [[huffDecode]] over any `(doc_id, payload)` frame — fixture seam.
+    * Round-17: runs as the native `huff_stream_decode` bit automaton
+    * (see that expression's equivalence argument to the transition-table
+    * fold); [[huffDecodeHofOf]] keeps the table-driven fold verbatim as
+    * the A/B witness (spec-pinned on corpus + malformed fixtures). */
+  private[graft] def huffDecodeOf(media: DataFrame): DataFrame =
+    evalOnce(media, $"doc_id",
+      call_function("huff_stream_decode", decode($"payload", "UTF-8")))
+      .select($"doc_id", $"o.n_bytes".as("n_bytes"),
+        $"o.n_syms".as("n_syms"), $"o.value_sum".as("value_sum"),
+        $"o.wsum".as("wsum"), $"o.bit_len".as("bit_len"), $"o.ok".as("ok"))
+
+  /** The pre-round-17 table-driven fold — A/B witness. */
+  private[graft] def huffDecodeHofOf(media: DataFrame): DataFrame = {
     val asciiF = org.apache.spark.sql.functions.ascii _
     val (eLit, svLit, swLit, btLit, o2Lit) = (
       array(huffTables._1.map(lit): _*), array(huffTables._2.map(lit): _*),

@@ -46,22 +46,28 @@ object ParallelRank {
     * Persisted: the id column must not be recomputed under a different
     * partitioning once the offset join re-shuffles rows.
     *
-    * Round-17: the range width is sized from the INPUT's planned
-    * partition count (for a scan-rooted frame, the file-split count — a
-    * data-size signal read at plan time, no job), capped at the session
-    * width. At bench SF the event/doc scans are 1-2 splits, and range-
-    * shuffling them session-wide made every downstream window/offset
-    * stage a near-empty 32-task launch; on cluster inputs the scan
-    * arrives in many splits and the cap keeps the full width. Values are
-    * width-independent: ranks/ntiles are pure functions of the total
-    * order, and every running-sum accumulator is integer/decimal (exact
-    * under re-association) per the helper's contract. */
-  private def ranged(df: DataFrame, order: Seq[Column]): DataFrame = {
-    val conf = scala.util.Try(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
-    val w = math.max(1, math.min(conf, df.rdd.getNumPartitions))
+    * Round-17: callers whose input is a MAP-ONLY projection of a scan may
+    * pass `width` (their leaf's planned partition count — a data-size
+    * signal read at plan time, capped at the session conf by
+    * [[graft.ops.loopParts]]). At bench SF the event scan is 1-2 splits,
+    * and range-shuffling it session-wide made every downstream window /
+    * offset stage a near-empty 32-task launch; on cluster inputs the scan
+    * arrives in many splits, so the width follows the data. `width = 0`
+    * (the default) keeps the session conf — REQUIRED for any caller whose
+    * frame was amplified after the scan (the permutation/bootstrap lanes
+    * explode rows ×B, where the split count is no longer a volume
+    * signal; sizing them from it serialized a multi-million-row sort
+    * through 1-2 tasks, stats_perm_test 1.1 → 6.3 s before this
+    * parameter split the two cases). Values are width-independent:
+    * ranks/ntiles are pure functions of the total order, and every
+    * running-sum accumulator is integer/decimal (exact under
+    * re-association) per the helper's contract. */
+  private def ranged(df: DataFrame, order: Seq[Column], width: Int): DataFrame = {
+    val shuffled =
+      if (width > 0) df.repartitionByRange(width, order: _*)
+      else df.repartitionByRange(order: _*)
     graft.Caches.persist(
-      df.repartitionByRange(w, order: _*).withColumn("__pid", spark_partition_id()))
+      shuffled.withColumn("__pid", spark_partition_id()))
   }
 
   /** Offset-block width for [[exclusivePrefix]]'s large-P form: per-
@@ -142,8 +148,9 @@ object ParallelRank {
 
   /** `out` := `row_number() OVER (ORDER BY order…)` (1-based, BIGINT),
     * computed partition-parallel. */
-  def withGlobalRank(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
-    val r = ranged(df, order)
+  def withGlobalRank(df: DataFrame, order: Seq[Column], out: String,
+      width: Int = 0): DataFrame = {
+    val r = ranged(df, order, width)
     val off = prefixOffsets(r.groupBy($"__pid").agg(count(lit(1)).as("__n")))
     r.withColumn("__lr",
         row_number().over(Window.partitionBy($"__pid").orderBy(order: _*)))
@@ -159,8 +166,9 @@ object ParallelRank {
     * this) — applied as pure integer arithmetic on (rank, n). The
     * `n < k` edge stays in the first CASE branch (every bucket size 1),
     * so the `DIV ⌊n/k⌋` in the other branch never sees a zero. */
-  def withNtile(df: DataFrame, k: Int, order: Seq[Column], out: String): DataFrame = {
-    val r = ranged(df, order)
+  def withNtile(df: DataFrame, k: Int, order: Seq[Column], out: String,
+      width: Int = 0): DataFrame = {
+    val r = ranged(df, order, width)
     val off = prefixOffsets(r.groupBy($"__pid").agg(count(lit(1)).as("__n")))
     val tot = off.agg(sum($"__n").cast("long").as("__tot"))
     r.withColumn("__lr",
@@ -192,10 +200,10 @@ object ParallelRank {
     * shuffle, one partition-parallel window, one broadcast offset row per
     * partition carrying every accumulator. */
   def withRunningSums(df: DataFrame, order: Seq[Column],
-      values: Seq[(Column, String)]): DataFrame = {
+      values: Seq[(Column, String)], width: Int = 0): DataFrame = {
     val is = values.indices
     val r = ranged(is.foldLeft(df) { (d, i) =>
-      d.withColumn(s"__v$i", values(i)._1) }, order)
+      d.withColumn(s"__v$i", values(i)._1) }, order, width)
     // one total per accumulator per partition (≤|shuffle partitions| rows)
     val aggs = is.map(i => sum(col(s"__v$i")).as(s"__t$i"))
     val per = r.groupBy($"__pid").agg(aggs.head, aggs.tail: _*)

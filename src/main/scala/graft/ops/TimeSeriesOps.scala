@@ -599,9 +599,13 @@ object TimeSeriesOps {
       .select($"event_id", $"user_id", dayofyear($"ts").cast("long").as("doy"),
         graft.io.ZOrder.mortonKey($"user_id", dayofyear($"ts"), HilbertBits).as("z"),
         $"ts")
+    // round-17: the ntile chain's input is a map-only projection of the
+    // events scan, so its planned split count is an honest volume signal
+    // — size the range shuffles from it (ParallelRank.ranged width note)
+    val w = loopParts(ev)
     val b = ParallelRank.withNtile(
-      ParallelRank.withNtile(ev, 64, Seq($"z", $"event_id"), "zf"),
-      64, Seq($"ts", $"event_id"), "tf")
+      ParallelRank.withNtile(ev, 64, Seq($"z", $"event_id"), "zf", w),
+      64, Seq($"ts", $"event_id"), "tf", w)
     pruneReadoutOf(b, Seq("zorder" -> $"zf", "time" -> $"tf"))
   }
 
@@ -686,11 +690,14 @@ object TimeSeriesOps {
           graft.io.ZOrder.mortonKey($"user_id", dayofyear($"ts"), HilbertBits).as("z"),
           $"ts"),
       $"user_id", $"doy", HilbertBits, "hk")
+    // round-17: map-only scan projection — size the range shuffles from
+    // its planned split count (see zorderPruneOf)
+    val w = loopParts(ev)
     val b = ParallelRank.withNtile(
       ParallelRank.withNtile(
-        ParallelRank.withNtile(ev, 64, Seq($"hk", $"event_id"), "hf"),
-        64, Seq($"z", $"event_id"), "zf"),
-      64, Seq($"ts", $"event_id"), "tf")
+        ParallelRank.withNtile(ev, 64, Seq($"hk", $"event_id"), "hf", w),
+        64, Seq($"z", $"event_id"), "zf", w),
+      64, Seq($"ts", $"event_id"), "tf", w)
     pruneReadoutOf(b,
       Seq("hilbert" -> $"hf", "zorder" -> $"zf", "time" -> $"tf"))
   }

@@ -563,6 +563,36 @@ class MultimodalOpsSpec extends AnyFunSuite {
       "preamble + ladder-floor token count")
   }
 
+  test("native rle/huff stream decodes equal their HOF folds on corpus + fixtures") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def pay(s: String) = s.getBytes("UTF-8")
+    val rleFix = Seq(
+      (1L, pay("RL1\n" + "AB" + "Az")), (2L, pay("RL1\n" + "A")),
+      (3L, pay("RL1\n" + " ")), (4L, pay("XX1\n" + "AB")),
+      (5L, pay("")), (6L, pay("RL1\n")))
+      .toDF("doc_id", "payload")
+    val huffFix = Seq(
+      (1L, pay("HF1\n #S_")), (2L, pay("XX1\n #S_")), (3L, pay("HF1\n #S")),
+      (4L, pay("HF1\n \"P")), (5L, pay("HF1\n #{_")), (6L, pay("HF1\n #S__")),
+      (7L, pay("")), (8L, pay("HF1\n")))
+      .toDF("doc_id", "payload")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    for ((media, nat, hof) <- Seq(
+      (rleFix, MultimodalOps.rleDecodeOf _, MultimodalOps.rleDecodeHofOf _),
+      (MultimodalOps.rleMediaTable(spark, sf),
+        MultimodalOps.rleDecodeOf _, MultimodalOps.rleDecodeHofOf _),
+      (huffFix, MultimodalOps.huffDecodeOf _, MultimodalOps.huffDecodeHofOf _),
+      (MultimodalOps.huffMediaTable(spark, sf),
+        MultimodalOps.huffDecodeOf _, MultimodalOps.huffDecodeHofOf _))) {
+      val n = rowsOf(nat(media))
+      val h = rowsOf(hof(media))
+      assert(n.keySet == h.keySet)
+      n.keys.foreach(id => assert(n(id) == h(id),
+        s"doc $id: native ${n(id)} != hof ${h(id)}"))
+    }
+  }
+
   test("native lz_stream_decode equals the HOF automaton on corpus + malformed fixtures") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     def enc(s: String) = s.getBytes("UTF-8")
